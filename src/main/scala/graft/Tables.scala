@@ -15,12 +15,13 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects. Read nanos as long, then floor-divide to micros —
-      // the same truncation DuckDB applies when it narrows ns → us.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reader rejects; spark.sql.legacy.parquet.nanosAsLong (set at session
+      // build — Sessions.build) reads it as a long. Floor-divide ns → us
+      // (pmod keeps floor semantics for pre-epoch timestamps, matching
+      // DuckDB's narrowing; plain `div` truncates toward zero).
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -184,7 +184,11 @@ final class Lexer(src: String) {
             while (i < src.length && src.charAt(i) != '}') hs += advance()
             if (i >= src.length) err("unterminated \\u escape")
             advance() // }
-            val cp = Integer.parseInt(hs.toString, 16)
+            if (hs.isEmpty || !hs.forall(isHexDigit)) err("\\u escape needs 1+ hex digits")
+            val cp =
+              try Integer.parseInt(hs.toString, 16)
+              catch { case _: NumberFormatException => err("\\u escape out of range") }
+            if (!Character.isValidCodePoint(cp)) err(s"invalid Unicode code point in \\u escape")
             sb.appendAll(Character.toChars(cp))
           case other => err(s"unknown escape '\\$other'")
         }
@@ -216,6 +220,10 @@ final class Lexer(src: String) {
       while (i < src.length && src.charAt(i).isDigit) advance()
     }
     val text = src.substring(start, i)
+    // reference tokenizer: a numeric immediately followed by an identifier
+    // char is an error (`1d`, `1.d`), not two tokens
+    if (i < src.length && (src.charAt(i) == '_' || src.charAt(i).isLetter))
+      err(s"invalid char '${src.charAt(i)}' after numeric literal")
     if (isFloat) Token(TokenType.FloatLiteral, text, l, c)
     else Token(TokenType.IntegerLiteral, text, l, c)
   }

@@ -273,7 +273,10 @@ object CoreQueries {
       (s, dir) => {
         val c = t(s, dir, "customer")
         val sp = t(s, dir, "supplier")
-        c.join(broadcast(sp),
+        // no broadcast hint: supplier grows with the scale factor, so let
+        // AQE/autoBroadcastJoinThreshold decide (a forced broadcast OOMs at
+        // 100×); the equi-key on nationkey keeps this a hash/SMJ join
+        c.join(sp,
             c("c_nationkey") === sp("s_nationkey") && sp("s_acctbal") > c("c_acctbal"))
           .groupBy(col("c_nationkey").as("nationkey"))
           .agg(count(lit(1)).as("richer_pairs"))
@@ -302,7 +305,9 @@ object CoreQueries {
         val disc = (lit(1) - d2(col("l_discount"))).cast("decimal(12,2)")
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sp),
+          // supplier is sf-scaled — no broadcast hint (AQE decides); nation
+          // and region are fixed 25/5 rows, so those hints are safe
+          .join(sp,
             col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -326,8 +331,12 @@ object CoreQueries {
         val li = t(s, dir, "lineitem")
         val sp = t(s, dir, "supplier")
         val disc = (lit(1) - d2(col("l_discount"))).cast("decimal(12,2)")
+        // persist the CTE: it feeds both the join and the MAX scalar —
+        // without it, ReuseExchange can miss under AQE re-optimization and
+        // lineitem gets scanned + aggregated twice (7.8s in BENCH_r01)
         val revenue = li.groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(d2(col("l_extendedprice")) * disc).cast("double").as("total_revenue"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
         sp.join(revenue, col("s_suppkey") === col("supplier_no"))
           .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))

@@ -73,10 +73,15 @@ object CoreQueries2 {
           FROM part) x
         WHERE r <= 10 ORDER BY p_size DESC, p_partkey"""),
       (s, dir) => {
-        val w = Window.orderBy(col("p_size").desc)
-        t(s, dir, "part")
-          .withColumn("r", rank().over(w))
-          .filter(col("r") <= 10)
+        // Scale-safe WITH TIES: rank() over an unpartitioned window would
+        // shuffle the whole table to one task. Instead compute the k-th
+        // largest sort-key value with a TakeOrderedAndProject (limit k),
+        // broadcast that 1-row threshold, and keep rows >= it — identical
+        // semantics (rank <= k ⟺ value >= k-th value), no global window.
+        val part = t(s, dir, "part")
+        val thr = part.select(col("p_size")).orderBy(col("p_size").desc).limit(10)
+          .agg(min(col("p_size")).as("thr"))
+        part.join(broadcast(thr), col("p_size") >= col("thr"))
           .select(col("p_partkey"), col("p_size"))
           .orderBy(col("p_size").desc, col("p_partkey"))
       }),
@@ -172,9 +177,11 @@ object CoreQueries2 {
           AND (p_type LIKE 'S%' OR p_type ILIKE '%econ%')
         ORDER BY p_partkey"""),
       (s, dir) =>
+        // literal prefix/infix patterns: startsWith/contains avoid the
+        // regex engine entirely (same semantics as LIKE 'S%' / ILIKE '%econ%')
         t(s, dir, "part")
           .filter(col("p_retailprice").between(500, 1000)
-            && (col("p_type").like("S%") || col("p_type").ilike("%econ%")))
+            && (col("p_type").startsWith("S") || lower(col("p_type")).contains("econ")))
           .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_retailprice"))
           .orderBy(col("p_partkey"))),
 
@@ -223,7 +230,10 @@ object CoreQueries2 {
             lower(col("c_name")).as("name_lo"),
             length(col("c_name")).cast("long").as("name_len"),
             concat(col("c_name"), lit("|"), col("c_mktsegment")).as("tagged"),
-            regexp_replace(col("c_name"), "Customer#", "C").as("short_name"))
+            // literal replace (not regexp_replace) — keeps Spark and the
+            // DuckDB oracle's replace() identical even if the pattern ever
+            // contains a regex metacharacter
+            replace(col("c_name"), lit("Customer#"), lit("C")).as("short_name"))
           .orderBy(col("c_custkey"))),
 
     // ---- q33: date functions + interval arithmetic ----------------------
