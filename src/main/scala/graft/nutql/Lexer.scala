@@ -152,6 +152,9 @@ final class Lexer(src: String) {
     val start = i
     while (i < src.length && src.charAt(i).isDigit) advance()
     if (i == start) err("expected digits after '$'")
+    // `$0a` is an error, not two tokens (reference tokenizer)
+    if (i < src.length && (src.charAt(i) == '_' || src.charAt(i).isLetter))
+      err(s"invalid char '${src.charAt(i)}' in query parameter")
     Token(TokenType.QueryParameter, src.substring(start, i), l, c)
   }
 
