@@ -1,14 +1,16 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, CoreQueries2, QueryDef}
+import graft.queries.{EngineQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** All operator-coverage queries, name → definition. */
+  /** All operator-coverage queries, name → definition. Since round 2
+    * these run end-to-end through the NutQL engine (text → parse → bind →
+    * DataFrame); the oracle SQL is unchanged from round 1. */
   def allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ CoreQueries2.defs
+    EngineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

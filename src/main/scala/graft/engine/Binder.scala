@@ -1,0 +1,744 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import graft.nutql.Ast._
+import scala.util.Try
+
+/** AST → DataFrame lowering (SURVEY §3.2).
+  *
+  * The binder does the rewrites Catalyst cannot see from the DataFrame
+  * API: IN/EXISTS-subquery decorrelation to semi/anti joins, scalar
+  * subquery materialization via broadcast cross join, DISTINCT ON and
+  * LIMIT WITH TIES window/threshold rewrites, AsOf-join lowering, and
+  * right-semi/right-anti side swaps. Everything else — pushdown, pruning,
+  * join strategy selection, partial aggregation, AQE — is left to
+  * Catalyst by construction (declarative plan, public API only).
+  */
+final class Binder(
+    spark: SparkSession,
+    catalog: Catalog,
+    params: Seq[Any] = Nil,
+    config: collection.Map[String, Any] = Map.empty) {
+
+  /** One named relation visible for identifier resolution. `df` is the
+    * source DataFrame whose attributes survive later joins/filters (the
+    * df("col") disambiguation pattern). */
+  final case class Scope(qualifier: Option[String], df: DataFrame, cols: Seq[String]) {
+    def has(n: String): Boolean = cols.exists(_.equalsIgnoreCase(n))
+  }
+  final case class Rel(df: DataFrame, scopes: Seq[Scope])
+
+  /** Mutable binding state: scalar subqueries cross-join onto `rel` as
+    * they are encountered inside expressions. */
+  private final class Ctx(
+      var rel: Rel,
+      val outer: Option[Rel],
+      val ctes: Map[String, DataFrame],
+      var subst: Map[Expr, Column] = Map.empty)
+
+  private var uniqueCounter = 0
+  private def fresh(prefix: String): String = { uniqueCounter += 1; s"__${prefix}_$uniqueCounter" }
+
+  def err(msg: String): Nothing = throw GraftException(msg)
+
+  /** Bind an expression against a single standalone relation (constraint
+    * checks on an INSERT batch, ALTER defaults). */
+  def bindAgainstDf(df: DataFrame, e: Expr): Column = {
+    val ctx = new Ctx(Rel(df, Seq(Scope(None, df, df.columns.toSeq))), None, Map.empty)
+    bindExpr(e, ctx)
+  }
+
+  /** Bind a constant expression (VALUES cells, DEFAULT exprs — no column
+    * references, but scalar functions like toDate('…') are fine). */
+  def bindConstant(e: Expr): Column = bindAgainstDf(spark.range(1).toDF("__c"), e)
+
+  // ================== query binding ==================
+
+  def bindQuery(q: Query, ctes: Map[String, DataFrame] = Map.empty): DataFrame = q match {
+    case SetOpQuery(op, l, r) =>
+      val ld = bindQuery(l, ctes)
+      val rd = bindQuery(r, ctes)
+      op match {
+        case "union_all" => ld.union(rd) // positional, SQL semantics
+        case "union_distinct" => ld.union(rd).distinct()
+        case "intersect" => ld.intersect(rd)
+        case "except" => ld.except(rd)
+        case other => err(s"unknown set op $other")
+      }
+    case qb: QueryBody => bindBody(qb, ctes, outer = None)
+  }
+
+  private def bindBody(qb: QueryBody, outerCtes: Map[String, DataFrame], outer: Option[Rel]): DataFrame = {
+    // ---- CTEs: later CTEs see earlier ones; a CTE referenced more than
+    // once is persisted so its exchange isn't recomputed per consumer ----
+    val ctes = qb.ctes.foldLeft(outerCtes) { case (acc, (name, cteQ)) =>
+      val df = bindQuery(cteQ, acc)
+      val refs = countTableRefs(qb, name)
+      acc + (name.toLowerCase -> (if (refs > 1) df.persist(StorageLevel.MEMORY_AND_DISK) else df))
+    }
+
+    // ---- FROM + JOINs ----
+    val baseRel: Rel = qb.from match {
+      case Some(src) => bindSource(src, ctes)
+      case None =>
+        // SELECT with no FROM: one-row relation
+        val df = spark.range(1).toDF("__dummy")
+        Rel(df, Seq(Scope(None, df, Nil)))
+    }
+    val joinedRel = qb.joins.foldLeft(baseRel)((rel, jc) => bindJoin(rel, jc, ctes))
+
+    val ctx = new Ctx(joinedRel, outer, ctes)
+
+    // ---- WHERE: conjuncts that are EXISTS/IN-subqueries lower to
+    // semi/anti joins; the rest become one filter ----
+    qb.where.foreach(w => applyWhere(w, ctx))
+
+    // ---- aggregation detection ----
+    val aggSources = qb.selectList.map(_.expr) ++ qb.having.toSeq ++ qb.orderBy.map(_.expr)
+    val aggCalls = aggSources.flatMap(collectAggs).distinct
+    val grouped = qb.groupBy.nonEmpty || aggCalls.nonEmpty
+
+    if (grouped) {
+      // GROUP BY may reference select-list aliases (GROUP BY status_label)
+      val keyPairs = qb.groupBy.map(substituteAliases(_, qb.selectList)).zipWithIndex.map {
+        case (e @ Ident(_, n), _) => (e, n)
+        case (e, i) => (e, s"__key_$i")
+      }
+      val keyCols = keyPairs.map { case (e, n) => bindExpr(e, ctx).as(n) }
+      val aggPairs = aggCalls.map(fc => (fc, fresh("agg")))
+      val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, ctx).as(n) }
+      val pre = ctx.rel.df
+      val aggDf =
+        if (keyCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
+        else pre.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      ctx.rel = Rel(aggDf, Seq(Scope(None, aggDf, aggDf.columns.toSeq)))
+      ctx.subst =
+        aggPairs.map { case (fc, n) => (fc: Expr) -> aggDf(n) }.toMap ++
+        keyPairs.map { case (e, n) => e -> aggDf(n) }.toMap
+    }
+
+    // ---- HAVING (post-agg filter; may hold scalar subqueries) ----
+    qb.having.foreach { h =>
+      val c = bindExpr(substituteAliases(h, qb.selectList), ctx)
+      ctx.rel = Rel(ctx.rel.df.filter(c), ctx.rel.scopes)
+    }
+
+    // ---- projection ----
+    // expand wildcards against the scopes BEFORE binding scalar-adding
+    // expressions (a later cross-joined scalar column must not leak into *)
+    val preScopes = ctx.rel.scopes
+    case class Out(col: Column, name: String)
+    val outs: Seq[Out] = qb.selectList.zipWithIndex.flatMap {
+      case (SelectItem(Wildcard(None), _), _) =>
+        preScopes.flatMap(s => s.cols.map(c => Out(s.df(c), c)))
+      case (SelectItem(Wildcard(Some(q)), _), _) =>
+        val s = preScopes.find(_.qualifier.exists(_.equalsIgnoreCase(q)))
+          .getOrElse(err(s"unknown qualifier '$q' for wildcard"))
+        s.cols.map(c => Out(s.df(c), c))
+      case (SelectItem(e, alias), i) =>
+        Seq(Out(bindExpr(e, ctx), alias.getOrElse(defaultName(e, i))))
+    }
+
+    // hidden ORDER BY keys that are not part of the output
+    val aliasByExpr: Map[Expr, String] =
+      qb.selectList.collect { case SelectItem(e, Some(a)) => e -> a }.toMap
+    val outNames = outs.map(_.name.toLowerCase).toSet
+    // order keys resolve to an output column name (select alias or bare
+    // ident), or become a hidden projected column dropped after the sort
+    var hiddenCols = Vector.empty[Out]
+    val ordKeys: Seq[(String, Boolean)] = qb.orderBy.map { ok =>
+      ok.expr match {
+        case Ident(None, n) if outNames.contains(n.toLowerCase) => (n, ok.desc)
+        case e if aliasByExpr.contains(e) => (aliasByExpr(e), ok.desc)
+        case e =>
+          val n = fresh("ord")
+          hiddenCols :+= Out(bindExpr(e, ctx), n)
+          (n, ok.desc)
+      }
+    }
+    def sortCol(k: (String, Boolean)): Column =
+      if (k._2) col(k._1).desc else col(k._1).asc
+    if (hiddenCols.nonEmpty && qb.distinct.contains(Nil))
+      err("ORDER BY key must appear in the select list when DISTINCT is used")
+
+    // DISTINCT ON keys (bound pre-projection, carried as hidden columns)
+    val distinctOnCols: Seq[Out] = qb.distinct match {
+      case Some(on) if on.nonEmpty => on.zipWithIndex.map { case (e, i) =>
+        Out(bindExpr(e, ctx), s"__don_$i")
+      }
+      case _ => Nil
+    }
+
+    var df = ctx.rel.df.select(
+      (outs ++ hiddenCols ++ distinctOnCols).map(o => o.col.as(o.name)): _*)
+
+    // ---- DISTINCT / DISTINCT ON ----
+    qb.distinct match {
+      case Some(on) if on.nonEmpty =>
+        // keep-first per ON-key in ORDER BY order (DuckDB DISTINCT ON)
+        val w = Window
+          .partitionBy(distinctOnCols.map(o => col(o.name)): _*)
+          .orderBy(
+            (if (ordKeys.nonEmpty) ordKeys.map(sortCol)
+             else Seq(lit(1).asc)): _*)
+        val rn = fresh("rn")
+        df = df.withColumn(rn, row_number().over(w))
+          .filter(col(rn) === 1)
+          .drop((rn +: distinctOnCols.map(_.name)): _*)
+      case Some(_) => df = df.distinct()
+      case None =>
+        if (distinctOnCols.nonEmpty) df = df.drop(distinctOnCols.map(_.name): _*)
+    }
+
+    // ---- ORDER BY ----
+    if (ordKeys.nonEmpty) df = df.orderBy(ordKeys.map(sortCol): _*)
+
+    // ---- LIMIT / OFFSET / WITH TIES ----
+    qb.limit.foreach { lc =>
+      val n = lc.limit.asInstanceOf[IntLit].value.toInt
+      val off = lc.offset.map(_.asInstanceOf[IntLit].value.toInt)
+      if (lc.withTies) {
+        if (ordKeys.isEmpty) err("LIMIT WITH TIES requires ORDER BY")
+        if (off.isDefined) err("LIMIT WITH TIES with OFFSET is unsupported")
+        df = withTies(df, ordKeys, n)
+      } else {
+        off.foreach(o => df = df.offset(o))
+        df = df.limit(n)
+      }
+    }
+
+    // hidden order keys leave the output last
+    if (hiddenCols.nonEmpty) df = df.drop(hiddenCols.map(_.name): _*)
+    df
+  }
+
+  /** LIMIT n WITH TIES, scale-safe for a single sort key: broadcast the
+    * k-th key value (TakeOrderedAndProject + 1-row agg) and filter; the
+    * multi-key case falls back to a rank() window. */
+  private def withTies(df: DataFrame, keys: Seq[(String, Boolean)], n: Int): DataFrame = {
+    if (keys.size == 1) {
+      val (keyName, desc) = keys.head
+      val kth = fresh("kth")
+      val thr = df.select(col(keyName).as(kth))
+        .orderBy(if (desc) col(kth).desc else col(kth).asc)
+        .limit(n)
+        .agg((if (desc) min(col(kth)) else max(col(kth))).as(kth))
+      df.join(broadcast(thr),
+          if (desc) col(keyName) >= col(kth) else col(keyName) <= col(kth))
+        .drop(kth)
+    } else {
+      val rk = fresh("rank")
+      val w = Window.orderBy(keys.map { case (nm, d) =>
+        if (d) col(nm).desc else col(nm).asc
+      }: _*)
+      df.withColumn(rk, rank().over(w)).filter(col(rk) <= n).drop(rk)
+    }
+  }
+
+  // ================== sources and joins ==================
+
+  private def bindSource(src: DataSource, ctes: Map[String, DataFrame]): Rel = src match {
+    case TableSource(name, alias) =>
+      val base = ctes.get(name.toLowerCase)
+        .orElse(resolveCatalog(name))
+        .getOrElse(err(s"unknown table or view '$name'"))
+      val q = alias.getOrElse(name)
+      val df = base.alias(q)
+      Rel(df, Seq(Scope(Some(q), df, df.columns.toSeq)))
+    case SubquerySource(query, alias) =>
+      val df0 = bindQuery(query, ctes)
+      val df = alias.map(df0.alias).getOrElse(df0)
+      Rel(df, Seq(Scope(alias, df, df.columns.toSeq)))
+    case TableFnSource(fn, alias) =>
+      val df0 = bindTableFn(fn)
+      val df = alias.map(df0.alias).getOrElse(df0)
+      Rel(df, Seq(Scope(alias, df, df.columns.toSeq)))
+  }
+
+  private def resolveCatalog(name: String): Option[DataFrame] =
+    catalog.get(name).map {
+      case t: catalog.TableEntry => t.df()
+      case v: catalog.ViewEntry => bindView(v)
+    }
+
+  /** Views re-bind on read; a Summing view folds the definition through
+    * groupBy(order/pk keys).agg(sum(numerics), min(others)) — the batch
+    * equivalent of a SummingMergeTree merge (corpus 12.sql). */
+  private def bindView(v: Catalog#ViewEntry): DataFrame = {
+    val df = bindQuery(v.query, Map.empty)
+    if (v.strategy.equalsIgnoreCase("summing")) {
+      val keyNames = (v.orderBy ++ v.primaryKey).collect { case Ident(_, n) => n }.distinct
+      if (keyNames.isEmpty) err("Summing view needs ORDER BY or PRIMARY KEY columns")
+      val keyCols = keyNames.map(df(_))
+      val others = df.schema.filterNot(f => keyNames.exists(_.equalsIgnoreCase(f.name)))
+      val aggs = others.map { f =>
+        if (f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          sum(df(f.name)).as(f.name)
+        else min(df(f.name)).as(f.name) // deterministic pick for non-numerics
+      }
+      if (aggs.isEmpty) df.select(keyCols: _*).distinct()
+      else df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    } else df
+  }
+
+  private def bindTableFn(fn: FnCall): DataFrame = fn.name.toLowerCase match {
+    case "numbers" =>
+      fn.args match {
+        case Seq(IntLit(n)) => spark.range(n.toLong).toDF("number")
+        case Seq(IntLit(a), IntLit(b)) => spark.range(a.toLong, b.toLong).toDF("number")
+        case _ => err("numbers(n) / numbers(start, end) expects integer literals")
+      }
+    case "file" =>
+      fn.args match {
+        case Seq(StringLit(path)) =>
+          val fmt =
+            if (path.endsWith(".parquet")) "parquet"
+            else if (path.endsWith(".csv")) "csv"
+            else if (path.endsWith(".json")) "json"
+            else err(s"cannot infer format of '$path'")
+          val reader = spark.read
+          (if (fmt == "csv") reader.option("header", "true").option("inferSchema", "true")
+           else reader).format(fmt).load(path)
+        case _ => err("file('path') expects a string literal")
+      }
+    case other => err(s"unknown table function '$other'")
+  }
+
+  private def bindJoin(left: Rel, jc: JoinClause, ctes: Map[String, DataFrame]): Rel = {
+    val right = bindSource(jc.source, ctes)
+    jc.condition match {
+      case UsingCondition(cols) =>
+        val how = jc.joinType match {
+          case "inner" | "left" | "right" | "full" => jc.joinType
+          case "left_semi" => "left_semi"
+          case "left_anti" => "left_anti"
+          case other => err(s"USING unsupported for join type $other")
+        }
+        val df = left.df.join(right.df, cols, how)
+        // the coalesced key columns come from the join output itself
+        val keyScope = Scope(None, df, cols)
+        val rightRest = right.scopes.map(s => s.copy(cols = s.cols.filterNot(c => cols.exists(_.equalsIgnoreCase(c)))))
+        val leftRest = left.scopes.map(s => s.copy(cols = s.cols.filterNot(c => cols.exists(_.equalsIgnoreCase(c)))))
+        Rel(df, keyScope +: (leftRest ++ rightRest))
+      case OnCondition(condExpr) =>
+        val bothScopes = left.scopes ++ right.scopes
+        val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+        jc.joinType match {
+          case "inner" | "left" | "right" | "full" =>
+            val cond = bindExpr(condExpr, condCtx)
+            Rel(left.df.join(right.df, cond, jc.joinType), bothScopes)
+          case "left_semi" | "left_anti" =>
+            val cond = bindExpr(condExpr, condCtx)
+            Rel(left.df.join(right.df, cond, jc.joinType), left.scopes)
+          case "right_semi" | "right_anti" =>
+            // swap sides: Spark only has the left-flavored variants
+            val cond = bindExpr(condExpr, condCtx)
+            val how = if (jc.joinType == "right_semi") "left_semi" else "left_anti"
+            Rel(right.df.join(left.df, cond, how), right.scopes)
+          case "asof" => bindAsOf(left, right, condExpr, ctes)
+          case other => err(s"unknown join type $other")
+        }
+    }
+  }
+
+  /** AsOf join (ClickHouse semantics: equality conjuncts + ONE inequality
+    * bound on an ordering column). Lowering: inner-join on all conjuncts,
+    * then keep the right row closest to the bound per left row — a
+    * row_number window partitioned by a synthetic left row id. One shuffle
+    * on the id; no driver-side state. */
+  private def bindAsOf(left: Rel, right: Rel, condExpr: Expr, ctes: Map[String, DataFrame]): Rel = {
+    val conjuncts = splitAnd(condExpr)
+    val bothScopes = left.scopes ++ right.scopes
+    val ctx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+    val (ineqs, eqs) = conjuncts.partition {
+      case Binary(op, _, _) => Seq(">", ">=", "<", "<=").contains(op)
+      case _ => false
+    }
+    if (ineqs.size != 1)
+      err(s"ASOF join needs exactly one inequality conjunct, got ${ineqs.size}")
+    val Binary(op, _, rOrd) = ineqs.head: @unchecked
+    val id = fresh("asof_id")
+    val leftDf = left.df.withColumn(id, monotonically_increasing_id())
+    val ctx2 = new Ctx(Rel(leftDf, Scope(None, leftDf, Seq(id)) +: bothScopes), None, ctes)
+    val cond = (eqs ++ ineqs).map(bindExpr(_, ctx2)).reduce(_ && _)
+    val joined = leftDf.join(right.df, cond, "inner")
+    // `left.ts >= right.ts` wants the greatest right.ts → desc
+    val ordCol = bindExpr(rOrd, ctx2)
+    val w = Window.partitionBy(col(id))
+      .orderBy(if (op == ">" || op == ">=") ordCol.desc else ordCol.asc)
+    val rn = fresh("rn")
+    val picked = joined.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn, id)
+    Rel(picked, bothScopes)
+  }
+
+  // ================== WHERE lowering ==================
+
+  private def applyWhere(w: Expr, ctx: Ctx): Unit = {
+    val conjuncts = splitAnd(w)
+    val plain = Vector.newBuilder[Expr]
+    val subqueryConjuncts = Vector.newBuilder[Expr]
+    conjuncts.foreach {
+      case e @ (_: ExistsExpr | _: InSubquery) => subqueryConjuncts += e
+      case e @ FnCall(n, Seq(SubqueryExpr(_))) if n.equalsIgnoreCase("exists") =>
+        subqueryConjuncts += e
+      case e @ Unary("not", FnCall(n, Seq(SubqueryExpr(_)))) if n.equalsIgnoreCase("exists") =>
+        subqueryConjuncts += e
+      case e => plain += e
+    }
+    // plain predicates filter first (best pushdown), then semi/anti joins
+    val plainSeq = plain.result()
+    if (plainSeq.nonEmpty) {
+      val cond = plainSeq.map(bindExpr(_, ctx)).reduce(_ && _)
+      ctx.rel = Rel(ctx.rel.df.filter(cond), ctx.rel.scopes)
+    }
+    subqueryConjuncts.result().foreach {
+      case ExistsExpr(q, neg) => lowerExists(q, neg, ctx)
+      case FnCall(_, Seq(SubqueryExpr(q))) => lowerExists(q, negated = false, ctx)
+      case Unary("not", FnCall(_, Seq(SubqueryExpr(q)))) => lowerExists(q, negated = true, ctx)
+      case InSubquery(e, q, neg) => lowerInSubquery(e, q, neg, ctx)
+      case other => err(s"unexpected subquery conjunct $other")
+    }
+  }
+
+  /** EXISTS / NOT EXISTS → left-semi / left-anti join with AST-level
+    * decorrelation: inner WHERE conjuncts that reference outer columns
+    * become the join condition, the rest filter the inner side first. */
+  private def lowerExists(sub: Query, negated: Boolean, ctx: Ctx): Unit = {
+    val qb = sub match {
+      case b: QueryBody => b
+      case _ => err("EXISTS subquery must be a plain query body")
+    }
+    if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.limit.isDefined)
+      err("EXISTS subquery with GROUP BY/HAVING/LIMIT is unsupported")
+    val innerBase = qb.from.map(bindSource(_, ctx.ctes))
+      .getOrElse(err("EXISTS subquery needs a FROM"))
+    val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+
+    val conjuncts = qb.where.map(splitAnd).getOrElse(Nil)
+    val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
+
+    var innerDf = innerRel.df
+    if (local.nonEmpty) {
+      val localCtx = new Ctx(Rel(innerDf, innerRel.scopes), None, ctx.ctes)
+      innerDf = innerDf.filter(local.map(bindExpr(_, localCtx)).reduce(_ && _))
+    }
+    val cond =
+      if (correlated.isEmpty) lit(true) // uncorrelated EXISTS: any row matches
+      else {
+        // resolve inner names first, then outer (SQL scoping)
+        val corrCtx = new Ctx(Rel(innerDf, innerRel.scopes), Some(ctx.rel), ctx.ctes)
+        correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+      }
+    val how = if (negated) "left_anti" else "left_semi"
+    ctx.rel = Rel(ctx.rel.df.join(innerDf, cond, how), ctx.rel.scopes)
+  }
+
+  /** IN (subquery) → left-semi; NOT IN (subquery) → null-aware anti join
+    * when either side is nullable (matching SQL three-valued semantics),
+    * plain hash anti join otherwise. */
+  private def lowerInSubquery(lhsExpr: Expr, sub: Query, negated: Boolean, ctx: Ctx): Unit = {
+    val inner0 = bindQuery(sub, ctx.ctes)
+    if (inner0.columns.length != 1)
+      err(s"IN subquery must produce exactly 1 column, got ${inner0.columns.length}")
+    val n = fresh("in")
+    val innerField = inner0.schema.head
+    val inner = inner0.select(col(inner0.columns.head).as(n))
+    val lhs = bindExpr(lhsExpr, ctx)
+    val lhsNullable = Try(ctx.rel.df.select(lhs).schema.head.nullable).getOrElse(true)
+    if (!negated) {
+      ctx.rel = Rel(ctx.rel.df.join(inner, lhs === inner(n), "left_semi"), ctx.rel.scopes)
+    } else if (!lhsNullable && !innerField.nullable) {
+      ctx.rel = Rel(ctx.rel.df.join(inner, lhs === inner(n), "left_anti"), ctx.rel.scopes)
+    } else {
+      // null-aware: any NULL on either side makes NOT IN unknown ⇒ drop
+      val cond = lhs.isNull || inner(n).isNull || (lhs === inner(n))
+      ctx.rel = Rel(ctx.rel.df.join(inner, cond, "left_anti"), ctx.rel.scopes)
+    }
+  }
+
+  /** True iff every identifier in `e` resolves inside `rel` (no outer
+    * references) — the correlation test. */
+  private def resolvesWithin(e: Expr, rel: Rel): Boolean = {
+    var ok = true
+    def walkQ(q: Query): Unit = () // nested subqueries keep their own scope
+    def walk(x: Expr): Unit = x match {
+      case Ident(q, nm) =>
+        val found = q match {
+          case Some(qual) =>
+            rel.scopes.exists(s => s.qualifier.exists(_.equalsIgnoreCase(qual)) && s.has(nm))
+          case None => rel.scopes.exists(_.has(nm))
+        }
+        if (!found) ok = false
+      case Binary(_, l, r) => walk(l); walk(r)
+      case Unary(_, o) => walk(o)
+      case FnCall(_, args) => args.foreach(walk)
+      case CaseExpr(s, bs, e2) =>
+        s.foreach(walk); bs.foreach { case (a, b) => walk(a); walk(b) }; e2.foreach(walk)
+      case BetweenExpr(a, lo, hi, _) => walk(a); walk(lo); walk(hi)
+      case InList(a, items, _) => walk(a); items.foreach(walk)
+      case TupleLit(xs) => xs.foreach(walk)
+      case ArrayLit(xs) => xs.foreach(walk)
+      case MapLit(es) => es.foreach { case (k, v) => walk(k); walk(v) }
+      case SubqueryExpr(q) => walkQ(q)
+      case InSubquery(a, q, _) => walk(a); walkQ(q)
+      case ExistsExpr(q, _) => walkQ(q)
+      case _ => ()
+    }
+    walk(e)
+    ok
+  }
+
+  // ================== expressions ==================
+
+  private def splitAnd(e: Expr): Seq[Expr] = e match {
+    case Binary("and", l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Maximal aggregate-call subtrees (no recursion into agg args). */
+  private def collectAggs(e: Expr): Seq[FnCall] = e match {
+    case fc @ FnCall(n, _) if FunctionRegistry.isAgg(n) => Seq(fc)
+    case Binary(_, l, r) => collectAggs(l) ++ collectAggs(r)
+    case Unary(_, o) => collectAggs(o)
+    case FnCall(_, args) => args.flatMap(collectAggs)
+    case CaseExpr(s, bs, el) =>
+      s.toSeq.flatMap(collectAggs) ++
+        bs.flatMap { case (a, b) => collectAggs(a) ++ collectAggs(b) } ++
+        el.toSeq.flatMap(collectAggs)
+    case BetweenExpr(a, lo, hi, _) => collectAggs(a) ++ collectAggs(lo) ++ collectAggs(hi)
+    case InList(a, items, _) => collectAggs(a) ++ items.flatMap(collectAggs)
+    case TupleLit(xs) => xs.flatMap(collectAggs)
+    case ArrayLit(xs) => xs.flatMap(collectAggs)
+    case _ => Nil
+  }
+
+  private def bindAggCall(fc: FnCall, ctx: Ctx): Column = {
+    val star = fc.args.exists { case Wildcard(_) => true; case _ => false } || fc.args.isEmpty
+    val cols = if (star) Nil else fc.args.map(bindExpr(_, ctx))
+    FunctionRegistry.bindAgg(fc.name, cols, star)
+  }
+
+  /** Replace select-list aliases appearing as bare identifiers (HAVING may
+    * reference them, ClickHouse-style). */
+  private def substituteAliases(e: Expr, items: Seq[SelectItem]): Expr = {
+    val aliasMap = items.collect { case SelectItem(ex, Some(a)) => a.toLowerCase -> ex }.toMap
+    def rewrite(x: Expr): Expr = x match {
+      case Ident(None, n) if aliasMap.contains(n.toLowerCase) => aliasMap(n.toLowerCase)
+      case Binary(op, l, r) => Binary(op, rewrite(l), rewrite(r))
+      case Unary(op, o) => Unary(op, rewrite(o))
+      case FnCall(n, args) => FnCall(n, args.map(rewrite))
+      case CaseExpr(s, bs, el) =>
+        CaseExpr(s.map(rewrite), bs.map { case (a, b) => (rewrite(a), rewrite(b)) }, el.map(rewrite))
+      case BetweenExpr(a, lo, hi, neg) => BetweenExpr(rewrite(a), rewrite(lo), rewrite(hi), neg)
+      case InList(a, items2, neg) => InList(rewrite(a), items2.map(rewrite), neg)
+      case other => other
+    }
+    rewrite(e)
+  }
+
+  private def defaultName(e: Expr, i: Int): String = e match {
+    case Ident(_, n) => n
+    case FnCall(n, _) => n.toLowerCase
+    case _ => s"col$i"
+  }
+
+  private def resolveIdent(q: Option[String], n: String, rel: Rel): Option[Column] = q match {
+    case Some(qual) =>
+      rel.scopes.find(s => s.qualifier.exists(_.equalsIgnoreCase(qual)) && s.has(n))
+        .map(_.df(n))
+    case None =>
+      val hits = rel.scopes.filter(_.has(n))
+      hits.size match {
+        case 0 => None
+        case 1 => Some(hits.head.df(n))
+        case _ =>
+          // identical attribute reachable through several scopes (e.g. the
+          // USING key) — prefer the first; genuinely distinct attributes
+          // with the same name need qualifiers
+          Some(hits.head.df(n))
+      }
+  }
+
+  def bindExpr(e: Expr, ctx: Ctx): Column = {
+    ctx.subst.get(e) match {
+      case Some(c) => return c
+      case None => ()
+    }
+    e match {
+      case IntLit(v) =>
+        if (v.isValidInt) lit(v.toInt)
+        else if (v.isValidLong) lit(v.toLong)
+        else lit(new java.math.BigDecimal(v.bigInteger))
+      case FloatLit(v) => lit(v.underlying())
+      case StringLit(s) => lit(s)
+      case BoolLit(b) => lit(b)
+      case NullLit => lit(null)
+      case IntervalLit(n, unit) => expr(s"INTERVAL $n ${unit.toUpperCase}")
+      case Param(n) =>
+        if (n >= params.size) err(s"query parameter $$$n not bound (${params.size} given)")
+        lit(params(n))
+      case ConfigId(n) =>
+        config.get(n).map(v => lit(v)).getOrElse(err(s"unknown config '@$n'"))
+      case Ident(q, n) =>
+        resolveIdent(q, n, ctx.rel)
+          .orElse(ctx.outer.flatMap(o => resolveIdent(q, n, o)))
+          .getOrElse(err(s"cannot resolve column '${q.map(_ + ".").getOrElse("")}$n'"))
+      case Wildcard(_) => err("'*' is only valid in a select list or count(*)")
+      case TupleLit(items) => struct(items.map(bindExpr(_, ctx)): _*)
+      case ArrayLit(items) => array(items.map(bindExpr(_, ctx)): _*)
+      case MapLit(entries) =>
+        map(entries.flatMap { case (k, v) => Seq(bindExpr(k, ctx), bindExpr(v, ctx)) }: _*)
+      case Unary(op, o) =>
+        val c = bindExpr(o, ctx)
+        op match {
+          case "not" => !c
+          case "~" => bitwise_not(c)
+          case "isnull" => c.isNull
+          case "isnotnull" => c.isNotNull
+          case "-" => -c
+          case "+" => c
+          case other => err(s"unknown unary op $other")
+        }
+      case Binary(op, l, r) => bindBinary(op, l, r, ctx)
+      case BetweenExpr(a, lo, hi, neg) =>
+        val c = bindExpr(a, ctx).between(bindExpr(lo, ctx), bindExpr(hi, ctx))
+        if (neg) !c else c
+      case InList(a, items, neg) =>
+        val c = bindExpr(a, ctx)
+        val cond = items.map(i => c === bindExpr(i, ctx)).reduce(_ || _)
+        if (neg) !cond else cond
+      case CaseExpr(scrutinee, branches, elseExpr) =>
+        val mk: (Expr => Column) = scrutinee match {
+          case Some(s) =>
+            val sc = bindExpr(s, ctx)
+            (k: Expr) => sc === bindExpr(k, ctx)
+          case None => (k: Expr) => bindExpr(k, ctx)
+        }
+        val first = when(mk(branches.head._1), bindExpr(branches.head._2, ctx))
+        val chained = branches.tail.foldLeft(first) { case (acc, (k, v)) =>
+          acc.when(mk(k), bindExpr(v, ctx))
+        }
+        elseExpr.map(el => chained.otherwise(bindExpr(el, ctx))).getOrElse(chained)
+      case SubqueryExpr(q) =>
+        // uncorrelated scalar subquery: broadcast 1-row cross join keeps
+        // the plan lazy and distributed (no driver-side .first())
+        val sub = bindQuery(q, ctx.ctes)
+        if (sub.columns.length != 1) err("scalar subquery must produce 1 column")
+        val n = fresh("scalar")
+        val one = sub.select(col(sub.columns.head).as(n)).limit(1)
+        ctx.rel = Rel(
+          ctx.rel.df.crossJoin(broadcast(one)),
+          ctx.rel.scopes :+ Scope(None, one, Seq(n)))
+        one(n)
+      case FnCall(n, Seq(SubqueryExpr(q))) if n.equalsIgnoreCase("exists") =>
+        err("EXISTS is only supported as a top-level WHERE conjunct")
+      case FnCall(n, args) =>
+        if (FunctionRegistry.isAgg(n))
+          err(s"aggregate function '$n' in invalid position (no GROUP BY context)")
+        else FunctionRegistry.bindScalar(n, args.map(bindExpr(_, ctx)), args)
+      case InSubquery(_, _, _) =>
+        err("IN (subquery) is only supported as a top-level WHERE conjunct")
+      case ExistsExpr(_, _) =>
+        err("EXISTS is only supported as a top-level WHERE conjunct")
+      case other => err(s"cannot bind expression $other")
+    }
+  }
+
+  private def bindBinary(op: String, l: Expr, r: Expr, ctx: Ctx): Column = {
+    // date ± INTERVAL stays special-cased so the interval literal is not
+    // bound as a standalone column
+    (op, r) match {
+      case ("+", IntervalLit(n, u)) =>
+        return bindExpr(l, ctx) + expr(s"INTERVAL $n ${u.toUpperCase}")
+      case ("-", IntervalLit(n, u)) =>
+        return bindExpr(l, ctx) - expr(s"INTERVAL $n ${u.toUpperCase}")
+      case _ => ()
+    }
+    val lc = bindExpr(l, ctx)
+    val rc = bindExpr(r, ctx)
+    op match {
+      case "+" =>
+        // NutQL `+` doubles as string concat (corpus 10.sql) — type-directed
+        if (isString(l, lc, ctx) || isString(r, rc, ctx)) concat(lc, rc) else lc + rc
+      case "-" => lc - rc
+      case "*" => lc * rc
+      case "/" => lc / rc
+      case "%" => lc % rc
+      case "=" => lc === rc
+      case "!=" => lc =!= rc
+      case "<" => lc < rc
+      case "<=" => lc <= rc
+      case ">" => lc > rc
+      case ">=" => lc >= rc
+      case "and" => lc && rc
+      case "or" => lc || rc
+      case "xor" => lc =!= rc // logical xor over booleans
+      case "&" => lc.bitwiseAND(rc)
+      case "|" => lc.bitwiseOR(rc)
+      case "^" => lc.bitwiseXOR(rc)
+      case "<<" => call_function("shiftleft", lc, rc)
+      case ">>" => call_function("shiftright", lc, rc)
+      case "like" => lc.like(litText(r).getOrElse(err("LIKE pattern must be a string literal")))
+      case "not_like" => !lc.like(litText(r).getOrElse(err("LIKE pattern must be a string literal")))
+      case "ilike" => lc.ilike(litText(r).getOrElse(err("ILIKE pattern must be a string literal")))
+      case "not_ilike" => !lc.ilike(litText(r).getOrElse(err("ILIKE pattern must be a string literal")))
+      case "[]" => element_at(lc, rc) // 1-based arrays / map keys
+      case other => err(s"unknown binary op $other")
+    }
+  }
+
+  private def litText(e: Expr): Option[String] = e match {
+    case StringLit(s) => Some(s)
+    case _ => None
+  }
+
+  private def isString(e: Expr, c: Column, ctx: Ctx): Boolean = e match {
+    case StringLit(_) => true
+    case _ =>
+      Try(ctx.rel.df.select(c).schema.head.dataType
+        .isInstanceOf[org.apache.spark.sql.types.StringType]).getOrElse(false)
+  }
+
+  /** # of references to table `name` in the FROM/JOIN sources of a body
+    * (and nested subqueries) — drives CTE persist decisions. */
+  private def countTableRefs(qb: QueryBody, name: String): Int = {
+    var count = 0
+    def walkSrc(s: DataSource): Unit = s match {
+      case TableSource(n, _) if n.equalsIgnoreCase(name) => count += 1
+      case SubquerySource(q, _) => walkQuery(q)
+      case _ => ()
+    }
+    def walkExpr(e: Expr): Unit = e match {
+      case SubqueryExpr(q) => walkQuery(q)
+      case InSubquery(a, q, _) => walkExpr(a); walkQuery(q)
+      case ExistsExpr(q, _) => walkQuery(q)
+      case Binary(_, l, r) => walkExpr(l); walkExpr(r)
+      case Unary(_, o) => walkExpr(o)
+      case FnCall(_, args) => args.foreach(walkExpr)
+      case CaseExpr(s, bs, el) =>
+        s.foreach(walkExpr); bs.foreach { case (a, b) => walkExpr(a); walkExpr(b) }
+        el.foreach(walkExpr)
+      case BetweenExpr(a, lo, hi, _) => walkExpr(a); walkExpr(lo); walkExpr(hi)
+      case InList(a, items, _) => walkExpr(a); items.foreach(walkExpr)
+      case _ => ()
+    }
+    def walkBody(b: QueryBody): Unit = {
+      b.from.foreach(walkSrc)
+      b.joins.foreach(j => walkSrc(j.source))
+      b.where.foreach(walkExpr)
+      b.having.foreach(walkExpr)
+      b.selectList.foreach(i => walkExpr(i.expr))
+      b.ctes.foreach { case (_, q) => walkQuery(q) }
+    }
+    def walkQuery(q: Query): Unit = q match {
+      case SetOpQuery(_, a, b) => walkQuery(a); walkQuery(b)
+      case b: QueryBody => walkBody(b)
+    }
+    walkBody(qb)
+    count
+  }
+}

@@ -1,0 +1,431 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.nutql.{Ast, Parser}
+import graft.nutql.Ast._
+import scala.collection.mutable
+
+/** The engine entry point: NutQL text in, DataFrame out.
+  *
+  * SELECT/EXPLAIN go through the Binder to a lazy DataFrame. DDL/DML hit
+  * the catalog + parquet warehouse directly: INSERT appends files,
+  * TRUNCATE/OPTIMIZE/ALTER write a new versioned directory and swap the
+  * table's current pointer (the object-store-friendly pattern — no
+  * in-place rewrite of files being read).
+  */
+final class Engine(val spark: SparkSession, val catalog: Catalog) {
+
+  val config: mutable.Map[String, Any] = mutable.Map.empty
+  private val versionCounter = mutable.Map.empty[String, Int].withDefaultValue(0)
+
+  def execute(sql: String, params: Seq[Any] = Nil): DataFrame =
+    run(Parser.parse(sql), params)
+
+  private def binder(params: Seq[Any]) = new Binder(spark, catalog, params, config)
+
+  def run(stmt: Statement, params: Seq[Any] = Nil): DataFrame = stmt match {
+    case SelectStmt(q) => binder(params).bindQuery(q)
+
+    case ExplainStmt(SelectStmt(q)) =>
+      val df = binder(params).bindQuery(q)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode)
+      oneCol("plan", plan.split("\n").toSeq)
+    case ExplainStmt(_) => err("EXPLAIN supports only queries")
+
+    case st: CreateTableStmt => createTable(st)
+    case st: CreateViewStmt => createView(st)
+    case st: InsertStmt => insert(st, params)
+    case st: DescribeStmt => describe(st)
+    case st: DropStmt => dropEntity(st)
+    case st: TruncateStmt => truncate(st)
+    case st: OptimizeStmt => optimize(st)
+    case st: AlterTableStmt => alter(st)
+    case SetStmt(name, value) =>
+      config(name) = evalConstant(value)
+      status(s"SET @$name")
+  }
+
+  private def err(msg: String): Nothing = throw GraftException(msg)
+
+  private def status(msg: String): DataFrame = oneCol("status", Seq(msg))
+
+  private def oneCol(name: String, values: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      values.map(Row(_)).asJava,
+      StructType(Seq(StructField(name, StringType, nullable = false))))
+  }
+
+  /** Evaluate a constant expression driver-side (SET values, defaults). */
+  private def evalConstant(e: Expr): Any = e match {
+    case IntLit(v) => if (v.isValidLong) v.toLong else new java.math.BigDecimal(v.bigInteger)
+    case FloatLit(v) => v.underlying()
+    case StringLit(s) => s
+    case BoolLit(b) => b
+    case NullLit => null
+    case other => err(s"expected a constant, got $other")
+  }
+
+  // ================== CREATE ==================
+
+  private val serialTypeNames =
+    Set("serial32", "serial64", "serial128", "userial32", "userial64", "userial128")
+
+  private def createTable(st: CreateTableStmt): DataFrame = {
+    if (catalog.contains(st.name)) {
+      if (st.ifNotExists) return status(s"table ${st.name} exists, skipped")
+      err(s"table '${st.name}' already exists")
+    }
+    val schema = StructType(st.columns.map(TypeMap.toField))
+    val serialCols = st.columns.collect {
+      case c if c.dataType.isInstanceOf[ScalarType] &&
+        serialTypeNames(c.dataType.asInstanceOf[ScalarType].name) => c.name
+    }
+    val path = s"${catalog.tablePath(st.name)}/v0"
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .write.mode("overwrite").parquet(path)
+    registerTable(st, schema, serialCols, path)
+    status(s"CREATE TABLE ${st.name}")
+  }
+
+  private def registerTable(st: CreateTableStmt, schema: StructType,
+      serialCols: Seq[String], path: String): Unit = {
+    catalog.putTable(st.name, catalog.TableEntry(
+      df = () => spark.read.schema(schema).parquet(path),
+      nutColumns = Some(st.columns),
+      path = Some(path),
+      schema = schema,
+      constraints = st.constraints,
+      indexes = st.indexes,
+      primaryKey = st.primaryKey,
+      orderBy = st.orderBy,
+      partitionBy = st.partitionBy,
+      comment = st.comment,
+      serialCols = serialCols))
+  }
+
+  private def createView(st: CreateViewStmt): DataFrame = {
+    if (catalog.contains(st.name)) {
+      if (st.ifNotExists) return status(s"view ${st.name} exists, skipped")
+      err(s"view '${st.name}' already exists")
+    }
+    // bind once now to validate names/functions (result discarded, lazy)
+    binder(Nil).bindQuery(st.query)
+    catalog.putView(st.name, catalog.ViewEntry(
+      st.query, st.strategy, st.primaryKey, st.orderBy, st.comment))
+    status(s"CREATE VIEW ${st.name}")
+  }
+
+  // ================== INSERT ==================
+
+  private def insert(st: InsertStmt, params: Seq[Any]): DataFrame = {
+    val entry = catalog.get(st.table) match {
+      case Some(t: catalog.TableEntry) => t
+      case Some(_) => err(s"cannot INSERT into view '${st.table}'")
+      case None => err(s"unknown table '${st.table}'")
+    }
+    val path = entry.path.getOrElse(err(s"table '${st.table}' is read-only (base dataset)"))
+    val targetCols = entry.schema.fields.map(_.name)
+    val explicit = if (st.columns.nonEmpty) st.columns else targetCols.toSeq
+    val serialSet = entry.serialCols.map(_.toLowerCase).toSet
+
+    // source rows, columns named by the explicit insert list
+    val b = binder(params)
+    val srcDf: DataFrame = st.source match {
+      case InsertValues(rows) =>
+        val rowDfs = rows.map { row =>
+          if (row.size != explicit.size)
+            err(s"INSERT has ${explicit.size} column(s) but row has ${row.size} value(s)")
+          val cols = row.zip(explicit).map { case (e, n) =>
+            bindConstExpr(e, b).as(n)
+          }
+          spark.range(1).select(cols: _*)
+        }
+        rowDfs.reduce(_.union(_))
+      case InsertQuery(q) =>
+        val df = b.bindQuery(q)
+        if (df.columns.length != explicit.size)
+          err(s"INSERT column list has ${explicit.size} column(s) but query produces ${df.columns.length}")
+        df.toDF(explicit: _*)
+      case InsertFn(fn) =>
+        val df = b.bindQuery(QueryBody(Nil, None,
+          Seq(SelectItem(Wildcard(None), None)),
+          Some(TableFnSource(fn, None)), Nil, None, Nil, None, Nil, None))
+        if (df.columns.length != explicit.size)
+          err(s"INSERT column list has ${explicit.size} column(s) but source produces ${df.columns.length}")
+        df.toDF(explicit: _*)
+    }
+
+    // fill unspecified columns with defaults (serials get assigned ids)
+    val explicitLower = explicit.map(_.toLowerCase).toSet
+    val nutByName = entry.nutColumns.getOrElse(Nil).map(c => c.name.toLowerCase -> c).toMap
+    var withAll = srcDf
+    entry.schema.fields.foreach { f =>
+      if (!explicitLower.contains(f.name.toLowerCase)) {
+        if (serialSet.contains(f.name.toLowerCase)) {
+          // unique ids: offset past the current max (non-contiguous but
+          // unique and fully distributed — no global window)
+          val base = entry.df().agg(max(col(f.name).cast("long"))).collect()(0)
+          val offset = if (base.isNullAt(0)) 0L else base.getLong(0)
+          withAll = withAll.withColumn(f.name,
+            (monotonically_increasing_id() + offset + 1L).cast(f.dataType))
+        } else {
+          // no DEFAULT on a non-nullable column ⇒ the type's zero value
+          // (ClickHouse model: 0 / '' / epoch), NULL only for Nullable(T)
+          val d = nutByName.get(f.name.toLowerCase).flatMap(_.default)
+            .map(e => bindConstExpr(e, b))
+            .getOrElse(if (f.nullable) lit(null) else zeroValue(f.dataType))
+          withAll = withAll.withColumn(f.name, d)
+        }
+      }
+    }
+
+    // exact schema order + types
+    val aligned = withAll.select(entry.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+    // CHECK constraints validate on insert (SURVEY §4.2); SQL semantics:
+    // a row passes when the predicate is TRUE or UNKNOWN, fails on FALSE
+    entry.constraints.foreach { c =>
+      val cond = bindAgainst(aligned, c.check, params)
+      if (aligned.filter(coalesce(cond, lit(true)) === false).limit(1).count() > 0)
+        err(s"constraint '${c.name}' violated by INSERT")
+    }
+
+    val writer = aligned.write.mode("append")
+    val partCols = entry.partitionBy.toSeq.collect { case Ident(_, n) => n }
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(path)
+    status(s"INSERT INTO ${st.table}")
+  }
+
+  /** Bind an expression against a standalone DataFrame (constraint checks). */
+  private def bindAgainst(df: DataFrame, e: Expr, params: Seq[Any]): Column =
+    new Binder(spark, catalog, params, config).bindAgainstDf(df, e)
+
+  private def bindConstExpr(e: Expr, b: Binder): Column = b.bindConstant(e)
+
+  /** ClickHouse-style implicit default for a non-nullable column. */
+  private def zeroValue(dt: DataType): Column = dt match {
+    case _: NumericType => lit(0)
+    case StringType => lit("")
+    case BooleanType => lit(false)
+    case DateType => lit(java.sql.Date.valueOf("1970-01-01"))
+    case TimestampType => lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+    case _: org.apache.spark.sql.types.ArrayType => array()
+    case _ => lit(null)
+  }
+
+  // ================== DESCRIBE / DROP / TRUNCATE / OPTIMIZE / ALTER =====
+
+  private def describe(st: DescribeStmt): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("default", StringType, nullable = true),
+      StructField("comment", StringType, nullable = true)))
+    st.entity match {
+      case DatabaseEntity =>
+        val rows = catalog.names.map { n =>
+          val kind = catalog.get(n).get match {
+            case _: catalog.TableEntry => "table"
+            case _: catalog.ViewEntry => "view"
+          }
+          Row(n, kind, null, null)
+        }
+        spark.createDataFrame(rows.asJava, schema)
+      case _ =>
+        val name = st.name.get
+        catalog.get(name) match {
+          case Some(t: catalog.TableEntry) =>
+            val rows = t.nutColumns match {
+              case Some(cols) => cols.map(c => Row(
+                c.name, TypeMap.render(c.dataType),
+                c.default.map(_.toString).orNull, c.comment.orNull))
+              case None => t.schema.fields.toSeq.map(f =>
+                Row(f.name, f.dataType.simpleString, null, null))
+            }
+            spark.createDataFrame(rows.asJava, schema)
+          case Some(v: catalog.ViewEntry) =>
+            val df = binder(Nil).bindQuery(v.query)
+            spark.createDataFrame(
+              df.schema.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString, null, null)).asJava,
+              schema)
+          case None => err(s"unknown table or view '$name'")
+        }
+    }
+  }
+
+  private def dropEntity(st: DropStmt): DataFrame = {
+    if (!catalog.contains(st.name)) {
+      if (st.ifExists) return status(s"${st.name} absent, skipped")
+      err(s"unknown table or view '${st.name}'")
+    }
+    catalog.drop(st.name)
+    status(s"DROP ${st.name}")
+  }
+
+  private def truncate(st: TruncateStmt): DataFrame = {
+    catalog.get(st.name) match {
+      case Some(t: catalog.TableEntry) =>
+        val path = t.path.getOrElse(err(s"cannot TRUNCATE base table '${st.name}'"))
+        val newPath = nextVersionPath(st.name)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], t.schema)
+          .write.mode("overwrite").parquet(newPath)
+        catalog.putTable(st.name, t.copy(
+          df = () => spark.read.schema(t.schema).parquet(newPath),
+          path = Some(newPath)))
+        status(s"TRUNCATE ${st.name}")
+      case Some(_: catalog.ViewEntry) => err("cannot TRUNCATE a view")
+      case None =>
+        if (st.ifExists) status(s"${st.name} absent, skipped")
+        else err(s"unknown table '${st.name}'")
+    }
+  }
+
+  /** Compaction: rewrite the current files into size-targeted partitions
+    * in a NEW directory and swap the pointer — the safe pattern when
+    * readers may hold the old file list. */
+  private def optimize(st: OptimizeStmt): DataFrame = {
+    catalog.get(st.table) match {
+      case Some(t: catalog.TableEntry) =>
+        t.path.getOrElse(err(s"cannot OPTIMIZE base table '${st.table}'"))
+        val cur = t.df()
+        val filtered = st.partition match {
+          case Some(p) =>
+            val partCol = t.partitionBy.collect { case Ident(_, n) => col(n) }
+              .getOrElse(err(s"table '${st.table}' has no PARTITION BY"))
+            cur.filter(partCol === lit(evalConstant(p)))
+          case None => cur
+        }
+        val newPath = nextVersionPath(st.table)
+        // ~128 MB target partitions; floor at 1
+        val sizeBytes = filtered.queryExecution.optimizedPlan.stats.sizeInBytes
+        val parts = math.max(1, (sizeBytes / (128L * 1024 * 1024)).toInt)
+        val compacted = filtered.repartition(parts)
+        val sorted = t.orderBy.collect { case Ident(_, n) => col(n) } match {
+          case Nil => compacted
+          case keys => compacted.sortWithinPartitions(keys: _*) // row-group min/max stats
+        }
+        sorted.write.mode("overwrite").parquet(newPath)
+        catalog.putTable(st.table, t.copy(
+          df = () => spark.read.schema(t.schema).parquet(newPath),
+          path = Some(newPath)))
+        status(s"OPTIMIZE ${st.table}")
+      case Some(_) => err("cannot OPTIMIZE a view")
+      case None => err(s"unknown table '${st.table}'")
+    }
+  }
+
+  private def nextVersionPath(name: String): String = {
+    versionCounter(name.toLowerCase) += 1
+    s"${catalog.tablePath(name)}/v${versionCounter(name.toLowerCase)}"
+  }
+
+  private def alter(st: AlterTableStmt): DataFrame = {
+    val t = catalog.get(st.table) match {
+      case Some(e: catalog.TableEntry) => e
+      case Some(_) => err("ALTER supports only tables")
+      case None => err(s"unknown table '${st.table}'")
+    }
+    t.path.getOrElse(err(s"cannot ALTER base table '${st.table}'"))
+    val nutCols = t.nutColumns.getOrElse(err("ALTER needs an engine-created table"))
+
+    def rewrite(newCols: Seq[Ast.ColumnDef], transform: DataFrame => DataFrame,
+        newConstraints: Seq[Ast.ConstraintDef] = t.constraints,
+        newIndexes: Seq[Ast.IndexDef] = t.indexes): DataFrame = {
+      val newSchema = StructType(newCols.map(TypeMap.toField))
+      val newPath = nextVersionPath(st.table)
+      transform(t.df()).select(newSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        .write.mode("overwrite").parquet(newPath)
+      catalog.putTable(st.table, t.copy(
+        df = () => spark.read.schema(newSchema).parquet(newPath),
+        nutColumns = Some(newCols),
+        schema = newSchema,
+        path = Some(newPath),
+        constraints = newConstraints,
+        indexes = newIndexes))
+      status(s"ALTER TABLE ${st.table}")
+    }
+
+    st.action match {
+      case AddColumn(cd, ifNotExists, position) =>
+        if (nutCols.exists(_.name.equalsIgnoreCase(cd.name))) {
+          if (ifNotExists) return status("column exists, skipped")
+          err(s"column '${cd.name}' already exists")
+        }
+        val at = position match {
+          case Some(PositionFirst) => 0
+          case Some(PositionAfter(c)) =>
+            val i = nutCols.indexWhere(_.name.equalsIgnoreCase(c))
+            if (i < 0) err(s"unknown column '$c'") else i + 1
+          case None => nutCols.size
+        }
+        val (before, after) = nutCols.splitAt(at)
+        val newCols = before ++ Seq(cd) ++ after
+        val defaultCol = cd.default.map(e => binder(Nil).bindConstant(e)).getOrElse(lit(null))
+        rewrite(newCols, _.withColumn(cd.name, defaultCol.cast(TypeMap.toSpark(cd.dataType))))
+      case DropColumn(name, ifExists) =>
+        if (!nutCols.exists(_.name.equalsIgnoreCase(name))) {
+          if (ifExists) return status("column absent, skipped")
+          err(s"unknown column '$name'")
+        }
+        rewrite(nutCols.filterNot(_.name.equalsIgnoreCase(name)), _.drop(name))
+      case RenameColumn(from, to) =>
+        if (!nutCols.exists(_.name.equalsIgnoreCase(from))) err(s"unknown column '$from'")
+        val newCols = nutCols.map(c => if (c.name.equalsIgnoreCase(from)) c.copy(name = to) else c)
+        rewrite(newCols, _.withColumnRenamed(from, to))
+      case RenameTable(to) =>
+        if (catalog.contains(to)) err(s"'$to' already exists")
+        catalog.drop(st.table)
+        catalog.putTable(to, t)
+        status(s"RENAME TABLE ${st.table} -> $to")
+      case AddIndex(ix, ifNotExists) =>
+        if (t.indexes.exists(_.name.equalsIgnoreCase(ix.name))) {
+          if (ifNotExists) return status("index exists, skipped")
+          err(s"index '${ix.name}' already exists")
+        }
+        catalog.putTable(st.table, t.copy(indexes = t.indexes :+ ix))
+        status(s"ADD INDEX ${ix.name}")
+      case AddConstraint(c, ifNotExists) =>
+        if (t.constraints.exists(_.name.equalsIgnoreCase(c.name))) {
+          if (ifNotExists) return status("constraint exists, skipped")
+          err(s"constraint '${c.name}' already exists")
+        }
+        catalog.putTable(st.table, t.copy(constraints = t.constraints :+ c))
+        status(s"ADD CONSTRAINT ${c.name}")
+      case DropIndex(name, ifExists) =>
+        if (!t.indexes.exists(_.name.equalsIgnoreCase(name)) && !ifExists)
+          err(s"unknown index '$name'")
+        catalog.putTable(st.table, t.copy(indexes = t.indexes.filterNot(_.name.equalsIgnoreCase(name))))
+        status(s"DROP INDEX $name")
+      case DropConstraint(name, ifExists) =>
+        if (!t.constraints.exists(_.name.equalsIgnoreCase(name)) && !ifExists)
+          err(s"unknown constraint '$name'")
+        catalog.putTable(st.table, t.copy(constraints = t.constraints.filterNot(_.name.equalsIgnoreCase(name))))
+        status(s"DROP CONSTRAINT $name")
+      case DropPartition(value) =>
+        val partCol = t.partitionBy.collect { case Ident(_, n) => col(n) }
+          .getOrElse(err(s"table '${st.table}' has no PARTITION BY"))
+        rewrite(nutCols, _.filter(!(partCol === lit(value)) || partCol.isNull))
+      case RenameIndex(from, to) =>
+        catalog.putTable(st.table, t.copy(indexes =
+          t.indexes.map(i => if (i.name.equalsIgnoreCase(from)) i.copy(name = to) else i)))
+        status(s"RENAME INDEX $from -> $to")
+      case RenameConstraint(from, to) =>
+        catalog.putTable(st.table, t.copy(constraints =
+          t.constraints.map(c => if (c.name.equalsIgnoreCase(from)) c.copy(name = to) else c)))
+        status(s"RENAME CONSTRAINT $from -> $to")
+    }
+  }
+}
+
+object Engine {
+  /** Engine over the driver's testdata directory. */
+  def forTestdata(spark: SparkSession, dir: String): Engine =
+    new Engine(spark, Catalog.forTestdata(spark, dir))
+}

@@ -1,0 +1,225 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+final case class GraftException(msg: String) extends RuntimeException(msg)
+
+/** NutQL function surface (SURVEY §2.4): the corpus-required built-ins plus
+  * a ClickHouse-naming alias layer over `org.apache.spark.sql.functions`.
+  * The grammar is open (any identifier can be a function, reference
+  * ast/item.rs:178), so unknown names fail with a clear "unregistered
+  * function" error instead of leaking through.
+  *
+  * Everything here lowers to codegen'd built-in Catalyst expressions — no
+  * UDFs — so whole-stage codegen spans stay wide.
+  */
+object FunctionRegistry {
+
+  /** Aggregate function names (lower-cased). The binder splits these out
+    * of expressions into groupBy/agg phases. *If-combinators take a
+    * trailing predicate argument, ClickHouse style. */
+  val aggNames: Set[String] = Set(
+    "count", "sum", "avg", "min", "max", "countunique", "uniqexact",
+    "countuniqueapprox", "uniq", "any", "stddevpop", "stddevsamp",
+    "varpop", "varsamp", "median", "quantile", "countif", "sumif",
+    "avgif", "minif", "maxif", "grouparray", "maxby", "minby")
+
+  def isAgg(name: String): Boolean = aggNames.contains(name.toLowerCase)
+
+  /** Bind an aggregate call. `star` marks `count(*)` / `count()`. */
+  def bindAgg(name: String, args: Seq[Column], star: Boolean): Column = {
+    val n = name.toLowerCase
+    n match {
+      case "count" =>
+        if (star || args.isEmpty) count(lit(1)) else count(args.head)
+      case "sum" => sum(one(n, args))
+      case "avg" => avg(one(n, args))
+      case "min" => min(one(n, args))
+      case "max" => max(one(n, args))
+      case "countunique" | "uniqexact" => count_distinct(args.head, args.tail: _*)
+      case "countuniqueapprox" | "uniq" => approx_count_distinct(one(n, args))
+      case "any" => first(one(n, args), ignoreNulls = true)
+      case "stddevpop" => stddev_pop(one(n, args))
+      case "stddevsamp" => stddev_samp(one(n, args))
+      case "varpop" => var_pop(one(n, args))
+      case "varsamp" => var_samp(one(n, args))
+      case "median" => percentile_approx(one(n, args), lit(0.5), lit(10000))
+      case "quantile" => percentile_approx(args(0), args(1), lit(10000))
+      case "countif" => count(when(args.head, 1))
+      case "sumif" => sum(when(args(1), args(0)))
+      case "avgif" => avg(when(args(1), args(0)))
+      case "minif" => min(when(args(1), args(0)))
+      case "maxif" => max(when(args(1), args(0)))
+      case "grouparray" => collect_list(one(n, args))
+      case "maxby" => max_by(args(0), args(1))
+      case "minby" => min_by(args(0), args(1))
+      case other => throw GraftException(s"unregistered aggregate function '$other'")
+    }
+  }
+
+  private def one(name: String, args: Seq[Column]): Column = {
+    if (args.size != 1) throw GraftException(s"$name expects 1 argument, got ${args.size}")
+    args.head
+  }
+
+  /** Bind a scalar call by (case-insensitive) name. `raw` carries the AST
+    * args for the functions whose Spark builtin needs a Scala literal
+    * (round scale, pad strings, regex patterns, …). */
+  def bindScalar(name: String, args: Seq[Column], raw: Seq[graft.nutql.Ast.Expr] = Nil): Column = {
+    import graft.nutql.Ast.{IntLit, StringLit}
+    def rawInt(i: Int): Int = raw.lift(i) match {
+      case Some(IntLit(v)) => v.toInt
+      case other => throw GraftException(s"$name: argument ${i + 1} must be an integer literal, got $other")
+    }
+    def rawStr(i: Int): String = raw.lift(i) match {
+      case Some(StringLit(s)) => s
+      case other => throw GraftException(s"$name: argument ${i + 1} must be a string literal, got $other")
+    }
+    def a0 = args(0); def a1 = args(1); def a2 = args(2)
+    name.toLowerCase match {
+      // ---- conversions / casts (ClickHouse to* family) ----
+      case "todate" => to_date(a0)
+      case "todatetime" => to_timestamp(a0)
+      case "toint8" => a0.cast("tinyint")
+      case "toint16" => a0.cast("smallint")
+      case "toint32" => a0.cast("int")
+      case "toint64" => a0.cast("bigint")
+      case "touint8" => a0.cast("smallint")
+      case "touint16" => a0.cast("int")
+      case "touint32" => a0.cast("bigint")
+      case "touint64" => a0.cast("decimal(20,0)")
+      case "tofloat32" => a0.cast("float")
+      case "tofloat64" => a0.cast("double")
+      case "tostring" => a0.cast("string")
+      case "toboolean" => a0.cast("boolean")
+      case "todecimal32" => a0.cast(s"decimal(9,${rawInt(1)})")
+      case "todecimal64" => a0.cast(s"decimal(18,${rawInt(1)})")
+      case "todecimal" => a0.cast(s"decimal(${rawInt(1)},${rawInt(2)})")
+      // ---- dates ----
+      case "getyear" | "toyear" => year(a0)
+      case "getmonth" | "tomonth" => month(a0)
+      case "getday" | "todayofmonth" => dayofmonth(a0)
+      case "getdayofweek" | "todayofweek" => dayofweek(a0)
+      case "gethour" | "tohour" => hour(a0)
+      case "getminute" | "tominute" => minute(a0)
+      case "getsecond" | "tosecond" => second(a0)
+      case "toyyyymmdd" => date_format(a0, "yyyyMMdd").cast("int")
+      case "tostartofmonth" => trunc(a0, "month")
+      case "tostartofyear" => trunc(a0, "year")
+      case "datediff" if args.size == 3 => datediffUnit(rawStr(0), a1, a2)
+      case "datediff" => datediff(a0, a1)
+      case "adddays" => date_add(a0, a1.cast("int"))
+      case "subtractdays" => date_sub(a0, a1.cast("int"))
+      case "addmonths" => add_months(a0, a1.cast("int"))
+      case "now" => current_timestamp()
+      case "today" => current_date()
+      // ---- strings ----
+      case "substring" | "substr" => a0.substr(a1, a2)
+      case "length" | "char_length" | "lengthutf8" => length(a0)
+      case "lower" | "lcase" => lower(a0)
+      case "upper" | "ucase" => upper(a0)
+      case "concat" => concat(args: _*)
+      case "replace" | "replaceall" => replace(a0, a1, a2)
+      case "trim" | "trimboth" => trim(a0)
+      case "ltrim" | "trimleft" => ltrim(a0)
+      case "rtrim" | "trimright" => rtrim(a0)
+      case "startswith" => a0.startsWith(a1)
+      case "endswith" => a0.endsWith(a1)
+      case "position" | "locate" => locate(rawStr(1), a0)
+      case "reverse" => reverse(a0)
+      case "repeat" => repeat(a0, rawInt(1))
+      case "leftpad" | "lpad" => lpad(a0, rawInt(1), rawStr(2))
+      case "rightpad" | "rpad" => rpad(a0, rawInt(1), rawStr(2))
+      case "splitbychar" | "splitbystring" =>
+        split(a1, java.util.regex.Pattern.quote(rawStr(0)))
+      case "match" => a0.rlike(rawStr(1))
+      case "extract" => regexp_extract(a0, rawStr(1), 1)
+      case "empty" => length(a0) === 0
+      case "notempty" => length(a0) > 0
+      case "left" => substring(a0, 1, rawInt(1))
+      case "right" => substring(a0, -rawInt(1), rawInt(1))
+      case "format" => format_string(rawStr(0), args.tail: _*)
+      // ---- math ----
+      case "abs" => abs(a0)
+      case "round" => if (args.size > 1) round(a0, rawInt(1)) else round(a0)
+      case "floor" => floor(a0)
+      case "ceil" | "ceiling" => ceil(a0)
+      case "sqrt" => sqrt(a0)
+      case "cbrt" => cbrt(a0)
+      case "pow" | "power" => pow(a0, a1)
+      case "exp" => exp(a0)
+      case "ln" | "log" => log(a0)
+      case "log2" => log2(a0)
+      case "log10" => log10(a0)
+      case "sin" => sin(a0); case "cos" => cos(a0); case "tan" => tan(a0)
+      case "asin" => asin(a0); case "acos" => acos(a0); case "atan" => atan(a0)
+      case "greatest" => greatest(args: _*)
+      case "least" => least(args: _*)
+      case "random" | "rand" => rand()
+      case "pi" => lit(math.Pi)
+      case "e" => lit(math.E)
+      case "sign" => signum(a0)
+      case "mod" => a0 % a1
+      case "intdiv" => (a0 / a1).cast("long")
+      // ---- conditionals / nulls ----
+      case "if" => when(a0, a1).otherwise(a2)
+      case "multiif" =>
+        // multiIf(c1,v1,c2,v2,…,else)
+        val pairs = args.dropRight(1).grouped(2).toSeq
+        val base = pairs.tail.foldLeft(when(pairs.head(0), pairs.head(1))) {
+          (acc, p) => acc.when(p(0), p(1))
+        }
+        base.otherwise(args.last)
+      case "coalesce" => coalesce(args: _*)
+      case "ifnull" => coalesce(a0, a1)
+      case "nullif" => nullif(a0, a1)
+      case "isnull" => a0.isNull
+      case "isnotnull" => a0.isNotNull
+      case "assumenotnull" => a0 // metadata-only in our model
+      // ---- hashing / ids ----
+      case "cityhash64" | "siphash64" | "xxhash64" => xxhash64(args: _*)
+      case "halfmd5" | "hash" => hash(args: _*)
+      case "md5" => md5(a0.cast("binary"))
+      case "sha256" => sha2(a0.cast("binary"), 256)
+      case "generateuuidv4" => uuid()
+      // ---- arrays ----
+      case "arraylength" => size(a0)
+      case "has" | "arraycontains" => array_contains(a0, a1)
+      case "arrayelement" => element_at(a0, a1)
+      case "arraysort" => array_sort(a0)
+      case "arraydistinct" => array_distinct(a0)
+      case "arrayconcat" => concat(args: _*)
+      case "arrayslice" => slice(a0, a1, a2)
+      case "arrayjoinstring" | "arraystringconcat" =>
+        if (args.size > 1) concat_ws(rawStr(1), a0) else concat_ws("", a0)
+      case "arraysum" => aggregate(a0, lit(0.0), (acc, x) => acc + x.cast("double"))
+      case "arraymax" => array_max(a0)
+      case "arraymin" => array_min(a0)
+      case "arrayposition" | "indexof" => array_position(a0, a1)
+      case "range" => sequence(lit(0), a0 - 1)
+      case "arrayzip" => arrays_zip(args: _*)
+      case "arrayflatten" | "flatten" => flatten(a0)
+      // ---- maps / tuples ----
+      case "mapkeys" => map_keys(a0)
+      case "mapvalues" => map_values(a0)
+      case "tupleelement" => a0.getField(s"_${rawInt(1)}")
+      // ---- misc ----
+      case "exists" =>
+        throw GraftException("exists() must take a subquery argument")
+      case other =>
+        throw GraftException(s"unregistered function '$other'")
+    }
+  }
+
+  private def datediffUnit(unit: String, a: Column, b: Column): Column =
+    unit.toLowerCase match {
+      case "day" => datediff(b, a)
+      case "month" => floor(months_between(b, a))
+      case "year" => year(b) - year(a)
+      case "hour" => floor((unix_timestamp(b) - unix_timestamp(a)) / 3600)
+      case "minute" => floor((unix_timestamp(b) - unix_timestamp(a)) / 60)
+      case "second" => unix_timestamp(b) - unix_timestamp(a)
+      case u => throw GraftException(s"unsupported dateDiff unit '$u'")
+    }
+}

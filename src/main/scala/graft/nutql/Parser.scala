@@ -624,6 +624,7 @@ final class Parser(tokens: Vector[Token]) {
       case TT.HexLiteral => IntLit(BigInt(t.text, 16))
       case TT.IntegerLiteral => IntLit(BigInt(t.text))
       case TT.QueryParameter => Param(t.text.toInt)
+      case TT.ConfigIdentifier => ConfigId(t.text) // superset: reference lexes but never parses @ids in exprs
       case TT.KeywordOrIdentifier =>
         val s = t.text
         if (s.equalsIgnoreCase("true")) BoolLit(true)
