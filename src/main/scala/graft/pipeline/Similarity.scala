@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers:
+  *  - `quantizedDotTopK`: exact integer math (floor(x*1000) quantization)
+  *    so results are bit-reproducible in any engine — the oracle-checked
+  *    baseline.
+  *  - `cosineTopK`: true cosine brute force in double precision.
+  *  - `lshCosineTopK`: random-hyperplane LSH — candidates share a sign
+  *    bucket with the query, brute force only within the bucket. The
+  *    scale path: bucket join instead of query × corpus cross join.
+  *
+  * Top-k extraction is two-phase: a salted per-partition row_number
+  * prunes to k·salts candidates per query, then a tiny global window
+  * ranks those — no single-task whole-corpus window at scale.
+  */
+object Similarity {
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  // cast float→double BEFORE the multiply: float32 multiply rounds
+  // differently than double multiply, and the oracle engine computes in
+  // double — float→double itself is exact
+  private def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Two-phase top-k per query over a scored (q_id, vec_id, score) frame. */
+  private def topK(scored: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+    val salted = scored.withColumn("__salt", pmod(col("vec_id"), lit(salts)))
+    val w1 = Window.partitionBy(col("q_id"), col("__salt"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val pruned = salted.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    pruned.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact top-k by quantized integer dot product (deterministic across
+    * engines — ties broken by vec_id). */
+  def quantizedDotTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("q"))
+    val cands = embeddings.select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val scored = cands.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), dotL(col("q"), col("v")).as("score"))
+    topK(scored, k)
+  }
+
+  /** True cosine brute-force top-k (double precision). */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val emb = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("norm").as("qn"))
+    val scored = emb.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q"), col("v")) / (col("qn") * col("norm"))).as("score"))
+    topK(scored, k)
+  }
+
+  /** Pseudo-random unit-ish hyperplane component for (table, bit, dim),
+    * derived from xxhash64 so every executor computes the same planes
+    * with no driver-side state or broadcast of plane matrices. */
+  private def planeComponent(table: Int, bit: Int, i: Column): Column =
+    pmod(xxhash64(lit(table * 1024 + bit), i), lit(2000003L)).cast("double") / 2000003.0d - 0.5d
+
+  private def signBucket(v: Column, table: Int, nbits: Int): Column =
+    (0 until nbits).map { b =>
+      val plane = transform(sequence(lit(0), size(v) - 1), i => planeComponent(table, b, i))
+      when(dotD(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate cosine top-k: candidates restricted to rows sharing a
+    * random-hyperplane sign bucket with the query in at least one of
+    * `tables` independent hash tables (multi-table LSH: per-table miss
+    * probability p compounds to p^tables). At 100 TB this is the
+    * difference between a bucket equijoin and a corpus-wide cross join;
+    * recall tunes with fewer bits / more tables. */
+  def lshCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+      nbits: Int = 8, tables: Int = 8): DataFrame = {
+    val emb = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+    val withBuckets = emb.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(array((0 until tables).map(t => signBucket(col("v"), t, nbits)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val queries = withBuckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("norm").as("qn"), col("tbl"), col("bucket"))
+    val candidatePairs = withBuckets
+      .join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("q"), col("qn"), col("v"), col("norm"))
+      .dropDuplicates("q_id", "vec_id") // union across tables
+    val scored = candidatePairs.select(col("q_id"), col("vec_id"),
+      (dotD(col("q"), col("v")) / (col("qn") * col("norm"))).as("score"))
+    topK(scored, k)
+  }
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-data-pipeline operator entries (the brief's first-class additions
+  * beyond the reference dialect): dedup (exact, MinHash-LSH, SimHash),
+  * similarity search over embeddings, text analysis, and multimodal
+  * binary-column plumbing. DuckDB oracles wherever the computation is
+  * engine-portable; rows-only entries for engine-native-hash paths
+  * (SimHash/xxhash64) and float-ordering paths (true cosine), which are
+  * instead covered by PipelineSpec assertions.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup stats (hash groupBy — one shuffle) -----------------
+    QueryDef(
+      "qp48_dedup_exact",
+      Some("""SELECT lang, COUNT(*) AS total,
+          CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS uniq_text,
+          CAST(COUNT(DISTINCT substr(text, 1, 40)) AS BIGINT) AS uniq_prefix
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      (s, dir) => Dedup.exactStats(Tables.load(s, dir, "documents"), "text", "lang")),
+
+    // ---- keep-first dedup by normalized key -----------------------------
+    QueryDef(
+      "qp49_dedup_keep_first",
+      Some("""WITH r AS (SELECT lang, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 40) ORDER BY doc_id) AS rn
+          FROM documents)
+        SELECT lang,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed
+        FROM r GROUP BY lang ORDER BY lang"""),
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Dedup.keepFirstByKey(d, "doc_id", substring(col("text"), 1, 40))
+          .groupBy(col("lang"))
+          .agg(
+            sum(when(col("__rn") === 1, 1).otherwise(0)).cast("long").as("kept"),
+            sum(when(col("__rn") > 1, 1).otherwise(0)).cast("long").as("removed"))
+          .orderBy(col("lang"))
+      }),
+
+    // ---- MinHash-LSH near-dup pairs, verified with exact Jaccard --------
+    // Oracle computes ALL pairs >= 0.5 exactly; the corpus's real pairs
+    // sit at sim >= 0.9 where the LSH path (16 bands x 4 rows) has recall
+    // 1-(1-0.9^4)^16 ≈ 1-3e-8, so the sets coincide. The Spark side never
+    // does an all-pairs join — candidates come from the banded bucket
+    // equijoin, and r=4 keeps accidental candidates ~s^4 per band.
+    QueryDef(
+      "qp50_minhash_neardup",
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-2, 1) + 1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS sim
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
+        ORDER BY id_a, id_b"""),
+      (s, dir) => Dedup.nearDuplicatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, thresholdNum = 1, thresholdDen = 2)),
+
+    // ---- SimHash near-dup (engine-native hash — rows-only + spec) -------
+    QueryDef(
+      "qp51_simhash_neardup",
+      None,
+      (s, dir) => Dedup.simhashNearDuplicates(
+        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // ---- ANN: quantized-dot top-k (exact integer math, oracle-checked) --
+    QueryDef(
+      "qp52_ann_dot_topk",
+      Some("""WITH q AS (SELECT vec_id AS q_id,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) cv
+          FROM embeddings),
+        sc AS (SELECT q.q_id, c.vec_id,
+            list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS score
+          FROM q JOIN c ON q.q_id <> c.vec_id),
+        r AS (SELECT q_id, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+          FROM sc)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, CAST(score AS BIGINT) AS score
+        FROM r WHERE rank <= 3 ORDER BY q_id, rank"""),
+      (s, dir) => Similarity.quantizedDotTopK(
+          Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("score"))),
+
+    // ---- ANN: true cosine brute force (float ordering — rows-only) ------
+    QueryDef(
+      "qp53_ann_cosine_topk",
+      None,
+      (s, dir) => Similarity.cosineTopK(
+        Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3)),
+
+    // ---- ANN: hyperplane-LSH bucketed (approximate — rows-only + spec) --
+    QueryDef(
+      "qp54_ann_lsh_topk",
+      None,
+      (s, dir) => Similarity.lshCosineTopK(
+        Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3, nbits = 4, tables = 8)),
+
+    // ---- text stats + portable fingerprint ------------------------------
+    QueryDef(
+      "qp55_textstats",
+      Some("""SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_cnt,
+          CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS uniq_tokens,
+          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("token_cnt"),
+            size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("uniq_tokens"),
+            length(col("text").cast("binary")).cast("long").as("n_bytes"),
+            TextOps.fingerprint(col("text")).as("fingerprint"))
+          .orderBy(col("doc_id"))),
+
+    // ---- language-ID heuristic (distinct-stopword hits, fixed tie order) -
+    QueryDef(
+      "qp56_langid",
+      Some("""WITH t AS (SELECT doc_id, lang,
+            list_distinct(string_split_regex(trim(lower(text)), '\s+')) toks
+          FROM documents WHERE doc_id < 100),
+        h AS (SELECT doc_id, lang,
+            CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS en_hits,
+            CAST(len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS BIGINT) AS de_hits,
+            CAST(len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) AS BIGINT) AS fr_hits,
+            CAST(len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','para'])) AS BIGINT) AS es_hits
+          FROM t)
+        SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+          CASE WHEN en_hits + de_hits + fr_hits + es_hits = 0 THEN 'und'
+               WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+               WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+               WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS guess
+        FROM h ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = array_distinct(split(trim(lower(col("text"))), "\\s+"))
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"), col("lang"),
+            TextOps.stopwordHits(toks, "en").cast("long").as("en_hits"),
+            TextOps.stopwordHits(toks, "de").cast("long").as("de_hits"),
+            TextOps.stopwordHits(toks, "fr").cast("long").as("fr_hits"),
+            TextOps.stopwordHits(toks, "es").cast("long").as("es_hits"),
+            TextOps.languageGuess(toks).as("guess"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // ---- quality score (deterministic double formula) -------------------
+    QueryDef(
+      "qp57_quality",
+      Some("""WITH t AS (SELECT doc_id,
+            len(string_split_regex(trim(text), '\s+')) tok,
+            len(list_distinct(string_split_regex(trim(text), '\s+'))) uniq
+          FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+          (CAST(uniq AS DOUBLE) / tok) * 0.5
+            + least(CAST(tok AS DOUBLE) / 200, 1.0) * 0.3
+            + 0.2 AS score
+        FROM t ORDER BY doc_id"""),
+      (s, dir) => {
+        val tok = size(TextOps.tokens(col("text")))
+        val uniq = size(array_distinct(TextOps.tokens(col("text"))))
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"),
+            ((uniq.cast("double") / tok) * 0.5
+              + least(tok.cast("double") / 200, lit(1.0)) * 0.3
+              + 0.2).as("score"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // ---- multimodal binary-column metadata (decode stub mirrored in SQL) -
+    QueryDef(
+      "qp58_multimodal_meta",
+      Some("""SELECT doc_id, 'txtimg' AS format,
+          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width,
+          CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS INTEGER) AS height,
+          md5(text) AS checksum
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        Multimodal.metaViaSql(Tables.load(s, dir, "documents"), "text")
+          .orderBy(col("doc_id"))))
+}

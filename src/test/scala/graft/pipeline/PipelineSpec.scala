@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline operator tests: planted near-duplicates for the hash-based
+  * dedup paths (which have no DuckDB oracle), ANN recall vs brute force,
+  * and the multimodal typed-decode path against its SQL mirror. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // lazy val (not var+beforeAll): a stable identifier is required for
+  // `import spark.implicits._`
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("pipeline-spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plantedDocs(): DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val nearDup = base.replace("green", "dark") // 1-word edit ⇒ high jaccard
+    val other = "completely different content about spark shuffles partitions codegen and catalyst optimizer rules"
+    Seq(
+      (0L, base), (1L, nearDup), (2L, other),
+      (3L, base + " extra trailing words here"), (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash-LSH finds planted near-duplicates, skips unrelated docs") {
+    val pairs = Dedup.nearDuplicatePairs(plantedDocs(), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"expected (0,1) in $pairs")
+    assert(pairs.contains((0L, 3L)), s"expected (0,3) in $pairs")
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L },
+      s"unrelated doc in $pairs")
+  }
+
+  test("LSH candidate generation is a strict subset of all pairs (no cross join)") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val n = docs.count()
+    val cands = Dedup.lshCandidates(docs, "doc_id", "text").count()
+    assert(cands < n * (n - 1) / 4, s"candidates $cands look like all-pairs for n=$n")
+  }
+
+  test("simhash near-dup detects the planted pair") {
+    // tiny docs have ~15 shingle features, so each simhash bit is the
+    // sign of a short ±1 sum — noisy; a 16-bit budget still cleanly
+    // separates the planted pair from unrelated docs (expected ~32)
+    val pairs = Dedup.simhashNearDuplicates(plantedDocs(), "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 3L)),
+      s"expected a planted pair in $pairs")
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("quantized-dot and cosine top-k agree on the top neighbor") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val q = Similarity.quantizedDotTopK(emb, nQueries = 3, k = 1)
+      .select("q_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = Similarity.cosineTopK(emb, nQueries = 3, k = 1)
+      .select("q_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // quantized-dot is unnormalized: only sanity-check both produce
+    // results for every query
+    assert(q.keySet == c.keySet && q.size == 3)
+  }
+
+  test("LSH ANN recall vs brute-force cosine") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val brute = Similarity.cosineTopK(emb, nQueries = 5, k = 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random embeddings are LSH's worst case: per-table bucket-agreement
+    // probability for a near-orthogonal pair is ~(1/2)^nbits, so recall
+    // comes from the union over tables: 1-(1-p)^tables ≈ 0.9 here
+    val lsh = Similarity.lshCosineTopK(emb, nQueries = 5, k = 3, nbits = 2, tables = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (lsh=$lsh brute=$brute)")
+  }
+
+  test("multimodal typed decode path equals the SQL mirror") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, dir, "documents").limit(50)
+    val typed = Multimodal.decodeStub(
+      Multimodal.attachBinary(docs, "text").as[Multimodal.MediaItem])
+      .toDF().orderBy("doc_id")
+      .select("doc_id", "format", "n_bytes", "width", "height", "checksum")
+    val viaSql = Multimodal.metaViaSql(docs, "text").orderBy("doc_id")
+      .select("doc_id", "format", "n_bytes", "width", "height", "checksum")
+    assert(typed.collect().toSeq == viaSql.collect().toSeq)
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a  B\tc"), Tuple1("A b C")).toDF("t")
+      .select(TextOps.fingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("language guess picks the language with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is in a house of it", "en"),
+      ("der hund und die katze ist nicht auf dem zu", "de"),
+      ("le chien et la maison est dans les une pour", "fr"),
+      ("el perro y la casa es una en los por", "es"),
+      ("zzz qqq www", "und")).toDF("text", "expected")
+    val got = df.select(col("expected"),
+        TextOps.languageGuess(split(lower(col("text")), " ")).as("guess"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, got ${r.getString(1)}"))
+  }
+}
