@@ -297,6 +297,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     sql("drop table supply2")
   }
 
+  test("insert into ... from file() reads external parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-filefn-").toString + "/in.parquet"
+    graft.Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name").write.parquet(tmp)
+    sql("create table t_file (k Int64, name String)")
+    sql(s"insert into t_file from file('$tmp')")
+    assert(rows("select count(*) as n from t_file").head.getLong(0) == 25)
+    // file() also works directly as a FROM source
+    val direct = rows(s"select count(*) as n from file('$tmp')").head.getLong(0)
+    assert(direct == 25)
+    sql("drop table t_file")
+  }
+
   test("describe database lists catalog entries") {
     val names = rows("describe database").map(_.getString(0))
     assert(names.contains("orders") && names.contains("lineitem"))
