@@ -310,6 +310,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     sql("drop table t_file")
   }
 
+  test("wildcard projections: *, qualified t.*, mixed") {
+    val all = rows("select * from nation order by n_nationkey limit 2")
+    assert(all.head.length == 3) // n_nationkey, n_name, n_regionkey
+    val qual = rows("""
+      select n.*, r.r_name from nation as n
+      join region as r on n.n_regionkey = r.r_regionkey
+      order by n.n_nationkey limit 2""")
+    assert(qual.head.length == 4)
+    val star = rows("""
+      select * from nation as n
+      join region as r on n.n_regionkey = r.r_regionkey
+      order by n.n_nationkey limit 1""")
+    assert(star.head.length == 5)
+  }
+
   test("describe database lists catalog entries") {
     val names = rows("describe database").map(_.getString(0))
     assert(names.contains("orders") && names.contains("lineitem"))
