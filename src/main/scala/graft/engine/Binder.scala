@@ -338,18 +338,23 @@ final class Binder(
             val cond = bindExpr(condExpr, condCtx)
             val how = if (jc.joinType == "right_semi") "left_semi" else "left_anti"
             Rel(right.df.join(left.df, cond, how), right.scopes)
-          case "asof" => bindAsOf(left, right, condExpr, ctes)
+          case "asof" => bindAsOf(left, right, condExpr, ctes, leftOuter = false)
+          case "asof_left" => bindAsOf(left, right, condExpr, ctes, leftOuter = true)
           case other => err(s"unknown join type $other")
         }
     }
   }
 
   /** AsOf join (ClickHouse semantics: equality conjuncts + ONE inequality
-    * bound on an ordering column). Lowering: inner-join on all conjuncts,
-    * then keep the right row closest to the bound per left row — a
-    * row_number window partitioned by a synthetic left row id. One shuffle
-    * on the id; no driver-side state. */
-  private def bindAsOf(left: Rel, right: Rel, condExpr: Expr, ctes: Map[String, DataFrame]): Rel = {
+    * bound on an ordering column). Lowering: join on all conjuncts, then
+    * keep the right row closest to the bound per left row — a row_number
+    * window partitioned by a synthetic left row id. One shuffle on the
+    * id; no driver-side state. `leftOuter` keeps unmatched left rows
+    * (ASOF LEFT JOIN). When both sides share a partition key, the
+    * union + last-non-null window plan (q12's lowering) is the stronger
+    * choice — see SCALE.md. */
+  private def bindAsOf(left: Rel, right: Rel, condExpr: Expr,
+      ctes: Map[String, DataFrame], leftOuter: Boolean): Rel = {
     val conjuncts = splitAnd(condExpr)
     val bothScopes = left.scopes ++ right.scopes
     val ctx = new Ctx(Rel(left.df, bothScopes), None, ctes)
@@ -364,7 +369,7 @@ final class Binder(
     val leftDf = left.df.withColumn(id, monotonically_increasing_id())
     val ctx2 = new Ctx(Rel(leftDf, Scope(None, leftDf, Seq(id)) +: bothScopes), None, ctes)
     val cond = (eqs ++ ineqs).map(bindExpr(_, ctx2)).reduce(_ && _)
-    val joined = leftDf.join(right.df, cond, "inner")
+    val joined = leftDf.join(right.df, cond, if (leftOuter) "left" else "inner")
     // `left.ts >= right.ts` wants the greatest right.ts → desc
     val ordCol = bindExpr(rOrd, ctx2)
     val w = Window.partitionBy(col(id))

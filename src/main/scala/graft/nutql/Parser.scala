@@ -258,13 +258,19 @@ final class Parser(tokens: Vector[Token]) {
         next()
         if (tryKw("semi")) "left_semi"
         else if (tryKw("anti")) "left_anti"
+        else if (tryKw("asof")) "asof_left" // LEFT ASOF JOIN (superset)
         else { tryKw("outer"); "left" }
       } else if (t.isKw("right")) {
         next()
         if (tryKw("semi")) "right_semi"
         else if (tryKw("anti")) "right_anti"
         else { tryKw("outer"); "right" }
-      } else if (t.isKw("asof")) { next(); "asof" } // superset: reference AST has AsOf, parser never emits it
+      } else if (t.isKw("asof")) {
+        // superset: reference AST has AsOf but its parser never emits it;
+        // we also accept the ClickHouse ASOF LEFT variant
+        next()
+        if (tryKw("left")) "asof_left" else "asof"
+      }
       else if (t.isKw("join")) "inner"
       else return None
     mustKw("join")

@@ -345,6 +345,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.nonEmpty)
   }
 
+  test("asof left join matches the proven union+window lowering (q12)") {
+    val engineRows = rows("""
+      with b as (select user_id, ts, max(value) as v_value
+                 from events where event_type = 'view' group by user_id, ts),
+           a as (select event_id, user_id, ts, value from events where event_type = 'click')
+      select a.event_id, a.value as click_value, b.v_value as asof_value
+      from a asof left join b on a.user_id = b.user_id and a.ts >= b.ts
+      order by a.event_id""")
+    val expected = graft.queries.CoreQueries.defs.find(_.name == "q12_join_asof").get
+      .run(spark, dir)
+      .select("event_id", "click_value", "asof_value").collect().toSeq
+    assert(engineRows.size == expected.size)
+    assert(engineRows.map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+      == expected.map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))))
+  }
+
   test("unknown function and unknown table produce clear errors") {
     val e1 = intercept[GraftException](sql("select frobnicate(1) as x from nation"))
     assert(e1.getMessage.contains("unregistered function"))

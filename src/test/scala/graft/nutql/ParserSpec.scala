@@ -210,6 +210,8 @@ class ParserSpec extends AnyFunSuite {
     assert(jt("right semi") == "right_semi")
     assert(jt("right anti") == "right_anti")
     assert(jt("asof") == "asof")
+    assert(jt("asof left") == "asof_left")
+    assert(jt("left asof") == "asof_left")
   }
 
   test("USING join condition") {
