@@ -84,6 +84,82 @@ object Similarity {
       when(dotD(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ---- IVF (inverted-file) index: k-means coarse quantizer ----
+
+  /** Lloyd's k-means over the embedding column. Each iteration is one
+    * distributed pass: broadcast the k centroids (k is small by design),
+    * assign each row via argmin distance, re-average per cluster. Centroids
+    * come back to the driver (k × dim doubles — tiny) between iterations;
+    * the corpus never leaves the executors. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val emb = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    // deterministic init: k rows spread by hash order
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(xxhash64(col("vec_id"), lit(seed))).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    (0 until iters).foreach { _ =>
+      val assigned = assignCentroid(emb, centroids)
+      val dim = centroids.head.length
+      val sums = assigned
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+        .collect()
+      sums.foreach { row =>
+        val cid = row.getInt(0)
+        val n = row.getLong(1).toDouble
+        centroids(cid) = (0 until dim).map(i => row.getDouble(2 + i) / n).toArray
+      }
+    }
+    centroids
+  }
+
+  /** Assign each row to its nearest centroid (squared L2) — centroids
+    * inlined as literals, evaluated executor-side. Output: (vec_id, v, cid). */
+  private def assignCentroid(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("v"), cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, d) => acc + d).as("d"),
+        lit(i).as("cid"))
+    }
+    emb.withColumn("cid", array_min(array(dists: _*)).getField("cid"))
+  }
+
+  /** IVF approximate top-k: search only the `nprobe` clusters nearest to
+    * each query. The cluster assignment is a plain column compare (the
+    * centroid list is tiny and inlined); candidate scoring is a bucket
+    * equijoin on cid — the same never-cross-join shape as the LSH path,
+    * but with data-adaptive buckets (better recall on clustered corpora). */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist, kmeansIters)
+    val emb = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+    val assigned = assignCentroid(emb, centroids)
+    // queries probe their nprobe nearest centroids
+    val qDists = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("v"), cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, d) => acc + d).as("d"),
+        lit(i).as("cid"))
+    }
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .withColumn("probes",
+        slice(transform(array_sort(array(qDists: _*)), _.getField("cid")), 1, nprobe))
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("norm").as("qn"), explode(col("probes")).as("cid"))
+    val scored = assigned.join(broadcast(queries), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q"), col("v")) / (col("qn") * col("norm"))).as("score"))
+    topK(scored, k)
+  }
+
   /** Approximate cosine top-k: candidates restricted to rows sharing a
     * random-hyperplane sign bucket with the query in at least one of
     * `tables` independent hash tables (multi-table LSH: per-table miss

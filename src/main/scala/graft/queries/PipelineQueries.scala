@@ -109,6 +109,14 @@ object PipelineQueries {
       (s, dir) => Similarity.lshCosineTopK(
         Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3, nbits = 4, tables = 8)),
 
+    // ---- ANN: IVF (k-means coarse quantizer, nprobe search — rows-only) -
+    QueryDef(
+      "qp59_ann_ivf_topk",
+      None,
+      (s, dir) => Similarity.ivfTopK(
+        Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3,
+        nlist = 16, nprobe = 4)),
+
     // ---- text stats + portable fingerprint ------------------------------
     QueryDef(
       "qp55_textstats",

@@ -90,6 +90,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"LSH recall $recall too low (lsh=$lsh brute=$brute)")
   }
 
+  test("IVF top-k recall vs brute-force cosine") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val brute = Similarity.cosineTopK(emb, nQueries = 5, k = 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random embeddings cluster poorly, but probing 8 of 16 lists covers
+    // half the corpus — recall should be well above the 50% floor
+    val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 3, nlist = 16, nprobe = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("kmeans centroids have the right shape and assign all rows") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+    assert(cents.length == 4)
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    assert(cents.forall(_.length == dim))
+  }
+
   test("multimodal typed decode path equals the SQL mirror") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, dir, "documents").limit(50)
