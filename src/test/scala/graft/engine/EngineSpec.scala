@@ -345,6 +345,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.nonEmpty)
   }
 
+  test("aggregate referenced only in ORDER BY still triggers grouping") {
+    val r = rows("""
+      select o_orderpriority from orders
+      group by o_orderpriority
+      order by count(*) desc, o_orderpriority limit 2""")
+    val expected = rows("""
+      select o_orderpriority, count(*) as c from orders
+      group by o_orderpriority order by c desc, o_orderpriority limit 2""")
+    assert(r.map(_.getString(0)) == expected.map(_.getString(0)))
+  }
+
+  test("scalar subquery in HAVING (TPC-H Q11 shape)") {
+    val r = rows("""
+      select c_nationkey, toFloat64(sum(toDecimal(c_acctbal, 12, 2))) as bal
+      from customer group by c_nationkey
+      having toFloat64(sum(toDecimal(c_acctbal, 12, 2))) >
+        (select toFloat64(sum(toDecimal(c_acctbal, 12, 2))) * 0.05 from customer)
+      order by c_nationkey""")
+    assert(r.nonEmpty && r.size < 25)
+  }
+
   test("asof left join matches the proven union+window lowering (q12)") {
     val engineRows = rows("""
       with b as (select user_id, ts, max(value) as v_value
