@@ -326,16 +326,22 @@ final class Binder(
       case OnCondition(condExpr) =>
         val bothScopes = left.scopes ++ right.scopes
         val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+        def checkNoScalarSub(): Unit =
+          if (!(condCtx.rel.df eq left.df))
+            err("scalar subqueries in JOIN conditions are unsupported")
         jc.joinType match {
           case "inner" | "left" | "right" | "full" =>
             val cond = bindExpr(condExpr, condCtx)
+            checkNoScalarSub()
             Rel(left.df.join(right.df, cond, jc.joinType), bothScopes)
           case "left_semi" | "left_anti" =>
             val cond = bindExpr(condExpr, condCtx)
+            checkNoScalarSub()
             Rel(left.df.join(right.df, cond, jc.joinType), left.scopes)
           case "right_semi" | "right_anti" =>
             // swap sides: Spark only has the left-flavored variants
             val cond = bindExpr(condExpr, condCtx)
+            checkNoScalarSub()
             val how = if (jc.joinType == "right_semi") "left_semi" else "left_anti"
             Rel(right.df.join(left.df, cond, how), right.scopes)
           case "asof" => bindAsOf(left, right, condExpr, ctes, leftOuter = false)
