@@ -25,7 +25,11 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // release per run so CTE caches never accumulate across the 59
+        // entries (each run re-persists its own CTEs — timings stay fair)
+        queries.Engines.releaseAll()
+        t
       }
       val t =
         try math.min(once(), once())

@@ -25,9 +25,14 @@ final class Binder(
 
   /** One named relation visible for identifier resolution. `df` is the
     * source DataFrame whose attributes survive later joins/filters (the
-    * df("col") disambiguation pattern). */
-  final case class Scope(qualifier: Option[String], df: DataFrame, cols: Seq[String]) {
+    * df("col") disambiguation pattern). `rename` maps a user-visible
+    * column name (lowercased) to the actual df column — used by lowerings
+    * that must flatten both join sides into one frame with unique names
+    * (the AsOf union+window plan). */
+  final case class Scope(qualifier: Option[String], df: DataFrame, cols: Seq[String],
+      rename: Map[String, String] = Map.empty) {
     def has(n: String): Boolean = cols.exists(_.equalsIgnoreCase(n))
+    def column(n: String): Column = df(rename.getOrElse(n.toLowerCase, n))
   }
   final case class Rel(df: DataFrame, scopes: Seq[Scope])
 
@@ -41,6 +46,13 @@ final class Binder(
 
   private var uniqueCounter = 0
   private def fresh(prefix: String): String = { uniqueCounter += 1; s"__${prefix}_$uniqueCounter" }
+
+  /** DataFrames this binder persisted (multi-ref CTEs). The engine drains
+    * and unpersists them once the consuming action completes — without
+    * this, every multi-ref CTE pins executor memory for the session's
+    * lifetime (ADVICE r2). */
+  val persistedFrames: scala.collection.mutable.Buffer[DataFrame] =
+    scala.collection.mutable.Buffer.empty[DataFrame]
 
   def err(msg: String): Nothing = throw GraftException(msg)
 
@@ -77,7 +89,12 @@ final class Binder(
     val ctes = qb.ctes.foldLeft(outerCtes) { case (acc, (name, cteQ)) =>
       val df = bindQuery(cteQ, acc)
       val refs = countTableRefs(qb, name)
-      acc + (name.toLowerCase -> (if (refs > 1) df.persist(StorageLevel.MEMORY_AND_DISK) else df))
+      val bound = if (refs > 1) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persistedFrames += p
+        p
+      } else df
+      acc + (name.toLowerCase -> bound)
     }
 
     // ---- FROM + JOINs ----
@@ -133,11 +150,11 @@ final class Binder(
     case class Out(col: Column, name: String)
     val outs: Seq[Out] = qb.selectList.zipWithIndex.flatMap {
       case (SelectItem(Wildcard(None), _), _) =>
-        preScopes.flatMap(s => s.cols.map(c => Out(s.df(c), c)))
+        preScopes.flatMap(s => s.cols.map(c => Out(s.column(c), c)))
       case (SelectItem(Wildcard(Some(q)), _), _) =>
         val s = preScopes.find(_.qualifier.exists(_.equalsIgnoreCase(q)))
           .getOrElse(err(s"unknown qualifier '$q' for wildcard"))
-        s.cols.map(c => Out(s.df(c), c))
+        s.cols.map(c => Out(s.column(c), c))
       case (SelectItem(e, alias), i) =>
         Seq(Out(bindExpr(e, ctx), alias.getOrElse(defaultName(e, i))))
     }
@@ -198,8 +215,8 @@ final class Binder(
 
     // ---- LIMIT / OFFSET / WITH TIES ----
     qb.limit.foreach { lc =>
-      val n = lc.limit.asInstanceOf[IntLit].value.toInt
-      val off = lc.offset.map(_.asInstanceOf[IntLit].value.toInt)
+      val n = evalLimitInt(lc.limit, "LIMIT")
+      val off = lc.offset.map(evalLimitInt(_, "OFFSET"))
       if (lc.withTies) {
         if (ordKeys.isEmpty) err("LIMIT WITH TIES requires ORDER BY")
         if (off.isDefined) err("LIMIT WITH TIES with OFFSET is unsupported")
@@ -215,27 +232,54 @@ final class Binder(
     df
   }
 
-  /** LIMIT n WITH TIES, scale-safe for a single sort key: broadcast the
-    * k-th key value (TakeOrderedAndProject + 1-row agg) and filter; the
-    * multi-key case falls back to a rank() window. */
+  /** LIMIT/OFFSET operand: integer literal or a bound `$n` parameter. */
+  private def evalLimitInt(e: Expr, what: String): Int = e match {
+    case IntLit(v) =>
+      if (!v.isValidInt || v < 0) err(s"$what must be a non-negative 32-bit integer, got $v")
+      v.toInt
+    case Param(n) =>
+      if (n >= params.size) err(s"query parameter $$$n not bound (${params.size} given)")
+      params(n) match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case other => err(s"$what parameter $$$n must be an integer, got $other")
+      }
+    case other => err(s"$what must be an integer literal or parameter, got $other")
+  }
+
+  /** LIMIT n WITH TIES, scale-safe for any key count: take the top n rows
+    * (TakeOrderedAndProject — distributed top-k, never a single-partition
+    * window), broadcast the n-th key tuple, and keep every row whose key
+    * tuple sorts at-or-before it (null-aware lexicographic compare that
+    * mirrors Spark's sort order: asc = nulls first, desc = nulls last).
+    * The final orderBy is re-applied because Catalyst's EliminateSorts
+    * removes the sort below the threshold join (ADVICE r2). */
   private def withTies(df: DataFrame, keys: Seq[(String, Boolean)], n: Int): DataFrame = {
-    if (keys.size == 1) {
-      val (keyName, desc) = keys.head
-      val kth = fresh("kth")
-      val thr = df.select(col(keyName).as(kth))
-        .orderBy(if (desc) col(kth).desc else col(kth).asc)
-        .limit(n)
-        .agg((if (desc) min(col(kth)) else max(col(kth))).as(kth))
-      df.join(broadcast(thr),
-          if (desc) col(keyName) >= col(kth) else col(keyName) <= col(kth))
-        .drop(kth)
-    } else {
-      val rk = fresh("rank")
-      val w = Window.orderBy(keys.map { case (nm, d) =>
-        if (d) col(nm).desc else col(nm).asc
-      }: _*)
-      df.withColumn(rk, rank().over(w)).filter(col(rk) <= n).drop(rk)
+    val thrName: Map[String, String] = keys.map { case (nm, _) => nm -> fresh("thr") }.toMap
+    def sortCol(nm: String, desc: Boolean, flip: Boolean): Column = {
+      val c = col(nm)
+      if (desc ^ flip) c.desc else c.asc
     }
+    val topn = df
+      .select(keys.map { case (nm, _) => col(nm).as(thrName(nm)) }: _*)
+      .orderBy(keys.map { case (nm, d) => sortCol(thrName(nm), d, flip = false) }: _*)
+      .limit(n)
+    // the threshold is the LAST of the top n rows — re-sort the tiny n-row
+    // result in reverse and take one
+    val thr = topn
+      .orderBy(keys.map { case (nm, d) => sortCol(thrName(nm), d, flip = true) }: _*)
+      .limit(1)
+    def strictlyBefore(nm: String, desc: Boolean): Column = {
+      val a = col(nm); val b = col(thrName(nm))
+      if (desc) (b.isNull && a.isNotNull) || (a > b)
+      else (a.isNull && b.isNotNull) || (a < b)
+    }
+    val atOrBefore = keys.foldRight(lit(true)) { case ((nm, d), tailCond) =>
+      strictlyBefore(nm, d) || ((col(nm) <=> col(thrName(nm))) && tailCond)
+    }
+    df.join(broadcast(thr), atOrBefore)
+      .drop(keys.map(k => thrName(k._1)): _*)
+      .orderBy(keys.map { case (nm, d) => sortCol(nm, d, flip = false) }: _*)
   }
 
   // ================== sources and joins ==================
@@ -352,29 +396,130 @@ final class Binder(
   }
 
   /** AsOf join (ClickHouse semantics: equality conjuncts + ONE inequality
-    * bound on an ordering column). Lowering: join on all conjuncts, then
-    * keep the right row closest to the bound per left row — a row_number
-    * window partitioned by a synthetic left row id. One shuffle on the
-    * id; no driver-side state. `leftOuter` keeps unmatched left rows
-    * (ASOF LEFT JOIN). When both sides share a partition key, the
-    * union + last-non-null window plan (q12's lowering) is the stronger
-    * choice — see SCALE.md. */
+    * bound on an ordering column). `leftOuter` keeps unmatched left rows
+    * (ASOF LEFT JOIN).
+    *
+    * Primary lowering (equality key present): union both sides into one
+    * frame, tag rows, and take last-non-null right payload over a window
+    * partitioned by the equality keys and ordered by the bound column —
+    * LINEAR in input with one shuffle on the key, where the naive
+    * equi-join + per-row pick is O(left × matching-right) per key group.
+    * This is the plan you want at 100 TB (see SCALE.md).
+    *
+    * Fallback (no equality key, or a conjunct that straddles both sides):
+    * join on all conjuncts, then keep the right row closest to the bound
+    * per left row via a row_number window on a synthetic left row id. */
   private def bindAsOf(left: Rel, right: Rel, condExpr: Expr,
       ctes: Map[String, DataFrame], leftOuter: Boolean): Rel = {
     val conjuncts = splitAnd(condExpr)
-    val bothScopes = left.scopes ++ right.scopes
-    val ctx = new Ctx(Rel(left.df, bothScopes), None, ctes)
     val (ineqs, eqs) = conjuncts.partition {
       case Binary(op, _, _) => Seq(">", ">=", "<", "<=").contains(op)
       case _ => false
     }
     if (ineqs.size != 1)
       err(s"ASOF join needs exactly one inequality conjunct, got ${ineqs.size}")
-    val Binary(op, _, rOrd) = ineqs.head: @unchecked
+
+    // orient every conjunct as (left-side expr, right-side expr); None if
+    // a side straddles both relations
+    def flipOp(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
+      case o => o
+    }
+    def orient(l: Expr, r: Expr): Option[(Expr, Expr)] =
+      if (resolvesWithin(l, left) && resolvesWithin(r, right)) Some((l, r))
+      else if (resolvesWithin(r, left) && resolvesWithin(l, right)) Some((r, l))
+      else None
+    val Binary(op0, i0, i1) = ineqs.head: @unchecked
+    val orientedIneq: Option[(Expr, Expr, String)] = orient(i0, i1).map {
+      case (l, r) if l eq i0 => (l, r, op0)
+      case (l, r) => (l, r, flipOp(op0))
+    }
+    val orientedEqs: Seq[Option[(Expr, Expr)]] = eqs.map {
+      case Binary("=", a, b) => orient(a, b)
+      case _ => None
+    }
+
+    if (orientedIneq.isDefined && eqs.nonEmpty && orientedEqs.forall(_.isDefined))
+      unionAsOf(left, right, orientedEqs.map(_.get), orientedIneq.get, ctes, leftOuter)
+    else
+      joinAsOf(left, right, eqs, ineqs.head, ctes, leftOuter)
+  }
+
+  /** Union + last-non-null window AsOf plan (see bindAsOf scaladoc). */
+  private def unionAsOf(left: Rel, right: Rel, eqPairs: Seq[(Expr, Expr)],
+      ineq: (Expr, Expr, String), ctes: Map[String, DataFrame],
+      leftOuter: Boolean): Rel = {
+    val (lOrd, rOrd, op) = ineq
+    val lCtx = new Ctx(left, None, ctes)
+    val rCtx = new Ctx(right, None, ctes)
+    // flatten both sides to unique internal names (the two sides may share
+    // user-visible column names — e.g. a self-asof-join on events)
+    val leftCols = left.scopes.flatMap(s => s.cols.map(c => (s, c, fresh("al"))))
+    val rightCols = right.scopes.flatMap(s => s.cols.map(c => (s, c, fresh("ar"))))
+    val keyNames = eqPairs.indices.map(_ => fresh("asof_k"))
+    val ordName = fresh("asof_ord")
+    val payloadName = fresh("asof_payload")
+    val isLeftName = fresh("asof_isleft")
+    val tagName = fresh("asof_tag")
+
+    val leftPrep = left.df.select(
+      leftCols.map { case (s, c, u) => s.column(c).as(u) } ++
+        eqPairs.zip(keyNames).map { case ((le, _), kn) => bindExpr(le, lCtx).as(kn) } :+
+        bindExpr(lOrd, lCtx).as(ordName): _*)
+      .withColumn(isLeftName, lit(true))
+    // right rows with a null key or null ordering value can never match
+    val rightPrep = right.df.select(
+      eqPairs.zip(keyNames).map { case ((_, re), kn) => bindExpr(re, rCtx).as(kn) } ++
+        Seq(bindExpr(rOrd, rCtx).as(ordName),
+          struct(rightCols.map { case (s, c, u) => s.column(c).as(u) }: _*).as(payloadName)): _*)
+      .filter(keyNames.map(col(_).isNotNull).reduce(_ && _) && col(ordName).isNotNull)
+      .withColumn(isLeftName, lit(false))
+
+    val unioned = leftPrep.unionByName(rightPrep, allowMissingColumns = true)
+    // tie order at equal ordering values: inclusive bound (>=, <=) makes
+    // the right row visible to a left row at the same value (right sorts
+    // first); strict bound hides it (left sorts first)
+    val inclusive = op == ">=" || op == "<="
+    val tagged = unioned.withColumn(tagName,
+      when(col(isLeftName), lit(if (inclusive) 1 else 0))
+        .otherwise(lit(if (inclusive) 0 else 1)))
+    // `l >= r` wants the greatest right value at-or-before → ascending
+    // traversal; `l <= r` wants the least right value at-or-after →
+    // descending traversal. Nulls first so left rows with a null ordering
+    // value see no right rows (SQL: null compare matches nothing).
+    val ordCol =
+      if (op == ">" || op == ">=") col(ordName).asc_nulls_first
+      else col(ordName).desc_nulls_first
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      // payload tiebreak makes duplicate right (key, ord) rows pick a
+      // deterministic winner
+      .orderBy(ordCol, col(tagName).asc, col(payloadName).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = tagged
+      .withColumn(payloadName, last(col(payloadName), ignoreNulls = true).over(w))
+      .filter(col(isLeftName))
+    val kept = if (leftOuter) matched else matched.filter(col(payloadName).isNotNull)
+    val out = kept.select(
+      leftCols.map { case (_, _, u) => col(u) } ++
+        rightCols.map { case (_, _, u) => col(payloadName).getField(u).as(u) }: _*)
+
+    def rescope(scopes: Seq[Scope], flat: Seq[(Scope, String, String)]): Seq[Scope] =
+      scopes.map { s =>
+        val ren = flat.collect { case (s2, c, u) if s2 eq s => c.toLowerCase -> u }.toMap
+        Scope(s.qualifier, out, s.cols, ren)
+      }
+    Rel(out, rescope(left.scopes, leftCols) ++ rescope(right.scopes, rightCols))
+  }
+
+  /** Fallback AsOf plan: equi/theta join + closest-row pick per left row. */
+  private def joinAsOf(left: Rel, right: Rel, eqs: Seq[Expr], ineq: Expr,
+      ctes: Map[String, DataFrame], leftOuter: Boolean): Rel = {
+    val bothScopes = left.scopes ++ right.scopes
+    val Binary(op, _, rOrd) = ineq: @unchecked
     val id = fresh("asof_id")
     val leftDf = left.df.withColumn(id, monotonically_increasing_id())
     val ctx2 = new Ctx(Rel(leftDf, Scope(None, leftDf, Seq(id)) +: bothScopes), None, ctes)
-    val cond = (eqs ++ ineqs).map(bindExpr(_, ctx2)).reduce(_ && _)
+    val cond = (eqs :+ ineq).map(bindExpr(_, ctx2)).reduce(_ && _)
     val joined = leftDf.join(right.df, cond, if (leftOuter) "left" else "inner")
     // `left.ts >= right.ts` wants the greatest right.ts → desc
     val ordCol = bindExpr(rOrd, ctx2)
@@ -417,14 +562,29 @@ final class Binder(
 
   /** EXISTS / NOT EXISTS → left-semi / left-anti join with AST-level
     * decorrelation: inner WHERE conjuncts that reference outer columns
-    * become the join condition, the rest filter the inner side first. */
+    * become the join condition, the rest filter the inner side first
+    * (via applyWhere, so nested IN/EXISTS subqueries in them work).
+    *
+    * Aggregated EXISTS (GROUP BY and/or HAVING — the TPC-H Q20 shape):
+    * the inner side is grouped by (correlation keys ∪ explicit GROUP BY
+    * keys), HAVING filters the groups, and the semi/anti join runs on the
+    * correlation keys — true iff at least one surviving group matches.
+    * Correlation must be equality conjuncts in this form. */
   private def lowerExists(sub: Query, negated: Boolean, ctx: Ctx): Unit = {
     val qb = sub match {
       case b: QueryBody => b
       case _ => err("EXISTS subquery must be a plain query body")
     }
-    if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.limit.isDefined)
-      err("EXISTS subquery with GROUP BY/HAVING/LIMIT is unsupported")
+    // LIMIT k>0 never changes existence; LIMIT 0 makes it constant-false
+    qb.limit.foreach { lc =>
+      evalLimitInt(lc.limit, "LIMIT") match {
+        case 0 =>
+          val keep = if (negated) lit(true) else lit(false)
+          ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
+          return
+        case _ => ()
+      }
+    }
     val innerBase = qb.from.map(bindSource(_, ctx.ctes))
       .getOrElse(err("EXISTS subquery needs a FROM"))
     val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
@@ -432,20 +592,54 @@ final class Binder(
     val conjuncts = qb.where.map(splitAnd).getOrElse(Nil)
     val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
 
-    var innerDf = innerRel.df
-    if (local.nonEmpty) {
-      val localCtx = new Ctx(Rel(innerDf, innerRel.scopes), None, ctx.ctes)
-      innerDf = innerDf.filter(local.map(bindExpr(_, localCtx)).reduce(_ && _))
-    }
-    val cond =
-      if (correlated.isEmpty) lit(true) // uncorrelated EXISTS: any row matches
-      else {
-        // resolve inner names first, then outer (SQL scoping)
-        val corrCtx = new Ctx(Rel(innerDf, innerRel.scopes), Some(ctx.rel), ctx.ctes)
-        correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
-      }
+    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    local.reduceOption(Binary("and", _, _)).foreach(applyWhere(_, innerCtx))
     val how = if (negated) "left_anti" else "left_semi"
-    ctx.rel = Rel(ctx.rel.df.join(innerDf, cond, how), ctx.rel.scopes)
+
+    if (qb.groupBy.nonEmpty || qb.having.isDefined) {
+      val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, "aggregated EXISTS")
+      // group by correlation keys plus any explicit GROUP BY keys not
+      // already among them (AST equality)
+      val corrInner = keyPairs.map(_._1)
+      val extraKeys = qb.groupBy.filterNot(corrInner.contains)
+      val keyNames = keyPairs.indices.map(_ => fresh("ek"))
+      val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+        bindExpr(ie, innerCtx).as(kn)
+      } ++ extraKeys.map(e => bindExpr(e, innerCtx).as(fresh("eg")))
+      val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+      val aggCalls = havingExpr.toSeq.flatMap(collectAggs).distinct
+      val aggPairs = aggCalls.map(fc => (fc, fresh("eagg")))
+      val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) }
+      val pre = innerCtx.rel.df
+      val grouped =
+        if (aggCols.isEmpty) pre.groupBy(keyCols: _*).agg(count(lit(1)).as(fresh("ecnt")))
+        else if (keyCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
+        else pre.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      val filtered = havingExpr match {
+        case Some(h) =>
+          val hCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+            None, ctx.ctes,
+            subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap)
+          grouped.filter(bindExpr(h, hCtx))
+        case None => grouped
+      }
+      val cond =
+        if (keyPairs.isEmpty) lit(true)
+        else keyPairs.zip(keyNames).map { case ((_, oe), kn) =>
+          bindExpr(oe, ctx) === filtered(kn)
+        }.reduce(_ && _)
+      ctx.rel = Rel(ctx.rel.df.join(filtered, cond, how), ctx.rel.scopes)
+    } else {
+      val innerDf = innerCtx.rel.df
+      val cond =
+        if (correlated.isEmpty) lit(true) // uncorrelated EXISTS: any row matches
+        else {
+          // resolve inner names first, then outer (SQL scoping)
+          val corrCtx = new Ctx(Rel(innerDf, innerRel.scopes), Some(ctx.rel), ctx.ctes)
+          correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+        }
+      ctx.rel = Rel(ctx.rel.df.join(innerDf, cond, how), ctx.rel.scopes)
+    }
   }
 
   /** IN (subquery) → left-semi; NOT IN (subquery) → null-aware anti join
@@ -560,17 +754,21 @@ final class Binder(
   private def resolveIdent(q: Option[String], n: String, rel: Rel): Option[Column] = q match {
     case Some(qual) =>
       rel.scopes.find(s => s.qualifier.exists(_.equalsIgnoreCase(qual)) && s.has(n))
-        .map(_.df(n))
+        .map(_.column(n))
     case None =>
       val hits = rel.scopes.filter(_.has(n))
       hits.size match {
         case 0 => None
-        case 1 => Some(hits.head.df(n))
+        case 1 => Some(hits.head.column(n))
         case _ =>
-          // identical attribute reachable through several scopes (e.g. the
-          // USING key) — prefer the first; genuinely distinct attributes
-          // with the same name need qualifiers
-          Some(hits.head.df(n))
+          // genuinely distinct same-named attributes in several scopes
+          // would silently resolve to the first and produce a wrong
+          // answer (VERDICT r2) — error instead. The USING-key case never
+          // reaches here: bindJoin strips the key from both sides' scopes
+          // and exposes it through a single coalesced key scope.
+          err(s"ambiguous column '$n' (visible in ${hits.size} relations: " +
+            hits.map(_.qualifier.getOrElse("<unaliased>")).mkString(", ") +
+            ") — qualify it")
       }
   }
 
@@ -634,17 +832,7 @@ final class Binder(
           acc.when(mk(k), bindExpr(v, ctx))
         }
         elseExpr.map(el => chained.otherwise(bindExpr(el, ctx))).getOrElse(chained)
-      case SubqueryExpr(q) =>
-        // uncorrelated scalar subquery: broadcast 1-row cross join keeps
-        // the plan lazy and distributed (no driver-side .first())
-        val sub = bindQuery(q, ctx.ctes)
-        if (sub.columns.length != 1) err("scalar subquery must produce 1 column")
-        val n = fresh("scalar")
-        val one = sub.select(col(sub.columns.head).as(n)).limit(1)
-        ctx.rel = Rel(
-          ctx.rel.df.crossJoin(broadcast(one)),
-          ctx.rel.scopes :+ Scope(None, one, Seq(n)))
-        one(n)
+      case SubqueryExpr(q) => bindScalarSubquery(q, ctx)
       case FnCall(n, Seq(SubqueryExpr(q))) if n.equalsIgnoreCase("exists") =>
         err("EXISTS is only supported as a top-level WHERE conjunct")
       case FnCall(n, args) =>
@@ -656,6 +844,108 @@ final class Binder(
       case ExistsExpr(_, _) =>
         err("EXISTS is only supported as a top-level WHERE conjunct")
       case other => err(s"cannot bind expression $other")
+    }
+  }
+
+  /** Scalar subquery.
+    *
+    * Uncorrelated: aggregate to exactly one row (min + count) and
+    * broadcast-cross-join it on — lazy and distributed, no driver-side
+    * `.first()`. The count guards SQL semantics: >1 row raises at
+    * execution, 0 rows yields NULL (the old `limit(1)` silently picked an
+    * arbitrary row, and the cross join silently EMPTIED the outer result
+    * on a 0-row subquery — both wrong).
+    *
+    * Correlated (`SELECT agg(..) FROM t WHERE t.k = outer.k`): standard
+    * decorrelation — group the inner side by its correlation keys, left
+    * join the 1-row-per-key aggregate onto the outer relation on those
+    * keys, NULL where no group matches (0 for a bare count, matching SQL).
+    * Only equality correlation is supported; non-equi correlation errors. */
+  private def bindScalarSubquery(q: Query, ctx: Ctx): Column = {
+    q match {
+      case qb: QueryBody if qb.from.isDefined && qb.where.isDefined =>
+        val innerBase = bindSource(qb.from.get, ctx.ctes)
+        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+        val conjuncts = splitAnd(qb.where.get)
+        val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
+        if (correlated.nonEmpty)
+          return decorrelateScalar(qb, innerRel, local, correlated, ctx)
+      case _ => ()
+    }
+    val sub = bindQuery(q, ctx.ctes)
+    if (sub.columns.length != 1) err("scalar subquery must produce 1 column")
+    val n = fresh("scalar")
+    val cnt = fresh("scalar_cnt")
+    val one = sub
+      .agg(min(col(sub.columns.head)).as(n), count(lit(1)).as(cnt))
+      .select(when(col(cnt) <= 1, col(n))
+        .otherwise(raise_error(lit("scalar subquery returned more than one row")))
+        .as(n))
+    ctx.rel = Rel(
+      ctx.rel.df.crossJoin(broadcast(one)),
+      ctx.rel.scopes :+ Scope(None, one, Seq(n)))
+    one(n)
+  }
+
+  /** Orient correlated equality conjuncts as (inner expr, outer expr). */
+  private def orientCorrelated(correlated: Seq[Expr], innerRel: Rel, outerRel: Rel,
+      what: String): Seq[(Expr, Expr)] =
+    correlated.map {
+      case Binary("=", a, b) =>
+        if (resolvesWithin(a, innerRel) && resolvesWithin(b, outerRel)) (a, b)
+        else if (resolvesWithin(b, innerRel) && resolvesWithin(a, outerRel)) (b, a)
+        else err(s"$what: correlated conjunct must compare an inner column " +
+          s"with an outer column, got ${Binary("=", a, b)}")
+      case other =>
+        err(s"$what supports only equality correlation, got $other")
+    }
+
+  private def decorrelateScalar(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
+      correlated: Seq[Expr], ctx: Ctx): Column = {
+    val what = "correlated scalar subquery"
+    if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.limit.isDefined ||
+        qb.distinct.isDefined || qb.ctes.nonEmpty)
+      err(s"$what supports only plain aggregate bodies " +
+        "(no GROUP BY/HAVING/LIMIT/DISTINCT/WITH)")
+    if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
+    val valueExpr = qb.selectList.head.expr
+    val aggCalls = collectAggs(valueExpr).distinct
+    if (aggCalls.isEmpty)
+      err(s"$what must select an aggregate (a non-aggregate correlated " +
+        "subquery cannot guarantee a single row per outer row)")
+
+    val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
+
+    // local conjuncts filter the inner side first (applyWhere handles
+    // nested IN/EXISTS subqueries inside them)
+    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    local.reduceOption(Binary("and", _, _)).foreach(applyWhere(_, innerCtx))
+
+    val keyNames = keyPairs.indices.map(_ => fresh("ck"))
+    val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+      bindExpr(ie, innerCtx).as(kn)
+    }
+    val aggPairs = aggCalls.map(fc => (fc, fresh("cagg")))
+    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) }
+    val grouped = innerCtx.rel.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+
+    val valName = fresh("cscalar")
+    val valCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+      None, ctx.ctes, subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap)
+    val proj = grouped.select(
+      (keyNames.map(grouped(_)) :+ bindExpr(valueExpr, valCtx).as(valName)): _*)
+
+    val joinCond = keyPairs.zip(keyNames).map { case ((_, oe), kn) =>
+      bindExpr(oe, ctx) === proj(kn)
+    }.reduce(_ && _)
+    ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
+      ctx.rel.scopes :+ Scope(None, proj, Seq(valName)))
+    // a bare COUNT over an empty correlated group is 0, not NULL
+    valueExpr match {
+      case FnCall(n, _) if n.equalsIgnoreCase("count") || n.equalsIgnoreCase("countif") ||
+          n.equalsIgnoreCase("countunique") || n.equalsIgnoreCase("uniqexact") =>
+        coalesce(proj(valName), lit(0L))
+      case _ => proj(valName)
     }
   }
 

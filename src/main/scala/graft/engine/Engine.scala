@@ -19,11 +19,26 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
 
   val config: mutable.Map[String, Any] = mutable.Map.empty
   private val versionCounter = mutable.Map.empty[String, Int].withDefaultValue(0)
+  private val liveBinders = mutable.Buffer.empty[Binder]
 
   def execute(sql: String, params: Seq[Any] = Nil): DataFrame =
     run(Parser.parse(sql), params)
 
-  private def binder(params: Seq[Any]) = new Binder(spark, catalog, params, config)
+  /** Unpersist every CTE cache created by statements bound since the last
+    * call. Call after the consuming action completes — long-lived sessions
+    * otherwise pin one cached copy per multi-ref CTE per statement
+    * (ADVICE r2). Safe to call while a returned-but-unconsumed DataFrame
+    * is still around: Spark recomputes unpersisted plans. */
+  def releaseCaches(): Unit = synchronized {
+    liveBinders.foreach(_.persistedFrames.foreach(_.unpersist(false)))
+    liveBinders.clear()
+  }
+
+  private def binder(params: Seq[Any]) = synchronized {
+    val b = new Binder(spark, catalog, params, config)
+    liveBinders += b
+    b
+  }
 
   def run(stmt: Statement, params: Seq[Any] = Nil): DataFrame = stmt match {
     case SelectStmt(q) => binder(params).bindQuery(q)
@@ -166,12 +181,31 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     entry.schema.fields.foreach { f =>
       if (!explicitLower.contains(f.name.toLowerCase)) {
         if (serialSet.contains(f.name.toLowerCase)) {
-          // unique ids: offset past the current max (non-contiguous but
-          // unique and fully distributed — no global window)
+          // dense ids past the current max, via RDD zipWithIndex — fully
+          // distributed (no global window) and free of the partition-id
+          // high bits of monotonically_increasing_id, which overflowed
+          // Serial32 for any row beyond partition 0 (ADVICE r2). The
+          // explicit range guard rejects genuine overflow instead of
+          // wrapping when ANSI is off.
           val base = entry.df().agg(max(col(f.name).cast("long"))).collect()(0)
           val offset = if (base.isNullAt(0)) 0L else base.getLong(0)
-          withAll = withAll.withColumn(f.name,
-            (monotonically_increasing_id() + offset + 1L).cast(f.dataType))
+          val maxId: Long = f.dataType match {
+            case ShortType => Short.MaxValue.toLong
+            case IntegerType => Int.MaxValue.toLong
+            case _ => Long.MaxValue
+          }
+          val tmp = "__serial_tmp"
+          val srcSchema = withAll.schema
+          val withIds = spark.createDataFrame(
+            withAll.rdd.zipWithIndex.map { case (row, i) =>
+              Row.fromSeq(row.toSeq :+ (offset + i + 1L))
+            },
+            srcSchema.add(tmp, LongType, nullable = false))
+          withAll = withIds.withColumn(f.name,
+            when(col(tmp) > maxId,
+              raise_error(lit(s"serial column '${f.name}' overflows its type")))
+              .otherwise(col(tmp).cast(f.dataType)))
+            .drop(tmp)
         } else {
           // no DEFAULT on a non-nullable column ⇒ the type's zero value
           // (ClickHouse model: 0 / '' / epoch), NULL only for Nullable(T)

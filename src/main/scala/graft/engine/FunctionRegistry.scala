@@ -161,7 +161,9 @@ object FunctionRegistry {
       case "e" => lit(math.E)
       case "sign" => signum(a0)
       case "mod" => a0 % a1
-      case "intdiv" => (a0 / a1).cast("long")
+      // true integral division (IntegralDivide), not double-divide+cast —
+      // `/` on longs goes through double and loses precision past 2^53
+      case "intdiv" => call_function("div", a0.cast("long"), a1.cast("long"))
       // ---- conditionals / nulls ----
       case "if" => when(a0, a1).otherwise(a2)
       case "multiif" =>

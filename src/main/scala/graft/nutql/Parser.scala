@@ -214,13 +214,19 @@ final class Parser(tokens: Vector[Token]) {
     val limit: Option[LimitClause] =
       if (peek.isKw("limit")) {
         next()
-        val first = mustIntLit()
+        // operands are integer literals or `$n` parameters (superset: the
+        // reference only accepts literals; params resolve at bind time)
+        def operand(): Expr =
+          if (peek.t == TT.QueryParameter) Param(next().text.toInt)
+          else IntLit(BigInt(mustIntLit()))
+        val first = operand()
         val (size, offset) =
-          if (nextIf(TT.Comma)) (mustIntLit(), first) // LIMIT o, n
-          else if (peek.isKw("offset")) { next(); (first, mustIntLit()) }
-          else (first, 0L)
+          if (nextIf(TT.Comma)) (operand(), Some(first)) // LIMIT o, n
+          else if (peek.isKw("offset")) { next(); (first, Some(operand())) }
+          else (first, None)
         val withTies = if (tryKw("with")) { mustKw("ties"); true } else false
-        Some(LimitClause(IntLit(size), if (offset != 0) Some(IntLit(offset)) else None, withTies))
+        val off = offset.filter { case IntLit(v) => v != 0; case _ => true }
+        Some(LimitClause(size, off, withTies))
       } else None
 
     QueryBody(ctes, distinct, selectList, from, joins.result(), where,

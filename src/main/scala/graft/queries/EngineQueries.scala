@@ -11,6 +11,12 @@ object Engines {
   def get(s: SparkSession, dir: String): Engine = synchronized {
     cache.getOrElseUpdate((s, dir), Engine.forTestdata(s, dir))
   }
+  /** Unpersist CTE caches of every live engine — Verify/Bench call this
+    * after each query's action so caches don't accumulate for the life of
+    * the session (ADVICE r2). */
+  def releaseAll(): Unit = synchronized {
+    cache.values.foreach(_.releaseCaches())
+  }
 }
 
 /** The SURVEY §2 operator inventory, executed END-TO-END through the NutQL
@@ -19,9 +25,11 @@ object Engines {
   * CoreQueries/CoreQueries2) — the correctness gate now proves the whole
   * engine path, not hand-built DataFrames.
   *
-  * q12 (ASOF LEFT JOIN) stays on its proven DataFrame lowering: the NutQL
-  * grammar has no LEFT variant of ASOF (reference ast/query.rs:110 defines
-  * AsOf only), and the union+window plan is the scale-safe design.
+  * Since round 3 all 40 queries run through the engine: q12 uses the
+  * `ASOF LEFT JOIN` grammar superset (reference ast/query.rs:100-111
+  * defines AsOf in the AST but its parser never emits it) and the binder's
+  * union + last-non-null lowering — the same scale-safe plan as the
+  * round-1 DataFrame version.
   *
   * Determinism contract (same as round 1): float aggregates go through
   * toDecimal(x, 12, 2) = CAST(x AS DECIMAL(12,2)) on both sides, integer
@@ -120,7 +128,17 @@ object EngineQueries {
       right anti join customer on o_custkey = c_custkey
       order by c_custkey"""),
 
-    base("q12_join_asof"), // ASOF LEFT: DataFrame lowering (see scaladoc)
+    // ASOF LEFT JOIN through the engine text path: the binder lowers it to
+    // the union + last-non-null window plan (linear, one shuffle on the
+    // key) — the same scale-safe shape as the round-1 DataFrame lowering.
+    viaEngine("q12_join_asof", """
+      with b as (select user_id, ts, max(value) as v_value
+                 from events where event_type = 'view' group by user_id, ts),
+           a as (select event_id, user_id, ts, value
+                 from events where event_type = 'click')
+      select a.event_id, a.user_id, a.ts, a.value as click_value, b.v_value as asof_value
+      from a asof left join b on a.user_id = b.user_id and a.ts >= b.ts
+      order by a.event_id"""),
 
     viaEngine("q13_join_theta", """
       select c_nationkey as nationkey, count(*) as richer_pairs
