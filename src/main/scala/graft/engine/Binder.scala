@@ -797,7 +797,13 @@ final class Binder(
           .orElse(ctx.outer.flatMap(o => resolveIdent(q, n, o)))
           .getOrElse(err(s"cannot resolve column '${q.map(_ + ".").getOrElse("")}$n'"))
       case Wildcard(_) => err("'*' is only valid in a select list or count(*)")
-      case TupleLit(items) => struct(items.map(bindExpr(_, ctx)): _*)
+      case TupleLit(items) =>
+        // NutQL tuples address fields as _1.._n (TypeMap.TupleType) —
+        // name them so tupleElement(t, i) resolves regardless of the
+        // member expressions
+        struct(items.zipWithIndex.map { case (it, i) =>
+          bindExpr(it, ctx).as(s"_${i + 1}")
+        }: _*)
       case ArrayLit(items) => array(items.map(bindExpr(_, ctx)): _*)
       case MapLit(entries) =>
         map(entries.flatMap { case (k, v) => Seq(bindExpr(k, ctx), bindExpr(v, ctx)) }: _*)

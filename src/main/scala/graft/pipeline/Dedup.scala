@@ -52,9 +52,18 @@ object Dedup {
     * of a k-value MinHash signature (k = bands * rowsPerBand). Band width
     * r = k/bands trades recall for candidate noise: r=4 keeps the
     * accidental-collision rate at sim s down to s^4 per band, which is
-    * what keeps bucket sizes sane as the corpus grows. */
+    * what keeps bucket sizes sane as the corpus grows.
+    *
+    * `maxBucket` is the skew guard: a band bucket larger than it is
+    * dropped BEFORE the self-join (a bucket of b identical docs is O(b²)
+    * pairs — 10⁵ un-collapsed exact duplicates would be 10¹⁰ candidate
+    * rows). Legit near-dup groups are orders of magnitude smaller; a
+    * bucket that big means exact-dedup was skipped, and those pairs are
+    * exact duplicates better handled by `exactStats`/`keepFirstByKey`.
+    * The count runs in the same shuffle the join needs — no extra pass. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 4096): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val sig = minhashWide(docs, idCol, textCol, shingleN, k)
@@ -63,8 +72,12 @@ object Dedup {
     val banded = sig
       .select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-    val left = banded.select(col("id").as("id_a"), col("band"), col("bh"))
-    val right = banded.select(col("id").as("id_b"), col("band"), col("bh"))
+    val capped = banded
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val left = capped.select(col("id").as("id_a"), col("band"), col("bh"))
+    val right = capped.select(col("id").as("id_b"), col("band"), col("bh"))
     left.join(right, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -77,8 +90,9 @@ object Dedup {
     * division — deterministic across engines. */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
-    val cands = lshCandidates(docs, idCol, textCol, shingleN, k, bands)
+      thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    val cands = lshCandidates(docs, idCol, textCol, shingleN, k, bands, maxBucket)
     // shingle arrays rebuilt only along the (small) candidate join — one
     // pass over docs per side, no cache needed
     val sh = docs.select(col(idCol).as("id"),
@@ -119,13 +133,18 @@ object Dedup {
     * chunk exactly, and noisier pairs are still caught with high
     * probability; candidates verified by exact hamming distance. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7, maxBucket: Int = 4096): DataFrame = {
     val hashed = simhashWide(docs, idCol, textCol)
     val chunkCols = (0 until 8).map(i =>
       shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL))
     val chunked = hashed.select(col("id"), col("simhash"),
       posexplode(array(chunkCols: _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "cv"))
+      // same skew guard as lshCandidates: an over-cap chunk bucket (mass
+      // exact duplicates) would be O(bucket²) in the self-join below
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("chunk"), col("cv"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val left = chunked.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("cv"))
     val right = chunked.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("cv"))
     // filter on hamming BEFORE distinct: same-domain corpora produce very

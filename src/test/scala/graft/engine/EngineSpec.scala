@@ -390,4 +390,136 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e2 = intercept[GraftException](sql("select 1 as x from no_such_table"))
     assert(e2.getMessage.contains("unknown table"))
   }
+
+  // ---------------- round-3 features ----------------
+
+  test("correlated scalar subquery decorrelates (TPC-H Q17 shape)") {
+    val r = rows("""
+      select count(*) as n from part
+      where p_retailprice < (select 2 * avg(l_extendedprice) from lineitem
+                             where l_partkey = p_partkey)""").head.getLong(0)
+    // manual decorrelation with the DataFrame API
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val avgByPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_extendedprice")).as("a"))
+    val expected = graft.Tables.load(spark, dir, "part")
+      .join(avgByPart, col("p_partkey") === col("pk"), "left")
+      .filter(col("p_retailprice") < lit(2) * col("a")).count()
+    assert(r == expected && r > 0)
+  }
+
+  test("correlated count subquery yields 0 (not NULL) for unmatched rows") {
+    val r = rows("""
+      select count(*) as n from customer
+      where 0 = (select count(*) from orders where o_custkey = c_custkey)""").head.getLong(0)
+    val expected = rows("""
+      select count(*) as n from customer
+      where not exists (select 1 from orders where o_custkey = c_custkey)""").head.getLong(0)
+    assert(r == expected)
+  }
+
+  test("EXISTS with GROUP BY + HAVING (TPC-H Q20 shape)") {
+    val r = rows("""
+      select count(*) as n from part
+      where exists (select 1 from lineitem where l_partkey = p_partkey
+                    group by l_partkey having sum(l_quantity) > 50)""").head.getLong(0)
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val heavy = li.groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("q"))
+      .filter(col("q") > 50)
+    val expected = graft.Tables.load(spark, dir, "part")
+      .join(heavy, col("p_partkey") === col("l_partkey"), "left_semi").count()
+    assert(r == expected && r > 0)
+  }
+
+  test("ambiguous unqualified identifier is an error, qualified works") {
+    val e = intercept[GraftException](rows("""
+      with a as (select n_nationkey as k, n_name from nation),
+           b as (select n_regionkey as k, n_name from nation)
+      select n_name from a join b on a.k = b.k limit 1"""))
+    assert(e.msg.contains("ambiguous column"))
+    // the same query with a qualifier runs
+    assert(rows("""
+      with a as (select n_nationkey as k, n_name from nation),
+           b as (select n_regionkey as k, n_name from nation)
+      select a.n_name from a join b on a.k = b.k limit 1""").size == 1)
+  }
+
+  test("multi-key LIMIT WITH TIES: no window in the plan, rank semantics") {
+    val df = sql("""
+      select l_returnflag, l_linestatus, l_orderkey from lineitem
+      order by l_returnflag, l_linestatus limit 5 with ties""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+    // rank() <= 5 reference semantics
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val expected = li
+      .withColumn("__rk", rank().over(
+        W.orderBy(col("l_returnflag").asc, col("l_linestatus").asc)))
+      .filter(col("__rk") <= 5).count()
+    assert(df.count() == expected)
+    // output ordering survives the threshold join (EliminateSorts fix)
+    val keys = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("LIMIT accepts $n parameters") {
+    val r = engine.execute(
+      "select o_orderkey from orders order by o_orderkey limit $0 offset $1",
+      Seq(7, 3)).collect()
+    val direct = rows("select o_orderkey from orders order by o_orderkey limit 7 offset 3")
+    assert(r.map(_.getLong(0)).toSeq == direct.map(_.getLong(0)))
+    val e = intercept[GraftException](engine.execute(
+      "select o_orderkey from orders limit $0", Seq("x")).collect())
+    assert(e.msg.contains("must be an integer"))
+  }
+
+  test("scalar subquery: >1 row raises, 0 rows yields NULL not empty") {
+    val multi = intercept[Exception](rows(
+      "select (select o_orderkey from orders) as x from nation limit 1"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(multi).contains("more than one row"))
+    // empty subquery → NULL (the old limit(1)+crossJoin emptied the result)
+    val r = rows("""
+      select count(*) as n, toInt64(countIf((select max(o_totalprice) from orders
+        where o_totalprice < 0) is null)) as nulls
+      from nation""").head
+    assert(r.getLong(0) == 25 && r.getLong(1) == 25)
+  }
+
+  test("Serial32 ids stay dense across partitions (no high-bit overflow)") {
+    sql("create table t_ser32 (id Serial32, v Int32)")
+    // multi-row VALUES lands each row in its own partition — the old
+    // monotonically_increasing_id lowering overflowed here (ADVICE r2)
+    sql("insert into t_ser32 (v) values (1), (2), (3), (4), (5)")
+    sql("insert into t_ser32 (v) values (6), (7)")
+    val ids = rows("select id from t_ser32 order by id").map(_.getInt(0))
+    assert(ids == (1 to 7).toList)
+    sql("drop table t_ser32")
+  }
+
+  test("intDiv is true integral division") {
+    val r = rows("""select intDiv(9007199254740993, 2) as big,
+                           intDiv(7, 2) as small from nation limit 1""").head
+    // 2^53+1 / 2 — the old double-divide path rounded this to 2^52+1
+    assert(r.getLong(0) == 4503599627370496L && r.getLong(1) == 3L)
+  }
+
+  test("CTE caches are released after releaseCaches()") {
+    val df = sql("""
+      with big as (select l_partkey, count(*) as c from lineitem group by l_partkey)
+      select a.l_partkey from big as a join big as b on a.l_partkey = b.l_partkey
+      limit 5""")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(df.collect().length == 5)
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty) // the multi-ref CTE was cached
+    engine.releaseCaches()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty) // ...and released
+  }
 }

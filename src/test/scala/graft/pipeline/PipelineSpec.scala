@@ -122,6 +122,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typed.collect().toSeq == viaSql.collect().toSeq)
   }
 
+  test("pathological bucket (10^4 identical docs) is capped, planted pair survives") {
+    import spark.implicits._
+    // 10,000 identical docs: without the bucket cap every band bucket
+    // holds all 10^4 ids and the self-join is ~10^8 rows per band. With
+    // the cap the bucket is dropped (those are exact duplicates — the
+    // pipeline collapses them with exact dedup first) and the planted
+    // near-dup pair elsewhere is still found.
+    val bomb = "spam spam spam identical text that should have been exact deduped long ago"
+    val a = "the quick brown fox jumps over the lazy dog and runs far away into the green forest"
+    val b = a.replace("green", "dark")
+    val docs = ((0 until 10000).map(i => (i.toLong, bomb)) ++
+      Seq((20000L, a), (20001L, b))).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20000L, 20001L)),
+      s"expected only the planted pair, got ${pairs.size} pairs")
+    // simhash path: same bomb, same cap behavior
+    val shPairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+        maxHamming = 16, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPairs == Set((20000L, 20001L)),
+      s"expected only the planted pair, got ${shPairs.size} simhash pairs")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     import spark.implicits._
     val df = Seq(Tuple1("a  B\tc"), Tuple1("A b C")).toDF("t")
