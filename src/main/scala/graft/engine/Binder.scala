@@ -308,10 +308,24 @@ final class Binder(
       case v: catalog.ViewEntry => bindView(v)
     }
 
-  /** Views re-bind on read; a Summing view folds the definition through
-    * groupBy(order/pk keys).agg(sum(numerics), min(others)) — the batch
-    * equivalent of a SummingMergeTree merge (corpus 12.sql). */
-  private def bindView(v: Catalog#ViewEntry): DataFrame = {
+  /** Views re-bind on read — unless a fresh materialization exists
+    * (written by OPTIMIZE on the view), in which case the pre-aggregated
+    * parquet is scanned instead of recomputing the definition. The
+    * materialization is fresh while every source table's mutation
+    * counter still matches what it was at refresh time (Engine bumps
+    * them on INSERT/TRUNCATE/ALTER/DROP) — a stale one silently falls
+    * back to recompute, so results are always current. */
+  private def bindView(v: Catalog#ViewEntry): DataFrame =
+    v.materialized match {
+      case Some(m) if m.deps.forall { case (t, ver) => catalog.mutationOf(t) == ver } =>
+        spark.read.schema(m.schema).parquet(m.path)
+      case _ => bindViewFresh(v)
+    }
+
+  /** A Summing view folds the definition through groupBy(order/pk keys)
+    * .agg(sum(numerics), min(others)) — the batch equivalent of a
+    * SummingMergeTree merge (corpus 12.sql). */
+  private[engine] def bindViewFresh(v: Catalog#ViewEntry): DataFrame = {
     val df = bindQuery(v.query, Map.empty)
     if (v.strategy.equalsIgnoreCase("summing")) {
       val keyNames = (v.orderBy ++ v.primaryKey).collect { case Ident(_, n) => n }.distinct

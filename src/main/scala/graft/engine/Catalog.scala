@@ -40,10 +40,19 @@ final class Catalog(val spark: SparkSession) {
       strategy: String,
       primaryKey: Seq[Ast.Expr],
       orderBy: Seq[Ast.Expr],
-      comment: Option[String]) extends Entry
+      comment: Option[String],
+      materialized: Option[ViewMaterialization] = None) extends Entry
 
   private val entries = mutable.LinkedHashMap.empty[String, Entry]
   private def key(name: String): String = name.toLowerCase
+
+  /** Per-table mutation counters: bumped by INSERT/TRUNCATE/ALTER/DROP.
+    * A view materialization records the counters of every table it read;
+    * reads serve the materialized parquet only while they still match
+    * (base tables are read-only — their counter stays 0 forever). */
+  private val mutations = mutable.Map.empty[String, Long].withDefaultValue(0L)
+  def bumpMutation(name: String): Unit = mutations(key(name)) += 1
+  def mutationOf(name: String): Long = mutations(key(name))
 
   val warehouseDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-warehouse-").toString
@@ -63,6 +72,14 @@ final class Catalog(val spark: SparkSession) {
 
   def tablePath(name: String): String = s"$warehouseDir/${key(name)}"
 }
+
+/** A refreshed-on-OPTIMIZE view materialization: the aggregated result
+  * written to parquet plus the mutation counters of its source tables at
+  * refresh time (staleness check). */
+final case class ViewMaterialization(
+    path: String,
+    schema: StructType,
+    deps: Map[String, Long])
 
 object Catalog {
   /** Catalog over the driver's testdata directory. */

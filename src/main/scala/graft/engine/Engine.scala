@@ -232,6 +232,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     val writer = aligned.write.mode("append")
     val partCols = entry.partitionBy.toSeq.collect { case Ident(_, n) => n }
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(path)
+    catalog.bumpMutation(st.table) // invalidates dependent materializations
     status(s"INSERT INTO ${st.table}")
   }
 
@@ -299,6 +300,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       err(s"unknown table or view '${st.name}'")
     }
     catalog.drop(st.name)
+    catalog.bumpMutation(st.name)
     status(s"DROP ${st.name}")
   }
 
@@ -312,6 +314,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         catalog.putTable(st.name, t.copy(
           df = () => spark.read.schema(t.schema).parquet(newPath),
           path = Some(newPath)))
+        catalog.bumpMutation(st.name)
         status(s"TRUNCATE ${st.name}")
       case Some(_: catalog.ViewEntry) => err("cannot TRUNCATE a view")
       case None =>
@@ -320,11 +323,66 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     }
   }
 
+  /** Tables this query reads, transitively through views — the
+    * dependency set a view materialization records for staleness. */
+  private def referencedTables(q: Query): Set[String] = {
+    val out = mutable.Set.empty[String]
+    def walkSrc(s: DataSource): Unit = s match {
+      case TableSource(n, _) =>
+        catalog.get(n) match {
+          case Some(v: catalog.ViewEntry) => out += n.toLowerCase; walkQuery(v.query)
+          case _ => out += n.toLowerCase
+        }
+      case SubquerySource(sub, _) => walkQuery(sub)
+      case _ => ()
+    }
+    def walkExpr(e: Expr): Unit = e match {
+      case SubqueryExpr(sub) => walkQuery(sub)
+      case InSubquery(a, sub, _) => walkExpr(a); walkQuery(sub)
+      case ExistsExpr(sub, _) => walkQuery(sub)
+      case Binary(_, l, r) => walkExpr(l); walkExpr(r)
+      case Unary(_, o) => walkExpr(o)
+      case FnCall(_, args) => args.foreach(walkExpr)
+      case CaseExpr(s, bs, el) =>
+        s.foreach(walkExpr); bs.foreach { case (a, b) => walkExpr(a); walkExpr(b) }
+        el.foreach(walkExpr)
+      case BetweenExpr(a, lo, hi, _) => walkExpr(a); walkExpr(lo); walkExpr(hi)
+      case InList(a, items, _) => walkExpr(a); items.foreach(walkExpr)
+      case _ => ()
+    }
+    def walkQuery(sub: Query): Unit = sub match {
+      case SetOpQuery(_, a, b) => walkQuery(a); walkQuery(b)
+      case b: QueryBody =>
+        b.from.foreach(walkSrc)
+        b.joins.foreach(j => walkSrc(j.source))
+        b.where.foreach(walkExpr)
+        b.having.foreach(walkExpr)
+        b.selectList.foreach(i => walkExpr(i.expr))
+        b.ctes.foreach { case (_, cq) => walkQuery(cq) }
+    }
+    walkQuery(q)
+    out.toSet
+  }
+
   /** Compaction: rewrite the current files into size-targeted partitions
     * in a NEW directory and swap the pointer — the safe pattern when
-    * readers may hold the old file list. */
+    * readers may hold the old file list. On a VIEW, OPTIMIZE refreshes
+    * its materialization: the (Summing-folded) result is written to
+    * parquet and served on read until any source table mutates — a
+    * 100 TB view then costs one scan per refresh instead of one
+    * aggregation per read. */
   private def optimize(st: OptimizeStmt): DataFrame = {
     catalog.get(st.table) match {
+      case Some(v: catalog.ViewEntry) =>
+        if (st.partition.isDefined) err("OPTIMIZE ... ON PARTITION applies to tables")
+        val deps = referencedTables(v.query)
+          .map(t => t -> catalog.mutationOf(t)).toMap
+        val df = binder(Nil).bindViewFresh(v)
+        val newPath = nextVersionPath(st.table)
+        df.write.mode("overwrite").parquet(newPath)
+        catalog.putView(st.table,
+          v.copy(materialized = Some(ViewMaterialization(newPath, df.schema, deps))))
+        status(s"OPTIMIZE ${st.table} (view materialized)")
       case Some(t: catalog.TableEntry) =>
         t.path.getOrElse(err(s"cannot OPTIMIZE base table '${st.table}'"))
         val cur = t.df()
@@ -348,8 +406,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         catalog.putTable(st.table, t.copy(
           df = () => spark.read.schema(t.schema).parquet(newPath),
           path = Some(newPath)))
+        // contents are unchanged by compaction — dependent view
+        // materializations stay valid, so no mutation bump
         status(s"OPTIMIZE ${st.table}")
-      case Some(_) => err("cannot OPTIMIZE a view")
       case None => err(s"unknown table '${st.table}'")
     }
   }
@@ -383,6 +442,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         path = Some(newPath),
         constraints = newConstraints,
         indexes = newIndexes))
+      catalog.bumpMutation(st.table)
       status(s"ALTER TABLE ${st.table}")
     }
 
@@ -417,6 +477,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         if (catalog.contains(to)) err(s"'$to' already exists")
         catalog.drop(st.table)
         catalog.putTable(to, t)
+        catalog.bumpMutation(st.table)
+        catalog.bumpMutation(to)
         status(s"RENAME TABLE ${st.table} -> $to")
       case AddIndex(ix, ifNotExists) =>
         if (t.indexes.exists(_.name.equalsIgnoreCase(ix.name))) {

@@ -150,6 +150,23 @@ object ExtraQueries {
                        having sum(toDecimal(l_quantity, 12, 2)) > 700)
          order by p_partkey"""),
 
+    // ---- OPTIMIZE on a Summing view: materialize, then invalidate -------
+    // the SELECT runs after a post-materialization INSERT, so a stale
+    // materialization serving reads would return the wrong sums
+    script("qe72_optimize_view",
+      Some("""SELECT * FROM (VALUES (1, CAST(15 AS BIGINT)), (2, CAST(21 AS BIGINT)),
+                                    (3, CAST(7 AS BIGINT)))
+              AS t(k, v) ORDER BY k"""),
+      _ => Seq(
+        "drop view if exists qe72_v",
+        "drop table if exists qe72_t",
+        "create table qe72_t (k Int32, v Int64)",
+        "insert into qe72_t values (1, 10), (2, 20), (1, 5)",
+        "create view qe72_v update by Summing order by k as select k, v from qe72_t",
+        "optimize table qe72_v",
+        "insert into qe72_t values (2, 1), (3, 7)",
+        "select k, v from qe72_v order by k")),
+
     // ---- multi-key LIMIT WITH TIES (broadcast-threshold plan) -----------
     engineSql("qe71_with_ties_multi",
       """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber FROM

@@ -509,6 +509,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 4503599627370496L && r.getLong(1) == 3L)
   }
 
+  test("OPTIMIZE materializes a Summing view; source mutation invalidates it") {
+    sql("create table t_mat (k Int32, v Int64)")
+    sql("insert into t_mat values (1, 10), (2, 20), (1, 5)")
+    sql("create view v_mat update by Summing order by k as select k, v from t_mat")
+    sql("optimize table v_mat")
+    // materialized read: plan scans parquet with no aggregate
+    val mat = sql("select k, v from v_mat order by k")
+    val matPlan = mat.queryExecution.executedPlan.toString
+    assert(!matPlan.contains("HashAggregate"), s"expected materialized scan:\n$matPlan")
+    assert(mat.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 15L), (2, 20L)))
+    // a source INSERT invalidates: reads recompute and see the new rows
+    sql("insert into t_mat values (3, 7)")
+    val fresh = sql("select k, v from v_mat order by k")
+    assert(fresh.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(fresh.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 15L), (2, 20L), (3, 7L)))
+    // re-OPTIMIZE re-materializes the current state
+    sql("optimize table v_mat")
+    val again = sql("select k, v from v_mat order by k")
+    assert(!again.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(again.collect().length == 3)
+    sql("drop view v_mat")
+    sql("drop table t_mat")
+  }
+
   test("CTE caches are released after releaseCaches()") {
     val df = sql("""
       with big as (select l_partkey, count(*) as c from lineitem group by l_partkey)
