@@ -383,27 +383,27 @@ final class Binder(
         Rel(df, keyScope +: (leftRest ++ rightRest))
       case OnCondition(condExpr) =>
         val bothScopes = left.scopes ++ right.scopes
-        val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
-        def checkNoScalarSub(): Unit =
-          if (!(condCtx.rel.df eq left.df))
-            err("scalar subqueries in JOIN conditions are unsupported")
+        // scalar subqueries in the condition broadcast-cross-join their
+        // 1-row value onto the LEFT side while binding (bindScalarSubquery
+        // mutates condCtx.rel), so join from condCtx.rel.df afterwards;
+        // correlation against the right side is rejected at orientation
         jc.joinType match {
-          case "inner" | "left" | "right" | "full" =>
-            val cond = bindExpr(condExpr, condCtx)
-            checkNoScalarSub()
-            Rel(left.df.join(right.df, cond, jc.joinType), bothScopes)
-          case "left_semi" | "left_anti" =>
-            val cond = bindExpr(condExpr, condCtx)
-            checkNoScalarSub()
-            Rel(left.df.join(right.df, cond, jc.joinType), left.scopes)
-          case "right_semi" | "right_anti" =>
-            // swap sides: Spark only has the left-flavored variants
-            val cond = bindExpr(condExpr, condCtx)
-            checkNoScalarSub()
-            val how = if (jc.joinType == "right_semi") "left_semi" else "left_anti"
-            Rel(right.df.join(left.df, cond, how), right.scopes)
           case "asof" => bindAsOf(left, right, condExpr, ctes, leftOuter = false)
           case "asof_left" => bindAsOf(left, right, condExpr, ctes, leftOuter = true)
+          case how @ ("inner" | "left" | "right" | "full") =>
+            val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+            val cond = bindExpr(condExpr, condCtx)
+            Rel(condCtx.rel.df.join(right.df, cond, how), bothScopes)
+          case how @ ("left_semi" | "left_anti") =>
+            val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+            val cond = bindExpr(condExpr, condCtx)
+            Rel(condCtx.rel.df.join(right.df, cond, how), left.scopes)
+          case "right_semi" | "right_anti" =>
+            // swap sides: Spark only has the left-flavored variants
+            val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+            val cond = bindExpr(condExpr, condCtx)
+            val how = if (jc.joinType == "right_semi") "left_semi" else "left_anti"
+            Rel(right.df.join(condCtx.rel.df, cond, how), right.scopes)
           case other => err(s"unknown join type $other")
         }
     }

@@ -36,15 +36,39 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w))
   }
 
-  /** MinHash signature as k wide columns via explode + k codegen'd MIN
-    * aggregates — one hash aggregate with map-side partial combine, no
-    * interpreted higher-order lambdas (those evaluate per-element on the
-    * interpreted path and were the 10× cost in the first cut). */
+  /** Exploded (id, shingle-hash) stream: posexplode the whitespace tokens,
+    * then stitch n-word shingles with window `lead`s — every operator is
+    * codegen'd. The previous builder (`transform(sequence(...), i =>
+    * concat_ws(slice(split(text), i, n)))`) re-evaluated the token SPLIT
+    * per array element on the interpreted lambda path, which alone cost
+    * more than the whole rest of the qp50 pipeline at sf0.1. Short docs
+    * (< n words) keep their single partial shingle (concat_ws skips the
+    * null leads), matching the array builder's semantics. Duplicate
+    * shingles within a doc are kept (MIN is insensitive; SimHash weighs
+    * repeated features, the standard formulation). */
+  private def shingleStream(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "w"))
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val leads = (1 until n).map(i => lead(col("w"), i).over(w))
+    tok.select(col("id"), col("p"),
+        concat_ws(" ", (col("w") +: leads): _*).as("s"),
+        leads.last.isNotNull.as("__full"))
+      .filter(col("__full") || col("p") === 0)
+      .select(col("id"), col("s"))
+  }
+
+  /** MinHash signature as k wide columns via the shingle stream + k
+    * codegen'd MIN aggregates — one hash aggregate with map-side partial
+    * combine. The shingle string is hashed once; the k per-permutation
+    * values re-hash that fixed 8-byte long with the permutation index as
+    * a leading seed word (k × 8 bytes instead of k × string bytes). */
   private def minhashWide(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame = {
-    val shingled = docs.select(col(idCol).as("id"),
-      explode(TextOps.wordShingles(col(textCol), shingleN)).as("s"))
-    val aggs = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"h$j"))
+    val shingled = shingleStream(docs, idCol, textCol, shingleN)
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -85,24 +109,32 @@ object Dedup {
   }
 
   /** Near-duplicate pairs: LSH candidates verified with exact Jaccard on
-    * the distinct shingle sets. The threshold compare is exact integer
-    * math (`den*|∩| >= num*|∪|`), the reported sim a single double
-    * division — deterministic across engines. */
+    * the distinct shingle sets. The verify is array-free: |A∩B| is a join
+    * of the distinct shingle stream with itself restricted to candidate
+    * pairs, |A∪B| = |A|+|B|−|A∩B| from per-doc distinct counts — plain
+    * hash joins and aggregates, no wide shingle arrays shuffled and no
+    * set-op lambdas. The threshold compare is exact integer math
+    * (`den*|∩| >= num*|∪|`), the reported sim a single double division —
+    * deterministic across engines. Candidate pairs with zero shared
+    * shingles drop out of the inner join, which the threshold (num ≥ 1)
+    * would discard anyway. */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       thresholdNum: Int = 1, thresholdDen: Int = 2,
       maxBucket: Int = 4096): DataFrame = {
+    require(thresholdNum >= 1, "thresholdNum must be >= 1")
     val cands = lshCandidates(docs, idCol, textCol, shingleN, k, bands, maxBucket)
-    // shingle arrays rebuilt only along the (small) candidate join — one
-    // pass over docs per side, no cache needed
-    val sh = docs.select(col(idCol).as("id"),
-      TextOps.wordShingles(col(textCol), shingleN).as("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val uni = size(array_union(col("sh_a"), col("sh_b")))
-    cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("__inter", inter).withColumn("__uni", uni)
+    val stream = shingleStream(docs, idCol, textCol, shingleN).distinct()
+    val sizes = stream.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
+    val inter = cands
+      .join(stream.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(stream.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("__sz").as("__szb")), "id_b")
+      .withColumn("__uni", col("__sza") + col("__szb") - col("__inter"))
       .filter(col("__inter") * thresholdDen >= col("__uni") * thresholdNum)
       .select(col("id_a"), col("id_b"),
         (col("__inter").cast("double") / col("__uni")).as("sim"))
@@ -116,10 +148,8 @@ object Dedup {
     * near-identical (giant buckets); shingles are order-sensitive and
     * separate non-duplicates. */
   def simhashWide(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("id"),
-        explode(TextOps.wordShingles(col(textCol), 3)).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+    val tok = shingleStream(docs, idCol, textCol, 3)
+      .select(col("id"), xxhash64(col("s")).as("h"))
     val aggs = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
     tok.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)

@@ -509,6 +509,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 4503599627370496L && r.getLong(1) == 3L)
   }
 
+  test("scalar subquery inside a JOIN ON condition") {
+    val r = rows("""
+      select count(*) as n from customer
+      join orders on c_custkey = o_custkey
+        and o_totalprice > (select avg(o_totalprice) from orders)""").head.getLong(0)
+    val expected = rows("""
+      select count(*) as n from customer
+      join (select o_custkey from orders
+            where o_totalprice > (select avg(o_totalprice) from orders)) as o
+        on c_custkey = o.o_custkey""").head.getLong(0)
+    assert(r == expected && r > 0)
+  }
+
   test("OPTIMIZE materializes a Summing view; source mutation invalidates it") {
     sql("create table t_mat (k Int32, v Int64)")
     sql("insert into t_mat values (1, 10), (2, 20), (1, 5)")
