@@ -63,8 +63,10 @@ object Similarity {
 
   /** True cosine brute-force top-k (double precision). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val emb = embeddings.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+    // keep the float array as-is: DotProduct widens float->double per
+    // element inside codegen (exact), so pre-casting via an interpreted
+    // transform() lambda only added per-element overhead
+    val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q"), col("norm").as("qn"))
@@ -74,16 +76,20 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Pseudo-random unit-ish hyperplane component for (table, bit, dim),
-    * derived from xxhash64 so every executor computes the same planes
-    * with no driver-side state or broadcast of plane matrices. */
-  private def planeComponent(table: Int, bit: Int, i: Column): Column =
-    pmod(xxhash64(lit(table * 1024 + bit), i), lit(2000003L)).cast("double") / 2000003.0d - 0.5d
+  /** Deterministic random hyperplane for (table, bit): components from a
+    * seeded PRNG, expanded into plan literals driver-side. The whole
+    * plane set is tables × nbits × dim doubles (a few KB) inlined in the
+    * plan — no broadcast, no state, and crucially no per-ROW rebuild:
+    * the previous formulation materialized each plane with an
+    * interpreted `transform` lambda for every row × table × bit. */
+  private def planeLit(table: Int, bit: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(table.toLong * 1000003L + bit * 7919L + 42L)
+    array((0 until dim).map(_ => lit(rnd.nextDouble() - 0.5d)): _*)
+  }
 
-  private def signBucket(v: Column, table: Int, nbits: Int): Column =
+  private def signBucket(v: Column, table: Int, nbits: Int, dim: Int): Column =
     (0 until nbits).map { b =>
-      val plane = transform(sequence(lit(0), size(v) - 1), i => planeComponent(table, b, i))
-      when(dotD(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      when(dotD(v, planeLit(table, b, dim)) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   // ---- IVF (inverted-file) index: k-means coarse quantizer ----
@@ -94,12 +100,11 @@ object Similarity {
     * come back to the driver (k × dim doubles — tiny) between iterations;
     * the corpus never leaves the executors. */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val emb = embeddings.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+    val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
     // deterministic init: k rows spread by hash order
     var centroids: Array[Array[Double]] = emb
       .orderBy(xxhash64(col("vec_id"), lit(seed))).limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     (0 until iters).foreach { _ =>
       val assigned = assignCentroid(emb, centroids)
       val dim = centroids.head.length
@@ -141,8 +146,10 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nlist, kmeansIters)
-    val emb = embeddings.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+    // keep the float array as-is: DotProduct widens float->double per
+    // element inside codegen (exact), so pre-casting via an interpreted
+    // transform() lambda only added per-element overhead
+    val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
     val assigned = assignCentroid(emb, centroids)
     // queries probe their nprobe nearest centroids (same codegen'd
@@ -167,11 +174,14 @@ object Similarity {
     * recall tunes with fewer bits / more tables. */
   def lshCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
       nbits: Int = 8, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
-    val emb = embeddings.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    // keep the float array as-is: DotProduct widens float->double per
+    // element inside codegen (exact), so pre-casting via an interpreted
+    // transform() lambda only added per-element overhead
+    val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
     val withBuckets = emb.select(col("vec_id"), col("v"), col("norm"),
-      posexplode(array((0 until tables).map(t => signBucket(col("v"), t, nbits)): _*)))
+      posexplode(array((0 until tables).map(t => signBucket(col("v"), t, nbits, dim)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
       // skew guard: a degenerate bucket (e.g. a near-constant embedding
       // corpus collapsing into one sign pattern) would make the candidate
