@@ -854,17 +854,90 @@ final class Binder(
         elseExpr.map(el => chained.otherwise(bindExpr(el, ctx))).getOrElse(chained)
       case SubqueryExpr(q) => bindScalarSubquery(q, ctx)
       case FnCall(n, Seq(SubqueryExpr(q))) if n.equalsIgnoreCase("exists") =>
-        err("EXISTS is only supported as a top-level WHERE conjunct")
+        bindExistsExpr(q, negated = false, ctx)
       case FnCall(n, args) =>
         if (FunctionRegistry.isAgg(n))
           err(s"aggregate function '$n' in invalid position (no GROUP BY context)")
         else FunctionRegistry.bindScalar(n, args.map(bindExpr(_, ctx)), args)
-      case InSubquery(_, _, _) =>
-        err("IN (subquery) is only supported as a top-level WHERE conjunct")
-      case ExistsExpr(_, _) =>
-        err("EXISTS is only supported as a top-level WHERE conjunct")
+      case InSubquery(lhs, q, neg) => bindInExpr(lhs, q, neg, ctx)
+      case ExistsExpr(q, neg) => bindExistsExpr(q, neg, ctx)
       case other => err(s"cannot bind expression $other")
     }
+  }
+
+  /** EXISTS in a general expression position (e.g. under OR) — the
+    * top-level WHERE conjunct form lowers to semi/anti joins instead
+    * (applyWhere), which is cheaper; this produces a boolean COLUMN.
+    * Uncorrelated: broadcast 1-row `count > 0` flag. Correlated (equality
+    * conjuncts): left join the distinct inner key set with a true flag —
+    * the mark-join emulation — and read `coalesce(flag, false)`. */
+  private def bindExistsExpr(sub: Query, negated: Boolean, ctx: Ctx): Column = {
+    val qb = sub match {
+      case b: QueryBody => b
+      case _ => err("EXISTS subquery must be a plain query body")
+    }
+    if (qb.groupBy.nonEmpty || qb.having.isDefined)
+      err("EXISTS with GROUP BY/HAVING is only supported as a top-level WHERE conjunct")
+    val innerBase = qb.from.map(bindSource(_, ctx.ctes))
+      .getOrElse(err("EXISTS subquery needs a FROM"))
+    val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+    val conjuncts = qb.where.map(splitAnd).getOrElse(Nil)
+    val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
+    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    local.reduceOption(Binary("and", _, _)).foreach(applyWhere(_, innerCtx))
+
+    val flag = fresh("exists")
+    val out: Column =
+      if (correlated.isEmpty) {
+        val one = innerCtx.rel.df.agg((count(lit(1)) > 0).as(flag))
+        ctx.rel = Rel(ctx.rel.df.crossJoin(broadcast(one)),
+          ctx.rel.scopes :+ Scope(None, one, Seq(flag)))
+        one(flag)
+      } else {
+        val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel,
+          "EXISTS in expression position")
+        val keyNames = keyPairs.indices.map(_ => fresh("xk"))
+        val keys = innerCtx.rel.df.select(
+          keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+            bindExpr(ie, innerCtx).as(kn)
+          }: _*).distinct().withColumn(flag, lit(true))
+        val cond = keyPairs.zip(keyNames).map { case ((_, oe), kn) =>
+          bindExpr(oe, ctx) === keys(kn)
+        }.reduce(_ && _)
+        ctx.rel = Rel(ctx.rel.df.join(keys, cond, "left"),
+          ctx.rel.scopes :+ Scope(None, keys, Seq(flag)))
+        coalesce(keys(flag), lit(false))
+      }
+    if (negated) !out else out
+  }
+
+  /** IN (subquery) in a general expression position, uncorrelated only —
+    * the top-level WHERE conjunct form lowers to semi/anti joins instead.
+    * Three-valued SQL semantics: TRUE on a match; FALSE when the subquery
+    * is empty or (no match, no inner nulls, lhs non-null); NULL when lhs
+    * is null (non-empty subquery) or the unmatched subquery contains a
+    * null. Match detection is a left join against the DISTINCT non-null
+    * inner values (at most one match — no row multiplication); the
+    * empty/has-null facts ride a broadcast 1-row aggregate. */
+  private def bindInExpr(lhsExpr: Expr, sub: Query, negated: Boolean, ctx: Ctx): Column = {
+    val inner = bindQuery(sub, ctx.ctes)
+    if (inner.columns.length != 1)
+      err(s"IN subquery must produce exactly 1 column, got ${inner.columns.length}")
+    val v = col(inner.columns.head)
+    val cnt = fresh("in_cnt")
+    val hasNull = fresh("in_hasnull")
+    val stats = inner.agg(count(lit(1)).as(cnt), (count(when(v.isNull, 1)) > 0).as(hasNull))
+    val n = fresh("in_val")
+    val vals = inner.filter(v.isNotNull).select(v.as(n)).distinct()
+    val lhs = bindExpr(lhsExpr, ctx)
+    ctx.rel = Rel(
+      ctx.rel.df.crossJoin(broadcast(stats)).join(vals, lhs === vals(n), "left"),
+      ctx.rel.scopes ++ Seq(Scope(None, stats, Seq(cnt, hasNull)), Scope(None, vals, Seq(n))))
+    val res = when(vals(n).isNotNull, lit(true))
+      .when(stats(cnt) === 0, lit(false))
+      .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
+      .otherwise(lit(false))
+    if (negated) !res else res
   }
 
   /** Scalar subquery.

@@ -167,6 +167,19 @@ object ExtraQueries {
         "insert into qe72_t values (2, 1), (3, 7)",
         "select k, v from qe72_v order by k")),
 
+    // ---- IN / EXISTS subqueries under OR (expression position) ----------
+    engineSql("qe73_subquery_or",
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+            OR EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+      """select c_custkey, c_name from customer
+         where c_custkey in (select o_custkey from orders where o_orderstatus = 'P')
+            or exists (select 1 from orders
+                       where o_custkey = c_custkey and o_totalprice > 400000)
+         order by c_custkey"""),
+
     // ---- multi-key LIMIT WITH TIES (broadcast-threshold plan) -----------
     engineSql("qe71_with_ties_multi",
       """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber FROM

@@ -509,6 +509,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 4503599627370496L && r.getLong(1) == 3L)
   }
 
+  test("IN and EXISTS subqueries under OR (expression position)") {
+    val r = rows("""
+      select count(*) as n from customer
+      where c_custkey in (select o_custkey from orders where o_orderstatus = 'P')
+         or exists (select 1 from orders
+                    where o_custkey = c_custkey and o_totalprice > 300000)""").head.getLong(0)
+    val a = rows("""
+      select c_custkey from customer
+      where c_custkey in (select o_custkey from orders where o_orderstatus = 'P')""")
+      .map(_.getLong(0)).toSet
+    val b = rows("""
+      select c_custkey from customer
+      where exists (select 1 from orders
+                    where o_custkey = c_custkey and o_totalprice > 300000)""")
+      .map(_.getLong(0)).toSet
+    assert(r == (a ++ b).size && r > 0)
+    // empty subquery under OR: IN yields false, the OR's other side decides
+    val e = rows("""
+      select count(*) as n from nation
+      where n_nationkey in (select o_custkey from orders where o_custkey < 0)
+         or n_nationkey = 3""").head.getLong(0)
+    assert(e == 1)
+  }
+
   test("scalar subquery inside a JOIN ON condition") {
     val r = rows("""
       select count(*) as n from customer
