@@ -509,6 +509,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 4503599627370496L && r.getLong(1) == 3L)
   }
 
+  test("keyless ASOF join (no equality conjunct) uses the fallback and is correct") {
+    val got = rows("""
+      with v as (select ts, max(value) as vv from events where event_type = 'view' group by ts),
+           c as (select event_id, ts from events where event_type = 'click')
+      select c.event_id, c.ts, v.vv from c asof join v on c.ts >= v.ts
+      order by c.event_id limit 25""")
+    assert(got.nonEmpty)
+    // reference semantics: vv of the greatest view ts at-or-before each click
+    val views = sql("""
+      select ts, max(value) as vv from events where event_type = 'view' group by ts""")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1))).sortBy(_._1)
+    got.foreach { r =>
+      val cts = r.getTimestamp(1).getTime
+      val expected = views.filter(_._1 <= cts).lastOption.map(_._2)
+      assert(expected.contains(r.getDouble(2)),
+        s"event ${r.getLong(0)}: got ${r.getDouble(2)}, expected $expected")
+    }
+  }
+
   test("IN and EXISTS subqueries under OR (expression position)") {
     val r = rows("""
       select count(*) as n from customer
