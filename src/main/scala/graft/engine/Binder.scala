@@ -607,7 +607,7 @@ final class Binder(
     val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
 
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
-    local.reduceOption(Binary("and", _, _)).foreach(applyWhere(_, innerCtx))
+    applyLocal(local, innerCtx, "EXISTS subquery")
     val how = if (negated) "left_anti" else "left_semi"
 
     if (qb.groupBy.nonEmpty || qb.having.isDefined) {
@@ -658,8 +658,22 @@ final class Binder(
 
   /** IN (subquery) → left-semi; NOT IN (subquery) → null-aware anti join
     * when either side is nullable (matching SQL three-valued semantics),
-    * plain hash anti join otherwise. */
+    * plain hash anti join otherwise. A CORRELATED subquery routes through
+    * the expression-position lowering (key-joined value/stat frames) and
+    * filters on its 3-valued result. */
   private def lowerInSubquery(lhsExpr: Expr, sub: Query, negated: Boolean, ctx: Ctx): Unit = {
+    val isCorrelated = sub match {
+      case qb: QueryBody if qb.from.isDefined && qb.where.isDefined =>
+        val innerBase = bindSource(qb.from.get, ctx.ctes)
+        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+        !qb.where.map(splitAnd).get.forall(resolvesWithin(_, innerRel))
+      case _ => false
+    }
+    if (isCorrelated) {
+      val c = bindInExpr(lhsExpr, sub, negated, ctx)
+      ctx.rel = Rel(ctx.rel.df.filter(c), ctx.rel.scopes)
+      return
+    }
     val inner0 = bindQuery(sub, ctx.ctes)
     if (inner0.columns.length != 1)
       err(s"IN subquery must produce exactly 1 column, got ${inner0.columns.length}")
@@ -884,7 +898,7 @@ final class Binder(
     val conjuncts = qb.where.map(splitAnd).getOrElse(Nil)
     val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
-    local.reduceOption(Binary("and", _, _)).foreach(applyWhere(_, innerCtx))
+    applyLocal(local, innerCtx, "EXISTS subquery")
 
     val flag = fresh("exists")
     val out: Column =
@@ -911,32 +925,87 @@ final class Binder(
     if (negated) !out else out
   }
 
-  /** IN (subquery) in a general expression position, uncorrelated only —
-    * the top-level WHERE conjunct form lowers to semi/anti joins instead.
+  /** IN (subquery) in a general expression position — the top-level WHERE
+    * conjunct form lowers to semi/anti joins instead.
+    *
     * Three-valued SQL semantics: TRUE on a match; FALSE when the subquery
-    * is empty or (no match, no inner nulls, lhs non-null); NULL when lhs
-    * is null (non-empty subquery) or the unmatched subquery contains a
+    * (restricted to the correlation key for the correlated form) is empty
+    * or (no match, no inner nulls, lhs non-null); NULL when lhs is null
+    * against a non-empty subquery or the unmatched subquery contains a
     * null. Match detection is a left join against the DISTINCT non-null
-    * inner values (at most one match — no row multiplication); the
-    * empty/has-null facts ride a broadcast 1-row aggregate. */
+    * inner (key, value) rows (at most one match — no row multiplication);
+    * the per-key empty/has-null facts ride a grouped aggregate join
+    * (a broadcast 1-row aggregate in the uncorrelated case). */
   private def bindInExpr(lhsExpr: Expr, sub: Query, negated: Boolean, ctx: Ctx): Column = {
-    val inner = bindQuery(sub, ctx.ctes)
-    if (inner.columns.length != 1)
-      err(s"IN subquery must produce exactly 1 column, got ${inner.columns.length}")
-    val v = col(inner.columns.head)
+    // correlated probe (same shape as bindScalarSubquery)
+    val correlatedParts: Option[(QueryBody, Rel, Seq[Expr], Seq[Expr])] = sub match {
+      case qb: QueryBody if qb.from.isDefined && qb.where.isDefined &&
+          qb.groupBy.isEmpty && !qb.having.isDefined && qb.limit.isEmpty =>
+        val innerBase = bindSource(qb.from.get, ctx.ctes)
+        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+        val conjuncts = splitAnd(qb.where.get)
+        val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
+        if (correlated.nonEmpty) Some((qb, innerRel, local, correlated)) else None
+      case _ => None
+    }
+    val lhs = bindExpr(lhsExpr, ctx)
     val cnt = fresh("in_cnt")
     val hasNull = fresh("in_hasnull")
-    val stats = inner.agg(count(lit(1)).as(cnt), (count(when(v.isNull, 1)) > 0).as(hasNull))
     val n = fresh("in_val")
-    val vals = inner.filter(v.isNotNull).select(v.as(n)).distinct()
-    val lhs = bindExpr(lhsExpr, ctx)
-    ctx.rel = Rel(
-      ctx.rel.df.crossJoin(broadcast(stats)).join(vals, lhs === vals(n), "left"),
-      ctx.rel.scopes ++ Seq(Scope(None, stats, Seq(cnt, hasNull)), Scope(None, vals, Seq(n))))
-    val res = when(vals(n).isNotNull, lit(true))
-      .when(stats(cnt) === 0, lit(false))
-      .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
-      .otherwise(lit(false))
+
+    val res = correlatedParts match {
+      case None =>
+        val inner = bindQuery(sub, ctx.ctes)
+        if (inner.columns.length != 1)
+          err(s"IN subquery must produce exactly 1 column, got ${inner.columns.length}")
+        val v = col(inner.columns.head)
+        val stats = inner.agg(count(lit(1)).as(cnt), (count(when(v.isNull, 1)) > 0).as(hasNull))
+        val vals = inner.filter(v.isNotNull).select(v.as(n)).distinct()
+        ctx.rel = Rel(
+          ctx.rel.df.crossJoin(broadcast(stats)).join(vals, lhs === vals(n), "left"),
+          ctx.rel.scopes ++ Seq(Scope(None, stats, Seq(cnt, hasNull)), Scope(None, vals, Seq(n))))
+        when(vals(n).isNotNull, lit(true))
+          .when(stats(cnt) === 0, lit(false))
+          .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
+          .otherwise(lit(false))
+      case Some((qb, innerRel, local, correlated)) =>
+        if (qb.selectList.size != 1)
+          err("IN subquery must produce exactly 1 column")
+        val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel,
+          "correlated IN in expression position")
+        val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+        applyLocal(local, innerCtx, "correlated IN subquery")
+        val keyNames = keyPairs.indices.map(_ => fresh("ik"))
+        val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+          bindExpr(ie, innerCtx).as(kn)
+        }
+        val v = bindExpr(qb.selectList.head.expr, innerCtx)
+        val pairDf = innerCtx.rel.df.select((keyCols :+ v.as(n)): _*)
+        // stats and vals share pairDf's lineage — re-alias the key columns
+        // per frame so the two joins don't carry ambiguous attributes
+        val statKeyNames = keyNames.map(_ => fresh("iks"))
+        val valKeyNames = keyNames.map(_ => fresh("ikv"))
+        val stats = pairDf.groupBy(keyNames.map(col): _*)
+          .agg(count(lit(1)).as(cnt), (count(when(col(n).isNull, 1)) > 0).as(hasNull))
+          .select((keyNames.zip(statKeyNames).map { case (a, b) => col(a).as(b) } ++
+            Seq(col(cnt), col(hasNull))): _*)
+        val vn = fresh("inv")
+        val vals = pairDf.filter(col(n).isNotNull).distinct()
+          .select((keyNames.zip(valKeyNames).map { case (a, b) => col(a).as(b) } :+
+            col(n).as(vn)): _*)
+        val outerKeys = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
+        val statCond = outerKeys.zip(statKeyNames).map { case (ok, kn) => ok === stats(kn) }.reduce(_ && _)
+        val valCond = (outerKeys.zip(valKeyNames).map { case (ok, kn) => ok === vals(kn) } :+
+          (lhs === vals(vn))).reduce(_ && _)
+        ctx.rel = Rel(
+          ctx.rel.df.join(stats, statCond, "left").join(vals, valCond, "left"),
+          ctx.rel.scopes ++ Seq(
+            Scope(None, stats, Seq(cnt, hasNull)), Scope(None, vals, Seq(vn))))
+        when(vals(vn).isNotNull, lit(true))
+          .when(stats(cnt).isNull, lit(false)) // no inner rows for this key
+          .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
+          .otherwise(lit(false))
+    }
     if (negated) !res else res
   }
 
@@ -980,6 +1049,21 @@ final class Binder(
     one(n)
   }
 
+  /** Filter the inner side of a subquery by its local conjuncts (via
+    * applyWhere, so nested IN/EXISTS inside them lower properly). The
+    * correlation test treats nested subqueries as opaque, so a nested
+    * subquery that itself references OUTER columns is misclassified as
+    * local and fails to resolve here — wrap that failure with context
+    * instead of surfacing a bare "cannot resolve column". */
+  private def applyLocal(local: Seq[Expr], innerCtx: Ctx, what: String): Unit =
+    try local.reduceOption(Binary("and", _, _)).foreach(applyWhere(_, innerCtx))
+    catch {
+      case e: GraftException => throw GraftException(
+        s"${e.msg} (while binding the inner WHERE of a $what — a nested " +
+          "subquery referencing outer-query columns is not supported; " +
+          "rewrite it as a join)")
+    }
+
   /** Orient correlated equality conjuncts as (inner expr, outer expr). */
   private def orientCorrelated(correlated: Seq[Expr], innerRel: Rel, outerRel: Rel,
       what: String): Seq[(Expr, Expr)] =
@@ -1009,10 +1093,8 @@ final class Binder(
 
     val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
 
-    // local conjuncts filter the inner side first (applyWhere handles
-    // nested IN/EXISTS subqueries inside them)
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
-    local.reduceOption(Binary("and", _, _)).foreach(applyWhere(_, innerCtx))
+    applyLocal(local, innerCtx, "correlated scalar subquery")
 
     val keyNames = keyPairs.indices.map(_ => fresh("ck"))
     val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>

@@ -552,6 +552,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e == 1)
   }
 
+  test("correlated IN subquery in expression position (under OR)") {
+    val r = rows("""
+      select count(*) as n from part
+      where p_partkey in (select l_partkey from lineitem
+                          where l_suppkey = p_partkey % 100 + 1 and l_quantity > 45)
+         or p_size > 49""").head.getLong(0)
+    val viaSemi = rows("""
+      select p_partkey from part
+      where p_partkey in (select l_partkey from lineitem
+                          where l_suppkey = p_partkey % 100 + 1 and l_quantity > 45)""")
+      .map(_.getLong(0)).toSet
+    val viaSize = rows("select p_partkey from part where p_size > 49")
+      .map(_.getLong(0)).toSet
+    assert(r == (viaSemi ++ viaSize).size && viaSemi.nonEmpty)
+  }
+
   test("scalar subquery inside a JOIN ON condition") {
     val r = rows("""
       select count(*) as n from customer
