@@ -1064,7 +1064,10 @@ final class Binder(
           "rewrite it as a join)")
     }
 
-  /** Orient correlated equality conjuncts as (inner expr, outer expr). */
+  /** Orient correlated equality conjuncts as (inner expr, outer expr).
+    * A conjunct lands here when it fails to resolve against the inner
+    * relation alone — either genuine correlation, or a plain typo'd
+    * column; the error text covers both readings. */
   private def orientCorrelated(correlated: Seq[Expr], innerRel: Rel, outerRel: Rel,
       what: String): Seq[(Expr, Expr)] =
     correlated.map {
@@ -1072,9 +1075,11 @@ final class Binder(
         if (resolvesWithin(a, innerRel) && resolvesWithin(b, outerRel)) (a, b)
         else if (resolvesWithin(b, innerRel) && resolvesWithin(a, outerRel)) (b, a)
         else err(s"$what: correlated conjunct must compare an inner column " +
-          s"with an outer column, got ${Binary("=", a, b)}")
+          s"with an outer column (and every column must exist), got ${Binary("=", a, b)}")
       case other =>
-        err(s"$what supports only equality correlation, got $other")
+        err(s"$what supports only equality correlation — this conjunct " +
+          s"references a column outside the subquery (or one that does not " +
+          s"exist): $other")
     }
 
   private def decorrelateScalar(qb: QueryBody, innerRel: Rel, local: Seq[Expr],

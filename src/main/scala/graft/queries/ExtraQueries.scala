@@ -167,6 +167,42 @@ object ExtraQueries {
         "insert into qe72_t values (2, 1), (3, 7)",
         "select k, v from qe72_v order by k")),
 
+    // ---- TPC-H Q22 (reference corpus 9.sql shape): uncorrelated scalar
+    // avg + NOT EXISTS + derived table + IN list, decimal-determinized ---
+    engineSql("qe74_corpus_q22",
+      """SELECT cntrycode, COUNT(*) AS numcust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+         FROM (SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, c_acctbal
+               FROM customer
+               WHERE SUBSTRING(c_name, 17, 2) IN ('13','31','23','29','30','18','17')
+                 AND CAST(c_acctbal AS DECIMAL(12,2)) *
+                   (SELECT COUNT(*) FROM customer
+                    WHERE c_acctbal > 0.00
+                      AND SUBSTRING(c_name, 17, 2) IN ('13','31','23','29','30','18','17')) >
+                   (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                    FROM customer
+                    WHERE c_acctbal > 0.00
+                      AND SUBSTRING(c_name, 17, 2) IN ('13','31','23','29','30','18','17'))
+                 AND NOT EXISTS (SELECT * FROM orders
+                                 WHERE o_custkey = c_custkey AND o_totalprice > 400000)) custsale
+         GROUP BY cntrycode ORDER BY cntrycode""",
+      """select cntrycode, count(*) as numcust,
+                toFloat64(sum(toDecimal(c_acctbal, 12, 2))) as totacctbal
+         from (select substring(c_name, 17, 2) as cntrycode, c_acctbal
+               from customer
+               where substring(c_name, 17, 2) in ('13','31','23','29','30','18','17')
+                 and toDecimal(c_acctbal, 12, 2) *
+                   (select count(*) from customer
+                    where c_acctbal > 0.00
+                      and substring(c_name, 17, 2) in ('13','31','23','29','30','18','17')) >
+                   (select sum(toDecimal(c_acctbal, 12, 2))
+                    from customer
+                    where c_acctbal > 0.00
+                      and substring(c_name, 17, 2) in ('13','31','23','29','30','18','17'))
+                 and not exists (select * from orders
+                                 where o_custkey = c_custkey and o_totalprice > 400000)) as custsale
+         group by cntrycode order by cntrycode"""),
+
     // ---- IN / EXISTS subqueries under OR (expression position) ----------
     engineSql("qe73_subquery_or",
       """SELECT c_custkey, c_name FROM customer

@@ -552,6 +552,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e == 1)
   }
 
+  test("corpus 9.sql (TPC-H Q22) executes end-to-end through the engine") {
+    // the fixture customer table has no c_phone column — substitute the
+    // digit tail of c_name ('Customer#%09d', positions 17-18) so the
+    // corpus query SHAPE (IN list + uncorrelated scalar avg + correlated
+    // NOT EXISTS + derived table + group/order) runs unchanged
+    val q22 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/sql/9.sql")), "UTF-8")
+      .replace("c_phone, 1, 2", "c_name, 17, 2")
+    val got = engine.execute(q22).collect()
+    // every fixture customer has orders, so the verbatim NOT EXISTS is
+    // empty BY DATA — prove rows flow through the same plan by flipping
+    // the quantifier (non-empty), then check the verbatim result matches
+    // the reference computation exactly (both possibly empty)
+    val flipped = engine.execute(q22.replace("not exists", "exists")).collect()
+    assert(flipped.nonEmpty)
+    // reference computation with the DataFrame API
+    import org.apache.spark.sql.functions._
+    val c = graft.Tables.load(spark, dir, "customer")
+    val o = graft.Tables.load(spark, dir, "orders")
+    val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+    val inCodes = substring(col("c_name"), 17, 2).isin(codes: _*)
+    val avgBal = c.filter(col("c_acctbal") > 0.0 && inCodes)
+      .agg(avg(col("c_acctbal"))).head.getDouble(0)
+    val expected = c.filter(inCodes && col("c_acctbal") > avgBal)
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(substring(col("c_name"), 17, 2).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+      .collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0) && g.getLong(1) == e.getLong(1))
+      assert(math.abs(g.getDouble(2) - e.getDouble(2)) < 1e-6 * math.max(1.0, e.getDouble(2).abs))
+    }
+  }
+
   test("correlated IN subquery in expression position (under OR)") {
     val r = rows("""
       select count(*) as n from part
