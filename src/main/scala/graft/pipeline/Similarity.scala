@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -100,26 +101,33 @@ object Similarity {
     * come back to the driver (k × dim doubles — tiny) between iterations;
     * the corpus never leaves the executors. */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int, seed: Long = 42L): Array[Array[Double]] = {
+    // persist the working set for the duration of the Lloyd iterations:
+    // init + iters passes would otherwise re-scan the source each time
+    // (kmeans is synchronous — collect() per iteration — so the persist
+    // scope is naturally bounded by this call)
     val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    // deterministic init: k rows spread by hash order
-    var centroids: Array[Array[Double]] = emb
-      .orderBy(xxhash64(col("vec_id"), lit(seed))).limit(k)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    (0 until iters).foreach { _ =>
-      val assigned = assignCentroid(emb, centroids)
-      val dim = centroids.head.length
-      val sums = assigned
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"),
-          (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
-        .collect()
-      sums.foreach { row =>
-        val cid = row.getInt(0)
-        val n = row.getLong(1).toDouble
-        centroids(cid) = (0 until dim).map(i => row.getDouble(2 + i) / n).toArray
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: k rows spread by hash order
+      var centroids: Array[Array[Double]] = emb
+        .orderBy(xxhash64(col("vec_id"), lit(seed))).limit(k)
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      (0 until iters).foreach { _ =>
+        val assigned = assignCentroid(emb, centroids)
+        val dim = centroids.head.length
+        val sums = assigned
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"),
+            (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+          .collect()
+        sums.foreach { row =>
+          val cid = row.getInt(0)
+          val n = row.getLong(1).toDouble
+          centroids(cid) = (0 until dim).map(i => row.getDouble(2 + i) / n).toArray
+        }
       }
-    }
-    centroids
+      centroids
+    } finally emb.unpersist(false)
   }
 
   /** Centroid-ranking "distance": squared L2 minus the ‖v‖² term, i.e.

@@ -16,6 +16,19 @@ object TextOps {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Subword-style tokens via a BPE-like pre-tokenizer regex: runs of
+    * letters, runs of digits, or runs of other non-space symbols each
+    * become one token. This is the cheap, engine-portable stand-in for a
+    * real BPE vocab merge — the count it yields tracks LLM token counts
+    * far better than whitespace words on punctuation-heavy text.
+    * regexp_extract_all (codegen'd, same function in DuckDB) — no
+    * higher-order lambdas. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]+"), lit(0))
+
+  /** BPE-ish token count (see bpeishTokens). */
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Distinct n-word shingles (1-based slice; short docs yield the single
     * shingle of whatever words exist). */
   def wordShingles(text: Column, n: Int): Column = {

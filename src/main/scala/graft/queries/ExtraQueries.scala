@@ -167,6 +167,22 @@ object ExtraQueries {
         "insert into qe72_t values (2, 1), (3, 7)",
         "select k, v from qe72_v order by k")),
 
+    // ---- BPE-ish token counting (brief: whitespace + BPE-ish regex) -----
+    QueryDef("qe75_token_bpeish",
+      Some("""SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]+')) AS BIGINT) AS bpeish_tokens
+              FROM documents WHERE doc_id < 100 ORDER BY doc_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            size(graft.pipeline.TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+            graft.pipeline.TextOps.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
+          .orderBy(col("doc_id"))
+      }),
+
     // ---- TPC-H Q22 (reference corpus 9.sql shape): uncorrelated scalar
     // avg + NOT EXISTS + derived table + IN list, decimal-determinized ---
     engineSql("qe74_corpus_q22",

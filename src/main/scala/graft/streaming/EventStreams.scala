@@ -41,6 +41,23 @@ object EventStreams {
         col("window.start").as("win_start"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Streaming exact dedup: keep the first document per content
+    * fingerprint. `dropDuplicates` holds one state-store entry per seen
+    * fingerprint; the watermark lets Spark evict fingerprints older than
+    * the lateness bound, so state is O(distinct docs within the
+    * watermark window), not O(stream history) — the same exact-dedup
+    * semantics as the batch `Dedup.exactStats`/`keepFirstByKey` pair,
+    * applied continuously at ingest. */
+  def dedupStream(
+      docs: DataFrame, // streaming frame with (ts, doc_id, text)
+      textCol: String = "text",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** Gap-based sessionization via flatMapGroupsWithState: one state entry
     * per active user; a session closes when a later event arrives more
     * than `gapSecs` after the last one, or when the event-time watermark

@@ -81,6 +81,28 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first doc per fingerprint across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupStream(
+        input.toDF().toDF("ts", "doc_id", "text"), "text", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(10), 1L, "alpha doc"), (ts(11), 2L, "beta doc"),
+        (ts(12), 3L, "alpha doc")) // in-batch duplicate
+      q.processAllAvailable()
+      input.addData((ts(20), 4L, "alpha doc"), (ts(21), 5L, "gamma doc")) // cross-batch dup
+      q.processAllAvailable()
+      val kept = spark.table("dedup_docs").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept.map(_._2) == Set("alpha doc", "beta doc", "gamma doc"))
+      assert(kept.count(_._2 == "alpha doc") == 1) // duplicates dropped
+      assert(!kept.exists(_._1 == 4L)) // the cross-batch duplicate too
+    } finally q.stop()
+  }
+
   test("readStream over the driver's events parquet matches batch counts") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.Tables.load(spark, dir, "events")
