@@ -141,6 +141,78 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---- embedding-cosine near-duplicates ----
+
+  /** Integer-valued quantization (floor(x·1000) kept as exact doubles) —
+    * dot products over these are exact integer sums inside the codegen'd
+    * DotProduct, so the threshold compare is bit-reproducible in any
+    * engine that evaluates the same IEEE expression. */
+  private def quantizeD(e: Column): Column =
+    // Spark floor() yields LONG — cast back to double (exact at this
+    // magnitude) for the codegen'd DotProduct
+    transform(e, x => floor(x.cast("double") * 1000).cast("double"))
+
+  private def dotQ(a: Column, b: Column): Column =
+    graft.functions.VectorOps.dot(a, b)
+
+  /** cos(a,b) ≥ num/den over quantized vectors, as the exact predicate
+    * den²·dot² ≥ num²·|a|²·|b|² (with dot ≥ 0) — no square roots in the
+    * filter; the reported cos is a single deterministic division. */
+  private def cosPairs(pairs: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame =
+    pairs
+      .withColumn("__dot", dotQ(col("__qa"), col("__qb")))
+      .filter(col("__dot") >= 0 &&
+        lit((thresholdDen.toLong * thresholdDen).toDouble) * col("__dot") * col("__dot") >=
+          lit((thresholdNum.toLong * thresholdNum).toDouble) * col("__na") * col("__nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("__dot") / sqrt(col("__na") * col("__nb"))).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-duplicate pairs, EXACT tier: all pairs over a
+    * bounded id slice (`maxId`) — the oracle-checkable baseline, O(slice²);
+    * use [[embeddingNearDupPairsLsh]] for unbounded corpora. */
+  def embeddingNearDupPairs(embeddings: DataFrame, maxId: Long,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val e = embeddings.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), quantizeD(col("embedding")).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+    val a = e.select(col("vec_id").as("id_a"), col("q").as("__qa"), col("n2").as("__na"))
+    val b = e.select(col("vec_id").as("id_b"), col("q").as("__qb"), col("n2").as("__nb"))
+    cosPairs(a.join(b, col("id_a") < col("id_b")), thresholdNum, thresholdDen)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, SCALE tier: candidates share
+    * a random-hyperplane sign bucket in at least one of `tables` hash
+    * tables (the [[Similarity]] bucketing), then the same exact quantized
+    * verify — a bucket equijoin instead of an all-pairs cross join. Every
+    * emitted pair passes the exact predicate (precision 1); recall is
+    * 1−(1−p^nbits)^tables per pair, tuned by nbits/tables. Over-cap
+    * buckets are dropped like every other bucketed operator here. */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame,
+      thresholdNum: Int, thresholdDen: Int,
+      nbits: Int = 2, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").as("v"), quantizeD(col("embedding")).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+    val withBuckets = e.select(col("vec_id"), col("q"), col("n2"),
+      posexplode(array((0 until tables).map(t =>
+        Similarity.signBucket(col("v"), t, nbits, dim)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val a = withBuckets.select(col("vec_id").as("id_a"), col("q").as("__qa"),
+      col("n2").as("__na"), col("tbl"), col("bucket"))
+    val b = withBuckets.select(col("vec_id").as("id_b"), col("q").as("__qb"),
+      col("n2").as("__nb"), col("tbl"), col("bucket"))
+    val cands = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__qa"), col("__na"), col("__qb"), col("__nb"))
+      .dropDuplicates("id_a", "id_b")
+    cosPairs(cands, thresholdNum, thresholdDen)
+  }
+
   /** 64-bit SimHash per doc via explode + 64 codegen'd conditional-sum
     * aggregates (same no-lambda design as minhashWide), packed into one
     * long by a projection. Features are 3-word shingles, not single

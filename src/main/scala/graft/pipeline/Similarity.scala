@@ -88,7 +88,7 @@ object Similarity {
     array((0 until dim).map(_ => lit(rnd.nextDouble() - 0.5d)): _*)
   }
 
-  private def signBucket(v: Column, table: Int, nbits: Int, dim: Int): Column =
+  private[pipeline] def signBucket(v: Column, table: Int, nbits: Int, dim: Int): Column =
     (0 until nbits).map { b =>
       when(dotD(v, planeLit(table, b, dim)) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)

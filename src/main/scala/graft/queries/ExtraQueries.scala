@@ -183,6 +183,22 @@ object ExtraQueries {
           .orderBy(col("doc_id"))
       }),
 
+    // ---- embedding-cosine near-dup pairs (exact quantized tier) ---------
+    QueryDef("qe76_embed_neardup",
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) q
+                 FROM embeddings WHERE vec_id < 300),
+               n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) n2 FROM e),
+               sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS dot,
+                        a.n2 AS na, b.n2 AS nb
+                      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              SELECT id_a, id_b, dot / sqrt(na * nb) AS cos
+              FROM sc WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb
+              ORDER BY id_a, id_b"""),
+      (s, dir) => graft.pipeline.Dedup.embeddingNearDupPairs(
+        graft.Tables.load(s, dir, "embeddings"), maxId = 300,
+        thresholdNum = 2, thresholdDen = 5)),
+
     // ---- TPC-H Q22 (reference corpus 9.sql shape): uncorrelated scalar
     // avg + NOT EXISTS + derived table + IN list, decimal-determinized ---
     engineSql("qe74_corpus_q22",

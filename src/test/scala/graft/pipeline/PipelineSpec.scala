@@ -146,6 +146,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected only the planted pair, got ${shPairs.size} simhash pairs")
   }
 
+  test("embedding near-dup: LSH tier is a verified subset of the exact tier") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val exact = Dedup.embeddingNearDupPairs(emb, maxId, thresholdNum = 2, thresholdDen = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nbits=1, tables=8: per-pair miss probability (1-p)^8 with p >= 0.6
+    // for cos >= 0.4 — deterministic planes, so this either always holds
+    // or never does
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, thresholdNum = 2, thresholdDen = 5,
+        nbits = 1, tables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact tier found no pairs — threshold too high for fixture")
+    assert(lsh.subsetOf(exact), s"LSH emitted unverified pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty, "LSH tier found nothing")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     import spark.implicits._
     val df = Seq(Tuple1("a  B\tc"), Tuple1("A b C")).toDF("t")
