@@ -65,6 +65,47 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a (fake) video payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Long, checksum: String)
+
+  /** Frame-sampling STUB: treats the payload as a sequence of
+    * `frameBytes`-sized frames and emits every `stride`-th one — the
+    * per-partition structure (one demuxer per task, flatMap over frames)
+    * is exactly how a real video decode fans rows out; only the byte
+    * slicing stands in for the codec. */
+  def frameSampleStub(media: Dataset[MediaItem], frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        m.data.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, i) if i % stride == 0 =>
+            digest.reset()
+            MediaFrame(m.doc_id, i, frame.length.toLong,
+              digest.digest(frame).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Resize STUB: deterministic byte-stride downsample standing in for a
+    * pixel resample — keeps every `factor`-th byte and re-decodes, so
+    * the output metadata reflects the smaller payload. Same one-decoder-
+    * per-partition shape as decodeStub. */
+  def resizeStub(media: Dataset[MediaItem], factor: Int): Dataset[MediaMeta] = {
+    require(factor >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val decoder = new FakeDecoder
+      it.map { m =>
+        val shrunk = m.data.indices.collect { case i if i % factor == 0 => m.data(i) }.toArray
+        decoder.decode(MediaItem(m.doc_id, m.format, shrunk))
+      }
+    }
+  }
+
   /** The same metadata computed purely in SQL (no mapPartitions) — used
     * by the oracle-checked query entry and as the cross-check that the
     * typed path and the SQL path agree. */

@@ -146,6 +146,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected only the planted pair, got ${shPairs.size} simhash pairs")
   }
 
+  test("frame-sample and resize stubs keep the per-partition plumbing honest") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, dir, "documents").limit(40)
+    val media = Multimodal.attachBinary(docs, "text").as[Multimodal.MediaItem]
+    // frame counts must equal the closed-form ceil(ceil(bytes/frame)/stride)
+    val frames = Multimodal.frameSampleStub(media, frameBytes = 32, stride = 4)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sampled"))
+    val expected = Multimodal.attachBinary(docs, "text")
+      .select(col("doc_id"),
+        ceil(ceil(length(col("data")).cast("double") / 32) / 4).cast("long").as("sampled"))
+    assert(frames.join(expected.withColumnsRenamed(Map("sampled" -> "exp")), "doc_id")
+      .filter(col("sampled") =!= col("exp")).count() == 0)
+    // resize by 2 halves the byte count (rounding up) and changes checksums
+    val orig = Multimodal.decodeStub(media).toDF()
+    val resized = Multimodal.resizeStub(media, factor = 2).toDF()
+    val joined = orig.select(col("doc_id"), col("n_bytes").as("nb0"), col("checksum").as("c0"))
+      .join(resized.select(col("doc_id"), col("n_bytes").as("nb1"), col("checksum").as("c1")), "doc_id")
+    assert(joined.filter(col("nb1") =!= ceil(col("nb0").cast("double") / 2).cast("long")).count() == 0)
+    assert(joined.filter(col("c0") === col("c1")).count() == 0)
+  }
+
   test("embedding near-dup: LSH tier is a verified subset of the exact tier") {
     val emb = graft.Tables.load(spark, dir, "embeddings")
     val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
