@@ -239,11 +239,13 @@ final class Binder(
       v.toInt
     case Param(n) =>
       if (n >= params.size) err(s"query parameter $$$n not bound (${params.size} given)")
-      params(n) match {
+      val v = params(n) match {
         case i: Int => i
         case l: Long if l.isValidInt => l.toInt
         case other => err(s"$what parameter $$$n must be an integer, got $other")
       }
+      if (v < 0) err(s"$what must be non-negative, got $v (parameter $$$n)")
+      v
     case other => err(s"$what must be an integer literal or parameter, got $other")
   }
 
@@ -589,8 +591,11 @@ final class Binder(
       case b: QueryBody => b
       case _ => err("EXISTS subquery must be a plain query body")
     }
-    // LIMIT k>0 never changes existence; LIMIT 0 makes it constant-false
+    // LIMIT k>0 never changes existence; LIMIT 0 makes it constant-false;
+    // OFFSET would change the semantics to count > offset — reject it
+    // cleanly rather than silently ignoring it
     qb.limit.foreach { lc =>
+      if (lc.offset.isDefined) err("EXISTS subquery with OFFSET is unsupported")
       evalLimitInt(lc.limit, "LIMIT") match {
         case 0 =>
           val keep = if (negated) lit(true) else lit(false)
@@ -892,6 +897,13 @@ final class Binder(
     }
     if (qb.groupBy.nonEmpty || qb.having.isDefined)
       err("EXISTS with GROUP BY/HAVING is only supported as a top-level WHERE conjunct")
+    // same LIMIT semantics as the top-level conjunct path (lowerExists):
+    // k>0 never changes existence, 0 is constant, OFFSET is rejected
+    qb.limit.foreach { lc =>
+      if (lc.offset.isDefined) err("EXISTS subquery with OFFSET is unsupported")
+      if (evalLimitInt(lc.limit, "LIMIT") == 0)
+        return lit(negated) // EXISTS(LIMIT 0) = false; NOT EXISTS = true
+    }
     val innerBase = qb.from.map(bindSource(_, ctx.ctes))
       .getOrElse(err("EXISTS subquery needs a FROM"))
     val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
@@ -937,15 +949,22 @@ final class Binder(
     * the per-key empty/has-null facts ride a grouped aggregate join
     * (a broadcast 1-row aggregate in the uncorrelated case). */
   private def bindInExpr(lhsExpr: Expr, sub: Query, negated: Boolean, ctx: Ctx): Column = {
-    // correlated probe (same shape as bindScalarSubquery)
+    // correlated probe (same shape as bindScalarSubquery). Detect
+    // correlation FIRST and reject unsupported shapes cleanly — falling
+    // through to the uncorrelated bindQuery would surface a bare
+    // unresolved-column error for the outer reference
     val correlatedParts: Option[(QueryBody, Rel, Seq[Expr], Seq[Expr])] = sub match {
-      case qb: QueryBody if qb.from.isDefined && qb.where.isDefined &&
-          qb.groupBy.isEmpty && !qb.having.isDefined && qb.limit.isEmpty =>
+      case qb: QueryBody if qb.from.isDefined && qb.where.isDefined =>
         val innerBase = bindSource(qb.from.get, ctx.ctes)
         val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
         val conjuncts = splitAnd(qb.where.get)
         val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
-        if (correlated.nonEmpty) Some((qb, innerRel, local, correlated)) else None
+        if (correlated.isEmpty) None
+        else if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.limit.isDefined ||
+            qb.distinct.isDefined || qb.ctes.nonEmpty)
+          err("correlated IN subquery supports only plain bodies " +
+            "(no GROUP BY/HAVING/LIMIT/DISTINCT/WITH)")
+        else Some((qb, innerRel, local, correlated))
       case _ => None
     }
     val lhs = bindExpr(lhsExpr, ctx)
@@ -1109,7 +1128,13 @@ final class Binder(
     val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) }
     val grouped = innerCtx.rel.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
 
+    def isCountFamily(name: String): Boolean = {
+      val n = name.toLowerCase
+      n == "count" || n == "countif" || n == "countunique" || n == "uniqexact" ||
+        n == "countuniqueapprox" || n == "uniq"
+    }
     val valName = fresh("cscalar")
+    val hasNonCount = aggCalls.exists(fc => !isCountFamily(fc.name))
     val valCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
       None, ctx.ctes, subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap)
     val proj = grouped.select(
@@ -1120,13 +1145,19 @@ final class Binder(
     }.reduce(_ && _)
     ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
       ctx.rel.scopes :+ Scope(None, proj, Seq(valName)))
-    // a bare COUNT over an empty correlated group is 0, not NULL
-    valueExpr match {
-      case FnCall(n, _) if n.equalsIgnoreCase("count") || n.equalsIgnoreCase("countif") ||
-          n.equalsIgnoreCase("countunique") || n.equalsIgnoreCase("uniqexact") =>
-        coalesce(proj(valName), lit(0L))
-      case _ => proj(valName)
-    }
+    // SQL: a COUNT-family aggregate over an empty correlated group is 0,
+    // not NULL — but the left join leaves valName NULL for outer rows
+    // with no group. When the value is built purely from count-family
+    // aggregates, re-evaluate the expression with every count = 0 and
+    // use that as the no-group fallback (covers expression-wrapped
+    // counts like `count(*) + 1`); any non-count aggregate makes the
+    // whole expression legitimately NULL on empty groups
+    if (!hasNonCount) {
+      val zeroCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+        None, ctx.ctes,
+        subst = aggPairs.map { case (fc, _) => (fc: Expr) -> lit(0L) }.toMap)
+      coalesce(proj(valName), bindExpr(valueExpr, zeroCtx))
+    } else proj(valName)
   }
 
   private def bindBinary(op: String, l: Expr, r: Expr, ctx: Ctx): Column = {

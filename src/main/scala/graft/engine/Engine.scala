@@ -35,6 +35,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
   }
 
   private def binder(params: Seq[Any]) = synchronized {
+    // auto-release caches pinned by PRIOR statements: sequential engine
+    // use never leaks even when the caller ignores releaseCaches(). An
+    // earlier returned-but-unconsumed DataFrame stays correct — Spark
+    // just recomputes the unpersisted CTE plan if it is acted on later.
+    releaseCaches()
     val b = new Binder(spark, catalog, params, config)
     liveBinders += b
     b

@@ -48,8 +48,10 @@ object Dedup {
     * repeated features, the standard formulation). */
   private def shingleStream(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    require(n >= 1, "shingleN must be >= 1")
     val tok = docs.select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))))
       .withColumnsRenamed(Map("pos" -> "p", "col" -> "w"))
+    if (n == 1) return tok.select(col("id"), col("w").as("s")) // tokens ARE the shingles
     val w = Window.partitionBy(col("id")).orderBy(col("p"))
     val leads = (1 until n).map(i => lead(col("w"), i).over(w))
     tok.select(col("id"), col("p"),
@@ -191,7 +193,9 @@ object Dedup {
   def embeddingNearDupPairsLsh(embeddings: DataFrame,
       thresholdNum: Int, thresholdDen: Int,
       nbits: Int = 2, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
-    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    // dim probe tolerates an empty input (output is empty either way)
+    val dim = embeddings.select(size(col("embedding")).as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
     val e = embeddings
       .select(col("vec_id"), col("embedding").as("v"), quantizeD(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))

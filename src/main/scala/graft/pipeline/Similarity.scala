@@ -182,7 +182,9 @@ object Similarity {
     * recall tunes with fewer bits / more tables. */
   def lshCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
       nbits: Int = 8, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
-    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    // dim probe tolerates an empty input (output is empty either way)
+    val dim = embeddings.select(size(col("embedding")).as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
     // keep the float array as-is: DotProduct widens float->double per
     // element inside codegen (exact), so pre-casting via an interpreted
     // transform() lambda only added per-element overhead

@@ -256,6 +256,8 @@ object ExtraQueries {
             FROM lineitem) t
          WHERE rk <= 20
          ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""",
-      """select l_returnflag, l_linestatus, l_orderkey, l_linenumber from lineitem
-         order by l_returnflag, l_linestatus limit 20 with ties"""))
+      """select l_returnflag, l_linestatus, l_orderkey, l_linenumber from (
+           select l_returnflag, l_linestatus, l_orderkey, l_linenumber from lineitem
+           order by l_returnflag, l_linestatus limit 20 with ties) as t
+         order by l_returnflag, l_linestatus, l_orderkey, l_linenumber"""))
 }

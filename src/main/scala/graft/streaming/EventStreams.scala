@@ -42,12 +42,15 @@ object EventStreams {
         col("event_type"), col("cnt"), col("total_value"))
 
   /** Streaming exact dedup: keep the first document per content
-    * fingerprint. `dropDuplicates` holds one state-store entry per seen
-    * fingerprint; the watermark lets Spark evict fingerprints older than
-    * the lateness bound, so state is O(distinct docs within the
-    * watermark window), not O(stream history) — the same exact-dedup
-    * semantics as the batch `Dedup.exactStats`/`keepFirstByKey` pair,
-    * applied continuously at ingest. */
+    * fingerprint, with BOUNDED state. `dropDuplicatesWithinWatermark`
+    * evicts a fingerprint once the watermark passes its event time, so
+    * state is O(distinct docs within the lateness window) — plain
+    * `dropDuplicates` on a non-event-time key would retain every
+    * fingerprint for the life of the stream. The trade (inherent to
+    * bounded state): a duplicate arriving later than the watermark
+    * window re-admits its document; size the watermark to the dedup
+    * horizon you need. Same exact-dedup semantics as the batch
+    * `Dedup.exactStats`/`keepFirstByKey` pair, applied at ingest. */
   def dedupStream(
       docs: DataFrame, // streaming frame with (ts, doc_id, text)
       textCol: String = "text",
@@ -55,7 +58,7 @@ object EventStreams {
     docs
       .withColumn("__fp", md5(col(textCol).cast("binary")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("__fp")
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   /** Gap-based sessionization via flatMapGroupsWithState: one state entry

@@ -509,6 +509,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 4503599627370496L && r.getLong(1) == 3L)
   }
 
+  test("EXISTS LIMIT 0 is constant-false in both positions; OFFSET rejected") {
+    // top-level conjunct
+    val top = rows("""
+      select count(*) as n from nation
+      where exists (select 1 from orders limit 0)""").head.getLong(0)
+    assert(top == 0)
+    // expression position (under OR): only the other disjunct decides
+    val or = rows("""
+      select count(*) as n from nation
+      where n_nationkey = 3 or exists (select 1 from orders limit 0)""").head.getLong(0)
+    assert(or == 1)
+    val e = intercept[GraftException](rows(
+      "select 1 as x from nation where exists (select 1 from orders limit 1 offset 5)"))
+    assert(e.msg.contains("OFFSET"))
+  }
+
+  test("expression-wrapped correlated count sees 0 for unmatched outer rows") {
+    // customers with no orders: count(*) = 0, so count(*) + 1 = 1
+    val viaWrapped = rows("""
+      select count(*) as n from customer
+      where 1 = (select count(*) + 1 from orders where o_custkey = c_custkey)""").head.getLong(0)
+    val expected = rows("""
+      select count(*) as n from customer
+      where not exists (select 1 from orders where o_custkey = c_custkey)""").head.getLong(0)
+    assert(viaWrapped == expected)
+  }
+
   test("keyless ASOF join (no equality conjunct) uses the fallback and is correct") {
     val got = rows("""
       with v as (select ts, max(value) as vv from events where event_type = 'view' group by ts),

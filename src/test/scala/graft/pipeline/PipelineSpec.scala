@@ -122,6 +122,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typed.collect().toSeq == viaSql.collect().toSeq)
   }
 
+  test("word-level MinHash (shingleN = 1) still runs") {
+    val pairs = Dedup.nearDuplicatePairs(plantedDocs(), "doc_id", "text",
+        shingleN = 1, thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // 1-word edit keeps word-set Jaccard high
+  }
+
   test("pathological bucket (10^4 identical docs) is capped, planted pair survives") {
     import spark.implicits._
     // 10,000 identical docs: without the bucket cap every band bucket
