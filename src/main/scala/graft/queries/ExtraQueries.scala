@@ -183,6 +183,24 @@ object ExtraQueries {
           .orderBy(col("doc_id"))
       }),
 
+    // ---- non-equi correlated EXISTS (TPC-H Q21 fragment): orders with
+    // at least two distinct suppliers among their lineitems -------------
+    engineSql("qe77_exists_nonequi",
+      """SELECT l1.l_orderkey, COUNT(*) AS line_cnt
+         FROM lineitem l1
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND l1.l_orderkey < 1000
+         GROUP BY l1.l_orderkey ORDER BY l1.l_orderkey""",
+      """select l1.l_orderkey, count(*) as line_cnt
+         from lineitem as l1
+         where exists (select 1 from lineitem as l2
+                       where l2.l_orderkey = l1.l_orderkey
+                         and l2.l_suppkey != l1.l_suppkey)
+           and l1.l_orderkey < 1000
+         group by l1.l_orderkey order by l1.l_orderkey"""),
+
     // ---- embedding-cosine near-dup pairs (exact quantized tier) ---------
     QueryDef("qe76_embed_neardup",
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) q

@@ -419,6 +419,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == expected)
   }
 
+  test("non-equi correlated EXISTS (TPC-H Q21 fragment)") {
+    val r = rows("""
+      select count(*) as n from lineitem as l1
+      where exists (select 1 from lineitem as l2
+                    where l2.l_orderkey = l1.l_orderkey
+                      and l2.l_suppkey != l1.l_suppkey)""").head.getLong(0)
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val expected = li.join(l2,
+        li("l_orderkey") === col("ok2") && li("l_suppkey") =!= col("sk2"), "left_semi")
+      .count()
+    assert(r == expected && r > 0)
+  }
+
   test("EXISTS with GROUP BY + HAVING (TPC-H Q20 shape)") {
     val r = rows("""
       select count(*) as n from part
