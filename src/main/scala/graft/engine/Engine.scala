@@ -156,15 +156,19 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     val b = binder(params)
     val srcDf: DataFrame = st.source match {
       case InsertValues(rows) =>
-        val rowDfs = rows.map { row =>
+        rows.foreach { row =>
           if (row.size != explicit.size)
             err(s"INSERT has ${explicit.size} column(s) but row has ${row.size} value(s)")
-          val cols = row.zip(explicit).map { case (e, n) =>
-            bindConstExpr(e, b).as(n)
-          }
-          spark.range(1).select(cols: _*)
         }
-        rowDfs.reduce(_.union(_))
+        // one range(n) frame with per-column value arrays indexed by row
+        // id — a single narrow plan instead of a union of n one-row
+        // frames (type coercion across rows matches union's widening,
+        // since array() applies the same rules)
+        val cols = explicit.zipWithIndex.map { case (name, j) =>
+          val cells = rows.map(r => bindConstExpr(r(j), b))
+          element_at(array(cells: _*), col("id").cast("int") + 1).as(name)
+        }
+        spark.range(rows.size.toLong).select(cols: _*)
       case InsertQuery(q) =>
         val df = b.bindQuery(q)
         if (df.columns.length != explicit.size)
