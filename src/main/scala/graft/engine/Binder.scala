@@ -30,10 +30,16 @@ final class Binder(
     * that must flatten both join sides into one frame with unique names
     * (the AsOf union+window plan). */
   final case class Scope(qualifier: Option[String], df: DataFrame, cols: Seq[String],
-      rename: Map[String, String] = Map.empty) {
-    def has(n: String): Boolean = cols.exists(_.equalsIgnoreCase(n))
+      rename: Map[String, String] = Map.empty, hidden: Boolean = false) {
+    def has(n: String): Boolean = !hidden && cols.exists(_.equalsIgnoreCase(n))
     def column(n: String): Column = df(rename.getOrElse(n.toLowerCase, n))
   }
+
+  /** Internal machinery scope (scalar values, EXISTS flags, IN stats):
+    * excluded from wildcard expansion and identifier resolution — its
+    * columns are reached only through the Column the lowering returns. */
+  private def hiddenScope(df: DataFrame, cols: Seq[String]): Scope =
+    Scope(None, df, cols, hidden = true)
   final case class Rel(df: DataFrame, scopes: Seq[Scope])
 
   /** Mutable binding state: scalar subqueries cross-join onto `rel` as
@@ -126,7 +132,13 @@ final class Binder(
       }
       val keyCols = keyPairs.map { case (e, n) => bindExpr(e, ctx).as(n) }
       val aggPairs = aggCalls.map(fc => (fc, fresh("agg")))
-      val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, ctx).as(n) }
+      // GROUP BY with no aggregate in the query (the dedup idiom
+      // `SELECT k FROM t GROUP BY k`) still needs one aggregate column
+      // for the API — a placeholder count that nothing references
+      val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, ctx).as(n) } match {
+        case Nil => Seq(count(lit(1)).as(fresh("gcnt")))
+        case cs => cs
+      }
       val pre = ctx.rel.df
       val aggDf =
         if (keyCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
@@ -150,7 +162,7 @@ final class Binder(
     case class Out(col: Column, name: String)
     val outs: Seq[Out] = qb.selectList.zipWithIndex.flatMap {
       case (SelectItem(Wildcard(None), _), _) =>
-        preScopes.flatMap(s => s.cols.map(c => Out(s.column(c), c)))
+        preScopes.filterNot(_.hidden).flatMap(s => s.cols.map(c => Out(s.column(c), c)))
       case (SelectItem(Wildcard(Some(q)), _), _) =>
         val s = preScopes.find(_.qualifier.exists(_.equalsIgnoreCase(q)))
           .getOrElse(err(s"unknown qualifier '$q' for wildcard"))
@@ -330,7 +342,12 @@ final class Binder(
   private[engine] def bindViewFresh(v: Catalog#ViewEntry): DataFrame = {
     val df = bindQuery(v.query, Map.empty)
     if (v.strategy.equalsIgnoreCase("summing")) {
-      val keyNames = (v.orderBy ++ v.primaryKey).collect { case Ident(_, n) => n }.distinct
+      // only plain column keys are supported — silently dropping an
+      // expression key would merge rows across distinct key values
+      val keyNames = (v.orderBy ++ v.primaryKey).map {
+        case Ident(_, n) => n
+        case other => err(s"Summing view ORDER BY/PRIMARY KEY must be plain columns, got $other")
+      }.distinct
       if (keyNames.isEmpty) err("Summing view needs ORDER BY or PRIMARY KEY columns")
       val keyCols = keyNames.map(df(_))
       val others = df.schema.filterNot(f => keyNames.exists(_.equalsIgnoreCase(f.name)))
@@ -382,7 +399,12 @@ final class Binder(
         val keyScope = Scope(None, df, cols)
         val rightRest = right.scopes.map(s => s.copy(cols = s.cols.filterNot(c => cols.exists(_.equalsIgnoreCase(c)))))
         val leftRest = left.scopes.map(s => s.copy(cols = s.cols.filterNot(c => cols.exists(_.equalsIgnoreCase(c)))))
-        Rel(df, keyScope +: (leftRest ++ rightRest))
+        // semi/anti output carries only the left side's columns
+        val visible = how match {
+          case "left_semi" | "left_anti" => leftRest
+          case _ => leftRest ++ rightRest
+        }
+        Rel(df, keyScope +: visible)
       case OnCondition(condExpr) =>
         val bothScopes = left.scopes ++ right.scopes
         // scalar subqueries in the condition broadcast-cross-join their
@@ -455,10 +477,13 @@ final class Binder(
       case _ => None
     }
 
-    if (orientedIneq.isDefined && eqs.nonEmpty && orientedEqs.forall(_.isDefined))
-      unionAsOf(left, right, orientedEqs.map(_.get), orientedIneq.get, ctes, leftOuter)
+    val oriented = orientedIneq.getOrElse(
+      err("ASOF inequality must compare a left-side expression with a " +
+        s"right-side expression, got ${ineqs.head}"))
+    if (eqs.nonEmpty && orientedEqs.forall(_.isDefined))
+      unionAsOf(left, right, orientedEqs.map(_.get), oriented, ctes, leftOuter)
     else
-      joinAsOf(left, right, eqs, ineqs.head, ctes, leftOuter)
+      joinAsOf(left, right, eqs, ineqs.head, oriented, ctes, leftOuter)
   }
 
   /** Union + last-non-null window AsOf plan (see bindAsOf scaladoc). */
@@ -478,15 +503,19 @@ final class Binder(
     val isLeftName = fresh("asof_isleft")
     val tagName = fresh("asof_tag")
 
+    val leftKeyCols = eqPairs.zip(keyNames).map { case ((le, _), kn) => bindExpr(le, lCtx).as(kn) }
+    val leftOrdCol = bindExpr(lOrd, lCtx).as(ordName)
+    val rightKeyCols = eqPairs.zip(keyNames).map { case ((_, re), kn) => bindExpr(re, rCtx).as(kn) }
+    val rightOrdCol = bindExpr(rOrd, rCtx).as(ordName)
+    if (!(lCtx.rel.df eq left.df) || !(rCtx.rel.df eq right.df))
+      err("scalar subqueries in ASOF join conditions are unsupported")
     val leftPrep = left.df.select(
-      leftCols.map { case (s, c, u) => s.column(c).as(u) } ++
-        eqPairs.zip(keyNames).map { case ((le, _), kn) => bindExpr(le, lCtx).as(kn) } :+
-        bindExpr(lOrd, lCtx).as(ordName): _*)
+      leftCols.map { case (s, c, u) => s.column(c).as(u) } ++ leftKeyCols :+ leftOrdCol: _*)
       .withColumn(isLeftName, lit(true))
     // right rows with a null key or null ordering value can never match
     val rightPrep = right.df.select(
-      eqPairs.zip(keyNames).map { case ((_, re), kn) => bindExpr(re, rCtx).as(kn) } ++
-        Seq(bindExpr(rOrd, rCtx).as(ordName),
+      rightKeyCols ++
+        Seq(rightOrdCol,
           struct(rightCols.map { case (s, c, u) => s.column(c).as(u) }: _*).as(payloadName)): _*)
       .filter(keyNames.map(col(_).isNotNull).reduce(_ && _) && col(ordName).isNotNull)
       .withColumn(isLeftName, lit(false))
@@ -527,15 +556,21 @@ final class Binder(
     Rel(out, rescope(left.scopes, leftCols) ++ rescope(right.scopes, rightCols))
   }
 
-  /** Fallback AsOf plan: equi/theta join + closest-row pick per left row. */
+  /** Fallback AsOf plan: equi/theta join + closest-row pick per left row.
+    * `oriented` carries the inequality as (left expr, right expr, op) so
+    * the pick ranks by the RIGHT side's ordering value regardless of how
+    * the condition was written (`b.ts <= a.ts` ≡ `a.ts >= b.ts`). */
   private def joinAsOf(left: Rel, right: Rel, eqs: Seq[Expr], ineq: Expr,
-      ctes: Map[String, DataFrame], leftOuter: Boolean): Rel = {
+      oriented: (Expr, Expr, String), ctes: Map[String, DataFrame],
+      leftOuter: Boolean): Rel = {
     val bothScopes = left.scopes ++ right.scopes
-    val Binary(op, _, rOrd) = ineq: @unchecked
+    val (_, rOrd, op) = oriented
     val id = fresh("asof_id")
     val leftDf = left.df.withColumn(id, monotonically_increasing_id())
     val ctx2 = new Ctx(Rel(leftDf, Scope(None, leftDf, Seq(id)) +: bothScopes), None, ctes)
     val cond = (eqs :+ ineq).map(bindExpr(_, ctx2)).reduce(_ && _)
+    if (!(ctx2.rel.df eq leftDf))
+      err("scalar subqueries in ASOF join conditions are unsupported")
     val joined = leftDf.join(right.df, cond, if (leftOuter) "left" else "inner")
     // `left.ts >= right.ts` wants the greatest right.ts → desc
     val ordCol = bindExpr(rOrd, ctx2)
@@ -751,6 +786,7 @@ final class Binder(
     case InList(a, items, _) => collectAggs(a) ++ items.flatMap(collectAggs)
     case TupleLit(xs) => xs.flatMap(collectAggs)
     case ArrayLit(xs) => xs.flatMap(collectAggs)
+    case MapLit(es) => es.flatMap { case (k, v) => collectAggs(k) ++ collectAggs(v) }
     case _ => Nil
   }
 
@@ -917,7 +953,7 @@ final class Binder(
       if (correlated.isEmpty) {
         val one = innerCtx.rel.df.agg((count(lit(1)) > 0).as(flag))
         ctx.rel = Rel(ctx.rel.df.crossJoin(broadcast(one)),
-          ctx.rel.scopes :+ Scope(None, one, Seq(flag)))
+          ctx.rel.scopes :+ hiddenScope(one, Seq(flag)))
         one(flag)
       } else {
         val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel,
@@ -931,7 +967,7 @@ final class Binder(
           bindExpr(oe, ctx) === keys(kn)
         }.reduce(_ && _)
         ctx.rel = Rel(ctx.rel.df.join(keys, cond, "left"),
-          ctx.rel.scopes :+ Scope(None, keys, Seq(flag)))
+          ctx.rel.scopes :+ hiddenScope(keys, Seq(flag)))
         coalesce(keys(flag), lit(false))
       }
     if (negated) !out else out
@@ -982,7 +1018,7 @@ final class Binder(
         val vals = inner.filter(v.isNotNull).select(v.as(n)).distinct()
         ctx.rel = Rel(
           ctx.rel.df.crossJoin(broadcast(stats)).join(vals, lhs === vals(n), "left"),
-          ctx.rel.scopes ++ Seq(Scope(None, stats, Seq(cnt, hasNull)), Scope(None, vals, Seq(n))))
+          ctx.rel.scopes ++ Seq(hiddenScope(stats, Seq(cnt, hasNull)), hiddenScope(vals, Seq(n))))
         when(vals(n).isNotNull, lit(true))
           .when(stats(cnt) === 0, lit(false))
           .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
@@ -1019,7 +1055,7 @@ final class Binder(
         ctx.rel = Rel(
           ctx.rel.df.join(stats, statCond, "left").join(vals, valCond, "left"),
           ctx.rel.scopes ++ Seq(
-            Scope(None, stats, Seq(cnt, hasNull)), Scope(None, vals, Seq(vn))))
+            hiddenScope(stats, Seq(cnt, hasNull)), hiddenScope(vals, Seq(vn))))
         when(vals(vn).isNotNull, lit(true))
           .when(stats(cnt).isNull, lit(false)) // no inner rows for this key
           .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
@@ -1064,7 +1100,7 @@ final class Binder(
         .as(n))
     ctx.rel = Rel(
       ctx.rel.df.crossJoin(broadcast(one)),
-      ctx.rel.scopes :+ Scope(None, one, Seq(n)))
+      ctx.rel.scopes :+ hiddenScope(one, Seq(n)))
     one(n)
   }
 
@@ -1140,11 +1176,21 @@ final class Binder(
     val proj = grouped.select(
       (keyNames.map(grouped(_)) :+ bindExpr(valueExpr, valCtx).as(valName)): _*)
 
-    val joinCond = keyPairs.zip(keyNames).map { case ((_, oe), kn) =>
-      bindExpr(oe, ctx) === proj(kn)
-    }.reduce(_ && _)
+    // the decorrelated aggregate joins onto ctx.rel.df — in a JOIN ON
+    // condition that frame is the LEFT side only, while the scopes may
+    // include the right side; reject outer references the join cannot
+    // express instead of failing later with a bare missing-attribute
+    val outerCols = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
+    outerCols.foreach { c =>
+      if (Try(ctx.rel.df.select(c).schema).isFailure)
+        err("correlated scalar subquery here may only reference columns " +
+          "of the current (left) relation — move it to WHERE or rewrite " +
+          "the join")
+    }
+    val joinCond = outerCols.zip(keyNames).map { case (oc, kn) => oc === proj(kn) }
+      .reduce(_ && _)
     ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
-      ctx.rel.scopes :+ Scope(None, proj, Seq(valName)))
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
     // SQL: a COUNT-family aggregate over an empty correlated group is 0,
     // not NULL — but the left join leaves valName NULL for outer rows
     // with no group. When the value is built purely from count-family

@@ -524,6 +524,70 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 4503599627370496L && r.getLong(1) == 3L)
   }
 
+  test("GROUP BY without aggregates works (dedup idiom)") {
+    val r = rows("select o_orderstatus from orders group by o_orderstatus order by o_orderstatus")
+    val expected = rows("select distinct o_orderstatus from orders order by o_orderstatus")
+    assert(r.map(_.getString(0)) == expected.map(_.getString(0)) && r.nonEmpty)
+  }
+
+  test("SELECT * with a scalar subquery in WHERE keeps the table's schema") {
+    val df = sql("""
+      select * from nation
+      where n_regionkey = (select max(r_regionkey) from region)""")
+    assert(df.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(df.count() > 0)
+    // machinery columns stay hidden for OR-position subqueries too
+    val df2 = sql("""
+      select * from nation
+      where n_nationkey in (select r_regionkey from region) or n_nationkey = 20""")
+    assert(df2.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+  }
+
+  test("USING semi/anti join exposes only left-side columns") {
+    val r = sql("""
+      with a as (select n_nationkey as k, n_name from nation),
+           b as (select n_regionkey as k from nation)
+      select * from a left semi join b using (k)""")
+    assert(r.columns.toSeq == Seq("k", "n_name"))
+    assert(r.count() > 0)
+  }
+
+  test("keyless ASOF with a flipped inequality matches the canonical form") {
+    val canonical = rows("""
+      with v as (select ts, max(value) as vv from events where event_type = 'view' group by ts),
+           c as (select event_id, ts from events where event_type = 'click')
+      select c.event_id, v.vv from c asof join v on c.ts >= v.ts
+      order by c.event_id limit 20""")
+    val flipped = rows("""
+      with v as (select ts, max(value) as vv from events where event_type = 'view' group by ts),
+           c as (select event_id, ts from events where event_type = 'click')
+      select c.event_id, v.vv from c asof join v on v.ts <= c.ts
+      order by c.event_id limit 20""")
+    assert(canonical.map(r => (r.getLong(0), r.getDouble(1)))
+      == flipped.map(r => (r.getLong(0), r.getDouble(1))))
+  }
+
+  test("aggregates inside map literals are collected") {
+    val r = rows("""
+      select o_orderstatus, {'n': count(*)}['n'] as cnt from orders
+      group by o_orderstatus order by o_orderstatus""")
+    val expected = rows("""
+      select o_orderstatus, count(*) as cnt from orders
+      group by o_orderstatus order by o_orderstatus""")
+    assert(r.map(x => (x.getString(0), x.getLong(1)))
+      == expected.map(x => (x.getString(0), x.getLong(1))))
+  }
+
+  test("Summing view with an expression key errors instead of merging rows") {
+    sql("create table t_sumkey (k Int32, v Int64)")
+    sql("insert into t_sumkey values (1, 5)")
+    sql("create view v_sumkey update by Summing order by k + 1 as select k, v from t_sumkey")
+    val e = intercept[GraftException](rows("select * from v_sumkey"))
+    assert(e.msg.contains("plain columns"))
+    sql("drop view v_sumkey")
+    sql("drop table t_sumkey")
+  }
+
   test("EXISTS LIMIT 0 is constant-false in both positions; OFFSET rejected") {
     // top-level conjunct
     val top = rows("""
