@@ -1261,42 +1261,13 @@ final class Binder(
         .isInstanceOf[org.apache.spark.sql.types.StringType]).getOrElse(false)
   }
 
-  /** # of references to table `name` in the FROM/JOIN sources of a body
-    * (and nested subqueries) — drives CTE persist decisions. */
+  /** # of references to table `name` anywhere in the body (FROM/JOIN
+    * sources, subqueries in every expression position) — drives CTE
+    * persist decisions. Shared Ast walker, same traversal the engine's
+    * view-dependency tracking uses. */
   private def countTableRefs(qb: QueryBody, name: String): Int = {
     var count = 0
-    def walkSrc(s: DataSource): Unit = s match {
-      case TableSource(n, _) if n.equalsIgnoreCase(name) => count += 1
-      case SubquerySource(q, _) => walkQuery(q)
-      case _ => ()
-    }
-    def walkExpr(e: Expr): Unit = e match {
-      case SubqueryExpr(q) => walkQuery(q)
-      case InSubquery(a, q, _) => walkExpr(a); walkQuery(q)
-      case ExistsExpr(q, _) => walkQuery(q)
-      case Binary(_, l, r) => walkExpr(l); walkExpr(r)
-      case Unary(_, o) => walkExpr(o)
-      case FnCall(_, args) => args.foreach(walkExpr)
-      case CaseExpr(s, bs, el) =>
-        s.foreach(walkExpr); bs.foreach { case (a, b) => walkExpr(a); walkExpr(b) }
-        el.foreach(walkExpr)
-      case BetweenExpr(a, lo, hi, _) => walkExpr(a); walkExpr(lo); walkExpr(hi)
-      case InList(a, items, _) => walkExpr(a); items.foreach(walkExpr)
-      case _ => ()
-    }
-    def walkBody(b: QueryBody): Unit = {
-      b.from.foreach(walkSrc)
-      b.joins.foreach(j => walkSrc(j.source))
-      b.where.foreach(walkExpr)
-      b.having.foreach(walkExpr)
-      b.selectList.foreach(i => walkExpr(i.expr))
-      b.ctes.foreach { case (_, q) => walkQuery(q) }
-    }
-    def walkQuery(q: Query): Unit = q match {
-      case SetOpQuery(_, a, b) => walkQuery(a); walkQuery(b)
-      case b: QueryBody => walkBody(b)
-    }
-    walkBody(qb)
+    graft.nutql.Ast.foreachTableSource(qb)(n => if (n.equalsIgnoreCase(name)) count += 1)
     count
   }
 }

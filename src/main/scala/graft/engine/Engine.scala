@@ -104,7 +104,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       case c if c.dataType.isInstanceOf[ScalarType] &&
         serialTypeNames(c.dataType.asInstanceOf[ScalarType].name) => c.name
     }
-    val path = s"${catalog.tablePath(st.name)}/v0"
+    // always a FRESH versioned directory: a fixed /v0 would overwrite the
+    // live data of a table that was ALTER ... RENAMEd away from this name
+    // (the renamed entry keeps reading its original path)
+    val path = nextVersionPath(st.name)
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       .write.mode("overwrite").parquet(path)
     registerTable(st, schema, serialCols, path)
@@ -149,6 +152,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     }
     val path = entry.path.getOrElse(err(s"table '${st.table}' is read-only (base dataset)"))
     val targetCols = entry.schema.fields.map(_.name)
+    st.columns.foreach { n =>
+      if (!targetCols.exists(_.equalsIgnoreCase(n)))
+        err(s"unknown column '$n' in INSERT column list for '${st.table}'")
+    }
     val explicit = if (st.columns.nonEmpty) st.columns else targetCols.toSeq
     val serialSet = entry.serialCols.map(_.toLowerCase).toSet
 
@@ -183,10 +190,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         df.toDF(explicit: _*)
     }
 
-    // fill unspecified columns with defaults (serials get assigned ids)
+    // fill unspecified columns with defaults (serials get assigned ids).
+    // A nondeterministic source (LIMIT without ORDER BY) must not be
+    // re-executed between serial assignment / constraint validation and
+    // the write — pin it with a persist for the statement's duration.
     val explicitLower = explicit.map(_.toLowerCase).toSet
     val nutByName = entry.nutColumns.getOrElse(Nil).map(c => c.name.toLowerCase -> c).toMap
-    var withAll = srcDf
+    val needsPin = entry.constraints.nonEmpty ||
+      entry.schema.fields.exists(f =>
+        !explicitLower.contains(f.name.toLowerCase) && serialSet.contains(f.name.toLowerCase))
+    val pinned = if (needsPin)
+      srcDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else srcDf
+    try {
+    var withAll = pinned
     entry.schema.fields.foreach { f =>
       if (!explicitLower.contains(f.name.toLowerCase)) {
         if (serialSet.contains(f.name.toLowerCase)) {
@@ -198,9 +215,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           // wrapping when ANSI is off.
           val base = entry.df().agg(max(col(f.name).cast("long"))).collect()(0)
           val offset = if (base.isNullAt(0)) 0L else base.getLong(0)
-          val maxId: Long = f.dataType match {
-            case ShortType => Short.MaxValue.toLong
-            case IntegerType => Int.MaxValue.toLong
+          // the bound comes from the DECLARED NutQL type, not the Spark
+          // storage type (USerial32 is stored as LongType but must stay
+          // within unsigned-32)
+          val maxId: Long = nutByName.get(f.name.toLowerCase).map(_.dataType) match {
+            case Some(ScalarType("serial32", _)) => Int.MaxValue.toLong
+            case Some(ScalarType("userial32", _)) => 4294967295L
             case _ => Long.MaxValue
           }
           val tmp = "__serial_tmp"
@@ -243,6 +263,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(path)
     catalog.bumpMutation(st.table) // invalidates dependent materializations
     status(s"INSERT INTO ${st.table}")
+    } finally if (needsPin) pinned.unpersist(false)
   }
 
   /** Bind an expression against a standalone DataFrame (constraint checks). */
@@ -308,6 +329,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       if (st.ifExists) return status(s"${st.name} absent, skipped")
       err(s"unknown table or view '${st.name}'")
     }
+    (catalog.get(st.name).get, st.entity) match {
+      case (_: catalog.TableEntry, ViewEntity) =>
+        err(s"'${st.name}' is a table, not a view — use DROP TABLE")
+      case (_: catalog.ViewEntry, TableEntity) =>
+        err(s"'${st.name}' is a view, not a table — use DROP VIEW")
+      case _ => ()
+    }
     catalog.drop(st.name)
     catalog.bumpMutation(st.name)
     status(s"DROP ${st.name}")
@@ -333,43 +361,23 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
   }
 
   /** Tables this query reads, transitively through views — the
-    * dependency set a view materialization records for staleness. */
+    * dependency set a view materialization records for staleness. Uses
+    * the shared Ast walker, which covers every expression position
+    * (JOIN conditions, GROUP BY, ORDER BY, DISTINCT ON, select list),
+    * so a dependency hidden in any of them still invalidates. */
   private def referencedTables(q: Query): Set[String] = {
     val out = mutable.Set.empty[String]
-    def walkSrc(s: DataSource): Unit = s match {
-      case TableSource(n, _) =>
+    def visit(sub: Query): Unit = Ast.foreachTableSource(sub) { n =>
+      val k = n.toLowerCase
+      if (!out.contains(k)) {
+        out += k
         catalog.get(n) match {
-          case Some(v: catalog.ViewEntry) => out += n.toLowerCase; walkQuery(v.query)
-          case _ => out += n.toLowerCase
+          case Some(v: catalog.ViewEntry) => visit(v.query)
+          case _ => ()
         }
-      case SubquerySource(sub, _) => walkQuery(sub)
-      case _ => ()
+      }
     }
-    def walkExpr(e: Expr): Unit = e match {
-      case SubqueryExpr(sub) => walkQuery(sub)
-      case InSubquery(a, sub, _) => walkExpr(a); walkQuery(sub)
-      case ExistsExpr(sub, _) => walkQuery(sub)
-      case Binary(_, l, r) => walkExpr(l); walkExpr(r)
-      case Unary(_, o) => walkExpr(o)
-      case FnCall(_, args) => args.foreach(walkExpr)
-      case CaseExpr(s, bs, el) =>
-        s.foreach(walkExpr); bs.foreach { case (a, b) => walkExpr(a); walkExpr(b) }
-        el.foreach(walkExpr)
-      case BetweenExpr(a, lo, hi, _) => walkExpr(a); walkExpr(lo); walkExpr(hi)
-      case InList(a, items, _) => walkExpr(a); items.foreach(walkExpr)
-      case _ => ()
-    }
-    def walkQuery(sub: Query): Unit = sub match {
-      case SetOpQuery(_, a, b) => walkQuery(a); walkQuery(b)
-      case b: QueryBody =>
-        b.from.foreach(walkSrc)
-        b.joins.foreach(j => walkSrc(j.source))
-        b.where.foreach(walkExpr)
-        b.having.foreach(walkExpr)
-        b.selectList.foreach(i => walkExpr(i.expr))
-        b.ctes.foreach { case (_, cq) => walkQuery(cq) }
-    }
-    walkQuery(q)
+    visit(q)
     out.toSet
   }
 
@@ -395,23 +403,34 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       case Some(t: catalog.TableEntry) =>
         t.path.getOrElse(err(s"cannot OPTIMIZE base table '${st.table}'"))
         val cur = t.df()
-        val filtered = st.partition match {
+        // ON PARTITION compacts ONLY that partition but must keep every
+        // other partition's rows — the new directory holds compacted
+        // selected rows UNION the untouched rest
+        val (selected, rest) = st.partition match {
           case Some(p) =>
             val partCol = t.partitionBy.collect { case Ident(_, n) => col(n) }
               .getOrElse(err(s"table '${st.table}' has no PARTITION BY"))
-            cur.filter(partCol === lit(evalConstant(p)))
-          case None => cur
+            val v = lit(evalConstant(p))
+            (cur.filter(partCol === v), Some(cur.filter(!(partCol === v) || partCol.isNull)))
+          case None => (cur, None)
         }
         val newPath = nextVersionPath(st.table)
         // ~128 MB target partitions; floor at 1
-        val sizeBytes = filtered.queryExecution.optimizedPlan.stats.sizeInBytes
+        val sizeBytes = selected.queryExecution.optimizedPlan.stats.sizeInBytes
         val parts = math.max(1, (sizeBytes / (128L * 1024 * 1024)).toInt)
-        val compacted = filtered.repartition(parts)
+        val compacted = selected.repartition(parts)
         val sorted = t.orderBy.collect { case Ident(_, n) => col(n) } match {
           case Nil => compacted
           case keys => compacted.sortWithinPartitions(keys: _*) // row-group min/max stats
         }
-        sorted.write.mode("overwrite").parquet(newPath)
+        val out = rest.map(sorted.unionByName(_)).getOrElse(sorted)
+        // preserve the Hive-style partition layout: a flat rewrite of a
+        // partitioned table would make the next partitioned INSERT create
+        // a mixed-depth directory that breaks partition discovery
+        val partNames = t.partitionBy.toSeq.collect { case Ident(_, n) => n }
+        val writer = out.write.mode("overwrite")
+        (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
+          .parquet(newPath)
         catalog.putTable(st.table, t.copy(
           df = () => spark.read.schema(t.schema).parquet(newPath),
           path = Some(newPath)))
@@ -438,21 +457,76 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
 
     def rewrite(newCols: Seq[Ast.ColumnDef], transform: DataFrame => DataFrame,
         newConstraints: Seq[Ast.ConstraintDef] = t.constraints,
-        newIndexes: Seq[Ast.IndexDef] = t.indexes): DataFrame = {
+        newIndexes: Seq[Ast.IndexDef] = t.indexes,
+        newPrimaryKey: Seq[Ast.Expr] = t.primaryKey,
+        newOrderBy: Seq[Ast.Expr] = t.orderBy,
+        newPartitionBy: Option[Ast.Expr] = t.partitionBy): DataFrame = {
       val newSchema = StructType(newCols.map(TypeMap.toField))
       val newPath = nextVersionPath(st.table)
-      transform(t.df()).select(newSchema.fields.map(f =>
+      val rewritten = transform(t.df()).select(newSchema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-        .write.mode("overwrite").parquet(newPath)
+      // keep the Hive-style partition layout (see optimize())
+      val partNames = t.partitionBy.toSeq.collect { case Ident(_, n) => n }
+        .filter(n => newCols.exists(_.name.equalsIgnoreCase(n)))
+      val w = rewritten.write.mode("overwrite")
+      (if (partNames.nonEmpty) w.partitionBy(partNames: _*) else w).parquet(newPath)
       catalog.putTable(st.table, t.copy(
         df = () => spark.read.schema(newSchema).parquet(newPath),
         nutColumns = Some(newCols),
         schema = newSchema,
         path = Some(newPath),
         constraints = newConstraints,
-        indexes = newIndexes))
+        indexes = newIndexes,
+        primaryKey = newPrimaryKey,
+        orderBy = newOrderBy,
+        partitionBy = newPartitionBy))
       catalog.bumpMutation(st.table)
       status(s"ALTER TABLE ${st.table}")
+    }
+
+    // names a metadata expression references (ORDER BY, constraints, ...)
+    def identsIn(e: Ast.Expr): Seq[String] = e match {
+      case Ident(_, n) => Seq(n)
+      case Binary(_, l, r) => identsIn(l) ++ identsIn(r)
+      case Unary(_, o) => identsIn(o)
+      case FnCall(_, args) => args.flatMap(identsIn)
+      case CaseExpr(sc, bs, el) =>
+        sc.toSeq.flatMap(identsIn) ++
+          bs.flatMap { case (a, b2) => identsIn(a) ++ identsIn(b2) } ++
+          el.toSeq.flatMap(identsIn)
+      case BetweenExpr(a, lo, hi, _) => identsIn(a) ++ identsIn(lo) ++ identsIn(hi)
+      case InList(a, items, _) => identsIn(a) ++ items.flatMap(identsIn)
+      case TupleLit(xs) => xs.flatMap(identsIn)
+      case ArrayLit(xs) => xs.flatMap(identsIn)
+      case MapLit(es) => es.flatMap { case (k, v) => identsIn(k) ++ identsIn(v) }
+      case _ => Nil
+    }
+    def renameIn(e: Ast.Expr, from: String, to: String): Ast.Expr = {
+      def r(x: Ast.Expr): Ast.Expr = x match {
+        case Ident(q, n) if n.equalsIgnoreCase(from) => Ident(q, to)
+        case Binary(op, l, rr) => Binary(op, r(l), r(rr))
+        case Unary(op, o) => Unary(op, r(o))
+        case FnCall(n, args) => FnCall(n, args.map(r))
+        case CaseExpr(sc, bs, el) =>
+          CaseExpr(sc.map(r), bs.map { case (a, b2) => (r(a), r(b2)) }, el.map(r))
+        case BetweenExpr(a, lo, hi, neg) => BetweenExpr(r(a), r(lo), r(hi), neg)
+        case InList(a, items, neg) => InList(r(a), items.map(r), neg)
+        case TupleLit(xs) => TupleLit(xs.map(r))
+        case ArrayLit(xs) => ArrayLit(xs.map(r))
+        case MapLit(es) => MapLit(es.map { case (k, v) => (r(k), r(v)) })
+        case other => other
+      }
+      r(e)
+    }
+    // what table metadata references column `name` (for DROP COLUMN guard)
+    def metadataReferencing(name: String): Seq[String] = {
+      def hits(label: String, es: Seq[Ast.Expr]): Seq[String] =
+        if (es.flatMap(identsIn).exists(_.equalsIgnoreCase(name))) Seq(label) else Nil
+      hits("ORDER BY", t.orderBy) ++
+        hits("PRIMARY KEY", t.primaryKey) ++
+        hits("PARTITION BY", t.partitionBy.toSeq) ++
+        t.constraints.flatMap(c => hits(s"constraint '" + c.name + "'", Seq(c.check))) ++
+        t.indexes.flatMap(i => hits(s"index '" + i.name + "'", i.indexer.args))
     }
 
     st.action match {
@@ -477,11 +551,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           if (ifExists) return status("column absent, skipped")
           err(s"unknown column '$name'")
         }
+        // dropping a column still referenced by table metadata would
+        // leave ORDER BY/constraints pointing at nothing
+        val refs = metadataReferencing(name)
+        if (refs.nonEmpty)
+          err(s"cannot DROP COLUMN '$name': referenced by ${refs.mkString(", ")}")
         rewrite(nutCols.filterNot(_.name.equalsIgnoreCase(name)), _.drop(name))
       case RenameColumn(from, to) =>
         if (!nutCols.exists(_.name.equalsIgnoreCase(from))) err(s"unknown column '$from'")
         val newCols = nutCols.map(c => if (c.name.equalsIgnoreCase(from)) c.copy(name = to) else c)
-        rewrite(newCols, _.withColumnRenamed(from, to))
+        // rename the column everywhere table metadata references it, so
+        // ORDER BY / constraints / indexes keep binding after the rewrite
+        rewrite(newCols, _.withColumnRenamed(from, to),
+          newConstraints = t.constraints.map(c => c.copy(check = renameIn(c.check, from, to))),
+          newIndexes = t.indexes.map(i =>
+            i.copy(indexer = i.indexer.copy(args = i.indexer.args.map(renameIn(_, from, to))))),
+          newPrimaryKey = t.primaryKey.map(renameIn(_, from, to)),
+          newOrderBy = t.orderBy.map(renameIn(_, from, to)),
+          newPartitionBy = t.partitionBy.map(renameIn(_, from, to)))
       case RenameTable(to) =>
         if (catalog.contains(to)) err(s"'$to' already exists")
         catalog.drop(st.table)

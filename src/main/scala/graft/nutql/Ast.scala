@@ -129,4 +129,54 @@ object Ast {
   final case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
   final case class InSubquery(e: Expr, query: Query, negated: Boolean) extends Expr
   final case class ExistsExpr(query: Query, negated: Boolean) extends Expr
+
+  /** Visit every table-source name reachable from `q` — FROM/JOIN sources
+    * plus subqueries in every expression position (WHERE, HAVING, select
+    * list, JOIN conditions, GROUP BY, ORDER BY, DISTINCT ON, CTEs). One
+    * shared walker so consumers (CTE ref counting, view dependency
+    * tracking) cannot drift apart. */
+  def foreachTableSource(q: Query)(f: String => Unit): Unit = {
+    def walkSrc(s: DataSource): Unit = s match {
+      case TableSource(n, _) => f(n)
+      case SubquerySource(sub, _) => walkQuery(sub)
+      case _ => ()
+    }
+    def walkExpr(e: Expr): Unit = e match {
+      case SubqueryExpr(sub) => walkQuery(sub)
+      case InSubquery(a, sub, _) => walkExpr(a); walkQuery(sub)
+      case ExistsExpr(sub, _) => walkQuery(sub)
+      case Binary(_, l, r) => walkExpr(l); walkExpr(r)
+      case Unary(_, o) => walkExpr(o)
+      case FnCall(_, args) => args.foreach(walkExpr)
+      case CaseExpr(s, bs, el) =>
+        s.foreach(walkExpr); bs.foreach { case (a, b) => walkExpr(a); walkExpr(b) }
+        el.foreach(walkExpr)
+      case BetweenExpr(a, lo, hi, _) => walkExpr(a); walkExpr(lo); walkExpr(hi)
+      case InList(a, items, _) => walkExpr(a); items.foreach(walkExpr)
+      case TupleLit(xs) => xs.foreach(walkExpr)
+      case ArrayLit(xs) => xs.foreach(walkExpr)
+      case MapLit(es) => es.foreach { case (k, v) => walkExpr(k); walkExpr(v) }
+      case _ => ()
+    }
+    def walkQuery(sub: Query): Unit = sub match {
+      case SetOpQuery(_, a, b) => walkQuery(a); walkQuery(b)
+      case b: QueryBody =>
+        b.ctes.foreach { case (_, cq) => walkQuery(cq) }
+        b.from.foreach(walkSrc)
+        b.joins.foreach { j =>
+          walkSrc(j.source)
+          j.condition match {
+            case OnCondition(e) => walkExpr(e)
+            case _ => ()
+          }
+        }
+        b.where.foreach(walkExpr)
+        b.groupBy.foreach(walkExpr)
+        b.having.foreach(walkExpr)
+        b.orderBy.foreach(k => walkExpr(k.expr))
+        b.selectList.foreach(i => walkExpr(i.expr))
+        b.distinct.foreach(_.foreach(walkExpr))
+    }
+    walkQuery(q)
+  }
 }

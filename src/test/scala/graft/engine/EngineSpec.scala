@@ -524,6 +524,72 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 4503599627370496L && r.getLong(1) == 3L)
   }
 
+  test("OPTIMIZE ON PARTITION keeps the other partitions' rows") {
+    sql("create table t_part (k Int32, p String) partition by p")
+    sql("insert into t_part values (1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')")
+    sql("optimize table t_part on partition 'a'")
+    val r = rows("select k, p from t_part order by k")
+    assert(r.map(x => (x.getInt(0), x.getString(1)))
+      == Seq((1, "a"), (2, "a"), (3, "b"), (4, "c")))
+    // a further partitioned INSERT still reads cleanly (layout preserved)
+    sql("insert into t_part values (5, 'd')")
+    assert(rows("select count(*) as n from t_part").head.getLong(0) == 5)
+    sql("drop table t_part")
+  }
+
+  test("CREATE TABLE after RENAME does not clobber the renamed table's data") {
+    sql("create table t_ren (k Int32)")
+    sql("insert into t_ren values (1), (2)")
+    sql("alter table t_ren rename table t_ren2")
+    sql("create table t_ren (k Int32)") // same name, fresh directory
+    sql("insert into t_ren values (9)")
+    assert(rows("select count(*) as n from t_ren2").head.getLong(0) == 2)
+    assert(rows("select count(*) as n from t_ren").head.getLong(0) == 1)
+    sql("drop table t_ren"); sql("drop table t_ren2")
+  }
+
+  test("INSERT with an unknown column errors instead of dropping the value") {
+    sql("create table t_badcol (a Int32, b Int32)")
+    val e = intercept[GraftException](sql("insert into t_badcol (a, bb) values (1, 2)"))
+    assert(e.msg.contains("unknown column 'bb'"))
+    sql("drop table t_badcol")
+  }
+
+  test("DROP with the wrong entity kind errors") {
+    sql("create table t_kind (k Int32)")
+    val e = intercept[GraftException](sql("drop view t_kind"))
+    assert(e.msg.contains("not a view"))
+    sql("drop table t_kind")
+  }
+
+  test("RENAME COLUMN keeps metadata bound; DROP of a referenced column errors") {
+    sql("""create table t_meta (k Int32, v Int64, constraint pos check k >= 0)
+           order by k""")
+    sql("insert into t_meta values (1, 10)")
+    sql("alter table t_meta rename column k key")
+    // constraint now binds against `key`: valid row passes, bad row fails
+    sql("insert into t_meta values (2, 20)")
+    assertThrows[GraftException](sql("insert into t_meta values (-1, 0)"))
+    sql("optimize table t_meta") // ORDER BY key resolves for the sort
+    assert(rows("select count(*) as n from t_meta").head.getLong(0) == 2)
+    val e = intercept[GraftException](sql("alter table t_meta drop column key"))
+    assert(e.msg.contains("referenced by"))
+    sql("drop table t_meta")
+  }
+
+  test("materialized view invalidates on a dependency hidden in a JOIN condition") {
+    sql("create table t_dep (k Int32, v Int64)")
+    sql("insert into t_dep values (1, 5)")
+    sql("""create view v_dep update by Summing order by k as
+           select n.n_nationkey as k, t.v from nation as n
+           join t_dep as t on n.n_nationkey = t.k""")
+    sql("optimize table v_dep")
+    sql("insert into t_dep values (1, 7)") // bump the JOIN-side dependency
+    val r = rows("select k, v from v_dep order by k")
+    assert(r.map(x => (x.getInt(0), x.getLong(1))) == Seq((1, 12L)))
+    sql("drop view v_dep"); sql("drop table t_dep")
+  }
+
   test("GROUP BY without aggregates works (dedup idiom)") {
     val r = rows("select o_orderstatus from orders group by o_orderstatus order by o_orderstatus")
     val expected = rows("select distinct o_orderstatus from orders order by o_orderstatus")
