@@ -37,7 +37,9 @@ object FunctionRegistry {
       case "avg" => avg(one(n, args))
       case "min" => min(one(n, args))
       case "max" => max(one(n, args))
-      case "countunique" | "uniqexact" => count_distinct(args.head, args.tail: _*)
+      case "countunique" | "uniqexact" =>
+        if (args.isEmpty) throw GraftException(s"$n expects at least 1 argument")
+        count_distinct(args.head, args.tail: _*)
       case "countuniqueapprox" | "uniq" => approx_count_distinct(one(n, args))
       case "any" => first(one(n, args), ignoreNulls = true)
       case "stddevpop" => stddev_pop(one(n, args))
@@ -45,15 +47,15 @@ object FunctionRegistry {
       case "varpop" => var_pop(one(n, args))
       case "varsamp" => var_samp(one(n, args))
       case "median" => percentile_approx(one(n, args), lit(0.5), lit(10000))
-      case "quantile" => percentile_approx(args(0), args(1), lit(10000))
-      case "countif" => count(when(args.head, 1))
-      case "sumif" => sum(when(args(1), args(0)))
-      case "avgif" => avg(when(args(1), args(0)))
-      case "minif" => min(when(args(1), args(0)))
-      case "maxif" => max(when(args(1), args(0)))
+      case "quantile" => { val (v, q) = two(n, args); percentile_approx(v, q, lit(10000)) }
+      case "countif" => count(when(one(n, args), 1))
+      case "sumif" => sum(when(two(n, args)._2, args(0)))
+      case "avgif" => avg(when(two(n, args)._2, args(0)))
+      case "minif" => min(when(two(n, args)._2, args(0)))
+      case "maxif" => max(when(two(n, args)._2, args(0)))
       case "grouparray" => collect_list(one(n, args))
-      case "maxby" => max_by(args(0), args(1))
-      case "minby" => min_by(args(0), args(1))
+      case "maxby" => { val (v, k) = two(n, args); max_by(v, k) }
+      case "minby" => { val (v, k) = two(n, args); min_by(v, k) }
       case other => throw GraftException(s"unregistered aggregate function '$other'")
     }
   }
@@ -61,6 +63,11 @@ object FunctionRegistry {
   private def one(name: String, args: Seq[Column]): Column = {
     if (args.size != 1) throw GraftException(s"$name expects 1 argument, got ${args.size}")
     args.head
+  }
+
+  private def two(name: String, args: Seq[Column]): (Column, Column) = {
+    if (args.size != 2) throw GraftException(s"$name expects 2 arguments, got ${args.size}")
+    (args(0), args(1))
   }
 
   /** Bind a scalar call by (case-insensitive) name. `raw` carries the AST
@@ -100,7 +107,9 @@ object FunctionRegistry {
       case "getyear" | "toyear" => year(a0)
       case "getmonth" | "tomonth" => month(a0)
       case "getday" | "todayofmonth" => dayofmonth(a0)
-      case "getdayofweek" | "todayofweek" => dayofweek(a0)
+      // ClickHouse numbering: Monday=1..Sunday=7 (Spark dayofweek is
+      // Sunday=1) — weekday() is Monday=0
+      case "getdayofweek" | "todayofweek" => weekday(a0) + 1
       case "gethour" | "tohour" => hour(a0)
       case "getminute" | "tominute" => minute(a0)
       case "getsecond" | "tosecond" => second(a0)
@@ -126,7 +135,10 @@ object FunctionRegistry {
       case "rtrim" | "trimright" => rtrim(a0)
       case "startswith" => a0.startsWith(a1)
       case "endswith" => a0.endsWith(a1)
-      case "position" | "locate" => locate(rawStr(1), a0)
+      // position(haystack, needle) is the ClickHouse order; locate keeps
+      // the MySQL (needle, haystack) order. Column needles supported.
+      case "position" => call_function("locate", a1, a0)
+      case "locate" => call_function("locate", a0, a1)
       case "reverse" => reverse(a0)
       case "repeat" => repeat(a0, rawInt(1))
       case "leftpad" | "lpad" => lpad(a0, rawInt(1), rawStr(2))
@@ -134,7 +146,11 @@ object FunctionRegistry {
       case "splitbychar" | "splitbystring" =>
         split(a1, java.util.regex.Pattern.quote(rawStr(0)))
       case "match" => a0.rlike(rawStr(1))
-      case "extract" => regexp_extract(a0, rawStr(1), 1)
+      case "extract" =>
+        // ClickHouse: first capture group if present, whole match otherwise
+        val pat = rawStr(1)
+        val grp = if (java.util.regex.Pattern.compile(pat).matcher("").groupCount() > 0) 1 else 0
+        regexp_extract(a0, pat, grp)
       case "empty" => length(a0) === 0
       case "notempty" => length(a0) > 0
       case "left" => substring(a0, 1, rawInt(1))
@@ -168,6 +184,9 @@ object FunctionRegistry {
       case "if" => when(a0, a1).otherwise(a2)
       case "multiif" =>
         // multiIf(c1,v1,c2,v2,…,else)
+        if (args.size < 3 || args.size % 2 == 0)
+          throw GraftException(
+            s"multiIf expects cond/value pairs plus an else (odd arity >= 3), got ${args.size}")
         val pairs = args.dropRight(1).grouped(2).toSeq
         val base = pairs.tail.foldLeft(when(pairs.head(0), pairs.head(1))) {
           (acc, p) => acc.when(p(0), p(1))
@@ -180,6 +199,9 @@ object FunctionRegistry {
       case "isnotnull" => a0.isNotNull
       case "assumenotnull" => a0 // metadata-only in our model
       // ---- hashing / ids ----
+      // NAME-compat aliases, not bit-compat: values differ from native
+      // ClickHouse cityHash64/sipHash64 (documented; hashes must stay
+      // engine-internal)
       case "cityhash64" | "siphash64" | "xxhash64" => xxhash64(args: _*)
       case "halfmd5" | "hash" => hash(args: _*)
       case "md5" => md5(a0.cast("binary"))
@@ -195,11 +217,17 @@ object FunctionRegistry {
       case "arrayslice" => slice(a0, a1, a2)
       case "arrayjoinstring" | "arraystringconcat" =>
         if (args.size > 1) concat_ws(rawStr(1), a0) else concat_ws("", a0)
+      // double accumulation (element type is unknown at bind time):
+      // exact for integers up to 2^53; alias-layer only, not a hot path
       case "arraysum" => aggregate(a0, lit(0.0), (acc, x) => acc + x.cast("double"))
       case "arraymax" => array_max(a0)
       case "arraymin" => array_min(a0)
       case "arrayposition" | "indexof" => array_position(a0, a1)
-      case "range" => sequence(lit(0), a0 - 1)
+      case "range" =>
+        // sequence() steps BACKWARD when start > stop, so range(0) would
+        // fabricate [0, -1] — an explicit empty-array branch instead
+        when(a0 > 0, sequence(lit(0L), a0.cast("long") - 1))
+          .otherwise(array().cast("array<bigint>"))
       case "arrayzip" => arrays_zip(args: _*)
       case "arrayflatten" | "flatten" => flatten(a0)
       // ---- maps / tuples ----
@@ -214,13 +242,18 @@ object FunctionRegistry {
     }
   }
 
+  /** ClickHouse/DuckDB dateDiff counts UNIT-BOUNDARY crossings, not
+    * elapsed intervals: dateDiff('month', Jan 31, Feb 1) = 1. Every unit
+    * below uses boundary math (floor of the unit index, subtracted). */
   private def datediffUnit(unit: String, a: Column, b: Column): Column =
     unit.toLowerCase match {
       case "day" => datediff(b, a)
-      case "month" => floor(months_between(b, a))
+      case "month" => (year(b) * 12 + month(b)) - (year(a) * 12 + month(a))
       case "year" => year(b) - year(a)
-      case "hour" => floor((unix_timestamp(b) - unix_timestamp(a)) / 3600)
-      case "minute" => floor((unix_timestamp(b) - unix_timestamp(a)) / 60)
+      case "hour" =>
+        (floor(unix_timestamp(b) / 3600) - floor(unix_timestamp(a) / 3600)).cast("long")
+      case "minute" =>
+        (floor(unix_timestamp(b) / 60) - floor(unix_timestamp(a) / 60)).cast("long")
       case "second" => unix_timestamp(b) - unix_timestamp(a)
       case u => throw GraftException(s"unsupported dateDiff unit '$u'")
     }

@@ -384,6 +384,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (r.isNullAt(2)) null else r.getDouble(2))))
   }
 
+  test("function semantics: dayOfWeek Monday=1, dateDiff boundaries, range(0)") {
+    val r = rows("""
+      select toInt64(getDayOfWeek(toDate('2026-08-10'))) as mon,
+             toInt64(getDayOfWeek(toDate('2026-08-16'))) as sun,
+             toInt64(dateDiff('month', toDate('2024-01-31'), toDate('2024-02-01'))) as m,
+             toInt64(dateDiff('hour', toDateTime('2024-01-01 10:59:00'),
+                                      toDateTime('2024-01-01 11:01:00'))) as h,
+             toInt64(arrayLength(range(0))) as r0,
+             toInt64(arrayLength(range(3))) as r3
+      from nation limit 1""").head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 7) // ClickHouse weekday numbering
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1) // boundary crossings, not intervals
+    assert(r.getLong(4) == 0 && r.getLong(5) == 3) // range(0) is empty
+    // arity errors are clear GraftExceptions, not index crashes
+    val e = intercept[GraftException](rows("select maxBy(n_name) as x from nation"))
+    assert(e.msg.contains("2 arguments"))
+  }
+
   test("unknown function and unknown table produce clear errors") {
     val e1 = intercept[GraftException](sql("select frobnicate(1) as x from nation"))
     assert(e1.getMessage.contains("unregistered function"))
