@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -81,6 +81,49 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** floor(x·1000) per element, as exact integer-valued doubles — the
+  * quantization the embedding near-dup tiers share with their DuckDB
+  * oracle. One virtual call per ROW with a primitive loop inside
+  * (CodegenFallback), versus the `transform()` lambda formulation that
+  * evaluates an interpreted expression tree per ELEMENT. */
+case class QuantizeMilli(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_milli expects array<float|double>, got $other")
+  }
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, child.dataType.asInstanceOf[ArrayType].containsNull)
+
+  override def prettyName: String = "quantize_milli"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    val isF = elemIsFloat
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = math.floor(x * 1000d)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeMilli =
+    copy(child = newChild)
+}
+
 object VectorOps {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -92,4 +135,8 @@ object VectorOps {
   /** Codegen'd L2 norm. */
   def norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** floor(x·1000) quantization (see QuantizeMilli). */
+  def quantizeMilli(a: Column): Column =
+    GraftSqlBridge.column(QuantizeMilli(GraftSqlBridge.expression(a)))
 }

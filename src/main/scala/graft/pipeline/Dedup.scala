@@ -28,13 +28,19 @@ object Dedup {
         countDistinct(substring(col(textCol), 1, 40)).as("uniq_prefix"))
       .orderBy(col(groupCol))
 
-  /** Keep the lowest-id row per normalized key (here: 40-char prefix).
-    * The window partitions by the key — bucket sizes are duplicate-group
-    * sizes, which stay small after exact dedup. */
-  def keepFirstByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
+  /** Annotate each row with its rank within its normalized key (lowest
+    * id first) as `__rn` — the building block for kept/removed stats
+    * (qp49). The window partitions by the key — bucket sizes are
+    * duplicate-group sizes, which stay small after exact dedup. */
+  def rankByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w))
   }
+
+  /** Keep ONLY the lowest-id row per normalized key — the actual dedup
+    * operator (rankByKey exposes the underlying ranks). */
+  def keepFirstByKey(docs: DataFrame, idCol: String, key: Column): DataFrame =
+    rankByKey(docs, idCol, key).filter(col("__rn") === 1).drop("__rn")
 
   /** Exploded (id, shingle-hash) stream: posexplode the whitespace tokens,
     * then stitch n-word shingles with window `lead`s — every operator is
@@ -90,9 +96,18 @@ object Dedup {
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       maxBucket: Int = 4096): DataFrame = {
+    require(k >= 1 && bands >= 1, "k and bands must be >= 1")
+    require(k % bands == 0, "k must divide into bands")
+    bandedCandidates(minhashWide(docs, idCol, textCol, shingleN, k), k, bands, maxBucket)
+  }
+
+  /** Band a k-column MinHash signature frame and self-join the capped
+    * buckets into candidate id pairs (see lshCandidates). */
+  private def bandedCandidates(sig: DataFrame, k: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
+    require(k >= 1 && bands >= 1, "k and bands must be >= 1")
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sig = minhashWide(docs, idCol, textCol, shingleN, k)
     val bandCols = (0 until bands).map(b =>
       xxhash64((lit(b) +: (0 until r).map(i => col(s"h${b * r + i}"))): _*))
     val banded = sig
@@ -125,8 +140,16 @@ object Dedup {
       thresholdNum: Int = 1, thresholdDen: Int = 2,
       maxBucket: Int = 4096): DataFrame = {
     require(thresholdNum >= 1, "thresholdNum must be >= 1")
-    val cands = lshCandidates(docs, idCol, textCol, shingleN, k, bands, maxBucket)
+    require(thresholdDen >= 1, "thresholdDen must be >= 1")
+    // ONE distinct shingle stream feeds both the MinHash signature (MIN is
+    // duplicate-insensitive, so distinct-first is equivalent) and the
+    // verify joins — identical subtrees let ReuseExchange share the
+    // tokenize + window work instead of recomputing it per consumer
     val stream = shingleStream(docs, idCol, textCol, shingleN).distinct()
+    val hashes = stream.select(col("id"), xxhash64(col("s")).as("h"))
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j"))
+    val sig = hashes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val cands = bandedCandidates(sig, k, bands, maxBucket)
     val sizes = stream.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
     val inter = cands
       .join(stream.select(col("id").as("id_a"), col("s")), "id_a")
@@ -149,10 +172,10 @@ object Dedup {
     * dot products over these are exact integer sums inside the codegen'd
     * DotProduct, so the threshold compare is bit-reproducible in any
     * engine that evaluates the same IEEE expression. */
+  // floor(x*1000) as exact doubles via the native QuantizeMilli
+  // expression — one call per row, not an interpreted lambda per element
   private def quantizeD(e: Column): Column =
-    // Spark floor() yields LONG — cast back to double (exact at this
-    // magnitude) for the codegen'd DotProduct
-    transform(e, x => floor(x.cast("double") * 1000).cast("double"))
+    graft.functions.VectorOps.quantizeMilli(e)
 
   private def dotQ(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b)
@@ -163,7 +186,7 @@ object Dedup {
   private def cosPairs(pairs: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame =
     pairs
       .withColumn("__dot", dotQ(col("__qa"), col("__qb")))
-      .filter(col("__dot") >= 0 &&
+      .filter(col("__na") > 0 && col("__nb") > 0 && col("__dot") >= 0 &&
         lit((thresholdDen.toLong * thresholdDen).toDouble) * col("__dot") * col("__dot") >=
           lit((thresholdNum.toLong * thresholdNum).toDouble) * col("__na") * col("__nb"))
       .select(col("id_a"), col("id_b"),
@@ -175,6 +198,8 @@ object Dedup {
     * use [[embeddingNearDupPairsLsh]] for unbounded corpora. */
   def embeddingNearDupPairs(embeddings: DataFrame, maxId: Long,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    require(thresholdNum >= 0 && thresholdDen >= 1,
+      "cosine threshold must be num >= 0, den >= 1 (the squared predicate loses the sign)")
     val e = embeddings.filter(col("vec_id") < maxId)
       .select(col("vec_id"), quantizeD(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
@@ -193,8 +218,11 @@ object Dedup {
   def embeddingNearDupPairsLsh(embeddings: DataFrame,
       thresholdNum: Int, thresholdDen: Int,
       nbits: Int = 2, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
-    // dim probe tolerates an empty input (output is empty either way)
-    val dim = embeddings.select(size(col("embedding")).as("d"))
+    require(thresholdNum >= 0 && thresholdDen >= 1,
+      "cosine threshold must be num >= 0, den >= 1 (the squared predicate loses the sign)")
+    // dim probe tolerates empty input and null embeddings
+    val dim = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d"))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
     val e = embeddings
       .select(col("vec_id"), col("embedding").as("v"), quantizeD(col("embedding")).as("q"))

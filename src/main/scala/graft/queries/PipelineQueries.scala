@@ -37,7 +37,7 @@ object PipelineQueries {
         FROM r GROUP BY lang ORDER BY lang"""),
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        Dedup.keepFirstByKey(d, "doc_id", substring(col("text"), 1, 40))
+        Dedup.rankByKey(d, "doc_id", substring(col("text"), 1, 40))
           .groupBy(col("lang"))
           .agg(
             sum(when(col("__rn") === 1, 1).otherwise(0)).cast("long").as("kept"),
