@@ -27,14 +27,16 @@ object Similarity {
   private def dotD(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b)
 
-  // cast float→double BEFORE the multiply: float32 multiply rounds
-  // differently than double multiply, and the oracle engine computes in
-  // double — float→double itself is exact
-  private def quantize(e: Column): Column =
-    transform(e, x => floor(x.cast("double") * 1000).cast("long"))
-
-  private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Normed embedding projection shared by every cosine path. Keeps the
+    * float array as-is (DotProduct widens float->double per element,
+    * exactly) and DROPS zero-norm vectors: their cosine is 0/0 = NaN,
+    * and Spark sorts NaN above every real double, so an unguarded zero
+    * vector would win a top-k slot for every query. */
+  private def normedEmb(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+      .filter(col("norm") > 0)
 
   /** Two-phase top-k per query over a scored (q_id, vec_id, score) frame. */
   private def topK(scored: DataFrame, k: Int, salts: Int = 64): DataFrame = {
@@ -52,23 +54,23 @@ object Similarity {
   }
 
   /** Exact top-k by quantized integer dot product (deterministic across
-    * engines — ties broken by vec_id). */
+    * engines — ties broken by vec_id). Quantization and scoring run
+    * through the native QuantizeMilli/DotProduct expressions — values
+    * are integer-valued doubles well below 2^53, so the long cast is
+    * exact and matches the oracle's BIGINT math bit-for-bit. */
   def quantizedDotTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val qz = graft.functions.VectorOps.quantizeMilli(col("embedding"))
     val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("q"))
-    val cands = embeddings.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .select(col("vec_id").as("q_id"), qz.as("q"))
+    val cands = embeddings.select(col("vec_id"), qz.as("v"))
     val scored = cands.join(broadcast(queries), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), dotL(col("q"), col("v")).as("score"))
+      .select(col("q_id"), col("vec_id"), dotD(col("q"), col("v")).cast("long").as("score"))
     topK(scored, k)
   }
 
   /** True cosine brute-force top-k (double precision). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    // keep the float array as-is: DotProduct widens float->double per
-    // element inside codegen (exact), so pre-casting via an interpreted
-    // transform() lambda only added per-element overhead
-    val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+    val emb = normedEmb(embeddings)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q"), col("norm").as("qn"))
     val scored = emb.join(broadcast(queries), col("q_id") =!= col("vec_id"))
@@ -105,25 +107,32 @@ object Similarity {
     // init + iters passes would otherwise re-scan the source each time
     // (kmeans is synchronous — collect() per iteration — so the persist
     // scope is naturally bounded by this call)
-    val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val emb = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic init: k rows spread by hash order
       var centroids: Array[Array[Double]] = emb
         .orderBy(xxhash64(col("vec_id"), lit(seed))).limit(k)
         .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      if (centroids.isEmpty) return Array.empty
       (0 until iters).foreach { _ =>
         val assigned = assignCentroid(emb, centroids)
         val dim = centroids.head.length
+        // DECIMAL accumulation: float-to-decimal conversion is a fixed
+        // rounding and decimal sums are order-independent, so centroids
+        // are bit-identical run-to-run (a double sum buffer combines in
+        // partition order and drifts)
         val sums = assigned
           .groupBy(col("cid"))
           .agg(count(lit(1)).as("n"),
-            (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+            (0 until dim).map(i =>
+              sum(element_at(col("v"), i + 1).cast("decimal(27,10)")).as(s"s$i")): _*)
           .collect()
         sums.foreach { row =>
           val cid = row.getInt(0)
           val n = row.getLong(1).toDouble
-          centroids(cid) = (0 until dim).map(i => row.getDouble(2 + i) / n).toArray
+          centroids(cid) = (0 until dim).map(i => row.getDecimal(2 + i).doubleValue() / n).toArray
         }
       }
       centroids
@@ -154,11 +163,10 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nlist, kmeansIters)
-    // keep the float array as-is: DotProduct widens float->double per
-    // element inside codegen (exact), so pre-casting via an interpreted
-    // transform() lambda only added per-element overhead
-    val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+    val emb = normedEmb(embeddings)
+    if (centroids.isEmpty) // empty input: empty result with the right schema
+      return emb.select(col("vec_id").as("q_id"), lit(1).as("rank"),
+        col("vec_id"), lit(0.0d).as("score"))
     val assigned = assignCentroid(emb, centroids)
     // queries probe their nprobe nearest centroids (same codegen'd
     // ranking expression as assignment)
@@ -182,21 +190,21 @@ object Similarity {
     * recall tunes with fewer bits / more tables. */
   def lshCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
       nbits: Int = 8, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
-    // dim probe tolerates an empty input (output is empty either way)
-    val dim = embeddings.select(size(col("embedding")).as("d"))
+    // dim probe tolerates empty input and null embeddings
+    val dim = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d"))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
-    // keep the float array as-is: DotProduct widens float->double per
-    // element inside codegen (exact), so pre-casting via an interpreted
-    // transform() lambda only added per-element overhead
-    val emb = embeddings.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+    val emb = normedEmb(embeddings)
     val withBuckets = emb.select(col("vec_id"), col("v"), col("norm"),
       posexplode(array((0 until tables).map(t => signBucket(col("v"), t, nbits, dim)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
       // skew guard: a degenerate bucket (e.g. a near-constant embedding
       // corpus collapsing into one sign pattern) would make the candidate
       // join O(bucket²); drop over-cap buckets — the other tables still
-      // cover those queries with high probability
+      // cover those queries with high probability. TUNING: keep
+      // maxBucket a few × corpus/2^nbits (or raise nbits with corpus
+      // growth) — if EVERY bucket exceeds the cap, the result silently
+      // empties, which at scale reads as "no neighbors"
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
       .filter(col("__bsz") <= maxBucket)
       .drop("__bsz")
