@@ -196,7 +196,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     // the write — pin it with a persist for the statement's duration.
     val explicitLower = explicit.map(_.toLowerCase).toSet
     val nutByName = entry.nutColumns.getOrElse(Nil).map(c => c.name.toLowerCase -> c).toMap
-    val needsPin = entry.constraints.nonEmpty ||
+    // summing maintenance re-executes the delta frame after the write —
+    // a nondeterministic source must be pinned for that read too
+    val mayMaintain = catalog.names.exists { n =>
+      catalog.get(n) match {
+        case Some(v: catalog.ViewEntry) => v.strategy.equalsIgnoreCase("summing") &&
+          v.materialized.exists(_.deps.contains(st.table.toLowerCase))
+        case _ => false
+      }
+    }
+    val needsPin = entry.constraints.nonEmpty || mayMaintain ||
       entry.schema.fields.exists(f =>
         !explicitLower.contains(f.name.toLowerCase) && serialSet.contains(f.name.toLowerCase))
     val pinned = if (needsPin)
@@ -262,8 +271,102 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     val partCols = entry.partitionBy.toSeq.collect { case Ident(_, n) => n }
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(path)
     catalog.bumpMutation(st.table) // invalidates dependent materializations
+    maintainSummingViews(st.table, aligned)
     status(s"INSERT INTO ${st.table}")
     } finally if (needsPin) pinned.unpersist(false)
+  }
+
+  // ================== incremental Summing-view maintenance ==================
+
+  /** True when the view body is distributive over a union in `t`'s rows —
+    * the condition under which fold(old ∪ fold(body(delta))) equals a full
+    * recompute. Conservative: plain projections/filters over base
+    * TableEntry sources, glued only by UNION ALL; no joins, DISTINCT,
+    * aggregates, set-distinct ops, LIMIT, CTEs, or subqueries (any of
+    * which can mix delta rows with pre-existing rows non-additively). */
+  private def deltaMergeable(q: Ast.Query): Boolean = q match {
+    case SetOpQuery("union_all", l, r) => deltaMergeable(l) && deltaMergeable(r)
+    case SetOpQuery(_, _, _) => false
+    case qb: QueryBody =>
+      qb.ctes.isEmpty && qb.joins.isEmpty && qb.groupBy.isEmpty &&
+        qb.having.isEmpty && qb.limit.isEmpty && qb.distinct.isEmpty &&
+        (qb.from match {
+          case Some(TableSource(n, _)) =>
+            catalog.get(n).exists(_.isInstanceOf[Catalog#TableEntry])
+          case _ => false
+        }) &&
+        qb.selectList.forall {
+          case SelectItem(Wildcard(_), _) => true
+          case SelectItem(e, _) => !exprBlocksDelta(e)
+        } &&
+        qb.where.forall(!exprBlocksDelta(_))
+  }
+
+  /** Aggregates and subqueries make a select/where expression
+    * non-distributive over row unions. */
+  private def exprBlocksDelta(e: Expr): Boolean = e match {
+    case FnCall(n, args) => FunctionRegistry.isAgg(n) || args.exists(exprBlocksDelta)
+    case SubqueryExpr(_) | InSubquery(_, _, _) | ExistsExpr(_, _) => true
+    case Binary(_, l, r) => exprBlocksDelta(l) || exprBlocksDelta(r)
+    case Unary(_, o) => exprBlocksDelta(o)
+    case CaseExpr(s, bs, el) =>
+      s.exists(exprBlocksDelta) ||
+        bs.exists { case (a, b) => exprBlocksDelta(a) || exprBlocksDelta(b) } ||
+        el.exists(exprBlocksDelta)
+    case BetweenExpr(a, lo, hi, _) =>
+      exprBlocksDelta(a) || exprBlocksDelta(lo) || exprBlocksDelta(hi)
+    case InList(a, items, _) => exprBlocksDelta(a) || items.exists(exprBlocksDelta)
+    case TupleLit(xs) => xs.exists(exprBlocksDelta)
+    case ArrayLit(xs) => xs.exists(exprBlocksDelta)
+    case MapLit(es) => es.exists { case (k, v) => exprBlocksDelta(k) || exprBlocksDelta(v) }
+    case _ => false
+  }
+
+  /** Incremental Summing-view maintenance (SURVEY §7.4 "incremental
+    * later" / VERDICT r3 missing #5): after an INSERT into `table`, a
+    * materialized Summing view whose body is delta-mergeable is updated
+    * by folding ONLY the inserted rows through the view body and merging
+    * them into the existing materialization — O(delta + |view|) instead
+    * of the full O(source) recompute a 100 TB MV cannot afford per
+    * insert. The body is bound with the source name shadowed by the
+    * delta frame (the binder's CTE map takes precedence over the
+    * catalog). Views whose materialization is already stale for any
+    * OTHER reason, or whose body is not delta-mergeable, keep the lazy
+    * invalidate-and-recompute path — correctness never depends on this
+    * fast path. */
+  private def maintainSummingViews(table: String, delta: DataFrame): Unit = {
+    val tKey = table.toLowerCase
+    catalog.names.foreach { name =>
+      catalog.get(name) match {
+        case Some(v: catalog.ViewEntry)
+            if v.strategy.equalsIgnoreCase("summing") && v.materialized.isDefined =>
+          val m = v.materialized.get
+          // fresh-but-for-this-insert: the inserted table is exactly one
+          // bump ahead of the recorded version, everything else matches
+          val applicable = m.deps.contains(tKey) && m.deps.forall { case (t, ver) =>
+            catalog.mutationOf(t) == (if (t == tKey) ver + 1 else ver)
+          }
+          if (applicable && deltaMergeable(v.query)) {
+            // a direct Binder, NOT binder(Nil): that would release the
+            // in-flight insert statement's own caches mid-statement
+            val b = new Binder(spark, catalog, Nil, config)
+            val deltaRows = b.bindQuery(v.query, Map(tKey -> delta))
+            val old = spark.read.schema(m.schema).parquet(m.path)
+            val merged = b.summingFold(v, old.unionByName(b.summingFold(v, deltaRows)))
+            // re-folding widens decimal sum precision — cast back to the
+            // materialization's schema so the delta path and the full
+            // recompute produce identical schemas
+            val stable = merged.select(m.schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+            val newPath = nextVersionPath(name)
+            stable.write.mode("overwrite").parquet(newPath)
+            catalog.putView(name, v.copy(materialized = Some(ViewMaterialization(
+              newPath, m.schema,
+              m.deps.keys.map(t => t -> catalog.mutationOf(t)).toMap))))
+          }
+        case _ => ()
+      }
+    }
   }
 
   /** Bind an expression against a standalone DataFrame (constraint checks). */

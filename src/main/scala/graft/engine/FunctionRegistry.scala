@@ -242,6 +242,30 @@ object FunctionRegistry {
     }
   }
 
+  /** Bind-time return-type hint for the binder's `+`-as-concat decision:
+    * Some(true) for functions that always return a string, Some(false)
+    * for ones that never do, None when the result type depends on the
+    * arguments (coalesce, if, element access, min/max, …) — the binder
+    * falls back to a one-off schema probe only for the None cases, so
+    * the common paths never trigger a driver-side analysis round. */
+  private val stringReturning: Set[String] = Set(
+    "tostring", "lower", "lcase", "upper", "ucase", "concat", "replace",
+    "replaceall", "trim", "trimboth", "ltrim", "trimleft", "rtrim",
+    "trimright", "repeat", "leftpad", "lpad", "rightpad", "rpad",
+    "extract", "left", "right", "format", "substring", "substr",
+    "md5", "sha256", "generateuuidv4", "arrayjoinstring",
+    "arraystringconcat")
+  private val argDependentType: Set[String] = Set(
+    "coalesce", "ifnull", "nullif", "if", "multiif", "greatest", "least",
+    "min", "max", "any", "maxby", "minby", "arrayelement", "tupleelement",
+    "arraymax", "arraymin", "assumenotnull", "reverse")
+  def returnsString(name: String): Option[Boolean] = {
+    val n = name.toLowerCase
+    if (stringReturning.contains(n)) Some(true)
+    else if (argDependentType.contains(n)) None
+    else Some(false)
+  }
+
   /** ClickHouse/DuckDB dateDiff counts UNIT-BOUNDARY crossings, not
     * elapsed intervals: dateDiff('month', Jan 31, Feb 1) = 1. Every unit
     * below uses boundary math (floor of the unit index, subtracted). */

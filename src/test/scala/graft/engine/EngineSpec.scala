@@ -818,17 +818,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!matPlan.contains("HashAggregate"), s"expected materialized scan:\n$matPlan")
     assert(mat.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
       Seq((1, 15L), (2, 20L)))
-    // a source INSERT invalidates: reads recompute and see the new rows
+    // a source INSERT delta-merges (round 4): reads still serve a
+    // materialized parquet scan — no recompute — and see the new rows
     sql("insert into t_mat values (3, 7)")
     val fresh = sql("select k, v from v_mat order by k")
-    assert(fresh.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(!fresh.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "INSERT should delta-merge the materialization, not invalidate it")
     assert(fresh.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
       Seq((1, 15L), (2, 20L), (3, 7L)))
+    // a NON-mergeable mutation (TRUNCATE) invalidates: reads recompute
+    sql("truncate table t_mat")
+    sql("insert into t_mat values (4, 1)")
+    val recomputed = sql("select k, v from v_mat order by k")
+    assert(recomputed.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "TRUNCATE must invalidate the materialization")
+    assert(recomputed.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((4, 1L)))
     // re-OPTIMIZE re-materializes the current state
     sql("optimize table v_mat")
     val again = sql("select k, v from v_mat order by k")
     assert(!again.queryExecution.executedPlan.toString.contains("HashAggregate"))
-    assert(again.collect().length == 3)
+    assert(again.collect().length == 1)
     sql("drop view v_mat")
     sql("drop table t_mat")
   }
