@@ -689,6 +689,17 @@ final class Binder(
 
     if (qb.groupBy.nonEmpty || qb.having.isDefined) {
       val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, "aggregated EXISTS")
+      if (qb.groupBy.isEmpty && qb.having.isDefined && keyPairs.nonEmpty) {
+        // HAVING over an UNGROUPED aggregate: SQL produces exactly one
+        // aggregate row per outer key even when the key's inner set is
+        // EMPTY (count = 0) — a semi join on surviving groups would
+        // wrongly drop those keys, so filter on the left-joined HAVING
+        // flag instead (shared with the expression-position lowering)
+        val flag = ungroupedHavingFlag(qb, innerCtx, keyPairs, ctx)
+        val keep = if (negated) !coalesce(flag, lit(false)) else coalesce(flag, lit(false))
+        ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
+        return
+      }
       val (filtered, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, ctx.ctes)
       val cond =
         if (keyPairs.isEmpty) lit(true)
@@ -745,6 +756,48 @@ final class Binder(
       case None => grouped
     }
     (filtered, keyNames)
+  }
+
+  /** Aggregate names whose value over an EMPTY group is 0, not NULL. */
+  private def isCountFamily(name: String): Boolean = {
+    val n = name.toLowerCase
+    n == "count" || n == "countif" || n == "countunique" || n == "uniqexact" ||
+      n == "countuniqueapprox" || n == "uniq"
+  }
+
+  /** Correlated EXISTS with HAVING over an UNGROUPED aggregate body
+    * (no explicit GROUP BY): SQL evaluates the aggregate once per outer
+    * key — producing a row even for keys with NO inner rows (count = 0,
+    * other aggregates NULL) — and HAVING decides existence. Lowering:
+    * left join the per-key aggregates onto the outer relation and
+    * evaluate HAVING per outer row with count-family aggregates
+    * coalesced to 0 for the missing-group case. Returns the HAVING
+    * column (3-valued; callers coalesce NULL → false). */
+  private def ungroupedHavingFlag(qb: QueryBody, innerCtx: Ctx,
+      keyPairs: Seq[(Expr, Expr)], ctx: Ctx): Column = {
+    val keyNames = keyPairs.indices.map(_ => fresh("ehk"))
+    val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+      bindExpr(ie, innerCtx).as(kn)
+    }
+    val havingExpr = substituteAliases(qb.having.get, qb.selectList)
+    val aggCalls = collectAggs(havingExpr).distinct
+    val aggPairs = aggCalls.map(fc => (fc, fresh("ehagg")))
+    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) } match {
+      case Nil => Seq(count(lit(1)).as(fresh("ehcnt")))
+      case cs => cs
+    }
+    val grouped = innerCtx.rel.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val cond = keyPairs.zip(keyNames).map { case ((_, oe), kn) =>
+      bindExpr(oe, ctx) === grouped(kn)
+    }.reduce(_ && _)
+    ctx.rel = Rel(ctx.rel.df.join(grouped, cond, "left"),
+      ctx.rel.scopes :+ hiddenScope(grouped, grouped.columns.toSeq))
+    val subst: Map[Expr, Column] = aggPairs.map { case (fc, n) =>
+      (fc: Expr) -> (if (isCountFamily(fc.name)) coalesce(grouped(n), lit(0L))
+                     else grouped(n))
+    }.toMap
+    val hCtx = new Ctx(ctx.rel, None, ctx.ctes, subst = subst)
+    bindExpr(havingExpr, hCtx)
   }
 
   /** IN (subquery) → left-semi; NOT IN (subquery) → null-aware anti join
@@ -1022,6 +1075,13 @@ final class Binder(
     if (qb.groupBy.nonEmpty || qb.having.isDefined) {
       val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel,
         "aggregated EXISTS in expression position")
+      if (qb.groupBy.isEmpty && qb.having.isDefined && keyPairs.nonEmpty) {
+        // HAVING over an ungrouped aggregate — see ungroupedHavingFlag:
+        // empty inner sets still produce an aggregate row (count = 0)
+        val h = ungroupedHavingFlag(qb, innerCtx, keyPairs, ctx)
+        val out = coalesce(h, lit(false))
+        return if (negated) !out else out
+      }
       val (filtered, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, ctx.ctes)
       val out: Column =
         if (keyPairs.isEmpty) {
@@ -1130,6 +1190,14 @@ final class Binder(
         val selectExpr = qb.selectList.head.expr
         val aggInSelect = collectAggs(selectExpr).distinct
         val isGrouped = qb.groupBy.nonEmpty || qb.having.isDefined || aggInSelect.nonEmpty
+        // UNGROUPED aggregate body: SQL yields exactly ONE value per outer
+        // key even when the key's inner set is empty (count-family → 0,
+        // others → NULL) — the empty-group branch below must not read as
+        // "empty value set" (VERDICT r4 review)
+        val ungroupedAgg = qb.groupBy.isEmpty && aggInSelect.nonEmpty
+        if (ungroupedAgg && qb.having.isDefined)
+          err("correlated IN with an ungrouped aggregate body and HAVING " +
+            "is unsupported — add a GROUP BY or rewrite as EXISTS")
         // plain body: the (key, value) pair stream is a projection; a
         // grouped body (GROUP BY/HAVING/aggregate select — the common
         // value-set shape `x IN (SELECT sum(..) .. GROUP BY ..)`) groups
@@ -1185,8 +1253,19 @@ final class Binder(
           ctx.rel.df.join(stats, statCond, "left").join(vals, valCond, "left"),
           ctx.rel.scopes ++ Seq(
             hiddenScope(stats, Seq(cnt, hasNull)), hiddenScope(vals, Seq(vn))))
+        // no inner rows for this key: a plain/grouped body has an EMPTY
+        // value set (false); an ungrouped aggregate still has one value —
+        // compare against the re-evaluated all-counts-zero expression, or
+        // yield UNKNOWN when a non-count aggregate makes the value NULL
+        val emptyKeyBranch: Column =
+          if (!ungroupedAgg) lit(false)
+          else if (aggInSelect.forall(fc => isCountFamily(fc.name))) {
+            val zeroCtx = new Ctx(ctx.rel, None, ctx.ctes,
+              subst = aggInSelect.map(fc => (fc: Expr) -> lit(0L)).toMap)
+            lhs === bindExpr(selectExpr, zeroCtx) // NULL lhs stays NULL
+          } else lit(null).cast("boolean")
         when(vals(vn).isNotNull, lit(true))
-          .when(stats(cnt).isNull, lit(false)) // no inner rows for this key
+          .when(stats(cnt).isNull, emptyKeyBranch)
           .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
           .otherwise(lit(false))
     }
@@ -1293,11 +1372,6 @@ final class Binder(
     val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) }
     val grouped = innerCtx.rel.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
 
-    def isCountFamily(name: String): Boolean = {
-      val n = name.toLowerCase
-      n == "count" || n == "countif" || n == "countunique" || n == "uniqexact" ||
-        n == "countuniqueapprox" || n == "uniq"
-    }
     val valName = fresh("cscalar")
     val hasNonCount = aggCalls.exists(fc => !isCountFamily(fc.name))
     val valCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),

@@ -171,14 +171,28 @@ object Similarity {
         // extra small job runs only when an empty cluster exists.
         val empties = present.indices.filterNot(present)
         if (empties.nonEmpty) {
+          // over-fetch so exact-duplicate vectors (which a dedup corpus
+          // has by construction) cannot seed two clusters at the same
+          // spot — each re-seed must differ from every other centroid,
+          // or the effective nlist would still silently shrink
           val far = assigned
             .withColumn("__d",
               array_min(array(centroidRank(centroids): _*)).getField("d")
                 + dotD(col("v"), col("v")))
             .orderBy(col("__d").desc, col("vec_id").asc)
-            .limit(empties.size).collect()
-          empties.zip(far).foreach { case (cid, row) =>
-            next(cid) = row.getSeq[Float](1).map(_.toDouble).toArray
+            .limit(empties.size * 8).collect()
+          val used = scala.collection.mutable.Set.empty[Seq[Double]]
+          present.indices.filter(present).foreach(i => used += next(i).toSeq)
+          var fi = 0
+          empties.foreach { cid =>
+            while (fi < far.length &&
+                used.contains(far(fi).getSeq[Float](1).map(_.toDouble))) fi += 1
+            if (fi < far.length) {
+              val v = far(fi).getSeq[Float](1).map(_.toDouble).toArray
+              next(cid) = v
+              used += v.toSeq
+              fi += 1
+            } // else: fewer distinct vectors than k — keep the stale spot
           }
         }
         // a fixed point (same assignment ⇒ same means) ends the loop

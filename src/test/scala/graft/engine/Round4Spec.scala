@@ -258,6 +258,74 @@ class Round4Spec extends AnyFunSuite with BeforeAndAfterAll {
     sql("drop view t_mv2"); sql("drop table t_mvsrc2")
   }
 
+  test("delta merge over a UNION ALL of TWO tables does not double the other table") {
+    sql("drop view if exists t_mv4")
+    sql("drop table if exists t_mva"); sql("drop table if exists t_mvb")
+    sql("create table t_mva (k Int32, v Int64)")
+    sql("create table t_mvb (k Int32, v Int64)")
+    sql("insert into t_mva values (1, 1)")
+    sql("insert into t_mvb values (1, 100), (2, 200)")
+    sql("""create view t_mv4 update by Summing order by k as
+           select k, v from t_mva union all select k, v from t_mvb""")
+    sql("optimize table t_mv4")
+    // insert into ONE branch: the other branch's rows must be counted once
+    sql("insert into t_mva values (1, 2), (2, 3)")
+    val r = rows("select k, v from t_mv4 order by k").map(x => (x.getInt(0), x.getLong(1)))
+    assert(r == Seq((1, 103L), (2, 203L)), s"B-branch rows double-counted: $r")
+    // and a second insert stays correct (no compounding)
+    sql("insert into t_mvb values (2, 1)")
+    val r2 = rows("select k, v from t_mv4 order by k").map(x => (x.getInt(0), x.getLong(1)))
+    assert(r2 == Seq((1, 103L), (2, 204L)), s"wrong after second insert: $r2")
+    sql("drop view t_mv4"); sql("drop table t_mva"); sql("drop table t_mvb")
+  }
+
+  test("correlated IN over an ungrouped aggregate sees empty groups as one value") {
+    // customers with ZERO orders: the subquery value set is {0}, so
+    // `0 IN (...)` must be TRUE for them (SQL ungrouped-aggregate row)
+    val got = rows(
+      """select count(*) as n from customer
+         where 0 in (select count(*) from orders where o_custkey = c_custkey)""")
+      .head.getLong(0)
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val want = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey")).collect().count(r => !o.contains(r.getLong(0)))
+    assert(got == want, s"customers with zero orders: got $got want $want")
+    // and the complement: NOT IN must exclude exactly those customers
+    val notIn = rows(
+      """select count(*) as n from customer
+         where 0 not in (select count(*) from orders where o_custkey = c_custkey)""")
+      .head.getLong(0)
+    val total = graft.Tables.load(spark, dir, "customer").count()
+    assert(got + notIn == total)
+  }
+
+  test("EXISTS with HAVING over an ungrouped aggregate counts empty sets") {
+    // parts with NO lineitems: count(*) = 0 for them, so HAVING count(*) = 0
+    // makes EXISTS true — both as a WHERE conjunct and under OR
+    val partKeys = graft.Tables.load(spark, dir, "part")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val withLines = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0)).toSet
+    val orphans = (partKeys -- withLines).size.toLong
+    val conjunct = rows(
+      """select count(*) as n from part
+         where exists (select 1 from lineitem where l_partkey = p_partkey
+                       having count(*) = 0)""").head.getLong(0)
+    assert(conjunct == orphans, s"conjunct: got $conjunct want $orphans")
+    val underOr = rows(
+      """select count(*) as n from part
+         where p_partkey >= 9999999
+            or exists (select 1 from lineitem where l_partkey = p_partkey
+                       having count(*) = 0)""").head.getLong(0)
+    assert(underOr == orphans, s"under OR: got $underOr want $orphans")
+    val negated = rows(
+      """select count(*) as n from part
+         where not exists (select 1 from lineitem where l_partkey = p_partkey
+                           having count(*) = 0)""").head.getLong(0)
+    assert(negated == partKeys.size - orphans)
+  }
+
   test("delta merge over a UNION ALL body") {
     sql("drop view if exists t_mv3")
     sql("drop table if exists t_mvsrc3")

@@ -66,6 +66,24 @@ class GateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"duplicate/stale centroids: ${cs.map(_.mkString("[", ",", "]")).mkString(" ")}")
   }
 
+  test("k-means re-seed never installs duplicate centroids on duplicate vectors") {
+    import spark.implicits._
+    // only two DISTINCT vectors across 100 rows, k = 3: re-seeding must
+    // not place two centroids on the same duplicate vector, and must
+    // tolerate having fewer distinct vectors than k without crashing
+    val pts = (0 until 100).map { i =>
+      val v = if (i < 50) Array(1.0f, 2.0f) else Array(-3.0f, -4.0f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cs = Similarity.kmeansCentroids(pts, k = 3, iters = 4)
+    assert(cs.length == 3)
+    val distinct = cs.map(_.toSeq).distinct.length
+    assert(distinct >= 2, s"collapsed to $distinct centroids")
+    // no two re-seeded centroids may coincide unless the corpus forces it
+    // (2 distinct vectors here, so exactly one stale/duplicate is allowed)
+    assert(cs.map(_.toSeq).groupBy(identity).values.map(_.size).max <= 2)
+  }
+
   test("k-means is deterministic across runs (long-quantized accumulation)") {
     val a = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
     val b = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
