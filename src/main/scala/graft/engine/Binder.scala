@@ -381,7 +381,13 @@ final class Binder(
         case l: Long => l
         case other => err(s"$what expects an integer for parameter $$$n, got $other")
       }
-    case other => err(s"$what expects an integer literal or $$n parameter, got $other")
+    case ConfigId(n) => config.get(n) match {
+      case Some(i: Int) => i.toLong
+      case Some(l: Long) => l
+      case Some(other) => err(s"$what expects an integer for @$n, got $other")
+      case None => err(s"unknown config '@$n'")
+    }
+    case other => err(s"$what expects an integer literal, $$n parameter, or @config, got $other")
   }
 
   private def tfnStr(e: Expr, what: String): String = e match {
@@ -392,7 +398,12 @@ final class Binder(
         case s: String => s
         case other => err(s"$what expects a string for parameter $$$n, got $other")
       }
-    case other => err(s"$what expects a string literal or $$n parameter, got $other")
+    case ConfigId(n) => config.get(n) match {
+      case Some(s: String) => s
+      case Some(other) => err(s"$what expects a string for @$n, got $other")
+      case None => err(s"unknown config '@$n'")
+    }
+    case other => err(s"$what expects a string literal, $$n parameter, or @config, got $other")
   }
 
   private def bindTableFn(fn: FnCall): DataFrame = fn.name.toLowerCase match {
@@ -1345,19 +1356,32 @@ final class Binder(
           s"exist): $other")
     }
 
+  /** Correlated scalar subquery decorrelation. Bodies supported:
+    *
+    *  - plain aggregate (`SELECT agg(..) FROM t WHERE t.k = o.k`): group
+    *    the inner side by the correlation keys, left join the 1-row-per-
+    *    key aggregate onto the outer relation. SQL's UNGROUPED aggregate
+    *    produces one row even for keys with NO inner rows — count-family
+    *    expressions re-evaluate with counts = 0 as the no-rows fallback,
+    *    others are NULL. A HAVING clause filters that one row (evaluated
+    *    with zeroed counts for the no-rows case).
+    *  - explicit GROUP BY (+ HAVING): one row per surviving (key, group);
+    *    more than one surviving group per outer key raises at execution
+    *    (SQL scalar-subquery semantics), zero groups yield NULL.
+    *
+    * Only equality correlation is supported; non-equi correlation errors. */
   private def decorrelateScalar(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
       correlated: Seq[Expr], ctx: Ctx): Column = {
     val what = "correlated scalar subquery"
-    if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.limit.isDefined ||
-        qb.distinct.isDefined || qb.ctes.nonEmpty)
-      err(s"$what supports only plain aggregate bodies " +
-        "(no GROUP BY/HAVING/LIMIT/DISTINCT/WITH)")
+    if (qb.limit.isDefined || qb.distinct.isDefined || qb.ctes.nonEmpty)
+      err(s"$what supports aggregate bodies with optional GROUP BY/HAVING " +
+        "(no LIMIT/DISTINCT/WITH)")
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     val valueExpr = qb.selectList.head.expr
-    val aggCalls = collectAggs(valueExpr).distinct
-    if (aggCalls.isEmpty)
-      err(s"$what must select an aggregate (a non-aggregate correlated " +
-        "subquery cannot guarantee a single row per outer row)")
+    val valueAggs = collectAggs(valueExpr).distinct
+    if (valueAggs.isEmpty && qb.groupBy.isEmpty)
+      err(s"$what must select an aggregate or use GROUP BY (a bare " +
+        "correlated subquery cannot guarantee a single row per outer row)")
 
     val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
 
@@ -1368,16 +1392,53 @@ final class Binder(
     val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
       bindExpr(ie, innerCtx).as(kn)
     }
+    val extraPairs = qb.groupBy.filterNot(keyPairs.map(_._1).contains)
+      .map(e => (e, fresh("cg")))
+    val extraCols = extraPairs.map { case (e, nm) => bindExpr(e, innerCtx).as(nm) }
+    val ungrouped = qb.groupBy.isEmpty
+    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+    val aggCalls = (valueAggs ++ havingExpr.toSeq.flatMap(collectAggs)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("cagg")))
-    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) }
-    val grouped = innerCtx.rel.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) } match {
+      case Nil => Seq(count(lit(1)).as(fresh("ccnt")))
+      case cs => cs
+    }
+    val grouped = innerCtx.rel.df.groupBy((keyCols ++ extraCols): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val gCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+      None, ctx.ctes,
+      subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
+        extraPairs.map { case (e, nm) => e -> grouped(nm) }.toMap ++
+        keyPairs.map(_._1).zip(keyNames).map { case (e, kn) => e -> grouped(kn) }.toMap)
 
     val valName = fresh("cscalar")
-    val hasNonCount = aggCalls.exists(fc => !isCountFamily(fc.name))
-    val valCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
-      None, ctx.ctes, subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap)
-    val proj = grouped.select(
-      (keyNames.map(grouped(_)) :+ bindExpr(valueExpr, valCtx).as(valName)): _*)
+    val presentName = fresh("cpresent")
+    val hvName = fresh("chv")
+    val proj: DataFrame =
+      if (ungrouped) {
+        // keep keys-with-rows that FAIL the having distinguishable from
+        // keys with no rows at all: having rides along unfiltered and is
+        // applied in the output expression below
+        grouped.select((keyNames.map(grouped(_)) ++ Seq(
+          lit(true).as(presentName),
+          bindExpr(valueExpr, gCtx).as(valName)) ++
+          havingExpr.map(h => bindExpr(h, gCtx).as(hvName)).toSeq): _*)
+      } else {
+        val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+          .getOrElse(grouped)
+        val p1 = filtered.select(
+          (keyNames.map(grouped(_)) :+ bindExpr(valueExpr, gCtx).as(valName)): _*)
+        // >1 surviving group per outer key is a runtime error (lazy —
+        // raised only if an affected outer row is actually evaluated)
+        val gc = fresh("cgc")
+        p1.groupBy(keyNames.map(col): _*)
+          .agg(min(col(valName)).as(valName), count(lit(1)).as(gc))
+          .select((keyNames.map(col) ++ Seq(
+            when(col(gc) <= 1, col(valName))
+              .otherwise(raise_error(lit(
+                "scalar subquery returned more than one row"))).as(valName),
+            lit(true).as(presentName))): _*)
+      }
 
     // the decorrelated aggregate joins onto ctx.rel.df — in a JOIN ON
     // condition that frame is the LEFT side only, while the scopes may
@@ -1394,19 +1455,31 @@ final class Binder(
       .reduce(_ && _)
     ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
       ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
-    // SQL: a COUNT-family aggregate over an empty correlated group is 0,
-    // not NULL — but the left join leaves valName NULL for outer rows
-    // with no group. When the value is built purely from count-family
-    // aggregates, re-evaluate the expression with every count = 0 and
-    // use that as the no-group fallback (covers expression-wrapped
-    // counts like `count(*) + 1`); any non-count aggregate makes the
-    // whole expression legitimately NULL on empty groups
-    if (!hasNonCount) {
+
+    if (!ungrouped) proj(valName) // zero surviving groups → NULL (SQL)
+    else {
+      // no-rows fallback: re-evaluate with count-family aggregates = 0
+      // and everything else NULL; a HAVING gates both the real row and
+      // the fallback (a failed HAVING means no row → NULL)
       val zeroCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
         None, ctx.ctes,
-        subst = aggPairs.map { case (fc, _) => (fc: Expr) -> lit(0L) }.toMap)
-      coalesce(proj(valName), bindExpr(valueExpr, zeroCtx))
-    } else proj(valName)
+        subst = aggPairs.map { case (fc, _) =>
+          (fc: Expr) -> (if (isCountFamily(fc.name)) lit(0L) else lit(null))
+        }.toMap)
+      val zeroVal = bindExpr(valueExpr, zeroCtx)
+      val fallback = havingExpr match {
+        case Some(h) => when(bindExpr(h, zeroCtx), zeroVal).otherwise(lit(null))
+        case None => zeroVal
+      }
+      havingExpr match {
+        case Some(_) =>
+          when(proj(presentName).isNull, fallback)
+            .when(coalesce(proj(hvName), lit(false)), proj(valName))
+            .otherwise(lit(null))
+        case None =>
+          when(proj(presentName).isNull, fallback).otherwise(proj(valName))
+      }
+    }
   }
 
   private def bindBinary(op: String, l: Expr, r: Expr, ctx: Ctx): Column = {

@@ -117,6 +117,58 @@ object Round4Queries {
         "insert into qe83_t (name) values ('d'), ('e')",
         "select id, name from qe83_t order by id")),
 
+    // ---- EXISTS with HAVING over an UNGROUPED aggregate -----------------
+    // SQL yields one aggregate row per outer key even for keys with NO
+    // inner rows (count = 0), so HAVING COUNT(*) < 5 admits parts with
+    // 0..4 lineitems — including orphans the grouped lowering would drop
+    engineSql("qe85_exists_empty_having",
+      """SELECT p_partkey FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                       HAVING COUNT(*) < 5)
+         ORDER BY p_partkey""",
+      """select p_partkey from part
+         where exists (select 1 from lineitem where l_partkey = p_partkey
+                       having count(*) < 5)
+         order by p_partkey"""),
+
+    // ---- correlated IN over an ungrouped aggregate ----------------------
+    // customers with zero orders: the subquery's value set is {0} for
+    // them (ungrouped COUNT over an empty set), so 0 IN (...) is TRUE
+    engineSql("qe86_in_zero_count",
+      """SELECT c_custkey, c_name FROM customer
+         WHERE 0 IN (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+      """select c_custkey, c_name from customer
+         where 0 in (select count(*) from orders where o_custkey = c_custkey)
+         order by c_custkey"""),
+
+    // ---- correlated scalar subquery with GROUP BY (grouped body) --------
+    // grouping by the correlation key keeps exactly one group per outer
+    // row; customers with no orders get NULL (grouped semantics — no
+    // surviving group, unlike the ungrouped count-as-0 case)
+    engineSql("qe87_corr_scalar_grouped",
+      """SELECT c_custkey,
+                (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey
+                 GROUP BY o_custkey) AS ocnt
+         FROM customer ORDER BY c_custkey""",
+      """select c_custkey,
+                (select count(*) from orders where o_custkey = c_custkey
+                 group by o_custkey) as ocnt
+         from customer order by c_custkey"""),
+
+    // ---- correlated scalar subquery with HAVING over ungrouped agg ------
+    // the one aggregate row exists even for customers with no orders
+    // (count 0), and HAVING filters it — NULL unless count > 5
+    engineSql("qe88_corr_scalar_having",
+      """SELECT c_custkey,
+                (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey
+                 HAVING COUNT(*) > 5) AS big
+         FROM customer ORDER BY c_custkey""",
+      """select c_custkey,
+                (select count(*) from orders where o_custkey = c_custkey
+                 having count(*) > 5) as big
+         from customer order by c_custkey"""),
+
     // ---- incremental Summing-view maintenance ---------------------------
     // the view is materialized ONCE, then two separate inserts land via
     // the delta-merge path (O(delta), no source recompute); the final

@@ -191,6 +191,12 @@ class Round4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(range.getLong(0) == 10)
   }
 
+  test("@config values work in table-function args") {
+    engine.execute("set @lim = 25")
+    val r = engine.execute("select count(*) as n from numbers(@lim)").head()
+    assert(r.getLong(0) == 25)
+  }
+
   test("unbound / mistyped table-fn parameters error cleanly") {
     val e = intercept[GraftException](
       engine.execute("select count(*) as n from numbers($3)", Seq(1)))
@@ -214,6 +220,55 @@ class Round4Spec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = rows("select id from t_ser_ovf order by id").map(_.getInt(0))
     assert(ids == Seq(Int.MaxValue - 1, Int.MaxValue))
     sql("drop table t_ser_ovf")
+  }
+
+  // ---- correlated scalar subqueries: GROUP BY / HAVING bodies --------
+
+  test("correlated scalar with GROUP BY on the correlation key (1 group per key)") {
+    val got = rows(
+      """select c_custkey,
+                (select count(*) from orders where o_custkey = c_custkey
+                 group by o_custkey) as ocnt
+         from customer order by c_custkey limit 20""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val counts = graft.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(20)
+      .collect().map(_.getLong(0))
+      .map(k => (k, counts.getOrElse(k, -1L))).toSeq // grouped: empty → NULL
+    assert(got == want, s"got $got")
+  }
+
+  test("correlated scalar with GROUP BY raises when a key has several groups") {
+    val df = sql(
+      """select c_custkey,
+                (select sum(o_totalprice) from orders where o_custkey = c_custkey
+                 group by o_orderstatus) as s
+         from customer""")
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+  }
+
+  test("correlated scalar with HAVING over an ungrouped aggregate") {
+    val got = rows(
+      """select c_custkey,
+                (select count(*) from orders where o_custkey = c_custkey
+                 having count(*) > 5) as big
+         from customer order by c_custkey limit 30""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val counts = graft.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(30)
+      .collect().map(_.getLong(0))
+      .map { k =>
+        val c = counts.getOrElse(k, 0L) // zero-order keys still have count 0
+        (k, if (c > 5) c else -1L)      // HAVING false → NULL
+      }.toSeq
+    assert(got == want, s"got $got")
   }
 
   // ---- incremental Summing-view maintenance --------------------------
