@@ -741,32 +741,52 @@ final class Binder(
   private def aggExistsGroups(qb: QueryBody, innerCtx: Ctx,
       keyPairs: Seq[(Expr, Expr)],
       ctes: Map[String, DataFrame]): (DataFrame, Seq[String]) = {
-    // group by correlation keys plus any explicit GROUP BY keys not
-    // already among them (AST equality)
-    val corrInner = keyPairs.map(_._1)
-    val extraKeys = qb.groupBy.filterNot(corrInner.contains)
-    val keyNames = keyPairs.indices.map(_ => fresh("ek"))
-    val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
-      bindExpr(ie, innerCtx).as(kn)
-    } ++ extraKeys.map(e => bindExpr(e, innerCtx).as(fresh("eg")))
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
     val aggCalls = havingExpr.toSeq.flatMap(collectAggs).distinct
-    val aggPairs = aggCalls.map(fc => (fc, fresh("eagg")))
-    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) }
-    val pre = innerCtx.rel.df
-    val grouped =
-      if (aggCols.isEmpty) pre.groupBy(keyCols: _*).agg(count(lit(1)).as(fresh("ecnt")))
-      else if (keyCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
-      else pre.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-    val filtered = havingExpr match {
-      case Some(h) =>
-        val hCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
-          None, ctes,
-          subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap)
-        grouped.filter(bindExpr(h, hCtx))
-      case None => grouped
-    }
+    val (grouped, keyNames, _, gCtx) =
+      groupedCorrelated(qb, innerCtx, keyPairs, aggCalls, ctes)
+    val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+      .getOrElse(grouped)
     (filtered, keyNames)
+  }
+
+  /** Core of every grouped correlated-subquery lowering (aggregated
+    * EXISTS, grouped correlated IN, grouped correlated scalar): group
+    * the inner side by (correlation keys ∪ alias-substituted explicit
+    * GROUP BY keys — the ClickHouse GROUP-BY-select-alias form works
+    * here like it does in the main query path), bind `aggCalls`, and
+    * return the grouped frame, the fresh correlation-key column names,
+    * the aggregate-call → name pairs, and a Ctx whose substitutions map
+    * aggregate calls, GROUP BY exprs, and correlation-key exprs onto
+    * the grouped columns. One implementation so the three lowerings
+    * cannot drift (VERDICT r4 review). */
+  private def groupedCorrelated(qb: QueryBody, innerCtx: Ctx,
+      keyPairs: Seq[(Expr, Expr)], aggCalls: Seq[FnCall],
+      ctes: Map[String, DataFrame]): (DataFrame, Seq[String], Seq[(FnCall, String)], Ctx) = {
+    val keyNames = keyPairs.indices.map(_ => fresh("gk"))
+    val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+      bindExpr(ie, innerCtx).as(kn)
+    }
+    val groupExprs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+    val extraPairs = groupExprs.filterNot(keyPairs.map(_._1).contains)
+      .map(e => (e, fresh("gg")))
+    val extraCols = extraPairs.map { case (e, nm) => bindExpr(e, innerCtx).as(nm) }
+    val aggPairs = aggCalls.map(fc => (fc, fresh("gagg")))
+    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) } match {
+      case Nil => Seq(count(lit(1)).as(fresh("gcnt")))
+      case cs => cs
+    }
+    val pre = innerCtx.rel.df
+    val allKeys = keyCols ++ extraCols
+    val grouped =
+      if (allKeys.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
+      else pre.groupBy(allKeys: _*).agg(aggCols.head, aggCols.tail: _*)
+    val gCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+      None, ctes,
+      subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
+        extraPairs.map { case (e, nm) => e -> grouped(nm) }.toMap ++
+        keyPairs.map(_._1).zip(keyNames).map { case (e, kn) => e -> grouped(kn) }.toMap)
+    (grouped, keyNames, aggPairs, gCtx)
   }
 
   /** Aggregate names whose value over an EMPTY group is 0, not NULL. */
@@ -786,18 +806,10 @@ final class Binder(
     * column (3-valued; callers coalesce NULL → false). */
   private def ungroupedHavingFlag(qb: QueryBody, innerCtx: Ctx,
       keyPairs: Seq[(Expr, Expr)], ctx: Ctx): Column = {
-    val keyNames = keyPairs.indices.map(_ => fresh("ehk"))
-    val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
-      bindExpr(ie, innerCtx).as(kn)
-    }
     val havingExpr = substituteAliases(qb.having.get, qb.selectList)
     val aggCalls = collectAggs(havingExpr).distinct
-    val aggPairs = aggCalls.map(fc => (fc, fresh("ehagg")))
-    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) } match {
-      case Nil => Seq(count(lit(1)).as(fresh("ehcnt")))
-      case cs => cs
-    }
-    val grouped = innerCtx.rel.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val (grouped, keyNames, aggPairs, _) =
+      groupedCorrelated(qb, innerCtx, keyPairs, aggCalls, ctx.ctes)
     val cond = keyPairs.zip(keyNames).map { case ((_, oe), kn) =>
       bindExpr(oe, ctx) === grouped(kn)
     }.reduce(_ && _)
@@ -1221,28 +1233,16 @@ final class Binder(
             innerCtx.rel.df.select(
               (keyCols :+ bindExpr(selectExpr, innerCtx).as(n)): _*)
           else {
-            val extraPairs = qb.groupBy.filterNot(keyPairs.map(_._1).contains)
-              .map(e => (e, fresh("ig")))
-            val extraCols = extraPairs.map { case (e, nm) => bindExpr(e, innerCtx).as(nm) }
             val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
             val aggCalls = (aggInSelect ++ havingExpr.toSeq.flatMap(collectAggs)).distinct
-            val aggPairs = aggCalls.map(fc => (fc, fresh("iagg")))
-            val aggCols = aggPairs.map { case (fc, nm) => bindAggCall(fc, innerCtx).as(nm) } match {
-              case Nil => Seq(count(lit(1)).as(fresh("icnt")))
-              case cs => cs
-            }
-            val g = innerCtx.rel.df.groupBy((keyCols ++ extraCols): _*)
-              .agg(aggCols.head, aggCols.tail: _*)
-            val gCtx = new Ctx(Rel(g, Seq(Scope(None, g, g.columns.toSeq))), None, ctx.ctes,
-              subst = aggPairs.map { case (fc, nm) => (fc: Expr) -> g(nm) }.toMap ++
-                extraPairs.map { case (e, nm) => e -> g(nm) }.toMap ++
-                keyPairs.map(_._1).zip(keyNames).map { case (e, kn) => e -> g(kn) }.toMap)
-            val filtered = havingExpr match {
-              case Some(h) => g.filter(bindExpr(h, gCtx))
-              case None => g
-            }
+            val (g, gKeys, _, gCtx) =
+              groupedCorrelated(qb, innerCtx, keyPairs, aggCalls, ctx.ctes)
+            val filtered = havingExpr.map(h => g.filter(bindExpr(h, gCtx))).getOrElse(g)
+            // re-alias the helper's key names to this lowering's own so
+            // the stats/vals machinery below stays branch-agnostic
             filtered.select(
-              (keyNames.map(kn => g(kn)) :+ bindExpr(selectExpr, gCtx).as(n)): _*)
+              (gKeys.zip(keyNames).map { case (gk, ik) => g(gk).as(ik) } :+
+                bindExpr(selectExpr, gCtx).as(n)): _*)
           }
         // stats and vals share pairDf's lineage — re-alias the key columns
         // per frame so the two joins don't carry ambiguous attributes
@@ -1388,32 +1388,16 @@ final class Binder(
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
     applyLocal(local, innerCtx, "correlated scalar subquery")
 
-    val keyNames = keyPairs.indices.map(_ => fresh("ck"))
-    val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
-      bindExpr(ie, innerCtx).as(kn)
-    }
-    val extraPairs = qb.groupBy.filterNot(keyPairs.map(_._1).contains)
-      .map(e => (e, fresh("cg")))
-    val extraCols = extraPairs.map { case (e, nm) => bindExpr(e, innerCtx).as(nm) }
     val ungrouped = qb.groupBy.isEmpty
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
     val aggCalls = (valueAggs ++ havingExpr.toSeq.flatMap(collectAggs)).distinct
-    val aggPairs = aggCalls.map(fc => (fc, fresh("cagg")))
-    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) } match {
-      case Nil => Seq(count(lit(1)).as(fresh("ccnt")))
-      case cs => cs
-    }
-    val grouped = innerCtx.rel.df.groupBy((keyCols ++ extraCols): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-    val gCtx = new Ctx(Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
-      None, ctx.ctes,
-      subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
-        extraPairs.map { case (e, nm) => e -> grouped(nm) }.toMap ++
-        keyPairs.map(_._1).zip(keyNames).map { case (e, kn) => e -> grouped(kn) }.toMap)
+    val (grouped, keyNames, aggPairs, gCtx) =
+      groupedCorrelated(qb, innerCtx, keyPairs, aggCalls, ctx.ctes)
 
     val valName = fresh("cscalar")
     val presentName = fresh("cpresent")
     val hvName = fresh("chv")
+    val gcName = fresh("cgc")
     val proj: DataFrame =
       if (ungrouped) {
         // keep keys-with-rows that FAIL the having distinguishable from
@@ -1428,16 +1412,13 @@ final class Binder(
           .getOrElse(grouped)
         val p1 = filtered.select(
           (keyNames.map(grouped(_)) :+ bindExpr(valueExpr, gCtx).as(valName)): _*)
-        // >1 surviving group per outer key is a runtime error (lazy —
-        // raised only if an affected outer row is actually evaluated)
-        val gc = fresh("cgc")
+        // carry the per-key surviving-group count through the join; the
+        // >1-row raise happens in the OUTPUT expression below, so only
+        // outer rows that actually match an offending key raise (an
+        // eager raise here would fail on keys the outer query filtered
+        // away — SQL evaluates the subquery per outer row)
         p1.groupBy(keyNames.map(col): _*)
-          .agg(min(col(valName)).as(valName), count(lit(1)).as(gc))
-          .select((keyNames.map(col) ++ Seq(
-            when(col(gc) <= 1, col(valName))
-              .otherwise(raise_error(lit(
-                "scalar subquery returned more than one row"))).as(valName),
-            lit(true).as(presentName))): _*)
+          .agg(min(col(valName)).as(valName), count(lit(1)).as(gcName))
       }
 
     // the decorrelated aggregate joins onto ctx.rel.df — in a JOIN ON
@@ -1456,7 +1437,11 @@ final class Binder(
     ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
       ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
 
-    if (!ungrouped) proj(valName) // zero surviving groups → NULL (SQL)
+    if (!ungrouped)
+      // unmatched outer rows: gc is NULL → coalesce 0 → value (NULL).
+      // Matched rows with >1 surviving group raise, per SQL scalar rules
+      when(coalesce(proj(gcName), lit(0L)) <= 1, proj(valName))
+        .otherwise(raise_error(lit("scalar subquery returned more than one row")))
     else {
       // no-rows fallback: re-evaluate with count-family aggregates = 0
       // and everything else NULL; a HAVING gates both the real row and

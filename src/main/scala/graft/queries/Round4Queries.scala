@@ -121,25 +121,35 @@ object Round4Queries {
     // SQL yields one aggregate row per outer key even for keys with NO
     // inner rows (count = 0), so HAVING COUNT(*) < 5 admits parts with
     // 0..4 lineitems — including orphans the grouped lowering would drop
+    // the local quantity filter leaves MANY parts with an EMPTY inner
+    // set, whose ungrouped COUNT row (0) must satisfy the HAVING — a
+    // lowering that drops empty keys returns far fewer rows
     engineSql("qe85_exists_empty_having",
       """SELECT p_partkey FROM part
-         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
-                       HAVING COUNT(*) < 5)
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_partkey = p_partkey AND l_quantity > 49
+                       HAVING COUNT(*) = 0)
          ORDER BY p_partkey""",
       """select p_partkey from part
-         where exists (select 1 from lineitem where l_partkey = p_partkey
-                       having count(*) < 5)
+         where exists (select 1 from lineitem
+                       where l_partkey = p_partkey and l_quantity > 49
+                       having count(*) = 0)
          order by p_partkey"""),
 
     // ---- correlated IN over an ungrouped aggregate ----------------------
     // customers with zero orders: the subquery's value set is {0} for
     // them (ungrouped COUNT over an empty set), so 0 IN (...) is TRUE
+    // customers with NO order above the price floor: their subquery
+    // value set is {0} (ungrouped COUNT over an empty set), so
+    // 0 IN (...) is TRUE — an empty-set-as-no-value lowering misses them
     engineSql("qe86_in_zero_count",
       """SELECT c_custkey, c_name FROM customer
-         WHERE 0 IN (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+         WHERE 0 IN (SELECT COUNT(*) FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 400000)
          ORDER BY c_custkey""",
       """select c_custkey, c_name from customer
-         where 0 in (select count(*) from orders where o_custkey = c_custkey)
+         where 0 in (select count(*) from orders
+                     where o_custkey = c_custkey and o_totalprice > 400000)
          order by c_custkey"""),
 
     // ---- correlated scalar subquery with GROUP BY (grouped body) --------

@@ -251,6 +251,45 @@ class Round4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("more than one row"), e.getMessage)
   }
 
+  test("multi-group raise is lazy: outer rows that avoid the offending key pass") {
+    // pick a customer whose orders all share ONE status, while other
+    // customers have several — SQL evaluates the subquery per outer
+    // row, so restricting the outer query to the single-status customer
+    // must NOT raise even though offending keys exist in the data
+    sql("drop table if exists t_lzout"); sql("drop table if exists t_lzin")
+    sql("create table t_lzout (k Int32)")
+    sql("create table t_lzin (k Int32, g String, v Int64)")
+    sql("insert into t_lzout values (1), (2)")
+    // key 1 has ONE group, key 2 has TWO (the offending key)
+    sql("insert into t_lzin values (1, 'a', 10), (2, 'a', 20), (2, 'b', 30)")
+    val ok = rows(
+      """select k, (select sum(v) from t_lzin where t_lzin.k = t_lzout.k
+                    group by g) as s
+         from t_lzout where k = 1""")
+    assert(ok.size == 1 && ok.head.getLong(1) == 10L)
+    // touching the offending key must still raise (SQL scalar semantics)
+    val e = intercept[Exception](sql(
+      """select k, (select sum(v) from t_lzin where t_lzin.k = t_lzout.k
+                    group by g) as s
+         from t_lzout where k = 2""").collect())
+    assert(e.getMessage.contains("more than one row"))
+    sql("drop table t_lzout"); sql("drop table t_lzin")
+  }
+
+  test("GROUP BY may reference select-list aliases inside subquery bodies") {
+    val got = rows(
+      """select c_custkey from customer
+         where 'O' in (select o_orderstatus as st from orders
+                       where o_custkey = c_custkey group by st)
+         order by c_custkey limit 10""").map(_.getLong(0))
+    val want = rows(
+      """select c_custkey from customer
+         where 'O' in (select o_orderstatus from orders
+                       where o_custkey = c_custkey group by o_orderstatus)
+         order by c_custkey limit 10""").map(_.getLong(0))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("correlated scalar with HAVING over an ungrouped aggregate") {
     val got = rows(
       """select c_custkey,
@@ -335,48 +374,53 @@ class Round4Spec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("correlated IN over an ungrouped aggregate sees empty groups as one value") {
-    // customers with ZERO orders: the subquery value set is {0}, so
-    // `0 IN (...)` must be TRUE for them (SQL ungrouped-aggregate row)
-    val got = rows(
+    // customers with NO order above the floor: the subquery value set is
+    // {0}, so `0 IN (...)` must be TRUE for them (ungrouped-agg row)
+    val q =
       """select count(*) as n from customer
-         where 0 in (select count(*) from orders where o_custkey = c_custkey)""")
-      .head.getLong(0)
+         where 0 %s (select count(*) from orders
+                     where o_custkey = c_custkey and o_totalprice > 300000)"""
+    val got = rows(q.format("in")).head.getLong(0)
     val o = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
       .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
     val want = graft.Tables.load(spark, dir, "customer")
       .select(col("c_custkey")).collect().count(r => !o.contains(r.getLong(0)))
-    assert(got == want, s"customers with zero orders: got $got want $want")
+    assert(want > 0, "fixture vacuous: every customer clears the floor")
+    assert(got == want, s"customers below the floor: got $got want $want")
     // and the complement: NOT IN must exclude exactly those customers
-    val notIn = rows(
-      """select count(*) as n from customer
-         where 0 not in (select count(*) from orders where o_custkey = c_custkey)""")
-      .head.getLong(0)
+    val notIn = rows(q.format("not in")).head.getLong(0)
     val total = graft.Tables.load(spark, dir, "customer").count()
     assert(got + notIn == total)
   }
 
   test("EXISTS with HAVING over an ungrouped aggregate counts empty sets") {
-    // parts with NO lineitems: count(*) = 0 for them, so HAVING count(*) = 0
-    // makes EXISTS true — both as a WHERE conjunct and under OR
+    // parts with NO high-quantity lineitems: count(*) = 0 for them, so
+    // HAVING count(*) = 0 makes EXISTS true — as a conjunct and under OR
     val partKeys = graft.Tables.load(spark, dir, "part")
       .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
     val withLines = graft.Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
       .select(col("l_partkey")).distinct().collect().map(_.getLong(0)).toSet
     val orphans = (partKeys -- withLines).size.toLong
+    assert(orphans > 0, "fixture vacuous: every part has a high-qty line")
     val conjunct = rows(
       """select count(*) as n from part
-         where exists (select 1 from lineitem where l_partkey = p_partkey
+         where exists (select 1 from lineitem
+                       where l_partkey = p_partkey and l_quantity > 45
                        having count(*) = 0)""").head.getLong(0)
     assert(conjunct == orphans, s"conjunct: got $conjunct want $orphans")
     val underOr = rows(
       """select count(*) as n from part
          where p_partkey >= 9999999
-            or exists (select 1 from lineitem where l_partkey = p_partkey
+            or exists (select 1 from lineitem
+                       where l_partkey = p_partkey and l_quantity > 45
                        having count(*) = 0)""").head.getLong(0)
     assert(underOr == orphans, s"under OR: got $underOr want $orphans")
     val negated = rows(
       """select count(*) as n from part
-         where not exists (select 1 from lineitem where l_partkey = p_partkey
+         where not exists (select 1 from lineitem
+                           where l_partkey = p_partkey and l_quantity > 45
                            having count(*) = 0)""").head.getLong(0)
     assert(negated == partKeys.size - orphans)
   }
