@@ -741,28 +741,30 @@ final class Binder(
   private def aggExistsGroups(qb: QueryBody, innerCtx: Ctx,
       keyPairs: Seq[(Expr, Expr)],
       ctes: Map[String, DataFrame]): (DataFrame, Seq[String]) = {
-    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
-    val aggCalls = havingExpr.toSeq.flatMap(collectAggs).distinct
-    val (grouped, keyNames, _, gCtx) =
-      groupedCorrelated(qb, innerCtx, keyPairs, aggCalls, ctes)
-    val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
-      .getOrElse(grouped)
-    (filtered, keyNames)
+    val gs = groupedCorrelated(qb, innerCtx, keyPairs, Nil, ctes)
+    (gs.filtered, gs.keyNames)
   }
+
+  /** Result of [[groupedCorrelated]]: the grouped frame before and after
+    * the HAVING filter, the fresh correlation-key column names, the
+    * aggregate-call → column-name pairs, the binding context whose
+    * substitutions map aggregate calls / GROUP BY exprs / correlation
+    * keys onto the grouped columns, and the alias-substituted HAVING. */
+  private final case class GroupedSub(grouped: DataFrame, filtered: DataFrame,
+      keyNames: Seq[String], aggPairs: Seq[(FnCall, String)], gCtx: Ctx,
+      having: Option[Expr])
 
   /** Core of every grouped correlated-subquery lowering (aggregated
     * EXISTS, grouped correlated IN, grouped correlated scalar): group
     * the inner side by (correlation keys ∪ alias-substituted explicit
     * GROUP BY keys — the ClickHouse GROUP-BY-select-alias form works
-    * here like it does in the main query path), bind `aggCalls`, and
-    * return the grouped frame, the fresh correlation-key column names,
-    * the aggregate-call → name pairs, and a Ctx whose substitutions map
-    * aggregate calls, GROUP BY exprs, and correlation-key exprs onto
-    * the grouped columns. One implementation so the three lowerings
-    * cannot drift (VERDICT r4 review). */
+    * here like it does in the main query path), bind `selectAggs` plus
+    * the HAVING's aggregates, and apply the HAVING filter. One
+    * implementation — including the HAVING handling — so the three
+    * lowerings cannot drift (VERDICT r4 review). */
   private def groupedCorrelated(qb: QueryBody, innerCtx: Ctx,
-      keyPairs: Seq[(Expr, Expr)], aggCalls: Seq[FnCall],
-      ctes: Map[String, DataFrame]): (DataFrame, Seq[String], Seq[(FnCall, String)], Ctx) = {
+      keyPairs: Seq[(Expr, Expr)], selectAggs: Seq[FnCall],
+      ctes: Map[String, DataFrame]): GroupedSub = {
     val keyNames = keyPairs.indices.map(_ => fresh("gk"))
     val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
       bindExpr(ie, innerCtx).as(kn)
@@ -771,6 +773,8 @@ final class Binder(
     val extraPairs = groupExprs.filterNot(keyPairs.map(_._1).contains)
       .map(e => (e, fresh("gg")))
     val extraCols = extraPairs.map { case (e, nm) => bindExpr(e, innerCtx).as(nm) }
+    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+    val aggCalls = (selectAggs ++ havingExpr.toSeq.flatMap(collectAggs)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("gagg")))
     val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, innerCtx).as(n) } match {
       case Nil => Seq(count(lit(1)).as(fresh("gcnt")))
@@ -786,7 +790,9 @@ final class Binder(
       subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
         extraPairs.map { case (e, nm) => e -> grouped(nm) }.toMap ++
         keyPairs.map(_._1).zip(keyNames).map { case (e, kn) => e -> grouped(kn) }.toMap)
-    (grouped, keyNames, aggPairs, gCtx)
+    val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+      .getOrElse(grouped)
+    GroupedSub(grouped, filtered, keyNames, aggPairs, gCtx, havingExpr)
   }
 
   /** Aggregate names whose value over an EMPTY group is 0, not NULL. */
@@ -806,21 +812,19 @@ final class Binder(
     * column (3-valued; callers coalesce NULL → false). */
   private def ungroupedHavingFlag(qb: QueryBody, innerCtx: Ctx,
       keyPairs: Seq[(Expr, Expr)], ctx: Ctx): Column = {
-    val havingExpr = substituteAliases(qb.having.get, qb.selectList)
-    val aggCalls = collectAggs(havingExpr).distinct
-    val (grouped, keyNames, aggPairs, _) =
-      groupedCorrelated(qb, innerCtx, keyPairs, aggCalls, ctx.ctes)
-    val cond = keyPairs.zip(keyNames).map { case ((_, oe), kn) =>
+    val gs = groupedCorrelated(qb, innerCtx, keyPairs, Nil, ctx.ctes)
+    val grouped = gs.grouped // pre-HAVING: the filter is re-applied per outer row
+    val cond = keyPairs.zip(gs.keyNames).map { case ((_, oe), kn) =>
       bindExpr(oe, ctx) === grouped(kn)
     }.reduce(_ && _)
     ctx.rel = Rel(ctx.rel.df.join(grouped, cond, "left"),
       ctx.rel.scopes :+ hiddenScope(grouped, grouped.columns.toSeq))
-    val subst: Map[Expr, Column] = aggPairs.map { case (fc, n) =>
+    val subst: Map[Expr, Column] = gs.aggPairs.map { case (fc, n) =>
       (fc: Expr) -> (if (isCountFamily(fc.name)) coalesce(grouped(n), lit(0L))
                      else grouped(n))
     }.toMap
     val hCtx = new Ctx(ctx.rel, None, ctx.ctes, subst = subst)
-    bindExpr(havingExpr, hCtx)
+    bindExpr(gs.having.get, hCtx)
   }
 
   /** IN (subquery) → left-semi; NOT IN (subquery) → null-aware anti join
@@ -1207,9 +1211,6 @@ final class Binder(
         val innerCtx = new Ctx(innerRel, None, ctx.ctes)
         applyLocal(local, innerCtx, "correlated IN subquery")
         val keyNames = keyPairs.indices.map(_ => fresh("ik"))
-        val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
-          bindExpr(ie, innerCtx).as(kn)
-        }
         val selectExpr = qb.selectList.head.expr
         val aggInSelect = collectAggs(selectExpr).distinct
         val isGrouped = qb.groupBy.nonEmpty || qb.having.isDefined || aggInSelect.nonEmpty
@@ -1229,20 +1230,19 @@ final class Binder(
         // (VERDICT r3 ask #8). Plain DISTINCT needs no handling at all:
         // IN is set membership and `vals` below is already distinct.
         val pairDf =
-          if (!isGrouped)
+          if (!isGrouped) {
+            val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+              bindExpr(ie, innerCtx).as(kn)
+            }
             innerCtx.rel.df.select(
               (keyCols :+ bindExpr(selectExpr, innerCtx).as(n)): _*)
-          else {
-            val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
-            val aggCalls = (aggInSelect ++ havingExpr.toSeq.flatMap(collectAggs)).distinct
-            val (g, gKeys, _, gCtx) =
-              groupedCorrelated(qb, innerCtx, keyPairs, aggCalls, ctx.ctes)
-            val filtered = havingExpr.map(h => g.filter(bindExpr(h, gCtx))).getOrElse(g)
+          } else {
+            val gs = groupedCorrelated(qb, innerCtx, keyPairs, aggInSelect, ctx.ctes)
             // re-alias the helper's key names to this lowering's own so
             // the stats/vals machinery below stays branch-agnostic
-            filtered.select(
-              (gKeys.zip(keyNames).map { case (gk, ik) => g(gk).as(ik) } :+
-                bindExpr(selectExpr, gCtx).as(n)): _*)
+            gs.filtered.select(
+              (gs.keyNames.zip(keyNames).map { case (gk, ik) => gs.grouped(gk).as(ik) } :+
+                bindExpr(selectExpr, gs.gCtx).as(n)): _*)
           }
         // stats and vals share pairDf's lineage — re-alias the key columns
         // per frame so the two joins don't carry ambiguous attributes
@@ -1389,10 +1389,8 @@ final class Binder(
     applyLocal(local, innerCtx, "correlated scalar subquery")
 
     val ungrouped = qb.groupBy.isEmpty
-    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
-    val aggCalls = (valueAggs ++ havingExpr.toSeq.flatMap(collectAggs)).distinct
-    val (grouped, keyNames, aggPairs, gCtx) =
-      groupedCorrelated(qb, innerCtx, keyPairs, aggCalls, ctx.ctes)
+    val gs = groupedCorrelated(qb, innerCtx, keyPairs, valueAggs, ctx.ctes)
+    val GroupedSub(grouped, _, keyNames, aggPairs, gCtx, havingExpr) = gs
 
     val valName = fresh("cscalar")
     val presentName = fresh("cpresent")
@@ -1408,9 +1406,7 @@ final class Binder(
           bindExpr(valueExpr, gCtx).as(valName)) ++
           havingExpr.map(h => bindExpr(h, gCtx).as(hvName)).toSeq): _*)
       } else {
-        val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
-          .getOrElse(grouped)
-        val p1 = filtered.select(
+        val p1 = gs.filtered.select(
           (keyNames.map(grouped(_)) :+ bindExpr(valueExpr, gCtx).as(valName)): _*)
         // carry the per-key surviving-group count through the join; the
         // >1-row raise happens in the OUTPUT expression below, so only

@@ -118,9 +118,6 @@ object Round4Queries {
         "select id, name from qe83_t order by id")),
 
     // ---- EXISTS with HAVING over an UNGROUPED aggregate -----------------
-    // SQL yields one aggregate row per outer key even for keys with NO
-    // inner rows (count = 0), so HAVING COUNT(*) < 5 admits parts with
-    // 0..4 lineitems — including orphans the grouped lowering would drop
     // the local quantity filter leaves MANY parts with an EMPTY inner
     // set, whose ungrouped COUNT row (0) must satisfy the HAVING — a
     // lowering that drops empty keys returns far fewer rows
@@ -137,8 +134,6 @@ object Round4Queries {
          order by p_partkey"""),
 
     // ---- correlated IN over an ungrouped aggregate ----------------------
-    // customers with zero orders: the subquery's value set is {0} for
-    // them (ungrouped COUNT over an empty set), so 0 IN (...) is TRUE
     // customers with NO order above the price floor: their subquery
     // value set is {0} (ungrouped COUNT over an empty set), so
     // 0 IN (...) is TRUE — an empty-set-as-no-value lowering misses them
@@ -178,6 +173,19 @@ object Round4Queries {
                 (select count(*) from orders where o_custkey = c_custkey
                  having count(*) > 5) as big
          from customer order by c_custkey"""),
+
+    // ---- GROUP BY select-alias inside a correlated subquery body --------
+    // ClickHouse-style alias grouping (GROUP BY st where st is a select
+    // alias), checked against DuckDB's identical alias support
+    engineSql("qe89_in_group_alias",
+      """SELECT c_custkey FROM customer
+         WHERE 'O' IN (SELECT o_orderstatus AS st FROM orders
+                       WHERE o_custkey = c_custkey GROUP BY st)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where 'O' in (select o_orderstatus as st from orders
+                       where o_custkey = c_custkey group by st)
+         order by c_custkey"""),
 
     // ---- incremental Summing-view maintenance ---------------------------
     // the view is materialized ONCE, then two separate inserts land via
