@@ -166,6 +166,46 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---- content-defined chunking (rolling-hash fingerprints) ----
+
+  /** Per-doc content-defined chunk fingerprints as (id, chunk-hash) rows:
+    * the rolling-hash boundaries (see [[graft.functions.Cdc]]) cut each
+    * document into ~2^maskBits-byte chunks whose hashes survive edits
+    * elsewhere in the document — insertions re-synchronize within one
+    * window. Distinct per doc (shared-passage detection is set-based). */
+  def chunkStream(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, maskBits: Int = 6, minSize: Int = 16): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.ChunkFingerprints(
+          col(textCol), window, maskBits, minSize)).as("chunk"))
+      .distinct()
+
+  /** Document pairs sharing at least `minShared` content-defined chunks —
+    * the chunk-level analogue of the MinHash pipeline, catching long
+    * VERBATIM passages (boilerplate, quotations, near-full duplication)
+    * across otherwise-edited documents. Same scale shape as every other
+    * dedup operator here: explode → capped bucket self-equijoin on the
+    * chunk hash → pair aggregation; never an all-pairs join. Over-cap
+    * chunk buckets (boilerplate shared by everything — a stop-chunk) are
+    * dropped before the join. */
+  def sharedChunkPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, maskBits: Int = 6, minSize: Int = 16,
+      minShared: Int = 2, maxBucket: Int = 4096): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val chunks = chunkStream(docs, idCol, textCol, window, maskBits, minSize)
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("chunk"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val left = chunks.select(col("id").as("id_a"), col("chunk"))
+    val right = chunks.select(col("id").as("id_b"), col("chunk"))
+    left.join(right, Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- embedding-cosine near-duplicates ----
 
   /** Integer-valued quantization (floor(x·1000) kept as exact doubles) —

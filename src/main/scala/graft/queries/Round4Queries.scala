@@ -208,6 +208,44 @@ object Round4Queries {
         "insert into qe84_t values (1, 1)",
         "select k, v from qe84_v order by k")),
 
+    // ---- content-defined chunking: shared-passage pairs -----------------
+    // rows-only (the rolling/FNV chunk hashes are engine-native, like
+    // SimHash's xxhash64) — shift-resilience and planted-passage recall
+    // are spec-proven in CdcSpec
+    QueryDef("qp61_cdc_shared_chunks",
+      None,
+      (s, dir) => graft.pipeline.Dedup.sharedChunkPairs(
+        graft.Tables.load(s, dir, "documents"), "doc_id", "text",
+        window = 32, maskBits = 6, minSize = 16, minShared = 2)),
+
+    // ---- quality ratios: punctuation / digits / stopwords ---------------
+    // integer counts + a 1e4-scaled integer ratio keep the comparison
+    // exact across engines (no float division in the hashed output)
+    QueryDef("qp62_quality_punct",
+      Some("""SELECT doc_id,
+                CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS punct_chars,
+                CAST(length(regexp_replace(text, '[^\p{N}]', '', 'g')) AS BIGINT) AS digit_chars,
+                CAST(length(text) AS BIGINT) AS total_chars,
+                CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                     ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS stop_hits,
+                CAST(floor(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 10000.0
+                     / length(text)) AS BIGINT) AS punct_ratio_bp
+              FROM documents WHERE doc_id < 100 ORDER BY doc_id"""),
+      (s, dir) => {
+        val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", ""))
+        val digits = length(regexp_replace(col("text"), "[^\\p{N}]", ""))
+        val toks = array_distinct(split(trim(lower(col("text"))), "\\s+"))
+        graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            punct.cast("long").as("punct_chars"),
+            digits.cast("long").as("digit_chars"),
+            length(col("text")).cast("long").as("total_chars"),
+            graft.pipeline.TextOps.stopwordHits(toks, "en").cast("long").as("stop_hits"),
+            floor(punct * 10000.0 / length(col("text"))).cast("long").as("punct_ratio_bp"))
+          .orderBy(col("doc_id"))
+      }),
+
     // ---- Structured Streaming: tumbling-window type counts --------------
     // readStream over the events fixture → windowedTypeCounts →
     // memory sink (Complete mode — every finalized window), AvailableNow
