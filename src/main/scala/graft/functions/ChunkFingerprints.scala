@@ -71,6 +71,14 @@ object Cdc {
 case class ChunkFingerprints(child: Expression, window: Int, maskBits: Int, minSize: Int)
     extends UnaryExpression {
 
+  // degenerate parameters fail at PLAN time, not per row: maskBits >= 63
+  // makes the mask 0 (JVM shift mod 64) so every byte is a boundary,
+  // window <= 0 cancels each byte's contribution immediately (or reads
+  // out of bounds), minSize < 1 emits empty chunks
+  require(window >= 1 && window <= 4096, s"window must be in [1, 4096], got $window")
+  require(maskBits >= 1 && maskBits <= 62, s"maskBits must be in [1, 62], got $maskBits")
+  require(minSize >= 1, s"minSize must be >= 1, got $minSize")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -18,6 +18,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Skew guard shared by every bucketed operator (MinHash bands,
+    * SimHash chunks, CDC chunk hashes, embedding sign buckets): drop
+    * buckets larger than `maxBucket` BEFORE a self-join makes them
+    * O(bucket²). The window count rides the same shuffle the join
+    * needs — no extra pass. */
+  private[pipeline] def cappedBuckets(df: DataFrame, keys: Seq[Column],
+      maxBucket: Int): DataFrame =
+    df.withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+
   /** Per-group exact-duplicate stats via content hash (md5 — engine
     * portable). */
   def exactStats(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
@@ -113,10 +124,7 @@ object Dedup {
     val banded = sig
       .select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-    val capped = banded
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val capped = cappedBuckets(banded, Seq(col("band"), col("bh")), maxBucket)
     val left = capped.select(col("id").as("id_a"), col("band"), col("bh"))
     val right = capped.select(col("id").as("id_b"), col("band"), col("bh"))
     left.join(right, Seq("band", "bh"))
@@ -192,10 +200,9 @@ object Dedup {
       window: Int = 32, maskBits: Int = 6, minSize: Int = 16,
       minShared: Int = 2, maxBucket: Int = 4096): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val chunks = chunkStream(docs, idCol, textCol, window, maskBits, minSize)
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("chunk"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val chunks = cappedBuckets(
+      chunkStream(docs, idCol, textCol, window, maskBits, minSize),
+      Seq(col("chunk")), maxBucket)
     val left = chunks.select(col("id").as("id_a"), col("chunk"))
     val right = chunks.select(col("id").as("id_b"), col("chunk"))
     left.join(right, Seq("chunk"))
@@ -277,13 +284,12 @@ object Dedup {
     val e = embeddings
       .select(col("vec_id"), col("embedding").as("v"), quantizeD(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
-    val withBuckets = e.select(col("vec_id"), col("q"), col("n2"),
-      posexplode(array((0 until tables).map(t =>
-        Similarity.signBucket(col("v"), t, nbits, dim)): _*)))
-      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val withBuckets = cappedBuckets(
+      e.select(col("vec_id"), col("q"), col("n2"),
+        posexplode(array((0 until tables).map(t =>
+          Similarity.signBucket(col("v"), t, nbits, dim)): _*)))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket")),
+      Seq(col("tbl"), col("bucket")), maxBucket)
     val a = withBuckets.select(col("vec_id").as("id_a"), col("q").as("__qa"),
       col("n2").as("__na"), col("tbl"), col("bucket"))
     val b = withBuckets.select(col("vec_id").as("id_b"), col("q").as("__qb"),
@@ -321,14 +327,11 @@ object Dedup {
     val hashed = simhashWide(docs, idCol, textCol)
     val chunkCols = (0 until 8).map(i =>
       shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL))
-    val chunked = hashed.select(col("id"), col("simhash"),
-      posexplode(array(chunkCols: _*)))
-      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "cv"))
-      // same skew guard as lshCandidates: an over-cap chunk bucket (mass
-      // exact duplicates) would be O(bucket²) in the self-join below
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("chunk"), col("cv"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val chunked = cappedBuckets(
+      hashed.select(col("id"), col("simhash"),
+        posexplode(array(chunkCols: _*)))
+        .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "cv")),
+      Seq(col("chunk"), col("cv")), maxBucket)
     val left = chunked.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("cv"))
     val right = chunked.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("cv"))
     // filter on hamming BEFORE distinct: same-domain corpora produce very

@@ -262,19 +262,18 @@ object Similarity {
       .select(size(col("embedding")).as("d"))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
     val emb = normedEmb(embeddings)
-    val withBuckets = emb.select(col("vec_id"), col("v"), col("norm"),
-      posexplode(array((0 until tables).map(t => signBucket(col("v"), t, nbits, dim)): _*)))
-      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
-      // skew guard: a degenerate bucket (e.g. a near-constant embedding
-      // corpus collapsing into one sign pattern) would make the candidate
-      // join O(bucket²); drop over-cap buckets — the other tables still
-      // cover those queries with high probability. TUNING: keep
-      // maxBucket a few × corpus/2^nbits (or raise nbits with corpus
-      // growth) — if EVERY bucket exceeds the cap, the result silently
-      // empties, which at scale reads as "no neighbors"
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    // skew guard (shared Dedup.cappedBuckets): a degenerate bucket (e.g.
+    // a near-constant embedding corpus collapsing into one sign pattern)
+    // would make the candidate join O(bucket²); drop over-cap buckets —
+    // the other tables still cover those queries with high probability.
+    // TUNING: keep maxBucket a few × corpus/2^nbits (or raise nbits with
+    // corpus growth) — if EVERY bucket exceeds the cap, the result
+    // silently empties, which at scale reads as "no neighbors"
+    val withBuckets = Dedup.cappedBuckets(
+      emb.select(col("vec_id"), col("v"), col("norm"),
+        posexplode(array((0 until tables).map(t => signBucket(col("v"), t, nbits, dim)): _*)))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket")),
+      Seq(col("tbl"), col("bucket")), maxBucket)
     val queries = withBuckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q"),
         col("norm").as("qn"), col("tbl"), col("bucket"))

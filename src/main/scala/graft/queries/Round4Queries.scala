@@ -221,18 +221,23 @@ object Round4Queries {
     // ---- quality ratios: punctuation / digits / stopwords ---------------
     // integer counts + a 1e4-scaled integer ratio keep the comparison
     // exact across engines (no float division in the hashed output)
+    // the whitespace class is spelled out instead of \s: Java's \s
+    // includes vertical tab, RE2's (DuckDB) does not — an enumerated
+    // class means both engines strip exactly the same characters. The
+    // ratio NULLs on empty text on both sides (DuckDB float division by
+    // zero is NULL, so Spark mirrors it with an explicit guard).
     QueryDef("qp62_quality_punct",
       Some("""SELECT doc_id,
-                CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS punct_chars,
+                CAST(length(regexp_replace(text, '[\p{L}\p{N} \t\n\r\f\x0B]', '', 'g')) AS BIGINT) AS punct_chars,
                 CAST(length(regexp_replace(text, '[^\p{N}]', '', 'g')) AS BIGINT) AS digit_chars,
                 CAST(length(text) AS BIGINT) AS total_chars,
                 CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
                      ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS stop_hits,
-                CAST(floor(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 10000.0
+                CAST(floor(length(regexp_replace(text, '[\p{L}\p{N} \t\n\r\f\x0B]', '', 'g')) * 10000.0
                      / length(text)) AS BIGINT) AS punct_ratio_bp
               FROM documents WHERE doc_id < 100 ORDER BY doc_id"""),
       (s, dir) => {
-        val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", ""))
+        val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N} \\t\\n\\r\\f\\x0B]", ""))
         val digits = length(regexp_replace(col("text"), "[^\\p{N}]", ""))
         val toks = array_distinct(split(trim(lower(col("text"))), "\\s+"))
         graft.Tables.load(s, dir, "documents")
@@ -242,7 +247,9 @@ object Round4Queries {
             digits.cast("long").as("digit_chars"),
             length(col("text")).cast("long").as("total_chars"),
             graft.pipeline.TextOps.stopwordHits(toks, "en").cast("long").as("stop_hits"),
-            floor(punct * 10000.0 / length(col("text"))).cast("long").as("punct_ratio_bp"))
+            when(length(col("text")) > 0,
+              floor(punct * 10000.0 / length(col("text"))))
+              .cast("long").as("punct_ratio_bp"))
           .orderBy(col("doc_id"))
       }),
 

@@ -68,7 +68,7 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unrelated doc paired: $pairs")
   }
 
-  test("chunking is deterministic and total bytes are preserved by boundaries") {
+  test("chunking is deterministic across runs on the documents fixture") {
     val d = graft.Tables.load(spark, dir, "documents").limit(50)
     val a = Dedup.chunkStream(d, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
