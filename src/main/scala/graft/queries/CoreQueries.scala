@@ -186,12 +186,16 @@ object CoreQueries {
     // ---- q09: left-anti join (NOT EXISTS) -------------------------------
     QueryDef(
       "q09_join_left_anti",
+      // the price floor keeps the fixture NON-vacuous: every customer
+      // has some order at sf0.01+, but a measurable set has none this
+      // large — an anti join that dropped nothing would fail the oracle
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 250000)
         ORDER BY c_custkey"""),
       (s, dir) => {
         val c = t(s, dir, "customer")
-        val o = t(s, dir, "orders")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
           .orderBy(col("c_custkey"))
@@ -381,13 +385,17 @@ object CoreQueries {
 
     QueryDef(
       "q19_except",
-      Some("""SELECT c_nationkey AS nk FROM customer
-        EXCEPT SELECT s_nationkey AS nk FROM supplier
-        ORDER BY nk"""),
+      // order-placing custkeys minus positive-balance custkeys — a
+      // NON-empty difference at every SF (nationkey EXCEPT nationkey was
+      // vacuously empty: suppliers span all 25 nations)
+      Some("""SELECT o_custkey AS k FROM orders
+        EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+        ORDER BY k"""),
       (s, dir) =>
-        t(s, dir, "customer").select(col("c_nationkey").as("nk"))
-          .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
-          .orderBy(col("nk"))),
+        t(s, dir, "orders").select(col("o_custkey").as("k"))
+          .except(t(s, dir, "customer").filter(col("c_acctbal") > 0)
+            .select(col("c_custkey").as("k")))
+          .orderBy(col("k"))),
 
     // ---- q20: DISTINCT ---------------------------------------------------
     QueryDef(

@@ -113,8 +113,11 @@ object CoreQueries2 {
     // ---- q26: uncorrelated scalar subquery ------------------------------
     QueryDef(
       "q26_scalar_subquery",
+      // 1.5×avg, not 2×avg: totalprice is uniform-ish below 2×avg in the
+      // fixture, so the old threshold matched ZERO rows — a scalar
+      // lowering that always compared against NULL would have passed
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.5 * (
           SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)
           FROM orders)
         ORDER BY o_orderkey"""),
@@ -123,7 +126,7 @@ object CoreQueries2 {
         val avgDf = o.agg(
           (sum(d2(col("o_totalprice"))).cast("double") / count(lit(1))).cast("double").as("avg_price"))
         o.join(broadcast(avgDf))
-          .filter(col("o_totalprice") > lit(2) * col("avg_price"))
+          .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
           .select(col("o_orderkey"), col("o_totalprice"))
           .orderBy(col("o_orderkey"))
       }),
@@ -158,12 +161,17 @@ object CoreQueries2 {
     // ---- q29: NOT IN (subquery) → left-anti (keys are non-null) ---------
     QueryDef(
       "q29_not_in_subquery",
+      // the nationkey bound keeps the excluded set a strict subset of the
+      // nations at every SF (negative-balance customers alone span all 25
+      // nations at sf0.1, which made the old result vacuously empty)
       Some("""SELECT s_suppkey, s_name FROM supplier
-        WHERE s_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+        WHERE s_nationkey NOT IN (SELECT c_nationkey FROM customer
+                                  WHERE c_acctbal < 0 AND c_nationkey < 7)
         ORDER BY s_suppkey"""),
       (s, dir) => {
         val sp = t(s, dir, "supplier")
-        val c = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        val c = t(s, dir, "customer")
+          .filter(col("c_acctbal") < 0 && col("c_nationkey") < 7)
         sp.join(c, sp("s_nationkey") === c("c_nationkey"), "left_anti")
           .select(col("s_suppkey"), col("s_name"))
           .orderBy(col("s_suppkey"))

@@ -111,7 +111,8 @@ object EngineQueries {
 
     viaEngine("q09_join_left_anti", """
       select c_custkey, c_name, c_acctbal from customer
-      where not exists (select 1 from orders where o_custkey = c_custkey)
+      where not exists (select 1 from orders
+                        where o_custkey = c_custkey and o_totalprice > 250000)
       order by c_custkey"""),
 
     // RIGHT SEMI: rows of the right side having a match — swapped into
@@ -186,10 +187,10 @@ object EngineQueries {
       order by nk"""),
 
     viaEngine("q19_except", """
-      select nk from (
-        select c_nationkey as nk from customer
-        except select s_nationkey as nk from supplier) as u
-      order by nk"""),
+      select k from (
+        select o_custkey as k from orders
+        except select c_custkey as k from customer where c_acctbal > 0) as u
+      order by k"""),
 
     viaEngine("q20_distinct", """
       select distinct l_returnflag, l_linestatus from lineitem
@@ -227,7 +228,7 @@ object EngineQueries {
 
     viaEngine("q26_scalar_subquery", """
       select o_orderkey, o_totalprice from orders
-      where o_totalprice > 2 * (
+      where o_totalprice > 1.5 * (
         select toFloat64(toFloat64(sum(toDecimal(o_totalprice, 12, 2))) / count(*))
         from orders)
       order by o_orderkey"""),
@@ -244,7 +245,8 @@ object EngineQueries {
 
     viaEngine("q29_not_in_subquery", """
       select s_suppkey, s_name from supplier
-      where s_nationkey not in (select c_nationkey from customer where c_acctbal < 0)
+      where s_nationkey not in (select c_nationkey from customer
+                                where c_acctbal < 0 and c_nationkey < 7)
       order by s_suppkey"""),
 
     viaEngine("q30_between_like", """
