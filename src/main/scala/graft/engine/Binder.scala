@@ -1529,7 +1529,7 @@ final class Binder(
     case IntLit(_) | FloatLit(_) | BoolLit(_) | NullLit | IntervalLit(_, _) => false
     case Param(n) => n < params.size && params(n).isInstanceOf[String]
     case ConfigId(n) => config.get(n).exists(_.isInstanceOf[String])
-    case Ident(q, n) => identIsString(q, n, ctx)
+    case Ident(q, n) => identIsString(q, n, ctx).getOrElse(probeIsString(c, ctx))
     case Binary("+", l, r) => isString(l, c, ctx) || isString(r, c, ctx)
     case Binary("[]", _, _) => probeIsString(c, ctx) // element type unknown
     case Binary(_, _, _) => false // arith/compare/logic/bit — never string
@@ -1549,8 +1549,12 @@ final class Binder(
   /** Type of a bare/qualified identifier from the owning scope's cached
     * schema (`df.schema` analyzes once per DataFrame, not per lookup).
     * Ambiguity is not re-checked here — bindExpr has already bound the
-    * operand and would have raised on a genuinely ambiguous name. */
-  private def identIsString(q: Option[String], n: String, ctx: Ctx): Boolean = {
+    * operand and would have raised on a genuinely ambiguous name.
+    * None when no scope claims the name — e.g. an ident bound through
+    * ctx.subst onto a fresh-named grouped column (groupedCorrelated's
+    * gk/gg keys); the caller probes the already-bound column instead
+    * of guessing non-string (ADVICE r4). */
+  private def identIsString(q: Option[String], n: String, ctx: Ctx): Option[Boolean] = {
     def fieldIsString(s: Scope): Boolean = {
       val actual = s.rename.getOrElse(n.toLowerCase, n)
       s.df.schema.fields.find(_.name.equalsIgnoreCase(actual))
@@ -1561,7 +1565,7 @@ final class Binder(
         rel.scopes.find(s => s.qualifier.exists(_.equalsIgnoreCase(qual)) && s.has(n))
       case None => rel.scopes.find(_.has(n))
     }).map(fieldIsString)
-    from(ctx.rel).orElse(ctx.outer.flatMap(from)).getOrElse(false)
+    from(ctx.rel).orElse(ctx.outer.flatMap(from))
   }
 
   /** Fallback schema probe for argument-dependent result types — one

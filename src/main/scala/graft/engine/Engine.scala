@@ -196,12 +196,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     // the write — pin it with a persist for the statement's duration.
     val explicitLower = explicit.map(_.toLowerCase).toSet
     val nutByName = entry.nutColumns.getOrElse(Nil).map(c => c.name.toLowerCase -> c).toMap
-    // summing maintenance re-executes the delta frame after the write —
-    // a nondeterministic source must be pinned for that read too. Same
-    // predicate the maintenance itself uses (bumped = 0: pre-insert), so
-    // stale or non-mergeable views never cost a pointless persist
+    // same predicate the maintenance itself uses (bumped = 0:
+    // pre-insert), so stale or non-mergeable views never cost a
+    // pointless file listing. Maintenance no longer re-executes the
+    // delta frame (it reads back the files this statement writes — see
+    // below), so it is NOT a pin reason; the pin only keeps the source
+    // stable across the constraint-check action and the write
     val mayMaintain = summingDeltaTargets(st.table, bumped = 0).nonEmpty
-    val needsPin = entry.constraints.nonEmpty || mayMaintain ||
+    val needsPin = entry.constraints.nonEmpty ||
       entry.schema.fields.exists(f =>
         !explicitLower.contains(f.name.toLowerCase) && serialSet.contains(f.name.toLowerCase))
     val pinned = if (needsPin)
@@ -263,11 +265,28 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         err(s"constraint '${c.name}' violated by INSERT")
     }
 
+    val preFiles = if (mayMaintain) dataFiles(path) else Set.empty[String]
     val writer = aligned.write.mode("append")
     val partCols = entry.partitionBy.toSeq.collect { case Ident(_, n) => n }
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(path)
     catalog.bumpMutation(st.table) // invalidates dependent materializations
-    maintainSummingViews(st.table, aligned)
+    if (mayMaintain) {
+      // Maintenance must not re-execute the in-memory delta frame: for
+      // a self-referencing INSERT (INSERT INTO t SELECT … FROM t) a
+      // lost/evicted cached partition would recompute against the
+      // post-append files and silently double-count rows into the
+      // durable materialization (ADVICE r4). Reading back exactly the
+      // files this statement wrote is deterministic under cache
+      // eviction, executor loss, and nondeterministic sources, and
+      // stays O(delta).
+      val newFiles = (dataFiles(path) -- preFiles).toSeq.sorted
+      val deltaRead =
+        if (newFiles.isEmpty) aligned.limit(0)
+        else spark.read.option("basePath", path).schema(entry.schema)
+          .parquet(newFiles: _*)
+          .select(entry.schema.fields.map(f => col(f.name)).toSeq: _*)
+      maintainSummingViews(st.table, deltaRead)
+    }
     status(s"INSERT INTO ${st.table}")
     } finally if (needsPin) pinned.unpersist(false)
   }
@@ -357,6 +376,26 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     * materialization is already stale for any other reason, or whose
     * body is not delta-mergeable, keep the lazy invalidate-and-recompute
     * path — correctness never depends on this fast path. */
+  /** Recursive data-file listing under a table path (skips _SUCCESS /
+    * hidden files) — the before/after diff identifies exactly the files
+    * an append wrote, so maintenance can read the delta durably. */
+  private def dataFiles(path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+          buf += f.getPath.toUri.toString
+      }
+      buf.toSet
+    }
+  }
+
   private def maintainSummingViews(table: String, delta: DataFrame): Unit = {
     val tKey = table.toLowerCase
     summingDeltaTargets(table, bumped = 1).foreach { case (name, v) =>

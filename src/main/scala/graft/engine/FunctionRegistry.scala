@@ -244,26 +244,56 @@ object FunctionRegistry {
 
   /** Bind-time return-type hint for the binder's `+`-as-concat decision:
     * Some(true) for functions that always return a string, Some(false)
-    * for ones that never do, None when the result type depends on the
-    * arguments (coalesce, if, element access, min/max, …) — the binder
-    * falls back to a one-off schema probe only for the None cases, so
-    * the common paths never trigger a driver-side analysis round. */
+    * for ones that never do, None otherwise — the binder falls back to a
+    * one-off schema probe for the None cases, so the common paths never
+    * trigger a driver-side analysis round. Names absent from BOTH lists
+    * deliberately map to None (ADVICE r4): a default of Some(false)
+    * would silently flip `+` from concat to arithmetic (NULL results)
+    * for any string-returning function added later, whereas the probe
+    * fallback can never misclassify. */
   private val stringReturning: Set[String] = Set(
-    "tostring", "lower", "lcase", "upper", "ucase", "concat", "replace",
+    "tostring", "lower", "lcase", "upper", "ucase", "replace",
     "replaceall", "trim", "trimboth", "ltrim", "trimleft", "rtrim",
     "trimright", "repeat", "leftpad", "lpad", "rightpad", "rpad",
     "extract", "left", "right", "format", "substring", "substr",
     "md5", "sha256", "generateuuidv4", "arrayjoinstring",
     "arraystringconcat")
-  private val argDependentType: Set[String] = Set(
-    "coalesce", "ifnull", "nullif", "if", "multiif", "greatest", "least",
-    "min", "max", "any", "maxby", "minby", "arrayelement", "tupleelement",
-    "arraymax", "arraymin", "assumenotnull", "reverse")
+  private val neverString: Set[String] = Set(
+    // aggregates with fixed numeric/array results ("min"/"max"/"any"/
+    // "maxby"/"minby" and "concat" — string OR array — stay unlisted)
+    "count", "countunique", "uniqexact", "countuniqueapprox", "uniq",
+    "sum", "avg", "stddevpop", "stddevsamp", "varpop", "varsamp",
+    "median", "quantile", "countif", "sumif", "avgif", "grouparray",
+    // casts / date-time
+    "todate", "todatetime", "toint8", "toint16", "toint32", "toint64",
+    "touint8", "touint16", "touint32", "touint64", "tofloat32",
+    "tofloat64", "toboolean", "todecimal32", "todecimal64", "todecimal",
+    "getyear", "toyear", "getmonth", "tomonth", "getday", "todayofmonth",
+    "getdayofweek", "todayofweek", "gethour", "tohour", "getminute",
+    "tominute", "getsecond", "tosecond", "toyyyymmdd", "tostartofmonth",
+    "tostartofyear", "datediff", "adddays", "subtractdays", "addmonths",
+    "now", "today",
+    // string predicates / metrics (boolean or numeric results)
+    "length", "char_length", "lengthutf8", "startswith", "endswith",
+    "position", "locate", "empty", "notempty", "match",
+    "splitbychar", "splitbystring",
+    // math
+    "abs", "round", "floor", "ceil", "ceiling", "sqrt", "cbrt", "pow",
+    "power", "exp", "ln", "log", "log2", "log10", "sin", "cos", "tan",
+    "asin", "acos", "atan", "random", "rand", "pi", "e", "sign", "mod",
+    "intdiv",
+    // null tests / hashes
+    "isnull", "isnotnull", "cityhash64", "siphash64", "xxhash64",
+    "halfmd5", "hash",
+    // collections (array/map results are not StringType)
+    "arraylength", "has", "arraycontains", "arraysort", "arraydistinct",
+    "arrayslice", "arraysum", "arrayposition", "indexof", "range",
+    "arrayzip", "arrayflatten", "flatten", "mapkeys", "mapvalues")
   def returnsString(name: String): Option[Boolean] = {
     val n = name.toLowerCase
     if (stringReturning.contains(n)) Some(true)
-    else if (argDependentType.contains(n)) None
-    else Some(false)
+    else if (neverString.contains(n)) Some(false)
+    else None
   }
 
   /** ClickHouse/DuckDB dateDiff counts UNIT-BOUNDARY crossings, not

@@ -1,0 +1,117 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Round-5 hardening (ADVICE r4): bind-time string typing must never
+  * silently misclassify (unlisted functions and subst-bound idents fall
+  * back to a schema probe instead of defaulting to non-string), and
+  * incremental Summing-view maintenance must stay correct for
+  * self-referencing INSERTs by reading the delta back from the files
+  * the statement wrote. */
+class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var engine: Engine = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .appName("round5-spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine.forTestdata(spark, dir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sql(s: String): DataFrame = engine.execute(s)
+  private def rows(s: String): Seq[Row] = sql(s).collect().toSeq
+
+  // ---- returnsString: unlisted names must probe, not guess ------------
+
+  test("returnsString yields None for names in neither hand-maintained set") {
+    assert(FunctionRegistry.returnsString("someFutureFn").isEmpty)
+    // arg-dependent shapes stay unlisted (concat: string OR array)
+    assert(FunctionRegistry.returnsString("concat").isEmpty)
+    assert(FunctionRegistry.returnsString("min").isEmpty)
+    assert(FunctionRegistry.returnsString("maxIf").isEmpty)
+    // the fast paths still classify without a probe
+    assert(FunctionRegistry.returnsString("upper").contains(true))
+    assert(FunctionRegistry.returnsString("toYear").contains(false))
+  }
+
+  test("`+` on an unlisted function result still concats when it is a string") {
+    // max(c_name) is arg-dependent (unlisted) — the probe must classify
+    // it as string so `+` concats instead of producing arithmetic NULLs
+    val r = rows("select max(c_name) + '!' as s from customer")
+    assert(r.size == 1 && r.head.getString(0).endsWith("!"), s"got $r")
+  }
+
+  // ---- identIsString: subst-bound group keys ------------------------
+
+  test("string concat of a group key inside a grouped correlated subquery") {
+    // inside groupedCorrelated the key column is renamed (gk*) and the
+    // ident binds via ctx.subst — no scope claims the original name, so
+    // identIsString must fall back to the probe; a false default turns
+    // `o_orderstatus + '!'` into arithmetic NULL and matches nothing
+    val concat = rows(
+      """select c_custkey from customer
+         where 'O!' in (select o_orderstatus + '!' from orders
+                        where o_custkey = c_custkey group by o_orderstatus)
+         order by c_custkey""").map(_.getLong(0))
+    val plain = rows(
+      """select c_custkey from customer
+         where 'O' in (select o_orderstatus from orders
+                       where o_custkey = c_custkey group by o_orderstatus)
+         order by c_custkey""").map(_.getLong(0))
+    assert(plain.nonEmpty, "vacuous fixture: no customer has an 'O' order")
+    assert(concat == plain, s"concat path diverged: ${concat.size} vs ${plain.size}")
+  }
+
+  // ---- Summing maintenance: self-referencing INSERT -------------------
+
+  test("self-referencing INSERT delta-merges from the written files") {
+    sql("drop view if exists r5_mv")
+    sql("drop table if exists r5_src")
+    sql("create table r5_src (k Int32, v Int64)")
+    sql("insert into r5_src values (1, 10), (2, 20)")
+    sql("create view r5_mv update by Summing order by k as select k, v from r5_src")
+    sql("optimize table r5_mv")
+    // INSERT INTO t SELECT … FROM t: the delta must be the two rows as
+    // of statement start, read back from the written files — never a
+    // recompute against the post-append table (which would double-count)
+    sql("insert into r5_src select k, v from r5_src")
+    def mat: Option[ViewMaterialization] = engine.catalog.get("r5_mv") match {
+      case Some(v: Catalog#ViewEntry) => v.materialized
+      case _ => None
+    }
+    assert(mat.exists(_.deps.forall { case (t, ver) =>
+      engine.catalog.mutationOf(t) == ver }), "materialization left stale")
+    val r = rows("select k, v from r5_mv order by k").map(x => (x.getInt(0), x.getLong(1)))
+    assert(r == Seq((1, 20L), (2, 40L)), s"wrong merged sums: $r")
+    val base = rows("select count(*) as c from r5_src").head.getLong(0)
+    assert(base == 4L, s"base table should have doubled: $base")
+    sql("drop view r5_mv"); sql("drop table r5_src")
+  }
+
+  test("delta merge on a partitioned table reads partition columns back") {
+    sql("drop view if exists r5_mvp")
+    sql("drop table if exists r5_srcp")
+    sql("create table r5_srcp (k Int32, p String) partition by p")
+    sql("insert into r5_srcp values (1, 'a'), (2, 'b')")
+    sql("create view r5_mvp update by Summing order by p as select p, k from r5_srcp")
+    sql("optimize table r5_mvp")
+    // partitioned appends put the partition value in the directory, not
+    // the data file — the read-back must restore it via basePath
+    sql("insert into r5_srcp values (3, 'a')")
+    val r = rows("select p, k from r5_mvp order by p").map(x => (x.getString(0), x.getLong(1)))
+    assert(r == Seq(("a", 4L), ("b", 2L)), s"wrong partitioned sums: $r")
+    sql("drop view r5_mvp"); sql("drop table r5_srcp")
+  }
+}
