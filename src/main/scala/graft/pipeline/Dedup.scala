@@ -158,6 +158,15 @@ object Dedup {
     val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     val sig = hashes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val cands = bandedCandidates(sig, k, bands, maxBucket)
+    jaccardVerify(cands, stream, thresholdNum, thresholdDen)
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs against the full
+    * distinct shingle stream (see nearDuplicatePairs for the array-free
+    * design rationale) — shared by the MinHash-banded and the
+    * inverted-index candidate generators. */
+  private def jaccardVerify(cands: DataFrame, stream: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val sizes = stream.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
     val inter = cands
       .join(stream.select(col("id").as("id_a"), col("s")), "id_a")
@@ -167,6 +176,74 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("id_a"), col("__sz").as("__sza")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("__sz").as("__szb")), "id_b")
+      .withColumn("__uni", col("__sza") + col("__szb") - col("__inter"))
+      .filter(col("__inter") * thresholdDen >= col("__uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") / col("__uni")).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs — the exact counterpart
+    * of the MinHash-banded path, for when approximate recall is not
+    * acceptable. The candidate join is the distributed prefix-filtered
+    * all-pairs design (Vernica et al., SIGMOD'10; PPJoin, Xiao et al.
+    * WWW'08): under a global rarest-first shingle order (ascending doc
+    * frequency, hash tiebreak), each doc indexes only its first
+    * |d| − ceil(t·|d|) + 1 shingles. Any pair with Jaccard ≥ t must
+    * intersect inside both prefixes (its intersection has ≥ ceil(t·|d|)
+    * elements, more than either suffix holds), so completeness is a
+    * theorem, not a recall argument — and stop-shingles land in
+    * suffixes, never in the index, which is what keeps posting lists
+    * (and the O(p²) self-join) tiny as the corpus grows. A length
+    * filter (t·|A| ≤ |B| ∧ t·|B| ≤ |A|, integer math) prunes candidates
+    * in the join itself. `maxPosting` stays as a skew backstop for
+    * adversarial corpora (≥ maxPosting docs sharing their RAREST
+    * shingle — i.e. mass exact-duplication better handled by
+    * exactStats first). Verification runs on the full distinct shingle
+    * stream, so every reported similarity is exact. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxPosting: Int = 4096): DataFrame = {
+    require(thresholdNum >= 1, "thresholdNum must be >= 1")
+    require(thresholdDen >= 1 && thresholdDen >= thresholdNum,
+      "threshold must satisfy 0 < num/den <= 1")
+    val stream = shingleStream(docs, idCol, textCol, shingleN).distinct()
+    // 8-byte hash keys instead of shingle strings through every join
+    val hashes = stream.select(col("id"), xxhash64(col("s")).as("h"))
+    val dfreq = hashes.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val ranked = hashes.join(dfreq, "h")
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("__df"), col("h"))))
+    // ceil(num·sz/den) via integer math; positive operands, so the
+    // cast-truncation is a floor
+    val ceilT = ((col("__sz") * thresholdNum + thresholdDen - 1) / thresholdDen).cast("long")
+    val prefix = ranked.filter(col("__rk") <= col("__sz") - ceilT + 1)
+      .select(col("id"), col("h"), col("__sz"))
+    val index = cappedBuckets(prefix, Seq(col("h")), maxPosting)
+    val cands = index.select(col("h"), col("id").as("id_a"), col("__sz").as("__sza"))
+      .join(index.select(col("h"), col("id").as("id_b"), col("__sz").as("__szb")), "h")
+      .filter(col("id_a") < col("id_b") &&
+        col("__sza") * thresholdNum <= col("__szb") * thresholdDen &&
+        col("__szb") * thresholdNum <= col("__sza") * thresholdDen)
+      .select("id_a", "id_b")
+      .distinct()
+    // Verify with per-pair array intersection rather than the MinHash
+    // path's row joins: when the corpus defeats prefix pruning (a tiny
+    // shared vocabulary makes every pair a candidate — the synthetic
+    // fixture does exactly this), the row-based verify shuffles
+    // |cands|·|doc| rows twice, while shipping each doc's shingle-hash
+    // array once per candidate does the same work in two equijoins and
+    // a native (non-lambda) array_intersect per row. The byte mass is
+    // the same, the constant ~10× lower; arrays stay |doc|-bounded.
+    // 64-bit hash collisions could overcount one intersection by 1 in
+    // ~2^-64 of pairs — far below any threshold edge in practice.
+    val arrs = hashes.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("__hs"), count(lit(1)).as("__sz"))
+    cands
+      .join(arrs.select(col("id").as("id_a"), col("__hs").as("__ha"), col("__sz").as("__sza")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("__hs").as("__hb"), col("__sz").as("__szb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
       .withColumn("__uni", col("__sza") + col("__szb") - col("__inter"))
       .filter(col("__inter") * thresholdDen >= col("__uni") * thresholdNum)
       .select(col("id_a"), col("id_b"),

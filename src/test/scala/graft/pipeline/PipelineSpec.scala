@@ -48,6 +48,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unrelated doc in $pairs")
   }
 
+  test("exact n-gram Jaccard finds planted pairs and is a superset of MinHash at equal params") {
+    val docs = plantedDocs()
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)) && exact.contains((0L, 3L)), s"missing planted pair in $exact")
+    assert(!exact.exists { case (a, b) => a == 2L || b == 2L }, s"unrelated doc in $exact")
+    // both paths verify with exact Jaccard over the same shingle stream,
+    // so every MinHash-recalled pair must also be in the exact set
+    val lsh = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH pairs $lsh not within exact pairs $exact")
+  }
+
+  test("n-gram Jaccard maxPosting drops stop-shingle-only candidate pairs") {
+    import spark.implicits._
+    // 12 docs all sharing one stop-shingle; only 0/1 genuinely near-dup
+    val stop = "common filler phrase"
+    val docs = (0L until 12L).map { i =>
+      val tail = if (i == 1L) "unique payload alpha beta gamma delta"
+        else if (i == 0L) "unique payload alpha beta gamma epsilon"
+        else s"totally distinct body $i with its own words ${i * 31}"
+      (i, s"$stop $tail")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, thresholdNum = 1, thresholdDen = 4, maxPosting = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the shared stop-shingle occurs in all 12 docs (> maxPosting) so it
+    // cannot generate candidates by itself; 0/1 still pair via their
+    // rare shared shingles
+    assert(pairs == Set((0L, 1L)), s"expected only (0,1), got $pairs")
+  }
+
   test("LSH candidate generation is a strict subset of all pairs (no cross join)") {
     val docs = graft.Tables.load(spark, dir, "documents")
     val n = docs.count()
