@@ -1203,6 +1203,54 @@ final class Binder(
           .when(stats(cnt) === 0, lit(false))
           .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
           .otherwise(lit(false))
+      case Some((qb, innerRel, local, correlated))
+          if !equalityOrientable(correlated, innerRel, ctx.rel) ||
+            (qb.groupBy.isEmpty && qb.having.isDefined &&
+              collectAggs(qb.selectList.head.expr).nonEmpty) =>
+        // per-outer-row theta path: non-equality correlation, or HAVING
+        // over an ungrouped aggregate (the per-key grouped lowering
+        // cannot distinguish that HAVING from a group filter)
+        if (qb.selectList.size != 1)
+          err("IN subquery must produce exactly 1 column")
+        val selectExpr = qb.selectList.head.expr
+        val aggInSelect = collectAggs(selectExpr).distinct
+        val what = "correlated IN subquery (theta path)"
+        if (aggInSelect.nonEmpty || qb.having.isDefined || qb.groupBy.nonEmpty) {
+          if (qb.groupBy.nonEmpty)
+            err("correlated IN with non-equality correlation supports " +
+              "plain or ungrouped-aggregate bodies (no GROUP BY)")
+          // ungrouped aggregate: exactly ONE value per outer row —
+          // `x IN (v)` is the 3-valued `x = v`. A HAVING that fails (or
+          // is UNKNOWN) empties the subquery's result set, and IN over
+          // an empty set is FALSE for any lhs, NULL included
+          val (value, having) = thetaUngroupedAgg(qb, innerRel, local,
+            correlated, ctx, what)
+          having match {
+            case Some(h) =>
+              when(coalesce(h, lit(false)), lhs === value).otherwise(lit(false))
+            case None => lhs === value
+          }
+        } else {
+          // plain body: per-outer-row membership with the same 3-valued
+          // stats as the uncorrelated lowering (match / empty / has-null)
+          val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+          applyLocal(local, innerCtx, what)
+          val matchN = fresh("tmatch")
+          val cntN = fresh("tcnt")
+          val nullN = fresh("tnull")
+          val proj = thetaAggPerRow(innerCtx.rel.df, innerCtx.rel.scopes,
+            correlated, ctx, what, (aggCtx, mkCol) => {
+              val v = bindExpr(selectExpr, aggCtx)
+              Seq(
+                matchN -> max(when(v === lhs, lit(1))),
+                cntN -> count(mkCol),
+                nullN -> (count(when(v.isNull && mkCol.isNotNull, lit(1))) > 0))
+            })
+          when(proj(matchN) === 1, lit(true))
+            .when(proj(cntN) === 0, lit(false))
+            .when(lhs.isNull || proj(nullN), lit(null).cast("boolean"))
+            .otherwise(lit(false))
+        }
       case Some((qb, innerRel, local, correlated)) =>
         if (qb.selectList.size != 1)
           err("IN subquery must produce exactly 1 column")
@@ -1219,9 +1267,6 @@ final class Binder(
         // others → NULL) — the empty-group branch below must not read as
         // "empty value set" (VERDICT r4 review)
         val ungroupedAgg = qb.groupBy.isEmpty && aggInSelect.nonEmpty
-        if (ungroupedAgg && qb.having.isDefined)
-          err("correlated IN with an ungrouped aggregate body and HAVING " +
-            "is unsupported — add a GROUP BY or rewrite as EXISTS")
         // plain body: the (key, value) pair stream is a projection; a
         // grouped body (GROUP BY/HAVING/aggregate select — the common
         // value-set shape `x IN (SELECT sum(..) .. GROUP BY ..)`) groups
@@ -1356,6 +1401,135 @@ final class Binder(
           s"exist): $other")
     }
 
+  /** True when every correlated conjunct is an equality with one side
+    * fully inside the subquery and the other fully outside — the shape
+    * the per-key grouped decorrelation handles. Anything else (range /
+    * inequality correlation, mixed-side expressions) routes to the
+    * per-outer-row theta path. */
+  private def equalityOrientable(correlated: Seq[Expr], innerRel: Rel,
+      outerRel: Rel): Boolean =
+    correlated.forall {
+      case Binary("=", a, b) =>
+        (resolvesWithin(a, innerRel) && resolvesWithin(b, outerRel)) ||
+          (resolvesWithin(b, innerRel) && resolvesWithin(a, outerRel))
+      case _ => false
+    }
+
+  /** Per-outer-row ("theta") decorrelation core, for correlation shapes
+    * the per-key grouped path cannot express: non-equality correlated
+    * conjuncts, and HAVING over an ungrouped aggregate in IN position.
+    *
+    * The outer relation is tagged with a synthetic row id, the locally
+    * filtered inner side is LEFT-joined on ALL correlated conjuncts
+    * bound raw (inner names resolve first, then outer — the same
+    * scoping rule as the plain non-equi EXISTS condition). Catalyst
+    * still extracts equality conjuncts as hash-join keys, so mixed
+    * `k = outer.k AND d < outer.d` correlation runs as a shuffled hash
+    * join with a post-condition; PURELY non-equi correlation degrades
+    * to a nested-loop join — the same documented bounded-use stance as
+    * null-aware NOT IN (SCALE.md). The caller's aggregates then run
+    * once per row id, and the 1-row-per-id result is left-joined back
+    * (both sides derive from the same outer lineage, so the ids agree).
+    *
+    * The left join guarantees one aggregate row per outer row, so SQL's
+    * empty-set semantics (count → 0 via the presence marker, other
+    * aggregates → NULL) fall out of the aggregation itself — no
+    * fallback re-evaluation is needed.
+    *
+    * The inner side is re-projected through FRESH column names before
+    * the join: the engine caches per-table DataFrames, so a second
+    * subquery over the same table (or self-correlation against the
+    * outer table) would otherwise reuse attribute ids already present
+    * in the outer lineage and trip Spark's ambiguous-self-join
+    * detection. Fresh aliases mint new attribute ids; the inner scopes
+    * are rebuilt with rename maps so correlated conjuncts and
+    * aggregates still bind by their original names. */
+  private def thetaAggPerRow(innerDf: DataFrame, innerScopes: Seq[Scope],
+      correlated: Seq[Expr], ctx: Ctx, what: String,
+      mkAggs: (Ctx, Column) => Seq[(String, Column)]): DataFrame = {
+    val rid = fresh("trid")
+    val rid2 = fresh("trid2")
+    val mk = fresh("tmk")
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+    val innerCols = innerDf.columns.toSeq
+    val lower = innerCols.map(_.toLowerCase)
+    if (lower.distinct.length != lower.length)
+      err(s"$what: the subquery's FROM/JOIN relations have duplicate " +
+        "column names — project distinct names first")
+    val freshNames = innerCols.map(_ => fresh("tc"))
+    val renamed = innerDf.toDF(freshNames: _*).withColumn(mk, lit(true))
+    val freshOf: Map[String, String] = lower.zip(freshNames).toMap
+    val rScopes = innerScopes.map { s =>
+      Scope(s.qualifier, renamed, s.cols,
+        rename = s.cols.map { c =>
+          val actual = s.rename.getOrElse(c.toLowerCase, c)
+          c.toLowerCase -> freshOf(actual.toLowerCase)
+        }.toMap, hidden = s.hidden)
+    }
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+    val joined = outer.join(renamed, cond, "left_outer")
+    val aggCtx = new Ctx(Rel(joined, rScopes), None, ctx.ctes)
+    val aggs = mkAggs(aggCtx, renamed(mk))
+    val proj = joined.groupBy(col(rid)).agg(
+        aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n2, c) => c.as(n2) }: _*)
+      .withColumnRenamed(rid, rid2)
+    ctx.rel = Rel(outer.join(proj, col(rid) === proj(rid2), "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, aggs.map(_._1)))
+    proj
+  }
+
+  /** Ungrouped-aggregate subquery body through the theta path: returns
+    * (value column, optional HAVING column) evaluated once per outer
+    * row. Count-star aggregates count the presence marker so empty
+    * matches yield 0, not 1. */
+  private def thetaUngroupedAgg(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
+      correlated: Seq[Expr], ctx: Ctx, what: String): (Column, Option[Column]) = {
+    if (qb.limit.isDefined || qb.distinct.isDefined || qb.ctes.nonEmpty ||
+        qb.groupBy.nonEmpty)
+      err(s"$what supports ungrouped aggregate bodies only " +
+        "(no GROUP BY/LIMIT/DISTINCT/WITH)")
+    if (qb.selectList.size != 1) err(s"$what must produce 1 column")
+    val valueExpr = qb.selectList.head.expr
+    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+    val aggCalls = (collectAggs(valueExpr) ++
+      havingExpr.toSeq.flatMap(collectAggs)).distinct
+    if (aggCalls.isEmpty)
+      err(s"$what must select an aggregate (a bare correlated subquery " +
+        "cannot guarantee a single row per outer row)")
+    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    applyLocal(local, innerCtx, what)
+    val aggPairs = aggCalls.map(fc => (fc, fresh("tagg")))
+    val proj = thetaAggPerRow(innerCtx.rel.df, innerCtx.rel.scopes, correlated,
+      ctx, what, (aggCtx, mkCol) =>
+        aggPairs.map { case (fc, n2) =>
+          val star = fc.args.isEmpty ||
+            fc.args.exists { case Wildcard(_) => true; case _ => false }
+          val c =
+            if (star && fc.name.equalsIgnoreCase("count")) count(mkCol)
+            else bindAggCall(fc, aggCtx)
+          n2 -> c
+        })
+    val vCtx = new Ctx(ctx.rel, None, ctx.ctes,
+      subst = aggPairs.map { case (fc, n2) => (fc: Expr) -> proj(n2) }.toMap)
+    (bindExpr(valueExpr, vCtx), havingExpr.map(bindExpr(_, vCtx)))
+  }
+
+  /** Correlated scalar subquery with non-equality correlation: theta
+    * decorrelation per outer row. An ungrouped aggregate yields exactly
+    * one row per outer row, so no >1-row raise can occur; a HAVING that
+    * fails (or is UNKNOWN) removes the row → NULL. */
+  private def decorrelateScalarTheta(qb: QueryBody, innerRel: Rel,
+      local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx): Column = {
+    val what = "correlated scalar subquery (non-equality correlation)"
+    val (value, having) = thetaUngroupedAgg(qb, innerRel, local, correlated, ctx, what)
+    having match {
+      case Some(h) => when(coalesce(h, lit(false)), value).otherwise(lit(null))
+      case None => value
+    }
+  }
+
   /** Correlated scalar subquery decorrelation. Bodies supported:
     *
     *  - plain aggregate (`SELECT agg(..) FROM t WHERE t.k = o.k`): group
@@ -1373,6 +1547,8 @@ final class Binder(
   private def decorrelateScalar(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
       correlated: Seq[Expr], ctx: Ctx): Column = {
     val what = "correlated scalar subquery"
+    if (!equalityOrientable(correlated, innerRel, ctx.rel))
+      return decorrelateScalarTheta(qb, innerRel, local, correlated, ctx)
     if (qb.limit.isDefined || qb.distinct.isDefined || qb.ctes.nonEmpty)
       err(s"$what supports aggregate bodies with optional GROUP BY/HAVING " +
         "(no LIMIT/DISTINCT/WITH)")

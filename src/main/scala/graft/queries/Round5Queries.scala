@@ -6,10 +6,70 @@ import graft.pipeline.Dedup
 
 /** Round-5 additions: the exact n-gram Jaccard dedup tier (the brief's
   * dedup list names it beside MinHash/SimHash — until now it only
-  * existed as qp50's verification step). */
+  * existed as qp50's verification step), and the per-outer-row theta
+  * decorrelation entries (non-equality correlated scalar/IN, HAVING
+  * over an ungrouped aggregate in IN position — VERDICT r3's last
+  * dialect corners). */
 object Round5Queries {
 
+  private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
+    QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- mixed equality + inequality correlated scalar ------------------
+    // the theta path: Catalyst extracts o_custkey = c_custkey as the
+    // hash-join key and keeps o_totalprice > c_acctbal as the join
+    // post-condition — no nested loop
+    engineSql("qe90_corr_scalar_mixed",
+      """SELECT c_custkey,
+              (SELECT COUNT(*) FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal) AS cnt
+         FROM customer ORDER BY c_custkey""",
+      """select c_custkey,
+              (select count(*) from orders
+                where o_custkey = c_custkey and o_totalprice > c_acctbal) as cnt
+         from customer order by c_custkey"""),
+
+    // ---- purely non-equi correlated scalar (bounded outer) --------------
+    // a range-correlated aggregate is inherently a theta join — the
+    // outer filter bounds the nested-loop cost, the documented stance
+    // for this shape (SCALE.md); MAX over empty match sets is NULL for
+    // the smallest keys, so the NULL branch is exercised too
+    engineSql("qe91_corr_scalar_range",
+      """SELECT c_custkey,
+              CAST((SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey < c_custkey) AS DECIMAL(12,2)) AS m
+         FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""",
+      """select c_custkey,
+              toDecimal((select max(o_totalprice) from orders
+                where o_custkey < c_custkey), 12, 2) as m
+         from customer where c_custkey < 50 order by c_custkey"""),
+
+    // ---- non-equi correlated IN, plain body (3-valued membership) -------
+    engineSql("qe92_in_theta_plain",
+      """SELECT c_custkey FROM customer
+         WHERE c_nationkey IN (SELECT s_nationkey FROM supplier
+                               WHERE s_suppkey < c_custkey)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_nationkey in (select s_nationkey from supplier
+                               where s_suppkey < c_custkey)
+         order by c_custkey"""),
+
+    // ---- correlated IN: ungrouped aggregate + HAVING --------------------
+    // the aggregate row exists even for customers with no orders
+    // (count 0) but HAVING > 2 removes it — IN over the emptied set is
+    // FALSE, so only customers with exactly 5 orders (of 3+) qualify
+    engineSql("qe93_in_agg_having",
+      """SELECT c_custkey FROM customer
+         WHERE 5 IN (SELECT COUNT(*) FROM orders
+                     WHERE o_custkey = c_custkey HAVING COUNT(*) > 2)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where 5 in (select count(*) from orders
+                     where o_custkey = c_custkey having count(*) > 2)
+         order by c_custkey"""),
 
     // ---- exact n-gram Jaccard near-dup pairs ----------------------------
     // Prefix-filtered inverted-index candidates + exact array verify —

@@ -74,6 +74,59 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(concat == plain, s"concat path diverged: ${concat.size} vs ${plain.size}")
   }
 
+  // ---- theta decorrelation: 3-valued edges ---------------------------
+
+  test("non-equi correlated IN/NOT IN are 3-valued over NULLs") {
+    sql("drop table if exists r5_o"); sql("drop table if exists r5_i")
+    sql("create table r5_o (k Int32, v Nullable(Int32))")
+    sql("create table r5_i (w Nullable(Int32), lim Int32)")
+    // k=1: match (v=10 in {10}); k=2: no match, but a NULL w is in range
+    //   → UNKNOWN; k=3: NULL v against non-empty range → UNKNOWN;
+    // k=4: empty range → FALSE (IN) / TRUE (NOT IN) even for NULL v
+    sql("insert into r5_o values (1, 10), (2, 20), (3, null), (4, null)")
+    sql("""insert into r5_i values (10, 10), (null, 20), (99, 30), (7, 30)""")
+    def keys(q: String): Seq[Int] = rows(q).map(_.getInt(0)).sorted
+    val inq = keys("""select k from r5_o
+      where v in (select w from r5_i where lim <= k * 10) order by k""")
+    assert(inq == Seq(1), s"IN: $inq")
+    val notin = keys("""select k from r5_o
+      where v not in (select w from r5_i where lim <= k * 10) order by k""")
+    assert(notin == Seq(), s"NOT IN: $notin")
+    // k=4 with an empty range: shrink every lim out of reach
+    val empty = keys("""select k from r5_o
+      where v not in (select w from r5_i where lim < k) order by k""")
+    assert(empty == Seq(1, 2, 3, 4), s"NOT IN empty sets: $empty")
+    sql("drop table r5_o"); sql("drop table r5_i")
+  }
+
+  test("theta scalar over empty match set: count 0, max NULL, having gates") {
+    val r = rows("""select c_custkey,
+        (select count(*) from orders where o_custkey < c_custkey) as cnt,
+        (select max(o_orderkey) from orders where o_custkey < c_custkey) as m
+        from customer where c_custkey < 2 order by c_custkey""")
+    assert(r.head.getLong(0) == 0 && r.head.getLong(1) == 0L && r.head.isNullAt(2),
+      s"custkey 0 should see count 0 / max NULL: ${r.head}")
+    assert(r(1).getLong(1) > 0, s"custkey 1 should see orders: ${r(1)}")
+    val hv = rows("""select c_custkey,
+        (select sum(o_orderkey) from orders where o_custkey < c_custkey
+         having count(*) > 1000000) as s
+        from customer where c_custkey < 5 order by c_custkey""")
+    assert(hv.forall(_.isNullAt(1)), "failed HAVING must NULL the scalar")
+  }
+
+  test("theta scalar self-correlation on the same table (rank-by-comparison)") {
+    // the fresh-name re-projection of the inner side keeps the two
+    // customer lineages distinct — without it Spark's ambiguous-self-
+    // join detection rejects the plan
+    val r = rows("""select c_custkey,
+        (select count(*) from customer as c2 where c2.c_acctbal > customer.c_acctbal) as richer
+        from customer where c_custkey < 10 order by c_custkey""")
+    assert(r.size == 10)
+    val vals = r.map(_.getLong(1))
+    assert(vals.exists(_ > 0) && vals.distinct.size > 1,
+      s"rank counts should vary: $vals")
+  }
+
   // ---- Summing maintenance: self-referencing INSERT -------------------
 
   test("self-referencing INSERT delta-merges from the written files") {
