@@ -1516,6 +1516,57 @@ final class Binder(
     (bindExpr(valueExpr, vCtx), havingExpr.map(bindExpr(_, vCtx)))
   }
 
+  /** Correlated scalar subquery with ORDER BY … LIMIT 1 — the
+    * latest-value-per-key pattern (`SELECT o_total FROM orders WHERE
+    * o_custkey = c.k ORDER BY o_date DESC LIMIT 1`): a row_number
+    * window partitioned by the correlation keys picks the top row per
+    * key, which left-joins onto the outer relation. Window buckets are
+    * correlation-key groups (same shape as DISTINCT ON — no global
+    * window), and unmatched keys are NULL via the left join. LIMIT 1
+    * without ORDER BY would pick an arbitrary row per key; rejected. */
+  private def decorrelateScalarTop1(qb: QueryBody, innerRel: Rel,
+      local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx): Column = {
+    val what = "correlated scalar subquery with LIMIT"
+    val lc = qb.limit.get
+    if (lc.offset.isDefined) err(s"$what does not support OFFSET")
+    if (evalLimitInt(lc.limit, "LIMIT") != 1)
+      err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
+    if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.distinct.isDefined ||
+        qb.ctes.nonEmpty)
+      err(s"$what supports plain `SELECT expr … ORDER BY … LIMIT 1` bodies")
+    if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
+    if (qb.orderBy.isEmpty)
+      err(s"$what needs an ORDER BY (LIMIT 1 without one picks an " +
+        "arbitrary row per key)")
+    val valueExpr = qb.selectList.head.expr
+    if (collectAggs(valueExpr).nonEmpty)
+      err(s"$what takes a plain value expression (drop the LIMIT for " +
+        "aggregate bodies — they already yield one row)")
+    val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
+    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    applyLocal(local, innerCtx, what)
+    val keyNames = keyPairs.indices.map(_ => fresh("lk"))
+    val valName = fresh("lval")
+    val ordNames = qb.orderBy.indices.map(_ => fresh("lord"))
+    val base = innerCtx.rel.df.select(
+      (keyPairs.zip(keyNames).map { case ((ie, _), kn) => bindExpr(ie, innerCtx).as(kn) } ++
+        Seq(bindExpr(valueExpr, innerCtx).as(valName)) ++
+        qb.orderBy.zip(ordNames).map { case (ok, on) => bindExpr(ok.expr, innerCtx).as(on) }): _*)
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
+        if (ok.desc) col(on).desc else col(on).asc }: _*)
+    val rn = fresh("lrn")
+    val proj = base.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .select((keyNames.map(col) :+ col(valName)): _*)
+    val outerCols = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
+    val joinCond = outerCols.zip(keyNames).map { case (oc, kn) => oc === proj(kn) }
+      .reduce(_ && _)
+    ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
+    proj(valName)
+  }
+
   /** Correlated scalar subquery with non-equality correlation: theta
     * decorrelation per outer row. An ungrouped aggregate yields exactly
     * one row per outer row, so no >1-row raise can occur; a HAVING that
@@ -1549,9 +1600,11 @@ final class Binder(
     val what = "correlated scalar subquery"
     if (!equalityOrientable(correlated, innerRel, ctx.rel))
       return decorrelateScalarTheta(qb, innerRel, local, correlated, ctx)
-    if (qb.limit.isDefined || qb.distinct.isDefined || qb.ctes.nonEmpty)
+    if (qb.limit.isDefined)
+      return decorrelateScalarTop1(qb, innerRel, local, correlated, ctx)
+    if (qb.distinct.isDefined || qb.ctes.nonEmpty)
       err(s"$what supports aggregate bodies with optional GROUP BY/HAVING " +
-        "(no LIMIT/DISTINCT/WITH)")
+        "(no DISTINCT/WITH)")
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     val valueExpr = qb.selectList.head.expr
     val valueAggs = collectAggs(valueExpr).distinct

@@ -71,6 +71,22 @@ object Round5Queries {
                      where o_custkey = c_custkey having count(*) > 2)
          order by c_custkey"""),
 
+    // ---- correlated scalar with ORDER BY … LIMIT 1 ----------------------
+    // latest-value-per-key: row_number window over the correlation key
+    // (group-sized buckets, no global window) + left join; the
+    // o_orderkey tiebreak keeps both engines deterministic on same-date
+    // orders
+    engineSql("qe94_corr_scalar_top1",
+      """SELECT c_custkey,
+              CAST((SELECT o_totalprice FROM orders WHERE o_custkey = c_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+                AS DECIMAL(12,2)) AS latest
+         FROM customer ORDER BY c_custkey""",
+      """select c_custkey,
+              toDecimal((select o_totalprice from orders where o_custkey = c_custkey
+                    order by o_orderdate desc, o_orderkey desc limit 1), 12, 2) as latest
+         from customer order by c_custkey"""),
+
     // ---- exact n-gram Jaccard near-dup pairs ----------------------------
     // Prefix-filtered inverted-index candidates + exact array verify —
     // no MinHash approximation anywhere, so the oracle equivalence is

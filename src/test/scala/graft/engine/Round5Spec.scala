@@ -127,6 +127,22 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank counts should vary: $vals")
   }
 
+  test("correlated scalar LIMIT: only ORDER BY … LIMIT 1 is accepted") {
+    val ok = rows("""select c_custkey,
+        (select o_orderkey from orders where o_custkey = c_custkey
+         order by o_orderdate desc, o_orderkey desc limit 1) as last_ok
+        from customer where c_custkey < 20 order by c_custkey""")
+    assert(ok.size == 20 && ok.exists(!_.isNullAt(1)), "top-1 rows expected")
+    val e1 = intercept[Exception](rows("""select c_custkey,
+        (select o_orderkey from orders where o_custkey = c_custkey
+         order by o_orderkey limit 2) as x from customer"""))
+    assert(e1.getMessage.contains("LIMIT 1"), e1.getMessage)
+    val e2 = intercept[Exception](rows("""select c_custkey,
+        (select o_orderkey from orders where o_custkey = c_custkey limit 1) as x
+        from customer"""))
+    assert(e2.getMessage.toLowerCase.contains("order by"), e2.getMessage)
+  }
+
   // ---- Summing maintenance: self-referencing INSERT -------------------
 
   test("self-referencing INSERT delta-merges from the written files") {
