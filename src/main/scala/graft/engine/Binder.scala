@@ -1450,7 +1450,15 @@ final class Binder(
     val rid = fresh("trid")
     val rid2 = fresh("trid2")
     val mk = fresh("tmk")
+    // the rid-tagged outer frame feeds BOTH the aggregation branch and
+    // the join-back: persist it so the two branches cannot observe
+    // different monotonically_increasing_id assignments under a
+    // recomputation (post-shuffle row order is not stable across
+    // re-evaluations). Registered with the engine's per-action cache
+    // drain like multi-ref CTEs.
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
     val innerCols = innerDf.columns.toSeq
     val lower = innerCols.map(_.toLowerCase)
     if (lower.distinct.length != lower.length)
@@ -1468,7 +1476,13 @@ final class Binder(
     }
     val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
     val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
-    val joined = outer.join(renamed, cond, "left_outer")
+    val joined =
+      try outer.join(renamed, cond, "left_outer")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what here may only reference columns of the current " +
+            "(left) relation — move it to WHERE or rewrite the join")
+      }
     val aggCtx = new Ctx(Rel(joined, rScopes), None, ctx.ctes)
     val aggs = mkAggs(aggCtx, renamed(mk))
     val proj = joined.groupBy(col(rid)).agg(
@@ -1506,9 +1520,21 @@ final class Binder(
         aggPairs.map { case (fc, n2) =>
           val star = fc.args.isEmpty ||
             fc.args.exists { case Wildcard(_) => true; case _ => false }
+          // an unmatched outer row still contributes ONE all-NULL
+          // placeholder row to its group — the VALUE argument is gated
+          // on the presence marker so non-null-preserving args
+          // (count(1), sum(1), countIf(cond)) skip it like SQL's empty
+          // set does; later args stay raw (literal parameters such as a
+          // quantile fraction must remain foldable)
           val c =
             if (star && fc.name.equalsIgnoreCase("count")) count(mkCol)
-            else bindAggCall(fc, aggCtx)
+            else {
+              val cols = fc.args.zipWithIndex.map { case (a, i) =>
+                val bound = bindExpr(a, aggCtx)
+                if (i == 0) when(mkCol, bound) else bound
+              }
+              FunctionRegistry.bindAgg(fc.name, cols, star = false)
+            }
           n2 -> c
         })
     val vCtx = new Ctx(ctx.rel, None, ctx.ctes,
@@ -1560,6 +1586,11 @@ final class Binder(
       .filter(col(rn) === 1)
       .select((keyNames.map(col) :+ col(valName)): _*)
     val outerCols = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
+    outerCols.foreach { c =>
+      if (Try(ctx.rel.df.select(c).schema).isFailure)
+        err(s"$what here may only reference columns of the current " +
+          "(left) relation — move it to WHERE or rewrite the join")
+    }
     val joinCond = outerCols.zip(keyNames).map { case (oc, kn) => oc === proj(kn) }
       .reduce(_ && _)
     ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),

@@ -362,20 +362,6 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     }
   }
 
-  /** Incremental Summing-view maintenance (SURVEY §7.4 "incremental
-    * later" / VERDICT r3 missing #5): after an INSERT into `table`, a
-    * materialized Summing view whose body is delta-mergeable is updated
-    * by folding ONLY the inserted rows through the view body and merging
-    * them into the existing materialization — O(delta + |view|) instead
-    * of the full O(source) recompute a 100 TB MV cannot afford per
-    * insert. The body is bound with the source name shadowed by the
-    * delta frame and EVERY OTHER referenced table shadowed by an empty
-    * frame (the binder's CTE map takes precedence over the catalog) —
-    * a UNION ALL branch over an unchanged table contributes nothing to
-    * the delta, not its full contents over again. Views whose
-    * materialization is already stale for any other reason, or whose
-    * body is not delta-mergeable, keep the lazy invalidate-and-recompute
-    * path — correctness never depends on this fast path. */
   /** Recursive data-file listing under a table path (skips _SUCCESS /
     * hidden files) — the before/after diff identifies exactly the files
     * an append wrote, so maintenance can read the delta durably. */
@@ -396,6 +382,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     }
   }
 
+  /** Incremental Summing-view maintenance (SURVEY §7.4 "incremental
+    * later" / VERDICT r3 missing #5): after an INSERT into `table`, a
+    * materialized Summing view whose body is delta-mergeable is updated
+    * by folding ONLY the inserted rows through the view body and merging
+    * them into the existing materialization — O(delta + |view|) instead
+    * of the full O(source) recompute a 100 TB MV cannot afford per
+    * insert. The body is bound with the source name shadowed by the
+    * delta frame and EVERY OTHER referenced table shadowed by an empty
+    * frame (the binder's CTE map takes precedence over the catalog) —
+    * a UNION ALL branch over an unchanged table contributes nothing to
+    * the delta, not its full contents over again. Views whose
+    * materialization is already stale for any other reason, or whose
+    * body is not delta-mergeable, keep the lazy invalidate-and-recompute
+    * path — correctness never depends on this fast path. */
   private def maintainSummingViews(table: String, delta: DataFrame): Unit = {
     val tKey = table.toLowerCase
     summingDeltaTargets(table, bumped = 1).foreach { case (name, v) =>

@@ -127,6 +127,20 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank counts should vary: $vals")
   }
 
+  test("theta aggregates with literal args skip the left-join placeholder row") {
+    // count(1)/sum(1) reference no inner column, so the all-NULL
+    // placeholder row an unmatched outer key gets from the left join
+    // must be excluded by the presence-marker gate — SQL's empty set
+    // says count 0 / sum NULL, not 1
+    val r = rows("""select c_custkey,
+        (select count(1) from orders where o_custkey < c_custkey) as c1,
+        (select sum(1) from orders where o_custkey < c_custkey) as s1
+        from customer where c_custkey < 2 order by c_custkey""")
+    assert(r.head.getLong(1) == 0L, s"count(1) over empty set must be 0: ${r.head}")
+    assert(r.head.isNullAt(2), s"sum(1) over empty set must be NULL: ${r.head}")
+    assert(r(1).getLong(1) > 0 && !r(1).isNullAt(2), s"non-empty set: ${r(1)}")
+  }
+
   test("correlated scalar LIMIT: only ORDER BY … LIMIT 1 is accepted") {
     val ok = rows("""select c_custkey,
         (select o_orderkey from orders where o_custkey = c_custkey
