@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
 import graft.pipeline.Dedup
 
@@ -15,7 +16,46 @@ object Round5Queries {
   private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
     QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
 
+  /** Unique memory-sink names across repeated runs (bench runs each
+    * entry twice in one session). */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- streaming exact dedup (dropDuplicatesWithinWatermark) ----------
+    // The replay is a single file → one micro-batch, so the streaming
+    // dedup state sees every record and the survivor set equals batch
+    // DISTINCT — which is what makes a DuckDB oracle possible. WHICH
+    // row survives per fingerprint is arrival-order-dependent, so the
+    // entry aggregates survivors per event_type instead of emitting
+    // rows. Production shape: the same query over an ingest directory,
+    // where the watermark bounds the dedup state (SCALE.md).
+    QueryDef(
+      "qp64_stream_dedup",
+      Some("""SELECT event_type,
+                CAST(COUNT(DISTINCT (user_id, props)) AS BIGINT) AS survivors
+              FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val tmp = java.nio.file.Files.createTempDirectory("qp64_events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          tmp.resolve("events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+          .withColumn("__fpsrc",
+            concat_ws("|", col("user_id"), col("event_type"), col("props")))
+        val qn = s"qp64_sink_${streamRuns.incrementAndGet()}"
+        val q = graft.streaming.EventStreams.dedupStream(stream, "__fpsrc")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qn)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("survivors"))
+          .orderBy(col("event_type"))
+      }),
 
     // ---- mixed equality + inequality correlated scalar ------------------
     // the theta path: Catalyst extracts o_custkey = c_custkey as the
