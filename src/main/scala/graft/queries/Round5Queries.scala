@@ -127,6 +127,59 @@ object Round5Queries {
                     order by o_orderdate desc, o_orderkey desc limit 1), 12, 2) as latest
          from customer order by c_custkey"""),
 
+    // ---- depth-2 nested subqueries --------------------------------------
+    // a subquery conjunct inside a subquery's WHERE: the inner body's
+    // local conjuncts lower through the same applyWhere machinery as the
+    // top level, so IN/EXISTS/scalar subqueries nest one level down
+    // (correlation may reach the IMMEDIATE parent scope; grandparent
+    // correlation is a documented clean error — Round5Spec)
+    engineSql("qe95_exists_nested_in",
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                            WHERE l_quantity > 49))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and o_orderkey in (select l_orderkey from lineitem
+                                            where l_quantity > 49))
+         order by c_custkey"""),
+
+    // EXISTS nested in EXISTS, the inner correlated to the MIDDLE scope
+    // (supplier) — each level decorrelates to its own semi join
+    engineSql("qe96_exists_nested_exists",
+      """SELECT n_name FROM nation
+         WHERE EXISTS (SELECT 1 FROM supplier
+                       WHERE s_nationkey = n_nationkey
+                         AND EXISTS (SELECT 1 FROM lineitem
+                                     WHERE l_suppkey = s_suppkey
+                                       AND l_quantity > 49))
+         ORDER BY n_name""",
+      """select n_name from nation
+         where exists (select 1 from supplier
+                       where s_nationkey = n_nationkey
+                         and exists (select 1 from lineitem
+                                     where l_suppkey = s_suppkey
+                                       and l_quantity > 49))
+         order by n_name"""),
+
+    // uncorrelated scalar subquery as an inner-WHERE conjunct: binds in
+    // the inner scope as a broadcast 1-row aggregate, beneath the
+    // correlated EXISTS semi join
+    engineSql("qe97_exists_nested_scalar",
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and o_totalprice > (select avg(o_totalprice) from orders))
+         order by c_custkey"""),
+
     // ---- exact n-gram Jaccard near-dup pairs ----------------------------
     // Prefix-filtered inverted-index candidates + exact array verify —
     // no MinHash approximation anywhere, so the oracle equivalence is

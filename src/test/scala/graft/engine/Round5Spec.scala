@@ -26,6 +26,10 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     engine = Engine.forTestdata(spark, dir)
+    // temp views for the spark.sql oracle side of the nested-subquery tests
+    Seq("customer", "orders", "lineitem", "nation", "supplier").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
@@ -155,6 +159,72 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
         (select o_orderkey from orders where o_custkey = c_custkey limit 1) as x
         from customer"""))
     assert(e2.getMessage.toLowerCase.contains("order by"), e2.getMessage)
+  }
+
+  // ---- depth-2 nested subqueries --------------------------------------
+
+  test("EXISTS body with an uncorrelated IN subquery conjunct") {
+    val r = rows("""select c_custkey from customer
+        where exists (select 1 from orders
+                      where o_custkey = c_custkey
+                        and o_orderkey in (select l_orderkey from lineitem
+                                           where l_quantity > 49))
+        order by c_custkey""")
+    val oracle = spark.sql("""select c_custkey from customer
+        where exists (select 1 from orders
+                      where o_custkey = c_custkey
+                        and o_orderkey in (select l_orderkey from lineitem
+                                           where l_quantity > 49))
+        order by c_custkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("EXISTS body with an EXISTS correlated to the immediate parent") {
+    val q =
+      """select n_name from nation
+         where exists (select 1 from supplier
+                       where s_nationkey = n_nationkey
+                         and exists (select 1 from lineitem
+                                     where l_suppkey = s_suppkey
+                                       and l_quantity > 49))
+         order by n_name"""
+    val r = rows(q)
+    val oracle = spark.sql(q).collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("IN-subquery body with a nested uncorrelated IN conjunct") {
+    val q =
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where o_orderkey in (select l_orderkey from lineitem
+                                                  where l_quantity > 49))
+         order by c_custkey"""
+    val r = rows(q)
+    val oracle = spark.sql(q).collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("EXISTS body with an uncorrelated scalar-subquery conjunct") {
+    val q =
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and o_totalprice > (select avg(o_totalprice) from orders))
+         order by c_custkey"""
+    val r = rows(q)
+    val oracle = spark.sql(q).collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("grandparent-correlated nested subquery errors with context") {
+    val e = intercept[Exception](rows(
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and exists (select 1 from lineitem
+                                     where l_orderkey = c_custkey))"""))
+    assert(e.getMessage.toLowerCase.contains("nested"), e.getMessage)
   }
 
   // ---- Summing maintenance: self-referencing INSERT -------------------
