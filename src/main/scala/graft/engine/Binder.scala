@@ -692,10 +692,29 @@ final class Binder(
     val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
 
     val conjuncts = qb.where.map(splitAnd).getOrElse(Nil)
-    val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
+    val (local0, correlated0) = conjuncts.partition(resolvesWithin(_, innerRel))
+    // subquery-bearing "local" conjuncts whose bodies reference columns
+    // beyond this subquery's reach (grandparent correlation) FLATTEN:
+    // ∃m ∃i p(o,m,i) ≡ ∃(m,i) p(o,m,i), so a non-negated nested
+    // EXISTS/IN joins its source onto the inner side and its
+    // outer-referencing conjuncts hoist into THIS level's correlation
+    // pool — EXISTS/IN are multiplicity-blind, so the join's row
+    // duplication is invisible
+    val (flattenable, local) = local0.partition(c =>
+      containsSubquery(c) && !resolvesWithinDeep(c, innerRel, ctx.ctes))
 
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
     applyLocal(local, innerCtx, "EXISTS subquery")
+    val hoisted =
+      if (flattenable.isEmpty) Nil
+      else {
+        if (qb.groupBy.nonEmpty || qb.having.isDefined)
+          err("a nested subquery that references the outer query's own " +
+            "outer scope is unsupported in an aggregated EXISTS body " +
+            "(flattening would change the aggregate's input multiset)")
+        flattenable.flatMap(flattenNested(_, innerCtx, "EXISTS subquery"))
+      }
+    val correlated = correlated0 ++ hoisted
     val how = if (negated) "left_anti" else "left_semi"
 
     if (qb.groupBy.nonEmpty || qb.having.isDefined) {
@@ -723,12 +742,83 @@ final class Binder(
       val cond =
         if (correlated.isEmpty) lit(true) // uncorrelated EXISTS: any row matches
         else {
-          // resolve inner names first, then outer (SQL scoping)
-          val corrCtx = new Ctx(Rel(innerDf, innerRel.scopes), Some(ctx.rel), ctx.ctes)
-          correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+          // resolve inner names first, then outer (SQL scoping); the
+          // post-flatten scopes include the joined-in nested relations
+          val corrCtx = new Ctx(Rel(innerDf, innerCtx.rel.scopes), Some(ctx.rel), ctx.ctes)
+          try correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+          catch {
+            case e: GraftException if hoisted.nonEmpty => throw GraftException(
+              s"${e.msg} (while binding conjuncts hoisted from a nested " +
+                "subquery — correlation may reach at most one enclosing scope)")
+          }
         }
       ctx.rel = Rel(ctx.rel.df.join(innerDf, cond, how), ctx.rel.scopes)
     }
+  }
+
+  /** One grandparent-correlated nested-subquery conjunct → join its
+    * source into `innerCtx`'s frame and return the conjuncts that must
+    * hoist into the ENCLOSING lowering's correlation pool. Only
+    * non-negated EXISTS/IN with plain bodies flatten (negation and
+    * aggregation are not multiplicity-blind). */
+  private def flattenNested(c: Expr, innerCtx: Ctx, what: String): Seq[Expr] = c match {
+    case ExistsExpr(nqb: QueryBody, false) => flattenExistsBody(nqb, None, innerCtx, what)
+    case FnCall(n, Seq(SubqueryExpr(nqb: QueryBody))) if n.equalsIgnoreCase("exists") =>
+      flattenExistsBody(nqb, None, innerCtx, what)
+    case InSubquery(lhs, nqb: QueryBody, false) =>
+      flattenExistsBody(nqb, Some(lhs), innerCtx, what)
+    case _ => err(s"a nested subquery in a $what references columns two " +
+      "scopes up in a position that cannot flatten — only non-negated " +
+      "EXISTS/IN conjuncts with plain bodies support grandparent correlation")
+  }
+
+  private def flattenExistsBody(nqb: QueryBody, lhsOpt: Option[Expr],
+      innerCtx: Ctx, what: String): Seq[Expr] = {
+    if (nqb.ctes.nonEmpty || nqb.groupBy.nonEmpty || nqb.having.isDefined ||
+        nqb.distinct.isDefined || nqb.limit.isDefined)
+      err(s"a grandparent-correlated nested subquery in a $what must be a " +
+        "plain body (no WITH/GROUP BY/HAVING/DISTINCT/LIMIT)")
+    val base = nqb.from.map(bindSource(_, innerCtx.ctes))
+      .getOrElse(err(s"nested subquery in a $what needs a FROM"))
+    val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, innerCtx.ctes))
+    val nConj = nqb.where.map(splitAnd).getOrElse(Nil)
+    val (nLocal0, nRest) = nConj.partition(resolvesWithin(_, nestedRel))
+    val (nFlatten, nLocal) = nLocal0.partition(x =>
+      containsSubquery(x) && !resolvesWithinDeep(x, nestedRel, innerCtx.ctes))
+    val nestedCtx = new Ctx(nestedRel, None, innerCtx.ctes)
+    applyLocal(nLocal, nestedCtx, what)
+    // depth-3+ chains flatten level by level into the nested frame
+    val nHoisted = nFlatten.flatMap(flattenNested(_, nestedCtx, what))
+    val eqConj = lhsOpt.map { l =>
+      nqb.selectList match {
+        case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => Binary("=", l, e)
+        case _ => err("IN subquery must produce exactly 1 column")
+      }
+    }
+    val pool = nRest ++ nHoisted ++ eqConj.toSeq
+
+    // fresh-rename the nested frame (self-join safety — the theta-path
+    // pattern) and guard against relation names visible on both levels
+    val (renamed, rScopes) = freshRenamed(nestedCtx.rel.df, nestedCtx.rel.scopes, what)
+    val innerQuals = innerCtx.rel.scopes.filterNot(_.hidden)
+      .flatMap(_.qualifier.map(_.toLowerCase)).toSet
+    rScopes.filterNot(_.hidden).flatMap(_.qualifier)
+      .find(q => innerQuals(q.toLowerCase)).foreach { q =>
+        err(s"flattening a nested subquery in a $what: relation '$q' is " +
+          "named on both levels — alias one of them differently")
+      }
+    val bCtx = new Ctx(Rel(innerCtx.rel.df, innerCtx.rel.scopes ++ rScopes),
+      None, innerCtx.ctes)
+    val (joinable, hoist) = pool.partition(resolvesWithin(_, bCtx.rel))
+    val condOpt = joinable.map(bindExpr(_, bCtx)).reduceOption(_ && _)
+    // scalar subqueries among the join conjuncts cross their value onto
+    // the left side while binding — join from the (possibly mutated) frame
+    val joined = condOpt match {
+      case Some(cond) => bCtx.rel.df.join(renamed, cond, "inner")
+      case None => bCtx.rel.df.crossJoin(renamed)
+    }
+    innerCtx.rel = Rel(joined, bCtx.rel.scopes)
+    hoist
   }
 
   /** Build the grouped + HAVING-filtered inner frame for an aggregated
@@ -869,6 +959,74 @@ final class Binder(
   private def resolvesWithin(e: Expr, rel: Rel): Boolean = {
     var ok = true
     def walkQ(q: Query): Unit = () // nested subqueries keep their own scope
+    def walk(x: Expr): Unit = x match {
+      case Ident(q, nm) =>
+        val found = q match {
+          case Some(qual) =>
+            rel.scopes.exists(s => s.qualifier.exists(_.equalsIgnoreCase(qual)) && s.has(nm))
+          case None => rel.scopes.exists(_.has(nm))
+        }
+        if (!found) ok = false
+      case Binary(_, l, r) => walk(l); walk(r)
+      case Unary(_, o) => walk(o)
+      case FnCall(_, args) => args.foreach(walk)
+      case CaseExpr(s, bs, e2) =>
+        s.foreach(walk); bs.foreach { case (a, b) => walk(a); walk(b) }; e2.foreach(walk)
+      case BetweenExpr(a, lo, hi, _) => walk(a); walk(lo); walk(hi)
+      case InList(a, items, _) => walk(a); items.foreach(walk)
+      case TupleLit(xs) => xs.foreach(walk)
+      case ArrayLit(xs) => xs.foreach(walk)
+      case MapLit(es) => es.foreach { case (k, v) => walk(k); walk(v) }
+      case SubqueryExpr(q) => walkQ(q)
+      case InSubquery(a, q, _) => walk(a); walkQ(q)
+      case ExistsExpr(q, _) => walkQ(q)
+      case _ => ()
+    }
+    walk(e)
+    ok
+  }
+
+  private def containsSubquery(e: Expr): Boolean = e match {
+    case _: SubqueryExpr | _: InSubquery | _: ExistsExpr => true
+    case Binary(_, l, r) => containsSubquery(l) || containsSubquery(r)
+    case Unary(_, o) => containsSubquery(o)
+    case FnCall(_, args) => args.exists(containsSubquery)
+    case CaseExpr(s, bs, e2) =>
+      s.exists(containsSubquery) ||
+        bs.exists { case (a, b) => containsSubquery(a) || containsSubquery(b) } ||
+        e2.exists(containsSubquery)
+    case BetweenExpr(a, lo, hi, _) =>
+      containsSubquery(a) || containsSubquery(lo) || containsSubquery(hi)
+    case InList(a, items, _) => containsSubquery(a) || items.exists(containsSubquery)
+    case TupleLit(xs) => xs.exists(containsSubquery)
+    case ArrayLit(xs) => xs.exists(containsSubquery)
+    case MapLit(es) => es.exists { case (k, v) => containsSubquery(k) || containsSubquery(v) }
+    case _ => false
+  }
+
+  /** Deep correlation test: like [[resolvesWithin]], but nested subquery
+    * bodies are OPENED — their own FROM/JOIN scopes bind and every
+    * expression in them must resolve within (own scopes ++ `rel`'s),
+    * recursively. False means some identifier escapes `rel` entirely
+    * (grandparent correlation). Bodies this cannot analyze (set-ops,
+    * WITH, sources/join-conditions that fail to bind) count as
+    * resolving, preserving the shallow classification and its error
+    * paths. */
+  private def resolvesWithinDeep(e: Expr, rel: Rel, ctes: Map[String, DataFrame]): Boolean = {
+    var ok = true
+    def walkQ(q: Query): Unit = q match {
+      case qb: QueryBody if qb.ctes.isEmpty =>
+        try {
+          val bound = qb.from.map { src =>
+            qb.joins.foldLeft(bindSource(src, ctes))((r, j) => bindJoin(r, j, ctes))
+          }
+          val merged = Rel(rel.df, bound.map(_.scopes).getOrElse(Nil) ++ rel.scopes)
+          val exprs = qb.selectList.map(_.expr) ++ qb.where.toSeq ++ qb.groupBy ++
+            qb.having.toSeq ++ qb.orderBy.map(_.expr) ++ qb.distinct.toSeq.flatten
+          if (!exprs.forall(resolvesWithinDeep(_, merged, ctes))) ok = false
+        } catch { case _: GraftException => () }
+      case _ => ()
+    }
     def walk(x: Expr): Unit = x match {
       case Ident(q, nm) =>
         val found = q match {
@@ -1444,6 +1602,32 @@ final class Binder(
     * detection. Fresh aliases mint new attribute ids; the inner scopes
     * are rebuilt with rename maps so correlated conjuncts and
     * aggregates still bind by their original names. */
+  /** Re-project a subquery-side frame through fresh column names,
+    * carrying the scopes across via rename maps — the self-join-safety
+    * pattern shared by the theta per-row path and nested-subquery
+    * flattening (without it, Spark's ambiguous-self-join analysis
+    * rejects plans where both sides trace to the same cached table
+    * frame). */
+  private def freshRenamed(innerDf: DataFrame, innerScopes: Seq[Scope],
+      what: String): (DataFrame, Seq[Scope]) = {
+    val innerCols = innerDf.columns.toSeq
+    val lower = innerCols.map(_.toLowerCase)
+    if (lower.distinct.length != lower.length)
+      err(s"$what: the subquery's FROM/JOIN relations have duplicate " +
+        "column names — project distinct names first")
+    val freshNames = innerCols.map(_ => fresh("tc"))
+    val renamed = innerDf.toDF(freshNames: _*)
+    val freshOf: Map[String, String] = lower.zip(freshNames).toMap
+    val rScopes = innerScopes.map { s =>
+      Scope(s.qualifier, renamed, s.cols,
+        rename = s.cols.map { c =>
+          val actual = s.rename.getOrElse(c.toLowerCase, c)
+          c.toLowerCase -> freshOf(actual.toLowerCase)
+        }.toMap, hidden = s.hidden)
+    }
+    (renamed, rScopes)
+  }
+
   private def thetaAggPerRow(innerDf: DataFrame, innerScopes: Seq[Scope],
       correlated: Seq[Expr], ctx: Ctx, what: String,
       mkAggs: (Ctx, Column) => Seq[(String, Column)]): DataFrame = {
@@ -1459,21 +1643,8 @@ final class Binder(
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
-    val innerCols = innerDf.columns.toSeq
-    val lower = innerCols.map(_.toLowerCase)
-    if (lower.distinct.length != lower.length)
-      err(s"$what: the subquery's FROM/JOIN relations have duplicate " +
-        "column names — project distinct names first")
-    val freshNames = innerCols.map(_ => fresh("tc"))
-    val renamed = innerDf.toDF(freshNames: _*).withColumn(mk, lit(true))
-    val freshOf: Map[String, String] = lower.zip(freshNames).toMap
-    val rScopes = innerScopes.map { s =>
-      Scope(s.qualifier, renamed, s.cols,
-        rename = s.cols.map { c =>
-          val actual = s.rename.getOrElse(c.toLowerCase, c)
-          c.toLowerCase -> freshOf(actual.toLowerCase)
-        }.toMap, hidden = s.hidden)
-    }
+    val (renamed0, rScopes) = freshRenamed(innerDf, innerScopes, what)
+    val renamed = renamed0.withColumn(mk, lit(true))
     val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
     val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
     val joined =

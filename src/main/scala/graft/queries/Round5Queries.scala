@@ -7,10 +7,11 @@ import graft.pipeline.Dedup
 
 /** Round-5 additions: the exact n-gram Jaccard dedup tier (the brief's
   * dedup list names it beside MinHash/SimHash — until now it only
-  * existed as qp50's verification step), and the per-outer-row theta
+  * existed as qp50's verification step), the per-outer-row theta
   * decorrelation entries (non-equality correlated scalar/IN, HAVING
   * over an ungrouped aggregate in IN position — VERDICT r3's last
-  * dialect corners). */
+  * dialect corners), depth-2 nested subqueries (qe95–qe97), and
+  * grandparent-correlated nesting via EXISTS-flattening (qe98–qe99). */
 object Round5Queries {
 
   private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
@@ -178,6 +179,47 @@ object Round5Queries {
          where exists (select 1 from orders
                        where o_custkey = c_custkey
                          and o_totalprice > (select avg(o_totalprice) from orders))
+         order by c_custkey"""),
+
+    // ---- grandparent correlation (nested-subquery flattening) -----------
+    // ∃m ∃i p(o,m,i) ≡ ∃(m,i) p(o,m,i): a non-negated nested EXISTS/IN
+    // whose body references the outer query's OWN outer scope flattens
+    // into a join of the two subquery sources, and the outer-referencing
+    // conjuncts hoist into the single remaining correlation level —
+    // Spark's analyzer cannot express this shape at all (outer references
+    // may not skip scope levels), so the lowering is genuinely additive
+    engineSql("qe98_exists_grandparent",
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND EXISTS (SELECT 1 FROM lineitem
+                                     WHERE l_orderkey = o_orderkey
+                                       AND l_partkey < c_custkey))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and exists (select 1 from lineitem
+                                     where l_orderkey = o_orderkey
+                                       and l_partkey < c_custkey))
+         order by c_custkey"""),
+
+    // nested IN + a three-scope predicate (innermost row compared against
+    // both enclosing scopes at once)
+    engineSql("qe99_in_grandparent",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300
+           AND EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                            WHERE l_extendedprice > o_totalprice - c_acctbal))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300
+           and exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and o_orderkey in (select l_orderkey from lineitem
+                                            where l_extendedprice > o_totalprice - c_acctbal))
          order by c_custkey"""),
 
     // ---- exact n-gram Jaccard near-dup pairs ----------------------------

@@ -217,14 +217,127 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
   }
 
-  test("grandparent-correlated nested subquery errors with context") {
+  // ---- grandparent correlation (nested-subquery flattening) -----------
+
+  // Spark's own analyzer rejects outer references that skip a scope
+  // level, so each oracle below is the HAND-FLATTENED single-level
+  // equivalent (∃m ∃i ≡ ∃ over the m⋈i join)
+
+  test("grandparent-correlated nested EXISTS flattens to a join") {
+    val r = rows(
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and exists (select 1 from lineitem
+                                     where l_orderkey = o_orderkey
+                                       and l_partkey < c_custkey))
+         order by c_custkey""")
+    val oracle = spark.sql(
+      """select c_custkey from customer
+         where exists (select 1 from orders join lineitem on l_orderkey = o_orderkey
+                       where o_custkey = c_custkey and l_partkey < c_custkey)
+         order by c_custkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("grandparent-correlated nested IN flattens to a join") {
+    val r = rows(
+      """select n_nationkey from nation
+         where exists (select 1 from supplier
+                       where s_nationkey = n_nationkey
+                         and s_suppkey in (select l_suppkey from lineitem
+                                           where l_partkey < n_nationkey * 10))
+         order by n_nationkey""")
+    val oracle = spark.sql(
+      """select n_nationkey from nation
+         where exists (select 1 from supplier join lineitem on s_suppkey = l_suppkey
+                       where s_nationkey = n_nationkey and l_partkey < n_nationkey * 10)
+         order by n_nationkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("three-scope predicate inside a depth-2 body binds across all levels") {
+    val r = rows(
+      """select c_custkey from customer
+         where c_custkey < 200
+           and exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and exists (select 1 from lineitem
+                                     where l_orderkey = o_orderkey
+                                       and l_extendedprice > o_totalprice - c_acctbal))
+         order by c_custkey""")
+    val oracle = spark.sql(
+      """select c_custkey from customer
+         where c_custkey < 200
+           and exists (select 1 from orders join lineitem on l_orderkey = o_orderkey
+                       where o_custkey = c_custkey
+                         and l_extendedprice > o_totalprice - c_acctbal)
+         order by c_custkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("NOT EXISTS at the middle level still anti-joins the flattened frame") {
+    val r = rows(
+      """select c_custkey from customer
+         where c_custkey < 200
+           and not exists (select 1 from orders
+                           where o_custkey = c_custkey
+                             and exists (select 1 from lineitem
+                                         where l_orderkey = o_orderkey
+                                           and l_partkey < c_custkey))
+         order by c_custkey""")
+    val oracle = spark.sql(
+      """select c_custkey from customer
+         where c_custkey < 200
+           and not exists (select 1 from orders join lineitem on l_orderkey = o_orderkey
+                           where o_custkey = c_custkey and l_partkey < c_custkey)
+         order by c_custkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("depth-3 chain: innermost references the outermost scope") {
+    val r = rows(
+      """select n_nationkey from nation
+         where exists (select 1 from supplier
+                       where s_nationkey = n_nationkey
+                         and exists (select 1 from customer
+                                     where c_nationkey = s_nationkey
+                                       and exists (select 1 from orders
+                                                   where o_custkey = c_custkey
+                                                     and o_orderkey < n_nationkey * 20)))
+         order by n_nationkey""")
+    val oracle = spark.sql(
+      """select n_nationkey from nation
+         where exists (select 1 from supplier
+                         join customer on c_nationkey = s_nationkey
+                         join orders on o_custkey = c_custkey
+                       where s_nationkey = n_nationkey
+                         and o_orderkey < n_nationkey * 20)
+         order by n_nationkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("nested NOT EXISTS with grandparent correlation stays a clean error") {
+    val e = intercept[Exception](rows(
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and not exists (select 1 from lineitem
+                                         where l_orderkey = c_custkey))"""))
+    assert(e.getMessage.toLowerCase.contains("flatten")
+      || e.getMessage.toLowerCase.contains("nested"), e.getMessage)
+  }
+
+  test("grandparent-nested conjunct inside an aggregated EXISTS body errors") {
     val e = intercept[Exception](rows(
       """select c_custkey from customer
          where exists (select 1 from orders
                        where o_custkey = c_custkey
                          and exists (select 1 from lineitem
-                                     where l_orderkey = c_custkey))"""))
-    assert(e.getMessage.toLowerCase.contains("nested"), e.getMessage)
+                                     where l_orderkey = c_custkey)
+                       group by o_orderstatus
+                       having count(*) > 1)"""))
+    assert(e.getMessage.toLowerCase.contains("aggregated exists"), e.getMessage)
   }
 
   // ---- Summing maintenance: self-referencing INSERT -------------------
