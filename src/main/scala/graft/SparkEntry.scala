@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EngineQueries, ExtraQueries, PipelineQueries, Round4Queries, Round5Queries, StatementQueries, QueryDef}
+import graft.queries.{CurationQueries, EngineQueries, ExtraQueries, PipelineQueries, Round4Queries, Round5Queries, StatementQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
     * DataFrame); the oracle SQL is unchanged from round 1. */
   def allDefs: Seq[QueryDef] =
     EngineQueries.defs ++ StatementQueries.defs ++ PipelineQueries.defs ++
-      ExtraQueries.defs ++ Round4Queries.defs ++ Round5Queries.defs
+      ExtraQueries.defs ++ Round4Queries.defs ++ Round5Queries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines, beyond the
+  * dedup/similarity families in [[Dedup]]/[[Similarity]]: repetition
+  * filters (Gopher-style), test-set decontamination, PII detection and
+  * redaction, temperature-weighted source mixing, and event
+  * sessionization.
+  *
+  * Every operator keeps the same scale contract as the rest of the
+  * pipeline package: codegen'd builtins (no lambdas in hot paths),
+  * map-side-combined aggregations, and joins that broadcast only sides
+  * that are small BY CONSTRUCTION (a benchmark suite, a per-source rate
+  * table) — never an sf-scaled input.
+  */
+object Curation {
+
+  // ---- repetition stats (Gopher-style quality filters) ----------------
+
+  /** Per-document word/bigram repetition counts — the integer-exact
+    * inputs to Gopher-style repetition filters ("fraction of duplicate
+    * n-grams", "fraction of the most common word"): total and distinct
+    * word counts, the top word's occurrence count, and the same for
+    * word bigrams. Fractions are left to the caller so the outputs stay
+    * exactly comparable across engines (no float thresholds baked in).
+    *
+    * Two aggregation chains (words, bigrams), each groupBy(id, gram) →
+    * groupBy(id): partial aggregation makes both passes linear in input
+    * bytes, and the per-document key keeps groups bounded by document
+    * size — no skew hazard at corpus scale.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def gramStats(stream: DataFrame, prefix: String): DataFrame =
+      stream.groupBy(col("id"), col("s")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id")).agg(
+          sum(col("c")).as(s"n_${prefix}s"),
+          count(lit(1)).as(s"n_distinct_${prefix}s"),
+          max(col("c")).as(s"top_${prefix}_cnt"))
+    val words = gramStats(
+      docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("s")), "word")
+    val bigrams = gramStats(Dedup.shingleStream(docs, idCol, textCol, 2), "bigram")
+    words.join(bigrams, "id")
+      .withColumnRenamed("id", idCol)
+      .orderBy(col(idCol))
+  }
+
+  // ---- test-set decontamination ----------------------------------------
+
+  /** Ids of corpus documents sharing at least one distinct word n-gram
+    * with any benchmark document — the standard "n-gram overlap"
+    * decontamination test applied before training (remove or flag the
+    * hits so evaluation data never leaks into the training set).
+    *
+    * The benchmark side is distinct n-grams of an evaluation suite —
+    * small by construction at any corpus scale — so the semi join
+    * broadcasts it and the corpus stream is never shuffled. */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      ngram: Int = 5): DataFrame = {
+    val corpusGrams = Dedup.shingleStream(corpus, idCol, textCol, ngram)
+    val benchGrams = Dedup.shingleStream(benchmark, benchIdCol, benchTextCol, ngram)
+      .select(col("s")).distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("s"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+      .orderBy(col(idCol))
+  }
+
+  // ---- PII detection / redaction ---------------------------------------
+
+  /** Conservative PII patterns: RFC-ish emails, international/US phone
+    * shapes with separators, US SSNs, dotted-quad IPv4. Patterns are
+    * deliberately form-based (no checksum validation) — a scrubbing
+    * pass prefers false positives over leaks. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnPattern: String = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhonePattern: String = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?"
+  val Ipv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Count of matches of one PII pattern in `text` (codegen'd
+    * regexp_count — one pass per pattern, linear in bytes). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** `text` with all PII classes replaced by typed placeholders. Order
+    * matters: SSNs would otherwise be half-eaten by the phone pattern,
+    * and emails can embed digit runs — scrub emails, then SSNs, then
+    * phones, then IPs. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, lit(EmailPattern), lit("[EMAIL]"))
+    val s = regexp_replace(e, lit(SsnPattern), lit("[SSN]"))
+    val p = regexp_replace(s, lit(PhonePattern), lit("[PHONE]"))
+    regexp_replace(p, lit(Ipv4Pattern), lit("[IP]"))
+  }
+
+  // ---- temperature-weighted source mixing -------------------------------
+
+  /** Deterministic temperature sampling across sources (the
+    * multilingual-corpus mixing rule: sample source s proportionally to
+    * n_s^alpha with alpha = 1/2, so small sources are up-weighted
+    * relative to their raw frequency). Returns the input filtered to
+    * the sampled subset, plus the per-mille rate applied.
+    *
+    * Rates come from a per-source count aggregate — a table with one
+    * row per source, broadcast back onto the corpus — and membership is
+    * decided by a Knuth multiplicative mix of the id,
+    * `(id · 2654435761) mod 1000 < rate`, so the sample is reproducible
+    * in any engine, stable under re-partitioning (no RNG state), and
+    * not correlated with id ranges (a bare `id mod 1000` keeps every
+    * row of a small table). The largest source keeps rate 1000
+    * (everything); others keep floor(1000·sqrt(n_s/n_max)). */
+  def temperatureSample(docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("__n")).as("__mx"))))
+      .select(col(sourceCol),
+        floor(lit(1000) * sqrt(col("__n").cast("double") / col("__mx")))
+          .cast("long").as("sample_rate"))
+    docs.join(broadcast(rates), sourceCol)
+      .filter(pmod(col(idCol) * lit(2654435761L), lit(1000L)) < col("sample_rate"))
+  }
+
+  // ---- event sessionization (batch) -------------------------------------
+
+  /** Gap-based sessionization of an event log: a new session starts
+    * whenever the gap to the previous event of the same user exceeds
+    * `gapNanos`. Returns one row per session with event count and span.
+    * Ties on the timestamp are broken by `eventIdCol` so session
+    * numbering is deterministic.
+    *
+    * One shuffle on the user key; the windows and the session aggregate
+    * all ride that single partitioning (lag → running sum → groupBy all
+    * share `partitionBy(user)`). Per-user event counts bound window
+    * buffers — the streaming variant with watermarked state eviction is
+    * [[graft.streaming.EventStreams.sessionize]]. */
+  def sessionize(events: DataFrame, userCol: String, tsNanosCol: String,
+      eventIdCol: String, gapNanos: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsNanosCol), col(eventIdCol))
+    val boundary = when(
+      col(tsNanosCol) - lag(col(tsNanosCol), 1).over(byUser) > gapNanos ||
+        lag(col(tsNanosCol), 1).over(byUser).isNull, 1L).otherwise(0L)
+    events
+      .withColumn("session_seq", sum(boundary).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsNanosCol)).as("session_start"),
+        (max(col(tsNanosCol)) - min(col(tsNanosCol))).as("span_nanos"))
+      .orderBy(col(userCol), col("session_seq"))
+  }
+}

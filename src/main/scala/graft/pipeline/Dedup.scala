@@ -63,7 +63,7 @@ object Dedup {
     * null leads), matching the array builder's semantics. Duplicate
     * shingles within a doc are kept (MIN is insensitive; SimHash weighs
     * repeated features, the standard formulation). */
-  private def shingleStream(docs: DataFrame, idCol: String, textCol: String,
+  private[pipeline] def shingleStream(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, "shingleN must be >= 1")
     val tok = docs.select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))))

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curation-operator specs: repetition stats on hand-computable
+  * fixtures, decontamination hit/miss behavior, PII redaction
+  * idempotence + zero-leak, temperature-sampling rate math, and
+  * sessionization boundary semantics. The driver entries qp65–qp69
+  * carry the DuckDB-oracle burden; these tests pin the semantics on
+  * inputs small enough to verify by hand. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("curation-spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetitionStats counts words and bigrams exactly") {
+    // "a b a b a": words {a:3, b:2}; bigrams [a b, b a, a b, b a] = {a b:2, b a:2}
+    val out = Curation.repetitionStats(docs(7L -> "a b a b a"), "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_words") == 5)
+    assert(r.getAs[Long]("n_distinct_words") == 2)
+    assert(r.getAs[Long]("top_word_cnt") == 3)
+    assert(r.getAs[Long]("n_bigrams") == 4)
+    assert(r.getAs[Long]("n_distinct_bigrams") == 2)
+    assert(r.getAs[Long]("top_bigram_cnt") == 2)
+  }
+
+  test("repetitionStats: fully repeated doc vs all-distinct doc") {
+    val out = Curation.repetitionStats(
+      docs(1L -> "x x x x", 2L -> "p q r s"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_distinct_words") == 1)
+    assert(out(1L).getAs[Long]("top_bigram_cnt") == 3) // "x x" three times
+    assert(out(2L).getAs[Long]("n_distinct_words") == 4)
+    assert(out(2L).getAs[Long]("top_bigram_cnt") == 1)
+  }
+
+  test("contaminatedIds flags exactly the docs sharing an n-gram") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",   // contains bench 4-gram
+      2L -> "completely unrelated words without any overlap here",
+      3L -> "quick brown fox jumps somewhere else entirely")  // shares "quick brown fox jumps"
+    val bench = docs(100L -> "a quick brown fox jumps test question")
+    val hit = Curation.contaminatedIds(
+      corpus, "doc_id", "text", bench, "doc_id", "text", ngram = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 3L))
+  }
+
+  test("redactPii removes every planted PII class and is idempotent") {
+    val d = docs(1L ->
+      ("mail alice.smith+x@corp.example.co phone +1-555-0142 ssn 123-45-6789 " +
+        "ip 192.168.0.255 done"))
+    val red = d.select(Curation.redactPii(col("text")).as("r"))
+    val r = red.collect().head.getString(0)
+    assert(r.contains("[EMAIL]") && r.contains("[PHONE]") &&
+      r.contains("[SSN]") && r.contains("[IP]"))
+    val leaks = red.select(
+      (Curation.piiCount(col("r"), Curation.EmailPattern)
+        + Curation.piiCount(col("r"), Curation.SsnPattern)
+        + Curation.piiCount(col("r"), Curation.PhonePattern)
+        + Curation.piiCount(col("r"), Curation.Ipv4Pattern)).as("n"))
+      .collect().head.getAs[Number]("n").longValue()
+    assert(leaks == 0L)
+    val twice = red.select(Curation.redactPii(col("r")).as("r2")).collect().head.getString(0)
+    assert(twice == r)
+  }
+
+  test("ssn is redacted as SSN, not eaten by the phone pattern") {
+    val r = docs(1L -> "ssn 123-45-6789 end")
+      .select(Curation.redactPii(col("text"))).collect().head.getString(0)
+    assert(r == "ssn [SSN] end")
+  }
+
+  test("temperatureSample keeps all of the largest source, sqrt-rate of others") {
+    import spark.implicits._
+    // source A: ids 0..99 (100 docs), source B: ids 100..124 (25 docs)
+    val d = ((0L until 100L).map(i => (i, "A")) ++ (100L until 125L).map(i => (i, "B")))
+      .toDF("doc_id", "src")
+    val out = Curation.temperatureSample(d, "doc_id", "src")
+    val rates = out.groupBy("src").agg(max("sample_rate").as("r"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("A") == 1000L) // largest source: keep everything
+    assert(rates("B") == 500L)  // floor(1000*sqrt(25/100))
+    // rate 1000 keeps every A row regardless of the id mix
+    assert(out.filter($"src" === "A").count() == 100L)
+    val keptB = out.filter($"src" === "B").count()
+    assert(keptB > 0 && keptB < 25)
+  }
+
+  test("sessionize splits on gaps > gap and numbers sessions per user") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 0L, 10L), (1L, 1000L, 11L), (1L, 5000L, 12L), // user 1: gap 4000 splits at gap=2000
+      (2L, 0L, 20L)                                       // user 2: one session
+    ).toDF("user_id", "ts", "event_id")
+    val out = Curation.sessionize(e, "user_id", "ts", "event_id", gapNanos = 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    assert(out((1L, 1L)).getAs[Long]("n_events") == 2)
+    assert(out((1L, 1L)).getAs[Long]("span_nanos") == 1000L)
+    assert(out((1L, 2L)).getAs[Long]("n_events") == 1)
+    assert(out((2L, 1L)).getAs[Long]("n_events") == 1)
+  }
+
+  test("sessionize boundary: gap exactly equal to the threshold does NOT split") {
+    import spark.implicits._
+    val e = Seq((1L, 0L, 1L), (1L, 2000L, 2L)).toDF("user_id", "ts", "event_id")
+    val out = Curation.sessionize(e, "user_id", "ts", "event_id", gapNanos = 2000L)
+    assert(out.count() == 1L)
+  }
+}
