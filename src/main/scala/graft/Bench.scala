@@ -10,10 +10,17 @@ object Bench {
 
     // Warm up the JVM/codegen paths untimed so the first measured query
     // isn't paying classloading + codegen compilation (VERDICT r1: q39
-    // measured 4.5s of warm-up, not query time).
+    // measured 4.5s of warm-up, not query time). One entry per broad
+    // plan family — scan+agg, shuffle join, window — because warming
+    // only q01 left q03's first measurement carrying ~3 s of join/JIT
+    // setup that no re-run of the same JVM ever pays again.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    SparkEntry.queries(names.head)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    Seq(names.head, "q03_join_inner", "qp49_dedup_keep_first")
+      .distinct.filter(SparkEntry.queries.contains).foreach { n =>
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        queries.Engines.releaseAll()
+      }
 
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val results: ListMap[String, Double] = ListMap(names.map { name =>

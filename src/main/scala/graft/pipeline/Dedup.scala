@@ -208,8 +208,14 @@ object Dedup {
     require(thresholdDen >= 1 && thresholdDen >= thresholdNum,
       "threshold must satisfy 0 < num/den <= 1")
     val stream = shingleStream(docs, idCol, textCol, shingleN).distinct()
-    // 8-byte hash keys instead of shingle strings through every join
+    // 8-byte hash keys instead of shingle strings through every join.
+    // The explicit repartition pins ONE exchange that all three
+    // consumers (document frequency, prefix ranking, signature arrays)
+    // share via ReuseExchange — without it each branch re-runs the
+    // shingle windows from the scan (profiled at ~3 s per extra branch
+    // at sf0.1, the dominant cost of the whole operator).
     val hashes = stream.select(col("id"), xxhash64(col("s")).as("h"))
+      .repartition(col("h"))
     val dfreq = hashes.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val ranked = hashes.join(dfreq, "h")
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
@@ -234,20 +240,30 @@ object Dedup {
     // fixture does exactly this), the row-based verify shuffles
     // |cands|·|doc| rows twice, while shipping each doc's shingle-hash
     // array once per candidate does the same work in two equijoins and
-    // a native (non-lambda) array_intersect per row. The byte mass is
-    // the same, the constant ~10× lower; arrays stay |doc|-bounded.
-    // 64-bit hash collisions could overcount one intersection by 1 in
-    // ~2^-64 of pairs — far below any threshold edge in practice.
+    // a native merge count per row (SortedIntersectCount — the builtin
+    // array_intersect allocates a hash set + output array per pair,
+    // profiled at ~10 s for 440k candidates; the codegen'd merge over
+    // the sorted signatures is allocation-free). Arrays stay
+    // |doc|-bounded. 64-bit hash collisions could overcount one
+    // intersection by 1 in ~2^-64 of pairs — far below any threshold
+    // edge in practice.
     val arrs = hashes.groupBy(col("id"))
       .agg(sort_array(collect_list(col("h"))).as("__hs"), count(lit(1)).as("__sz"))
     cands
       .join(arrs.select(col("id").as("id_a"), col("__hs").as("__ha"), col("__sz").as("__sza")), "id_a")
       .join(arrs.select(col("id").as("id_b"), col("__hs").as("__hb"), col("__sz").as("__szb")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("__inter", graft.functions.SetOps.sortedIntersectCount(col("__ha"), col("__hb")))
       .withColumn("__uni", col("__sza") + col("__szb") - col("__inter"))
       .filter(col("__inter") * thresholdDen >= col("__uni") * thresholdNum)
       .select(col("id_a"), col("id_b"),
         (col("__inter").cast("double") / col("__uni")).as("sim"))
+      // pin a shuffle between the verify stage and the final sort: the
+      // range sort samples its child in a separate job, and without an
+      // exchange here that sampling re-executes the whole
+      // candidate-verify stage (broadcast joins + merge counts over
+      // every candidate) a second time — measured ~2× the operator's
+      // cost at sf0.1. The exchange carries only the RESULT pairs.
+      .repartition(col("id_a"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -387,12 +403,27 @@ object Dedup {
   def simhashWide(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = shingleStream(docs, idCol, textCol, 3)
       .select(col("id"), xxhash64(col("s")).as("h"))
-    val aggs = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
-    tok.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(j =>
-          when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    // Pack the 64 per-bit counters into 22 lane-packed sums (3 lanes of
+    // 21 bits per long) plus one row count, instead of 64 independent
+    // sum(±1) aggregates: the 64-state HashAggregate generated a
+    // multi-second whole-stage-codegen compile and 64 long slots per
+    // group. Lane k of group g holds count(bit 3g+k set); a lane
+    // saturates only past 2^21 shingles per document (≫ any real doc).
+    // Majority rule: sum(±1) >= 0  ⟺  2·count_ones >= n.
+    val groups = (0 until 64).grouped(3).toSeq
+    val aggs = groups.zipWithIndex.map { case (js, g) =>
+      sum(js.zipWithIndex.map { case (j, k) =>
+        shiftright(col("h"), j).bitwiseAND(1L) * lit(1L << (21 * k))
+      }.reduce(_ + _)).as(s"g$g")
+    }
+    val lanes = groups.zipWithIndex.flatMap { case (js, g) =>
+      js.zipWithIndex.map { case (j, k) =>
+        when(shiftright(col(s"g$g"), 21 * k).bitwiseAND(0x1FFFFFL) * 2 >= col("n"),
+          lit(1L << j)).otherwise(lit(0L))
+      }
+    }
+    tok.groupBy(col("id")).agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("id"), lanes.reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-duplicates: banded into eight 8-bit chunks — by

@@ -249,6 +249,156 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---- product quantization (IVF-PQ) ----------------------------------
+
+  /** Train PQ codebooks: the vector space splits into `m` contiguous
+    * subspaces and each gets its own `ksub`-codeword k-means (the same
+    * deterministic Lloyd's as IVF — per-subspace slices feed
+    * [[kmeansCentroids]] unchanged). Result: m × ksub × (dim/m).
+    *
+    * At 100 TB this is the representation that makes ANN scannable at
+    * all: a corpus row becomes m small codes (m bytes at ksub ≤ 256)
+    * plus its exact norm — a 768-dim float vector compresses ~100×, so
+    * the candidate scan reads codes, not vectors. */
+  def pqTrain(embeddings: DataFrame, m: Int, ksub: Int,
+      iters: Int = 3, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val dim = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) return Array.empty
+    require(m >= 1 && dim % m == 0, s"pqTrain: dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    // All m per-subspace Lloyd's are FUSED into one job per iteration:
+    // the native PqEncode assigns every subspace's code in one pass,
+    // posexplode fans the row into (subspace, code, subvector), and one
+    // groupBy(subspace, code) accumulates every codebook's sums with
+    // map-side combine. m sequential kmeansCentroids calls would launch
+    // m·iters jobs — 16 subspaces took ~20 s at sf0.01 on job overhead
+    // alone. Sums are long-quantized like kmeansCentroids, so training
+    // is deterministic under any partitioning.
+    val emb = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sample = emb.orderBy(xxhash64(col("vec_id"), lit(seed))).limit(ksub)
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      if (sample.isEmpty) return Array.empty
+      var cb: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+        Array.tabulate(math.min(ksub, sample.length))(c =>
+          sample(c).slice(j * dsub, (j + 1) * dsub)))
+      var iter = 0
+      var converged = false
+      while (iter < iters && !converged) {
+        val sums = emb
+          .select(posexplode(graft.functions.PqOps.encode(col("v"), cb)).as(Seq("j", "cid")),
+            col("v"))
+          .select(col("j"), col("cid"),
+            slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sv"))
+          .groupBy(col("j"), col("cid"))
+          .agg(count(lit(1)).as("n"),
+            (0 until dsub).map(t =>
+              sum(floor(element_at(col("sv"), t + 1).cast("double") * QScale)
+                .cast("long")).as(s"s$t")): _*)
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        sums.foreach { row =>
+          val j = row.getInt(0); val cid = row.getInt(1)
+          val n = row.getLong(2).toDouble
+          next(j)(cid) = Array.tabulate(dsub)(t => row.getLong(3 + t) / QScale / n)
+        }
+        // a (j, cid) cell that lost every member keeps its previous
+        // codeword — unlike IVF lists, an under-used PQ cell only wastes
+        // a code value, it cannot hide corpus rows from search
+        converged = cb.indices.forall(j => cb(j).indices.forall(c =>
+          java.util.Arrays.equals(cb(j)(c), next(j)(c))))
+        cb = next
+        iter += 1
+      }
+      cb
+    } finally emb.unpersist(false)
+  }
+
+  /** PQ-encode the corpus: per subspace, the index of the nearest
+    * codeword (squared L2, codewords inlined as literals — the same
+    * codegen'd argmin as IVF assignment). Output: (vec_id, codes
+    * array<int>, norm) — the norm is kept EXACT so cosine ranking only
+    * approximates the dot product, not the normalization. */
+  def pqEncode(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    normedEmb(embeddings).select(col("vec_id"), col("v"), col("norm"),
+      graft.functions.PqOps.encode(col("v"), codebooks).as("codes"))
+
+  /** IVF-PQ approximate top-k: IVF restricts candidates to the `nprobe`
+    * clusters nearest each query; ADC scores them from the query's
+    * per-(subspace, codeword) partial-dot table with
+    * [[graft.functions.PqAdcScore]] — m array lookups per candidate,
+    * never touching the candidate's raw vector. The distance tables are
+    * data, not plan literals: a tiny codewords frame (m·ksub rows,
+    * built once from the trained codebooks) joins the query slices and
+    * aggregates into one array per query, so real-dimension codebooks
+    * (256 codewords × 96 floats) never bloat the plan. Scores are
+    * approximate dot products over exact norms — recall is spec-tested
+    * against the brute-force tier ([[PqSpec]]). */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      kmeansIters: Int = 3, refine: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = kmeansCentroids(embeddings, nlist, kmeansIters)
+    val codebooks = pqTrain(embeddings, m, ksub, kmeansIters)
+    val emb = normedEmb(embeddings)
+    if (centroids.isEmpty || codebooks.isEmpty)
+      return emb.select(col("vec_id").as("q_id"), lit(1).as("rank"),
+        col("vec_id"), lit(0.0d).as("score"))
+    val dsub = codebooks.head.head.length
+    // corpus side: IVF cluster + PQ codes + exact norm (the 100 TB scan
+    // representation — no raw vectors past this projection)
+    val encoded = pqEncode(embeddings, codebooks)
+      .withColumn("cid", array_min(array(centroidRank(centroids): _*)).getField("cid"))
+      .select(col("vec_id"), col("cid"), col("codes"), col("norm"))
+    // query side: per-query ADC table, built as data — codewords frame is
+    // m·ksub rows, the join is broadcast, and the per-query array is
+    // ordered by (subspace, codeword) to match PqAdcScore's layout
+    import spark.implicits._
+    val codewords = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c) }
+    }.toSeq.toDF("__j", "__c", "__cw")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .withColumn("probes",
+        slice(transform(array_sort(array(centroidRank(centroids): _*)),
+          _.getField("cid")), 1, nprobe))
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("norm").as("qn"), col("probes"))
+    val dtabs = queries
+      .crossJoin(broadcast(codewords))
+      .select(col("q_id"),
+        struct((col("__j") * ksub + col("__c")).as("pos"),
+          dotD(slice(col("q"), col("__j") * dsub + 1, lit(dsub)), col("__cw"))
+            .as("pd")).as("__e"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(col("__e"))),
+        e => e.getField("pd")).as("dtab"))
+    val probes = queries
+      .join(dtabs, "q_id")
+      .select(col("q_id"), col("qn"), col("dtab"), explode(col("probes")).as("cid"))
+    val scored = encoded.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (graft.functions.PqOps.adcScore(col("dtab"), col("codes"))
+          / (col("qn") * col("norm"))).as("score"))
+    // Refine (the IVFPQR stage): the ADC pass only SHORTLISTS refine·k
+    // candidates per query; the final ranking re-scores that shortlist
+    // with exact dot products. This is what makes PQ usable even on
+    // incompressible corpora — ADC recall@(refine·k) is much higher
+    // than ADC recall@k, and the exact pass reads only shortlist·q raw
+    // vectors (a broadcast semi-probe into the corpus, not a scan).
+    val shortlist = topK(scored, math.max(k, refine * k))
+      .select(col("q_id"), col("vec_id"))
+    val exact = emb.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q"), col("qn"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q"), col("v")) / (col("qn") * col("norm"))).as("score"))
+    topK(exact, k)
+  }
+
   /** Approximate cosine top-k: candidates restricted to rows sharing a
     * random-hyperplane sign bucket with the query in at least one of
     * `tables` independent hash tables (multi-table LSH: per-table miss

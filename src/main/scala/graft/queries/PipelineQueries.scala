@@ -117,6 +117,15 @@ object PipelineQueries {
         Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3,
         nlist = 16, nprobe = 4)),
 
+    // ---- ANN: IVF-PQ with exact refine (rows-only: approximate float
+    // scores; PqSpec carries recall/determinism/ADC-exactness) ----------
+    QueryDef(
+      "qp70_ann_ivfpq_topk",
+      None,
+      (s, dir) => Similarity.ivfPqTopK(
+        Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3,
+        nlist = 16, nprobe = 4, m = 16, ksub = 16)),
+
     // ---- text stats + portable fingerprint ------------------------------
     QueryDef(
       "qp55_textstats",

@@ -8,8 +8,11 @@ object QuickCheck {
     args.foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      val c = df.count()
-      println(f"$n%-28s rows=$c%-8d ${(System.nanoTime()-t0)/1e9}%.2fs")
+      // same sink as Bench: noop write materializes every column and
+      // keeps the final sort (count() lets Catalyst prune both, which
+      // under-measures — qp63 read 2.5 s by count vs 6.6 s end-to-end)
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$n%-28s ${(System.nanoTime()-t0)/1e9}%.2fs")
       graft.queries.Engines.releaseAll()
     }
     spark.stop()
