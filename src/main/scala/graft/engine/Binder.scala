@@ -705,6 +705,10 @@ final class Binder(
 
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
     applyLocal(local, innerCtx, "EXISTS subquery")
+    // negated nested subqueries cannot flatten (anti-join semantics are
+    // not multiplicity-blind) — they get the per-row anti-join lowering
+    val (negNested, posFlattenable) =
+      flattenable.partition(negatedNestedExists(_).isDefined)
     val hoisted =
       if (flattenable.isEmpty) Nil
       else {
@@ -712,9 +716,14 @@ final class Binder(
           err("a nested subquery that references the outer query's own " +
             "outer scope is unsupported in an aggregated EXISTS body " +
             "(flattening would change the aggregate's input multiset)")
-        flattenable.flatMap(flattenNested(_, innerCtx, "EXISTS subquery"))
+        posFlattenable.flatMap(flattenNested(_, innerCtx, "EXISTS subquery"))
       }
     val correlated = correlated0 ++ hoisted
+    if (negNested.nonEmpty) {
+      lowerExistsNegatedNested(negNested.map(negatedNestedExists(_).get),
+        correlated, innerCtx, ctx, negated)
+      return
+    }
     val how = if (negated) "left_anti" else "left_semi"
 
     if (qb.groupBy.nonEmpty || qb.having.isDefined) {
@@ -754,6 +763,91 @@ final class Binder(
         }
       ctx.rel = Rel(ctx.rel.df.join(innerDf, cond, how), ctx.rel.scopes)
     }
+  }
+
+  /** The NEGATED nested EXISTS shapes (either AST form) the per-row
+    * anti-join lowering handles. NOT IN stays out: its three-valued
+    * NULL semantics do not survive an anti join over two scopes. */
+  private def negatedNestedExists(c: Expr): Option[QueryBody] = c match {
+    case ExistsExpr(nqb: QueryBody, true) => Some(nqb)
+    case Unary(op, ExistsExpr(nqb: QueryBody, false))
+        if op.equalsIgnoreCase("not") => Some(nqb)
+    case Unary(op, FnCall(n, Seq(SubqueryExpr(nqb: QueryBody))))
+        if op.equalsIgnoreCase("not") && n.equalsIgnoreCase("exists") => Some(nqb)
+    case _ => None
+  }
+
+  /** EXISTS body carrying a NEGATED nested subquery that references the
+    * enclosing query's own outer scope: ∃m: p(o,m) ∧ ¬∃i: q(o,m,i).
+    * Negation is not multiplicity-blind, so the nested level cannot
+    * flatten as a join. Instead the candidate (outer, middle) pairs
+    * materialize once — rid-tagged outer, inner join on the correlation
+    * conjuncts, the theta-path pattern — and each negated nested body
+    * prunes them with a LEFT ANTI join where BOTH scopes' columns are
+    * plain join inputs. Outer rows whose rid survives satisfy the
+    * EXISTS (anti for NOT EXISTS). One extra shuffle vs the flattening
+    * path; candidate volume is bounded by the correlation join. */
+  private def lowerExistsNegatedNested(bodies: Seq[QueryBody],
+      correlated: Seq[Expr], innerCtx: Ctx, ctx: Ctx, negated: Boolean): Unit = {
+    val what = "EXISTS subquery"
+    val rid = fresh("nerid")
+    val rid2 = fresh("nerid2")
+    // persist: the rid-tagged frame feeds the candidate join AND the
+    // join-back; monotonically_increasing_id is not stable across
+    // recomputations (same reasoning as thetaAggPerRow)
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined =
+      try outer.join(renamed, cond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what correlation here may only reference columns of the " +
+            "outer relation — rewrite the correlated conjuncts")
+      }
+    var cur = Rel(joined, ctx.rel.scopes ++ rScopes)
+    bodies.foreach { nqb => cur = antiJoinNestedBody(nqb, cur, ctx.ctes) }
+    val survivors = cur.df.select(col(rid)).distinct().withColumnRenamed(rid, rid2)
+    val how = if (negated) "left_anti" else "left_semi"
+    ctx.rel = Rel(
+      outer.join(survivors, col(rid) === col(rid2), how).drop(rid),
+      ctx.rel.scopes)
+  }
+
+  /** LEFT ANTI join one negated nested body onto the candidate
+    * (outer × middle) frame — every referenced scope's columns are in
+    * `rel`, so the body's correlation (to parent AND grandparent) binds
+    * as an ordinary join condition. */
+  private def antiJoinNestedBody(nqb: QueryBody, rel: Rel,
+      ctes: Map[String, DataFrame]): Rel = {
+    val what = "negated nested subquery"
+    if (nqb.ctes.nonEmpty || nqb.groupBy.nonEmpty || nqb.having.isDefined ||
+        nqb.distinct.isDefined || nqb.limit.isDefined)
+      err(s"a grandparent-correlated $what must be a plain body " +
+        "(no WITH/GROUP BY/HAVING/DISTINCT/LIMIT)")
+    val base = nqb.from.map(bindSource(_, ctes))
+      .getOrElse(err(s"$what needs a FROM"))
+    val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, ctes))
+    val nConj = nqb.where.map(splitAnd).getOrElse(Nil)
+    val (nLocal, nCorr) = nConj.partition(resolvesWithin(_, nestedRel))
+    val nCtx = new Ctx(nestedRel, None, ctes)
+    applyLocal(nLocal, nCtx, what)
+    val (renamed, rScopes) = freshRenamed(nCtx.rel.df, nCtx.rel.scopes, what)
+    val quals = rel.scopes.filterNot(_.hidden)
+      .flatMap(_.qualifier.map(_.toLowerCase)).toSet
+    rScopes.filterNot(_.hidden).flatMap(_.qualifier)
+      .find(q => quals(q.toLowerCase)).foreach { q =>
+        err(s"$what: relation '$q' is named on more than one level — " +
+          "alias one of them differently")
+      }
+    val bCtx = new Ctx(Rel(rel.df, rel.scopes ++ rScopes), None, ctes)
+    val cond = nCorr.map(bindExpr(_, bCtx))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Rel(rel.df.join(renamed, cond, "left_anti"), rel.scopes)
   }
 
   /** One grandparent-correlated nested-subquery conjunct → join its

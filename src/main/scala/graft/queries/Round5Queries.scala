@@ -242,5 +242,25 @@ object Round5Queries {
         ORDER BY id_a, id_b"""),
       (s, dir) => Dedup.ngramJaccardPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, thresholdNum = 2, thresholdDen = 5)))
+        shingleN = 3, thresholdNum = 2, thresholdDen = 5)),
+
+    // ---- negated nested subquery with grandparent correlation -----------
+    // ∃ orders: ¬∃ lineitem q(customer, orders, lineitem) — the negated
+    // nested level cannot flatten (anti joins aren't multiplicity-blind);
+    // the per-row lowering materializes candidate (customer, order)
+    // pairs and LEFT ANTI joins the nested body across both scopes.
+    // DuckDB resolves grandparent refs natively = the oracle.
+    engineSql("qe100_not_exists_nested",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey AND NOT EXISTS (
+             SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_extendedprice > c_acctbal))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey and not exists (
+             select 1 from lineitem
+              where l_orderkey = o_orderkey and l_extendedprice > c_acctbal))
+         order by c_custkey"""))
 }

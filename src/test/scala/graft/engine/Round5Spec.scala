@@ -317,13 +317,89 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
   }
 
-  test("nested NOT EXISTS with grandparent correlation stays a clean error") {
+  test("nested NOT EXISTS with grandparent-only correlation lowers per row") {
+    // the nested body references ONLY the grandparent, so the whole
+    // predicate factorizes — the factored form is the Spark-checkable
+    // oracle (Spark itself rejects the two-scope original)
+    val r = rows(
+      """select c_custkey from customer
+         where c_custkey < 200
+           and exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and not exists (select 1 from lineitem
+                                         where l_orderkey = c_custkey))
+         order by c_custkey""")
+    val oracle = spark.sql(
+      """select c_custkey from customer
+         where c_custkey < 200
+           and exists (select 1 from orders where o_custkey = c_custkey)
+           and not exists (select 1 from lineitem where l_orderkey = c_custkey)
+         order by c_custkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("nested NOT EXISTS referencing BOTH parent and grandparent lowers per row") {
+    // q(o, m, i): the anti-join condition spans all three scopes — the
+    // oracle is the manual candidate-pairs decorrelation
+    val r = rows(
+      """select c_custkey from customer
+         where c_custkey < 200
+           and exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and not exists (select 1 from lineitem
+                                         where l_orderkey = o_orderkey
+                                           and l_extendedprice > c_acctbal))
+         order by c_custkey""")
+    // Spark rejects two-scope outer refs, so the oracle decorrelates by
+    // hand: candidate (customer, order) pairs, anti-joined, semi'd back
+    val oracle = spark.sql(
+      """select c_custkey from customer
+         where c_custkey < 200
+           and c_custkey in (
+             select cp.c_custkey from (
+               select c_custkey, c_acctbal, o_orderkey
+               from customer join orders on o_custkey = c_custkey
+               where c_custkey < 200) cp
+             where not exists (select 1 from lineitem
+                               where l_orderkey = cp.o_orderkey
+                                 and l_extendedprice > cp.c_acctbal))
+         order by c_custkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("NOT EXISTS over a body with a grandparent nested NOT EXISTS") {
+    // outer negation over the per-row lowering (anti join-back on rid)
+    val r = rows(
+      """select c_custkey from customer
+         where c_custkey < 100
+           and not exists (select 1 from orders
+                           where o_custkey = c_custkey
+                             and not exists (select 1 from lineitem
+                                             where l_orderkey = o_orderkey
+                                               and l_partkey < c_custkey))
+         order by c_custkey""")
+    val oracle = spark.sql(
+      """select c_custkey from customer
+         where c_custkey < 100
+           and c_custkey not in (
+             select cp.c_custkey from (
+               select c_custkey, o_orderkey
+               from customer join orders on o_custkey = c_custkey
+               where c_custkey < 100) cp
+             where not exists (select 1 from lineitem
+                               where l_orderkey = cp.o_orderkey
+                                 and l_partkey < cp.c_custkey))
+         order by c_custkey""").collect().toSeq
+    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+  }
+
+  test("nested NOT IN with grandparent correlation stays a clean error") {
     val e = intercept[Exception](rows(
       """select c_custkey from customer
          where exists (select 1 from orders
                        where o_custkey = c_custkey
-                         and not exists (select 1 from lineitem
-                                         where l_orderkey = c_custkey))"""))
+                         and o_orderkey not in (select l_orderkey from lineitem
+                                                where l_partkey = c_custkey))"""))
     assert(e.getMessage.toLowerCase.contains("flatten")
       || e.getMessage.toLowerCase.contains("nested"), e.getMessage)
   }
