@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators over a document corpus.
   *
@@ -304,6 +305,87 @@ object Dedup {
       .agg(count(lit(1)).as("shared_chunks"))
       .filter(col("shared_chunks") >= minShared)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- near-dup clustering (connected components + canonical pick) ----
+
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * every node gets the MINIMUM id reachable from it as its component
+    * label. Pure min-label propagation — each round joins the current
+    * labels across the edge list and keeps the smaller label, until a
+    * fixpoint (checked with a driver-side count, synchronous like the
+    * k-means loop). Rounds needed = graph diameter; near-dup graphs are
+    * unions of small cliques (diameter ≲ 2), so this converges in 2-3
+    * rounds where a general web graph would want the large-star/
+    * small-star variant. Output: (id, component).
+    *
+    * Deterministic by construction (min is order-free), one shuffle per
+    * round on the node key, labels frame is |nodes| rows — the edge
+    * list, not the corpus, bounds the cost. The returned frame is
+    * persisted (and already materialized by the convergence check);
+    * callers may `unpersist()` it when done — every intermediate is
+    * released here. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    // persist the pair list before mirroring it: the union's two
+    // branches would otherwise each re-run the (possibly expensive)
+    // pair-producing pipeline feeding this
+    val p = pairs.select(col(idA).as("id_a"), col(idB).as("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // labels only ever DECREASE, so an unchanged label sum is a
+      // fixpoint — one cheap aggregate per round instead of a
+      // change-detection join (decimal: id sums can pass 2^63 at scale)
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        // neighbor minimum rides one shuffle (map-side combined); the
+        // left join keeps isolated-after-distinct nodes stable
+        val nbrMin = edges
+          .join(labels.withColumnsRenamed(Map("id" -> "src", "component" -> "nl")), "src")
+          .groupBy(col("dst")).agg(min(col("nl")).as("nmin"))
+          .withColumnRenamed("dst", "id")
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nmin"), col("component")))
+              .as("component"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val s = labelSum(next) // also materializes next's persist
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels.unpersist(false)
+        labels = next
+        round += 1
+      }
+      labels
+    } finally { edges.unpersist(false); p.unpersist(false) }
+  }
+
+  /** Collapse near-duplicate clusters to one canonical survivor each:
+    * components over `pairs`, then per component the row minimizing
+    * (rank expression, id) survives — ties on the rank break by id, so
+    * the pick is deterministic. Docs in no pair survive untouched (they
+    * are their own component). Output: docs columns + `component` +
+    * `is_canonical`. */
+  def keepCanonicalByComponent(docs: DataFrame, idCol: String,
+      pairs: DataFrame, rank: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val labeled = docs.join(comp.withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(rank, col(idCol))
+    labeled.withColumn("is_canonical", row_number().over(w) === 1)
   }
 
   // ---- embedding-cosine near-duplicates ----

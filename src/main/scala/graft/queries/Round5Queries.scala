@@ -244,6 +244,32 @@ object Round5Queries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, thresholdNum = 2, thresholdDen = 5)),
 
+    // ---- near-dup clustering: connected components over pair lists ------
+    // pair lists alone don't dedup a corpus — clusters + a canonical
+    // survivor do. Components = min reachable id via label propagation;
+    // the oracle computes the same transitive closure with a RECURSIVE
+    // CTE over the identical (DuckDB-reproducible) trigram-Jaccard pairs.
+    QueryDef(
+      "qp71_neardup_components",
+      Some("""WITH RECURSIVE
+          t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+          s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-2, 1) + 1),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 2 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+          n AS (SELECT DISTINCT src AS id FROM e),
+          reach(id, r) AS (
+            SELECT id, id FROM n
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+          SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"""),
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, thresholdNum = 2, thresholdDen = 5))
+        .orderBy(col("id"))),
+
     // ---- negated nested subquery with grandparent correlation -----------
     // ∃ orders: ¬∃ lineitem q(customer, orders, lineitem) — the negated
     // nested level cannot flatten (anti joins aren't multiplicity-blind);

@@ -130,4 +130,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Curation.sessionize(e, "user_id", "ts", "event_id", gapNanos = 2000L)
     assert(out.count() == 1L)
   }
+
+  test("connectedComponents labels a path, a triangle, and a lone pair") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3 — needs >1 round), triangle 10-11-12,
+    // pair 20-21; min reachable id labels each
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepCanonicalByComponent keeps exactly one survivor per cluster") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // survivor = highest quality (rank = -quality), ties by id
+    val out = Dedup.keepCanonicalByComponent(docs, "doc_id", pairs, -col("quality"))
+    val canon = out.filter(col("is_canonical")).collect()
+      .map(r => r.getAs[Long]("component") -> r.getAs[Long]("doc_id")).toMap
+    // cluster {1,2,3}: quality 9 tie between 2 and 3 → id 2; doc 7 alone
+    assert(canon == Map(1L -> 2L, 7L -> 7L))
+    assert(out.filter(col("is_canonical")).count() == 2)
+    assert(out.count() == 4)
+  }
 }
