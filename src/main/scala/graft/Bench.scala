@@ -70,7 +70,10 @@ object Bench {
     // in a fixed budget, slowest first (the perf-interesting ones), values
     // rounded to 10ms. `omitted` records how many fast entries were cut.
     val budget = 1750
-    def fmt(v: Double) = f"$v%.2f"
+    // Locale.ROOT: a comma-decimal default locale would make f"%.2f"
+    // emit invalid JSON and defeat this digest's whole purpose
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
+      java.lang.Double.valueOf(v))
     val header =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${failures.size},"sf":"$sfDir","queries":{"""
     val footerMax = """},"omitted":999}""".length

@@ -716,7 +716,8 @@ final class Binder(
           err("a nested subquery that references the outer query's own " +
             "outer scope is unsupported in an aggregated EXISTS body " +
             "(flattening would change the aggregate's input multiset)")
-        posFlattenable.flatMap(flattenNested(_, innerCtx, "EXISTS subquery"))
+        posFlattenable.flatMap(flattenNested(_, innerCtx, "EXISTS subquery",
+          scopeQuals(ctx.rel.scopes)))
       }
     val correlated = correlated0 ++ hoisted
     if (negNested.nonEmpty) {
@@ -764,6 +765,10 @@ final class Binder(
       ctx.rel = Rel(ctx.rel.df.join(innerDf, cond, how), ctx.rel.scopes)
     }
   }
+
+  /** Lower-cased visible relation qualifiers of a scope list. */
+  private def scopeQuals(scopes: Seq[Scope]): Set[String] =
+    scopes.filterNot(_.hidden).flatMap(_.qualifier.map(_.toLowerCase)).toSet
 
   /** The NEGATED nested EXISTS shapes (either AST form) the per-row
     * anti-join lowering handles. NOT IN stays out: its three-valued
@@ -855,19 +860,21 @@ final class Binder(
     * hoist into the ENCLOSING lowering's correlation pool. Only
     * non-negated EXISTS/IN with plain bodies flatten (negation and
     * aggregation are not multiplicity-blind). */
-  private def flattenNested(c: Expr, innerCtx: Ctx, what: String): Seq[Expr] = c match {
-    case ExistsExpr(nqb: QueryBody, false) => flattenExistsBody(nqb, None, innerCtx, what)
+  private def flattenNested(c: Expr, innerCtx: Ctx, what: String,
+      enclosingQuals: Set[String]): Seq[Expr] = c match {
+    case ExistsExpr(nqb: QueryBody, false) =>
+      flattenExistsBody(nqb, None, innerCtx, what, enclosingQuals)
     case FnCall(n, Seq(SubqueryExpr(nqb: QueryBody))) if n.equalsIgnoreCase("exists") =>
-      flattenExistsBody(nqb, None, innerCtx, what)
+      flattenExistsBody(nqb, None, innerCtx, what, enclosingQuals)
     case InSubquery(lhs, nqb: QueryBody, false) =>
-      flattenExistsBody(nqb, Some(lhs), innerCtx, what)
+      flattenExistsBody(nqb, Some(lhs), innerCtx, what, enclosingQuals)
     case _ => err(s"a nested subquery in a $what references columns two " +
       "scopes up in a position that cannot flatten — only non-negated " +
       "EXISTS/IN conjuncts with plain bodies support grandparent correlation")
   }
 
   private def flattenExistsBody(nqb: QueryBody, lhsOpt: Option[Expr],
-      innerCtx: Ctx, what: String): Seq[Expr] = {
+      innerCtx: Ctx, what: String, enclosingQuals: Set[String]): Seq[Expr] = {
     if (nqb.ctes.nonEmpty || nqb.groupBy.nonEmpty || nqb.having.isDefined ||
         nqb.distinct.isDefined || nqb.limit.isDefined)
       err(s"a grandparent-correlated nested subquery in a $what must be a " +
@@ -882,7 +889,8 @@ final class Binder(
     val nestedCtx = new Ctx(nestedRel, None, innerCtx.ctes)
     applyLocal(nLocal, nestedCtx, what)
     // depth-3+ chains flatten level by level into the nested frame
-    val nHoisted = nFlatten.flatMap(flattenNested(_, nestedCtx, what))
+    val nHoisted = nFlatten.flatMap(flattenNested(_, nestedCtx, what,
+      enclosingQuals ++ scopeQuals(innerCtx.rel.scopes)))
     val eqConj = lhsOpt.map { l =>
       nqb.selectList match {
         case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => Binary("=", l, e)
@@ -894,12 +902,16 @@ final class Binder(
     // fresh-rename the nested frame (self-join safety — the theta-path
     // pattern) and guard against relation names visible on both levels
     val (renamed, rScopes) = freshRenamed(nestedCtx.rel.df, nestedCtx.rel.scopes, what)
-    val innerQuals = innerCtx.rel.scopes.filterNot(_.hidden)
-      .flatMap(_.qualifier.map(_.toLowerCase)).toSet
+    // collision guard spans EVERY enclosing level, not just the middle
+    // one: hoisted conjuncts later bind inner-first against the merged
+    // scopes, so a nested relation sharing a qualifier with the OUTER
+    // query would silently shadow outer references in the correlation
+    // pool (wrong rows, no error)
+    val visibleQuals = scopeQuals(innerCtx.rel.scopes) ++ enclosingQuals
     rScopes.filterNot(_.hidden).flatMap(_.qualifier)
-      .find(q => innerQuals(q.toLowerCase)).foreach { q =>
+      .find(q => visibleQuals(q.toLowerCase)).foreach { q =>
         err(s"flattening a nested subquery in a $what: relation '$q' is " +
-          "named on both levels — alias one of them differently")
+          "named on more than one enclosing level — alias one of them differently")
       }
     val bCtx = new Ctx(Rel(innerCtx.rel.df, innerCtx.rel.scopes ++ rScopes),
       None, innerCtx.ctes)
@@ -1667,6 +1679,32 @@ final class Binder(
       case _ => false
     }
 
+  /** Re-project a subquery-side frame through fresh column names,
+    * carrying the scopes across via rename maps — the self-join-safety
+    * pattern shared by the theta per-row path and nested-subquery
+    * flattening (without it, Spark's ambiguous-self-join analysis
+    * rejects plans where both sides trace to the same cached table
+    * frame). */
+  private def freshRenamed(innerDf: DataFrame, innerScopes: Seq[Scope],
+      what: String): (DataFrame, Seq[Scope]) = {
+    val innerCols = innerDf.columns.toSeq
+    val lower = innerCols.map(_.toLowerCase)
+    if (lower.distinct.length != lower.length)
+      err(s"$what: the subquery's FROM/JOIN relations have duplicate " +
+        "column names — project distinct names first")
+    val freshNames = innerCols.map(_ => fresh("tc"))
+    val renamed = innerDf.toDF(freshNames: _*)
+    val freshOf: Map[String, String] = lower.zip(freshNames).toMap
+    val rScopes = innerScopes.map { s =>
+      Scope(s.qualifier, renamed, s.cols,
+        rename = s.cols.map { c =>
+          val actual = s.rename.getOrElse(c.toLowerCase, c)
+          c.toLowerCase -> freshOf(actual.toLowerCase)
+        }.toMap, hidden = s.hidden)
+    }
+    (renamed, rScopes)
+  }
+
   /** Per-outer-row ("theta") decorrelation core, for correlation shapes
     * the per-key grouped path cannot express: non-equality correlated
     * conjuncts, and HAVING over an ungrouped aggregate in IN position.
@@ -1696,32 +1734,6 @@ final class Binder(
     * detection. Fresh aliases mint new attribute ids; the inner scopes
     * are rebuilt with rename maps so correlated conjuncts and
     * aggregates still bind by their original names. */
-  /** Re-project a subquery-side frame through fresh column names,
-    * carrying the scopes across via rename maps — the self-join-safety
-    * pattern shared by the theta per-row path and nested-subquery
-    * flattening (without it, Spark's ambiguous-self-join analysis
-    * rejects plans where both sides trace to the same cached table
-    * frame). */
-  private def freshRenamed(innerDf: DataFrame, innerScopes: Seq[Scope],
-      what: String): (DataFrame, Seq[Scope]) = {
-    val innerCols = innerDf.columns.toSeq
-    val lower = innerCols.map(_.toLowerCase)
-    if (lower.distinct.length != lower.length)
-      err(s"$what: the subquery's FROM/JOIN relations have duplicate " +
-        "column names — project distinct names first")
-    val freshNames = innerCols.map(_ => fresh("tc"))
-    val renamed = innerDf.toDF(freshNames: _*)
-    val freshOf: Map[String, String] = lower.zip(freshNames).toMap
-    val rScopes = innerScopes.map { s =>
-      Scope(s.qualifier, renamed, s.cols,
-        rename = s.cols.map { c =>
-          val actual = s.rename.getOrElse(c.toLowerCase, c)
-          c.toLowerCase -> freshOf(actual.toLowerCase)
-        }.toMap, hidden = s.hidden)
-    }
-    (renamed, rScopes)
-  }
-
   private def thetaAggPerRow(innerDf: DataFrame, innerScopes: Seq[Scope],
       correlated: Seq[Expr], ctx: Ctx, what: String,
       mkAggs: (Ctx, Column) => Seq[(String, Column)]): DataFrame = {

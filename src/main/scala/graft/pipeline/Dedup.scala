@@ -64,7 +64,7 @@ object Dedup {
     * null leads), matching the array builder's semantics. Duplicate
     * shingles within a doc are kept (MIN is insensitive; SimHash weighs
     * repeated features, the standard formulation). */
-  private[pipeline] def shingleStream(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleStream(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, "shingleN must be >= 1")
     val tok = docs.select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))))
@@ -367,6 +367,14 @@ object Dedup {
         labels = next
         round += 1
       }
+      // silent truncation would hand keepCanonicalByComponent SPLIT
+      // clusters (several "canonical" survivors of one true component)
+      // — unlike k-means, a capped label propagation has no
+      // partial-result semantics, so refuse instead
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds — " +
+            "a component's diameter exceeds the cap; raise maxRounds")
       labels
     } finally { edges.unpersist(false); p.unpersist(false) }
   }
@@ -376,7 +384,11 @@ object Dedup {
     * (rank expression, id) survives — ties on the rank break by id, so
     * the pick is deterministic. Docs in no pair survive untouched (they
     * are their own component). Output: docs columns + `component` +
-    * `is_canonical`. */
+    * `is_canonical`. The internal components frame stays persisted
+    * (it backs the returned plan — unpersisting here would re-run the
+    * whole propagation on first use); sessions calling this in a loop
+    * should checkpoint or materialize the result and
+    * `spark.catalog.clearCache()` between iterations. */
   def keepCanonicalByComponent(docs: DataFrame, idCol: String,
       pairs: DataFrame, rank: Column): DataFrame = {
     val comp = connectedComponents(pairs)
@@ -485,22 +497,25 @@ object Dedup {
   def simhashWide(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = shingleStream(docs, idCol, textCol, 3)
       .select(col("id"), xxhash64(col("s")).as("h"))
-    // Pack the 64 per-bit counters into 22 lane-packed sums (3 lanes of
-    // 21 bits per long) plus one row count, instead of 64 independent
+    // Pack the 64 per-bit counters into 32 lane-packed sums (2 lanes of
+    // 31 bits per long) plus one row count, instead of 64 independent
     // sum(±1) aggregates: the 64-state HashAggregate generated a
     // multi-second whole-stage-codegen compile and 64 long slots per
-    // group. Lane k of group g holds count(bit 3g+k set); a lane
-    // saturates only past 2^21 shingles per document (≫ any real doc).
-    // Majority rule: sum(±1) >= 0  ⟺  2·count_ones >= n.
-    val groups = (0 until 64).grouped(3).toSeq
+    // group. Lane k of group g holds count(bit 2g+k set); a lane sum
+    // CARRIES (not saturates) into its neighbor only past 2^31 shingles
+    // in one document — a single document of billions of words, beyond
+    // any real input (21-bit lanes were tried first: 2^21 shingles is a
+    // large-but-possible machine-generated document, an unacceptable
+    // silent-corruption edge). Majority rule: sum(±1) >= 0 ⟺ 2·ones >= n.
+    val groups = (0 until 64).grouped(2).toSeq
     val aggs = groups.zipWithIndex.map { case (js, g) =>
       sum(js.zipWithIndex.map { case (j, k) =>
-        shiftright(col("h"), j).bitwiseAND(1L) * lit(1L << (21 * k))
+        shiftright(col("h"), j).bitwiseAND(1L) * lit(1L << (31 * k))
       }.reduce(_ + _)).as(s"g$g")
     }
     val lanes = groups.zipWithIndex.flatMap { case (js, g) =>
       js.zipWithIndex.map { case (j, k) =>
-        when(shiftright(col(s"g$g"), 21 * k).bitwiseAND(0x1FFFFFL) * 2 >= col("n"),
+        when(shiftright(col(s"g$g"), 31 * k).bitwiseAND(0x7FFFFFFFL) * 2 >= col("n"),
           lit(1L << j)).otherwise(lit(0L))
       }
     }

@@ -25,15 +25,9 @@ object NgramProfile {
     println("docs = " + docs.count())
     docs.select(xxhash64(col("text"))).agg(max("xxhash64(text)")).count() // warm
 
-    val tok = docs.select(col("doc_id").as("id"), posexplode(TextOps.tokens(col("text"))))
-      .withColumnsRenamed(Map("pos" -> "p", "col" -> "w"))
-    val w3 = Window.partitionBy(col("id")).orderBy(col("p"))
-    val leads = (1 until 3).map(i => lead(col("w"), i).over(w3))
-    val stream = tok.select(col("id"), col("p"),
-        concat_ws(" ", (col("w") +: leads): _*).as("s"),
-        leads.last.isNotNull.as("__full"))
-      .filter(col("__full") || col("p") === 0)
-      .select(col("id"), col("s")).distinct()
+    // the REAL operator's shingle builder — a drifting copy here would
+    // silently profile something else than qp63 runs
+    val stream = Dedup.shingleStream(docs, "doc_id", "text", 3).distinct()
     val hashes = stream.select(col("id"), xxhash64(col("s")).as("h"))
     time("shingle+distinct+hash")(hashes.count())
     val dfreq = hashes.groupBy(col("h")).agg(count(lit(1)).as("__df"))

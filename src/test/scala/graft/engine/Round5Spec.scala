@@ -393,6 +393,23 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
   }
 
+  test("nested relation sharing the OUTER query's alias errors instead of shadowing") {
+    // the nested customer is aliased 'c' like the OUTER customer; after
+    // flattening, the middle level's correlated conjunct `c.c_custkey`
+    // would bind inner-first against the nested copy — silently wrong
+    // rows. Must be a bind error, not a silent shadow.
+    val e = intercept[Exception](rows(
+      """select c.c_custkey from customer as c
+         join nation as n on n.n_nationkey = c.c_nationkey
+         where exists (select 1 from orders
+                       where o_custkey = c.c_custkey
+                         and exists (select 1 from customer as c
+                                     where c.c_custkey = o_orderkey
+                                       and c.c_acctbal > n.n_nationkey))"""))
+    assert(e.getMessage.toLowerCase.contains("more than one enclosing level"),
+      e.getMessage)
+  }
+
   test("nested NOT IN with grandparent correlation stays a clean error") {
     val e = intercept[Exception](rows(
       """select c_custkey from customer
