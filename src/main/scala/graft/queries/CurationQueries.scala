@@ -13,6 +13,10 @@ import graft.pipeline.Curation
   * oracle compare is bit-stable. */
 object CurationQueries {
 
+  /** Unique memory-sink names across repeated runs (bench runs each
+    * entry twice in one session). */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Gopher-style repetition stats ----------------------------------
@@ -157,5 +161,49 @@ object CurationQueries {
         s.read.parquet(s"$dir/events.parquet")
           .withColumn("ts", expr("ts - pmod(ts, 1000)")),
         "user_id", "ts", "event_id",
-        gapNanos = 43200000000000L)))
+        gapNanos = 43200000000000L)),
+
+    // ---- stream-stream interval join (funnel / attribution) --------------
+    // purchases within 2h of the same user's click, as a REAL streaming
+    // query: watermarked both sides, time-bounded join state, append
+    // sink. Replaying the bounded fixture in one AvailableNow batch
+    // emits every pair (nothing is late), so the batch interval join IS
+    // the oracle; the per-user aggregation runs on the sink table.
+    QueryDef(
+      "qp72_stream_join",
+      Some("""SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS pairs
+              FROM events a JOIN events b ON b.user_id = a.user_id
+               AND a.event_type = 'click' AND b.event_type = 'purchase'
+               AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val tmp = java.nio.file.Files.createTempDirectory("qp72_events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          tmp.resolve("events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+        val qn = s"qp72_sink_${streamRuns.incrementAndGet()}"
+        // a stream-stream join keeps FOUR state stores per shuffle
+        // partition; at the default 32 that is 128 store commits per
+        // micro-batch of pure overhead at fixture scale. The setting is
+        // captured when the query STARTS, so scope it to the start call
+        // and restore (a real deployment sizes it to state volume).
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.EventStreams
+            .followWithin(stream, "click", "purchase", within = "2 hours")
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        s.table(qn)
+          .groupBy(col("a_user").as("user_id"))
+          .agg(count(lit(1)).as("pairs"))
+          .orderBy(col("user_id"))
+      }))
 }

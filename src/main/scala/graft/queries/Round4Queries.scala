@@ -277,10 +277,17 @@ object Round4Queries {
           // TIMESTAMP(NANOS), read as long via nanosAsLong)
           .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
         val qn = s"qp60_sink_${streamRuns.incrementAndGet()}"
-        val q = graft.streaming.EventStreams.windowedTypeCounts(stream)
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("complete").trigger(Trigger.AvailableNow())
-          .start()
+        // stateful-op state stores scale with shuffle partitions; scope
+        // the setting to the query start (captured then) — fixture-scale
+        // micro-batches pay per-store commit overhead, nothing else
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.EventStreams.windowedTypeCounts(stream)
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("complete").trigger(Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         q.awaitTermination()
         s.table(qn)
           .select(col("win_start"), col("event_type"), col("cnt"))

@@ -47,10 +47,15 @@ object Round5Queries {
           .withColumn("__fpsrc",
             concat_ws("|", col("user_id"), col("event_type"), col("props")))
         val qn = s"qp64_sink_${streamRuns.incrementAndGet()}"
-        val q = graft.streaming.EventStreams.dedupStream(stream, "__fpsrc")
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow())
-          .start()
+        // see qp60/qp72: state stores scale with shuffle partitions
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.EventStreams.dedupStream(stream, "__fpsrc")
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         q.awaitTermination()
         s.table(qn)
           .groupBy(col("event_type"))

@@ -61,6 +61,28 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Stream-stream interval self-join: pair each `typeA` event with the
+    * same user's `typeB` events that follow within `within` (funnel /
+    * attribution join — "purchases within 2h of a click"). Both sides
+    * carry event-time watermarks and the join condition carries the
+    * time bound, so Spark evicts join state once the watermark passes
+    * an event's `ts + within` — state is O(events inside the horizon),
+    * not O(stream). Emits one row per (a, b) pair in append mode. */
+  def followWithin(events: DataFrame, typeA: String, typeB: String,
+      within: String = "2 hours",
+      watermark: String = "10 minutes"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+      col("b_user") === col("a_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: one state entry
     * per active user; a session closes when a later event arrives more
     * than `gapSecs` after the last one, or when the event-time watermark

@@ -124,4 +124,31 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed == expected)
     } finally q.stop()
   }
+
+  test("followWithin pairs only same-user B events inside the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.followWithin(input.toDF(), "click", "purchase",
+        within = "1 hour", watermark = "1 minute")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    // base WELL past epoch 0: event times near the epoch collide with
+    // the join's initial state watermark and rows are dropped as late
+    val base = 1000000L
+    try {
+      input.addData(
+        EventStreams.Event(1, ts(base), 1, "click", 0.0),
+        EventStreams.Event(2, ts(base + 1800), 1, "purchase", 1.0), // in window
+        EventStreams.Event(3, ts(base + 3601), 1, "purchase", 2.0), // past 1h
+        EventStreams.Event(4, ts(base + 600), 2, "purchase", 3.0),  // other user
+        EventStreams.Event(5, ts(base + 900), 1, "view", 4.0))      // wrong type
+      q.processAllAvailable()
+      val rows = spark.table("funnel")
+        .select("a_user", "a_ts", "b_ts").collect()
+      assert(rows.length == 1, rows.mkString(", "))
+      assert(rows.head.getLong(0) == 1L)
+      assert(rows.head.getTimestamp(2) == ts(base + 1800))
+    } finally q.stop()
+  }
 }
