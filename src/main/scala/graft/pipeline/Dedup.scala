@@ -343,19 +343,25 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = null
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
+      labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // labels only ever DECREASE, so an unchanged label sum is a
       // fixpoint — one cheap aggregate per round instead of a
-      // change-detection join (decimal: id sums can pass 2^63 at scale)
+      // change-detection join (decimal: id sums can pass 2^63 at scale;
+      // sum over an EMPTY frame is null — handled below)
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
       var t0 = System.nanoTime()
       var prevSum = labelSum(labels)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] init ${(System.nanoTime()-t0)/1e9}%.2f s")
+      // no pairs → no nodes: the empty labels frame IS the answer (every
+      // doc is its own component via keepCanonicalByComponent's coalesce)
+      // — and the sum-fixpoint loop could never converge on null sums
+      if (prevSum == null) return labels.localCheckpoint(true)
       var round = 0
       var converged = false
       while (round < maxRounds && !converged) {
@@ -392,9 +398,13 @@ object Dedup {
       val out = labels.localCheckpoint(true)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] checkpoint ${(System.nanoTime()-t0)/1e9}%.2f s")
-      labels.unpersist(false)
       out
-    } finally { edges.unpersist(false); p.unpersist(false) }
+    } finally {
+      // also on throw (non-convergence, mid-round failure): no cached
+      // frame may outlive the call; double-unpersist is a no-op
+      if (labels != null) labels.unpersist(false)
+      edges.unpersist(false); p.unpersist(false)
+    }
   }
 
   /** Collapse near-duplicate clusters to one canonical survivor each:
@@ -407,6 +417,14 @@ object Dedup {
     * frees once unreferenced. */
   def keepCanonicalByComponent(docs: DataFrame, idCol: String,
       pairs: DataFrame, rank: Column): DataFrame = {
+    // output columns must not collide with input ones: a pre-existing
+    // `component` makes the join's coalesce ambiguous (AnalysisException
+    // mid-plan), a pre-existing `is_canonical` would be silently
+    // overwritten — fail with a rename hint instead
+    Seq("component", "is_canonical").foreach { c =>
+      require(!docs.columns.map(_.toLowerCase).contains(c),
+        s"keepCanonicalByComponent adds a '$c' column; rename the input's")
+    }
     val comp = connectedComponents(pairs)
     val labeled = docs.join(comp.withColumnRenamed("id", idCol),
         Seq(idCol), "left")

@@ -176,34 +176,12 @@ object CurationQueries {
                AND a.event_type = 'click' AND b.event_type = 'purchase'
                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
               GROUP BY 1 ORDER BY 1"""),
-      (s, dir) => {
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        val tmp = java.nio.file.Files.createTempDirectory("qp72_events")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          tmp.resolve("events.parquet"))
-        val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
-          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-        val qn = s"qp72_sink_${streamRuns.incrementAndGet()}"
-        // a stream-stream join keeps FOUR state stores per shuffle
-        // partition; at the default 32 that is 128 store commits per
-        // micro-batch of pure overhead at fixture scale. The setting is
-        // captured when the query STARTS, so scope it to the start call
-        // and restore (a real deployment sizes it to state volume).
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          graft.streaming.EventStreams
-            .followWithin(stream, "click", "purchase", within = "2 hours")
-            .writeStream.format("memory").queryName(qn)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination()
-        s.table(qn)
+      (s, dir) =>
+        StreamRunner.replayEvents(s, dir,
+            s"qp72_sink_${streamRuns.incrementAndGet()}", "append")(
+            graft.streaming.EventStreams
+              .followWithin(_, "click", "purchase", within = "2 hours"))
           .groupBy(col("a_user").as("user_id"))
           .agg(count(lit(1)).as("pairs"))
-          .orderBy(col("user_id"))
-      }))
+          .orderBy(col("user_id"))))
 }

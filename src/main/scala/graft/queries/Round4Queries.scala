@@ -263,34 +263,10 @@ object Round4Queries {
       Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
                      COUNT(*) AS cnt
               FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
-      (s, dir) => {
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        // the file stream source requires a DIRECTORY basePath; the
-        // fixture is a single file — stage it into a temp dir (tiny copy,
-        // test-scale only; production points at the ingest directory)
-        val tmp = java.nio.file.Files.createTempDirectory("qp60_events")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          tmp.resolve("events.parquet"))
-        val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
-          // same nanos→micros narrowing as Tables.load (events ts is
-          // TIMESTAMP(NANOS), read as long via nanosAsLong)
-          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-        val qn = s"qp60_sink_${streamRuns.incrementAndGet()}"
-        // stateful-op state stores scale with shuffle partitions; scope
-        // the setting to the query start (captured then) — fixture-scale
-        // micro-batches pay per-store commit overhead, nothing else
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          graft.streaming.EventStreams.windowedTypeCounts(stream)
-            .writeStream.format("memory").queryName(qn)
-            .outputMode("complete").trigger(Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination()
-        s.table(qn)
+      (s, dir) =>
+        StreamRunner.replayEvents(s, dir,
+            s"qp60_sink_${streamRuns.incrementAndGet()}", "complete")(
+            graft.streaming.EventStreams.windowedTypeCounts(_))
           .select(col("win_start"), col("event_type"), col("cnt"))
-          .orderBy(col("win_start"), col("event_type"))
-      }))
+          .orderBy(col("win_start"), col("event_type"))))
 }

@@ -36,32 +36,17 @@ object Round5Queries {
       Some("""SELECT event_type,
                 CAST(COUNT(DISTINCT (user_id, props)) AS BIGINT) AS survivors
               FROM events GROUP BY event_type ORDER BY event_type"""),
-      (s, dir) => {
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        val tmp = java.nio.file.Files.createTempDirectory("qp64_events")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          tmp.resolve("events.parquet"))
-        val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
-          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-          .withColumn("__fpsrc",
-            concat_ws("|", col("user_id"), col("event_type"), col("props")))
-        val qn = s"qp64_sink_${streamRuns.incrementAndGet()}"
-        // see qp60/qp72: state stores scale with shuffle partitions
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          graft.streaming.EventStreams.dedupStream(stream, "__fpsrc")
-            .writeStream.format("memory").queryName(qn)
-            .outputMode("append").trigger(Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination()
-        s.table(qn)
+      (s, dir) =>
+        StreamRunner.replayEvents(s, dir,
+            s"qp64_sink_${streamRuns.incrementAndGet()}", "append") { st =>
+            graft.streaming.EventStreams.dedupStream(
+              st.withColumn("__fpsrc",
+                concat_ws("|", col("user_id"), col("event_type"), col("props"))),
+              "__fpsrc")
+          }
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("survivors"))
-          .orderBy(col("event_type"))
-      }),
+          .orderBy(col("event_type"))),
 
     // ---- mixed equality + inequality correlated scalar ------------------
     // the theta path: Catalyst extracts o_custkey = c_custkey as the

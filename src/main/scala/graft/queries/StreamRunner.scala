@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Shared plumbing for the streaming driver entries (qp60/qp64/qp72):
+  * stage the single-file fixture into a temp directory (the file stream
+  * source requires a directory basePath), scope the shuffle-partition
+  * setting to the query start, drain with AvailableNow, and clean up
+  * the staging copy afterwards — the previous per-entry copies leaked
+  * one fixture copy per invocation and hand-rolled the conf dance
+  * three times. */
+object StreamRunner {
+
+  /** Stateful streaming ops keep state stores per shuffle partition
+    * (a stream-stream join keeps FOUR); at fixture scale the per-store
+    * commit is pure overhead, so entries start their query under a
+    * smaller setting. Captured at START — restoring after start() is
+    * safe. A real deployment sizes partitions to state volume. */
+  private def startWithPartitions[T](s: SparkSession, n: Int)(
+      start: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); start }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Replay `dir/events.parquet` as a bounded stream through `build`,
+    * drain it into a memory sink with AvailableNow, and return the sink
+    * table. The staged copy is deleted before returning. */
+  def replayEvents(s: SparkSession, dir: String, sinkName: String,
+      outputMode: String, statePartitions: Int = 8)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory(s"${sinkName}_events")
+    val staged = tmp.resolve("events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    try {
+      val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+        // nanos→micros narrowing, same as Tables.load (events ts is
+        // TIMESTAMP(NANOS), read as long via nanosAsLong)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      val q = startWithPartitions(s, statePartitions) {
+        build(stream)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(outputMode).trigger(Trigger.AvailableNow())
+          .start()
+      }
+      try q.awaitTermination() finally q.stop()
+      s.table(sinkName)
+    } finally {
+      java.nio.file.Files.deleteIfExists(staged)
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+}

@@ -143,6 +143,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents on an EMPTY pair list returns an empty frame") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(none).count() == 0)
+    // ...and keepCanonical then keeps EVERY doc as its own component
+    val docs = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "quality")
+    val out = Dedup.keepCanonicalByComponent(docs, "doc_id", none, -col("quality"))
+    assert(out.count() == 2 && out.filter(col("is_canonical")).count() == 2)
+  }
+
+  test("keepCanonicalByComponent rejects colliding output column names") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val bad = Seq((1L, 7L)).toDF("doc_id", "component")
+    val e = intercept[IllegalArgumentException](
+      Dedup.keepCanonicalByComponent(bad, "doc_id", pairs, col("doc_id")))
+    assert(e.getMessage.contains("component"))
+  }
+
   test("keepCanonicalByComponent keeps exactly one survivor per cluster") {
     import spark.implicits._
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L))
