@@ -260,6 +260,43 @@ object Round5Queries {
           "doc_id", "text", shingleN = 3, thresholdNum = 2, thresholdDen = 5))
         .orderBy(col("id"))),
 
+    // ---- canonical-survivor pick over the clusters -----------------------
+    // the actual dedup DECISION: per cluster keep the longest document
+    // (ties by id); every unpaired doc is its own canonical component.
+    // Oracle = the qp71 recursive-CTE closure + a ROW_NUMBER pick.
+    QueryDef(
+      "qp73_neardup_canonical",
+      Some("""WITH RECURSIVE
+          t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+          s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-2, 1) + 1),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 2 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+          n AS (SELECT DISTINCT src AS id FROM e),
+          reach(id, r) AS (
+            SELECT id, id FROM n
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+          comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+          lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+                  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+          rn AS (SELECT doc_id, component,
+                   ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM lab)
+          SELECT doc_id, component,
+                 CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+          FROM rn ORDER BY doc_id"""),
+      (s, dir) => Dedup.keepCanonicalByComponent(
+          Tables.load(s, dir, "documents"), "doc_id",
+          Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", shingleN = 3, thresholdNum = 2, thresholdDen = 5),
+          rank = col("n_chars").desc)
+        .select(col("doc_id"), col("component"),
+          when(col("is_canonical"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy(col("doc_id"))),
+
     // ---- negated nested subquery with grandparent correlation -----------
     // ∃ orders: ¬∃ lineitem q(customer, orders, lineitem) — the negated
     // nested level cannot flatten (anti joins aren't multiplicity-blind);
