@@ -692,7 +692,22 @@ final class Binder(
     val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
 
     val conjuncts = qb.where.map(splitAnd).getOrElse(Nil)
-    val (local0, correlated0) = conjuncts.partition(resolvesWithin(_, innerRel))
+    val (local0, correlated1) = conjuncts.partition(resolvesWithin(_, innerRel))
+    // conjuncts whose TOP-LEVEL refs reach the outer scope AND that
+    // carry a subquery cannot bind in expression position: the
+    // expression machinery physically joins the lowered subquery onto
+    // the INNER frame, where the outer column does not exist (an
+    // EXISTS conjunct has no top-level refs, so only [NOT] IN with an
+    // outer-referencing lhs — or a comparison against a subquery whose
+    // body escapes — lands here). They take the nested-machinery route:
+    // IN/EXISTS flatten, NOT IN/NOT EXISTS go per-row, anything else
+    // gets flattenNested's explanatory error.
+    val (corrDeep, correlated0) = correlated1.partition(c =>
+      (c match {
+        case InSubquery(_, _: QueryBody, _) => true
+        case Unary(op, InSubquery(_, _: QueryBody, _)) if op.equalsIgnoreCase("not") => true
+        case _ => false
+      }) || (containsSubquery(c) && !subqueryBodiesResolveWithin(c, innerRel, ctx.ctes)))
     // subquery-bearing "local" conjuncts whose bodies reference columns
     // beyond this subquery's reach (grandparent correlation) FLATTEN:
     // ∃m ∃i p(o,m,i) ≡ ∃(m,i) p(o,m,i), so a non-negated nested
@@ -700,15 +715,16 @@ final class Binder(
     // outer-referencing conjuncts hoist into THIS level's correlation
     // pool — EXISTS/IN are multiplicity-blind, so the join's row
     // duplication is invisible
-    val (flattenable, local) = local0.partition(c =>
+    val (flattenable0, local) = local0.partition(c =>
       containsSubquery(c) && !resolvesWithinDeep(c, innerRel, ctx.ctes))
+    val flattenable = flattenable0 ++ corrDeep
 
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
     applyLocal(local, innerCtx, "EXISTS subquery")
     // negated nested subqueries cannot flatten (anti-join semantics are
     // not multiplicity-blind) — they get the per-row anti-join lowering
     val (negNested, posFlattenable) =
-      flattenable.partition(negatedNestedExists(_).isDefined)
+      flattenable.partition(negatedNested(_).isDefined)
     val hoisted =
       if (flattenable.isEmpty) Nil
       else {
@@ -721,7 +737,7 @@ final class Binder(
       }
     val correlated = correlated0 ++ hoisted
     if (negNested.nonEmpty) {
-      lowerExistsNegatedNested(negNested.map(negatedNestedExists(_).get),
+      lowerExistsNegatedNested(negNested.map(negatedNested(_).get),
         correlated, innerCtx, ctx, negated)
       return
     }
@@ -770,29 +786,39 @@ final class Binder(
   private def scopeQuals(scopes: Seq[Scope]): Set[String] =
     scopes.filterNot(_.hidden).flatMap(_.qualifier.map(_.toLowerCase)).toSet
 
-  /** The NEGATED nested EXISTS shapes (either AST form) the per-row
-    * anti-join lowering handles. NOT IN stays out: its three-valued
-    * NULL semantics do not survive an anti join over two scopes. */
-  private def negatedNestedExists(c: Expr): Option[QueryBody] = c match {
-    case ExistsExpr(nqb: QueryBody, true) => Some(nqb)
+  /** The NEGATED nested shapes (any AST form) the per-row anti-join
+    * lowering handles: NOT EXISTS (lhs = None) and NOT IN (lhs = the
+    * tested expression). NOT IN's three-valued NULL semantics reduce,
+    * in WHERE position (NULL ≡ FALSE), to a NULL-AWARE anti join: a
+    * candidate row satisfies `lhs NOT IN (SELECT e …)` iff NO inner
+    * row makes `lhs = e` TRUE or UNKNOWN — i.e. anti-join on
+    * `lhs = e OR lhs IS NULL OR e IS NULL` (the same rewrite Spark's
+    * own RewritePredicateSubquery uses for single-scope NOT IN). */
+  private def negatedNested(c: Expr): Option[(QueryBody, Option[Expr])] = c match {
+    case ExistsExpr(nqb: QueryBody, true) => Some((nqb, None))
     case Unary(op, ExistsExpr(nqb: QueryBody, false))
-        if op.equalsIgnoreCase("not") => Some(nqb)
+        if op.equalsIgnoreCase("not") => Some((nqb, None))
     case Unary(op, FnCall(n, Seq(SubqueryExpr(nqb: QueryBody))))
-        if op.equalsIgnoreCase("not") && n.equalsIgnoreCase("exists") => Some(nqb)
+        if op.equalsIgnoreCase("not") && n.equalsIgnoreCase("exists") => Some((nqb, None))
+    case InSubquery(lhs, nqb: QueryBody, true) => Some((nqb, Some(lhs)))
+    case Unary(op, InSubquery(lhs, nqb: QueryBody, false))
+        if op.equalsIgnoreCase("not") => Some((nqb, Some(lhs)))
     case _ => None
   }
 
   /** EXISTS body carrying a NEGATED nested subquery that references the
-    * enclosing query's own outer scope: ∃m: p(o,m) ∧ ¬∃i: q(o,m,i).
+    * enclosing query's own outer scope: ∃m: p(o,m) ∧ ¬∃i: q(o,m,i)
+    * (NOT EXISTS), or ∃m: p(o,m) ∧ v(o,m) NOT IN {e(i) : q(o,m,i)}.
     * Negation is not multiplicity-blind, so the nested level cannot
     * flatten as a join. Instead the candidate (outer, middle) pairs
     * materialize once — rid-tagged outer, inner join on the correlation
     * conjuncts, the theta-path pattern — and each negated nested body
     * prunes them with a LEFT ANTI join where BOTH scopes' columns are
-    * plain join inputs. Outer rows whose rid survives satisfy the
-    * EXISTS (anti for NOT EXISTS). One extra shuffle vs the flattening
-    * path; candidate volume is bounded by the correlation join. */
-  private def lowerExistsNegatedNested(bodies: Seq[QueryBody],
+    * plain join inputs (NULL-aware for NOT IN — see negatedNested).
+    * Outer rows whose rid survives satisfy the EXISTS (anti for NOT
+    * EXISTS). One extra shuffle vs the flattening path; candidate
+    * volume is bounded by the correlation join. */
+  private def lowerExistsNegatedNested(bodies: Seq[(QueryBody, Option[Expr])],
       correlated: Seq[Expr], innerCtx: Ctx, ctx: Ctx, negated: Boolean): Unit = {
     val what = "EXISTS subquery"
     val rid = fresh("nerid")
@@ -815,7 +841,9 @@ final class Binder(
             "outer relation — rewrite the correlated conjuncts")
       }
     var cur = Rel(joined, ctx.rel.scopes ++ rScopes)
-    bodies.foreach { nqb => cur = antiJoinNestedBody(nqb, cur, ctx.ctes) }
+    bodies.foreach { case (nqb, lhsOpt) =>
+      cur = antiJoinNestedBody(nqb, lhsOpt, cur, ctx.ctes)
+    }
     val survivors = cur.df.select(col(rid)).distinct().withColumnRenamed(rid, rid2)
     val how = if (negated) "left_anti" else "left_semi"
     ctx.rel = Rel(
@@ -826,8 +854,12 @@ final class Binder(
   /** LEFT ANTI join one negated nested body onto the candidate
     * (outer × middle) frame — every referenced scope's columns are in
     * `rel`, so the body's correlation (to parent AND grandparent) binds
-    * as an ordinary join condition. */
-  private def antiJoinNestedBody(nqb: QueryBody, rel: Rel,
+    * as an ordinary join condition. For the NOT IN form (`lhsOpt`
+    * present) the match condition is NULL-aware — `lhs = e OR lhs IS
+    * NULL OR e IS NULL` — so a candidate is pruned whenever the
+    * membership test is TRUE or UNKNOWN, which in WHERE position is
+    * exactly three-valued NOT IN. */
+  private def antiJoinNestedBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
       ctes: Map[String, DataFrame]): Rel = {
     val what = "negated nested subquery"
     if (nqb.ctes.nonEmpty || nqb.groupBy.nonEmpty || nqb.having.isDefined ||
@@ -850,7 +882,16 @@ final class Binder(
           "alias one of them differently")
       }
     val bCtx = new Ctx(Rel(rel.df, rel.scopes ++ rScopes), None, ctes)
-    val cond = nCorr.map(bindExpr(_, bCtx))
+    val matchCond = lhsOpt.map { lhs =>
+      val sel = nqb.selectList match {
+        case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => e
+        case _ => err("IN subquery must produce exactly 1 column")
+      }
+      val l = bindExpr(lhs, bCtx)
+      val r = bindExpr(sel, bCtx)
+      (l === r) || l.isNull || r.isNull
+    }
+    val cond = (nCorr.map(bindExpr(_, bCtx)) ++ matchCond.toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
     Rel(rel.df.join(renamed, cond, "left_anti"), rel.scopes)
   }
@@ -1108,6 +1149,39 @@ final class Binder(
     case ArrayLit(xs) => xs.exists(containsSubquery)
     case MapLit(es) => es.exists { case (k, v) => containsSubquery(k) || containsSubquery(v) }
     case _ => false
+  }
+
+  /** Like [[resolvesWithinDeep]] but tests ONLY identifiers inside
+    * nested subquery BODIES — top-level references (e.g. an
+    * outer-correlated IN lhs) are the enclosing lowering's business.
+    * False means some body identifier escapes `rel` (grandparent
+    * correlation inside the body), even when the conjunct's own refs
+    * reach the immediate outer scope. */
+  private def subqueryBodiesResolveWithin(e: Expr, rel: Rel,
+      ctes: Map[String, DataFrame]): Boolean = {
+    var ok = true
+    def check(q: Query): Unit = q match {
+      case qb: QueryBody =>
+        if (!resolvesWithinDeep(ExistsExpr(qb, negated = false), rel, ctes)) ok = false
+      case _ => ()
+    }
+    def walk(x: Expr): Unit = x match {
+      case SubqueryExpr(q) => check(q)
+      case InSubquery(a, q, _) => walk(a); check(q)
+      case ExistsExpr(q, _) => check(q)
+      case Binary(_, l, r) => walk(l); walk(r)
+      case Unary(_, o) => walk(o)
+      case FnCall(_, args) => args.foreach(walk)
+      case CaseExpr(s, bs, e2) =>
+        s.foreach(walk); bs.foreach { case (a, b) => walk(a); walk(b) }; e2.foreach(walk)
+      case BetweenExpr(a, lo, hi, _) => walk(a); walk(lo); walk(hi)
+      case InList(a, items, _) => walk(a); items.foreach(walk)
+      case TupleLit(xs) => xs.foreach(walk)
+      case ArrayLit(xs) => xs.foreach(walk)
+      case MapLit(es) => es.foreach { case (k, v) => walk(k); walk(v) }
+      case _ => ()
+    }
+    walk(e); ok
   }
 
   /** Deep correlation test: like [[resolvesWithin]], but nested subquery

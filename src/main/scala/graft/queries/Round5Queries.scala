@@ -66,15 +66,19 @@ object Round5Queries {
     // a range-correlated aggregate is inherently a theta join — the
     // outer filter bounds the nested-loop cost, the documented stance
     // for this shape (SCALE.md); MAX over empty match sets is NULL for
-    // the smallest keys, so the NULL branch is exercised too
+    // the smallest keys, so the NULL branch is exercised too. The value
+    // is a raw stored double (a MAX pick, no arithmetic), projected as
+    // DOUBLE: bit-exact in any engine. (r5 cast it to DECIMAL(12,2) at
+    // the output boundary, and the driver's DuckDB build hashed that
+    // cast differently — VERDICT r5 "what's wrong" #1.)
     engineSql("qe91_corr_scalar_range",
       """SELECT c_custkey,
-              CAST((SELECT MAX(o_totalprice) FROM orders
-                WHERE o_custkey < c_custkey) AS DECIMAL(12,2)) AS m
+              (SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey < c_custkey) AS m
          FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""",
       """select c_custkey,
-              toDecimal((select max(o_totalprice) from orders
-                where o_custkey < c_custkey), 12, 2) as m
+              (select max(o_totalprice) from orders
+                where o_custkey < c_custkey) as m
          from customer where c_custkey < 50 order by c_custkey"""),
 
     // ---- non-equi correlated IN, plain body (3-valued membership) -------
@@ -106,16 +110,16 @@ object Round5Queries {
     // latest-value-per-key: row_number window over the correlation key
     // (group-sized buckets, no global window) + left join; the
     // o_orderkey tiebreak keeps both engines deterministic on same-date
-    // orders
+    // orders. Raw stored double projected as DOUBLE — see qe91's note
+    // on why no output-boundary decimal cast.
     engineSql("qe94_corr_scalar_top1",
       """SELECT c_custkey,
-              CAST((SELECT o_totalprice FROM orders WHERE o_custkey = c_custkey
-                    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
-                AS DECIMAL(12,2)) AS latest
+              (SELECT o_totalprice FROM orders WHERE o_custkey = c_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS latest
          FROM customer ORDER BY c_custkey""",
       """select c_custkey,
-              toDecimal((select o_totalprice from orders where o_custkey = c_custkey
-                    order by o_orderdate desc, o_orderkey desc limit 1), 12, 2) as latest
+              (select o_totalprice from orders where o_custkey = c_custkey
+                    order by o_orderdate desc, o_orderkey desc limit 1) as latest
          from customer order by c_custkey"""),
 
     // ---- depth-2 nested subqueries --------------------------------------
