@@ -231,8 +231,7 @@ final class Binder(
       val off = lc.offset.map(evalLimitInt(_, "OFFSET"))
       if (lc.withTies) {
         if (ordKeys.isEmpty) err("LIMIT WITH TIES requires ORDER BY")
-        if (off.isDefined) err("LIMIT WITH TIES with OFFSET is unsupported")
-        df = withTies(df, ordKeys, n)
+        df = withTies(df, ordKeys, n, off.getOrElse(0))
       } else {
         off.foreach(o => df = df.offset(o))
         df = df.limit(n)
@@ -261,14 +260,18 @@ final class Binder(
     case other => err(s"$what must be an integer literal or parameter, got $other")
   }
 
-  /** LIMIT n WITH TIES, scale-safe for any key count: take the top n rows
-    * (TakeOrderedAndProject — distributed top-k, never a single-partition
-    * window), broadcast the n-th key tuple, and keep every row whose key
-    * tuple sorts at-or-before it (null-aware lexicographic compare that
-    * mirrors Spark's sort order: asc = nulls first, desc = nulls last).
-    * The final orderBy is re-applied because Catalyst's EliminateSorts
-    * removes the sort below the threshold join (ADVICE r2). */
-  private def withTies(df: DataFrame, keys: Seq[(String, Boolean)], n: Int): DataFrame = {
+  /** LIMIT n [OFFSET o] WITH TIES, scale-safe for any key count: take the
+    * top o+n rows (TakeOrderedAndProject — distributed top-k, never a
+    * single-partition window), broadcast the (o+n)-th key tuple, and keep
+    * every row whose key tuple sorts at-or-before it (null-aware
+    * lexicographic compare that mirrors Spark's sort order: asc = nulls
+    * first, desc = nulls last). OFFSET then drops the first o rows of the
+    * re-sorted frame — the SQL-standard order (offset first, then fetch n
+    * WITH TIES extending past the fetch boundary only). The final orderBy
+    * is re-applied because Catalyst's EliminateSorts removes the sort
+    * below the threshold join (ADVICE r2). */
+  private def withTies(df: DataFrame, keys: Seq[(String, Boolean)], n: Int,
+      off: Int = 0): DataFrame = {
     val thrName: Map[String, String] = keys.map { case (nm, _) => nm -> fresh("thr") }.toMap
     def sortCol(nm: String, desc: Boolean, flip: Boolean): Column = {
       val c = col(nm)
@@ -277,8 +280,8 @@ final class Binder(
     val topn = df
       .select(keys.map { case (nm, _) => col(nm).as(thrName(nm)) }: _*)
       .orderBy(keys.map { case (nm, d) => sortCol(thrName(nm), d, flip = false) }: _*)
-      .limit(n)
-    // the threshold is the LAST of the top n rows — re-sort the tiny n-row
+      .limit(off + n)
+    // the threshold is the LAST of the top o+n rows — re-sort the tiny
     // result in reverse and take one
     val thr = topn
       .orderBy(keys.map { case (nm, d) => sortCol(thrName(nm), d, flip = true) }: _*)
@@ -291,9 +294,10 @@ final class Binder(
     val atOrBefore = keys.foldRight(lit(true)) { case ((nm, d), tailCond) =>
       strictlyBefore(nm, d) || ((col(nm) <=> col(thrName(nm))) && tailCond)
     }
-    df.join(broadcast(thr), atOrBefore)
+    val kept = df.join(broadcast(thr), atOrBefore)
       .drop(keys.map(k => thrName(k._1)): _*)
       .orderBy(keys.map { case (nm, d) => sortCol(nm, d, flip = false) }: _*)
+    if (off > 0) kept.offset(off) else kept
   }
 
   // ================== sources and joins ==================
@@ -725,16 +729,18 @@ final class Binder(
     // not multiplicity-blind) — they get the per-row anti-join lowering
     val (negNested, posFlattenable) =
       flattenable.partition(negatedNested(_).isDefined)
+    if (flattenable.nonEmpty && (qb.groupBy.nonEmpty || qb.having.isDefined)) {
+      // flattening would change the aggregate's input multiset — the
+      // per-row candidate-pair lowering prunes with multiplicity-
+      // preserving semi/anti joins and groups afterwards
+      lowerExistsNestedAggregated(qb, flattenable, correlated0, innerCtx, ctx, negated)
+      return
+    }
     val hoisted =
       if (flattenable.isEmpty) Nil
-      else {
-        if (qb.groupBy.nonEmpty || qb.having.isDefined)
-          err("a nested subquery that references the outer query's own " +
-            "outer scope is unsupported in an aggregated EXISTS body " +
-            "(flattening would change the aggregate's input multiset)")
+      else
         posFlattenable.flatMap(flattenNested(_, innerCtx, "EXISTS subquery",
           scopeQuals(ctx.rel.scopes)))
-      }
     val correlated = correlated0 ++ hoisted
     if (negNested.nonEmpty) {
       lowerExistsNegatedNested(negNested.map(negatedNested(_).get),
@@ -806,6 +812,18 @@ final class Binder(
     case _ => None
   }
 
+  /** The POSITIVE nested shapes (EXISTS / IN, either AST form) the
+    * per-row semi-join lowering handles — the aggregated-EXISTS path
+    * uses these where the plain path would flatten (a flatten join
+    * would change the aggregate's input multiset; a semi join keeps it). */
+  private def positiveNested(c: Expr): Option[(QueryBody, Option[Expr])] = c match {
+    case ExistsExpr(nqb: QueryBody, false) => Some((nqb, None))
+    case FnCall(n, Seq(SubqueryExpr(nqb: QueryBody)))
+        if n.equalsIgnoreCase("exists") => Some((nqb, None))
+    case InSubquery(lhs, nqb: QueryBody, false) => Some((nqb, Some(lhs)))
+    case _ => None
+  }
+
   /** EXISTS body carrying a NEGATED nested subquery that references the
     * enclosing query's own outer scope: ∃m: p(o,m) ∧ ¬∃i: q(o,m,i)
     * (NOT EXISTS), or ∃m: p(o,m) ∧ v(o,m) NOT IN {e(i) : q(o,m,i)}.
@@ -851,17 +869,117 @@ final class Binder(
       ctx.rel.scopes)
   }
 
-  /** LEFT ANTI join one negated nested body onto the candidate
-    * (outer × middle) frame — every referenced scope's columns are in
-    * `rel`, so the body's correlation (to parent AND grandparent) binds
-    * as an ordinary join condition. For the NOT IN form (`lhsOpt`
-    * present) the match condition is NULL-aware — `lhs = e OR lhs IS
-    * NULL OR e IS NULL` — so a candidate is pruned whenever the
-    * membership test is TRUE or UNKNOWN, which in WHERE position is
-    * exactly three-valued NOT IN. */
   private def antiJoinNestedBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
-      ctes: Map[String, DataFrame]): Rel = {
-    val what = "negated nested subquery"
+      ctes: Map[String, DataFrame]): Rel =
+    joinNestedBody(nqb, lhsOpt, rel, ctes, anti = true)
+
+  /** Aggregated EXISTS body (GROUP BY and/or HAVING) whose WHERE carries
+    * nested subqueries referencing the OUTER query's own outer scope.
+    * Flattening is out — the flatten join would duplicate middle rows
+    * and change the aggregate's input multiset — so the candidate
+    * (outer, middle) pairs materialize per row (the negated-nested
+    * pattern) and each nested conjunct prunes them with a multiplicity-
+    * PRESERVING left-semi (positive EXISTS/IN) or NULL-aware left-anti
+    * (NOT EXISTS / NOT IN) join. The pruned pairs then group by
+    * (rid ∪ explicit GROUP BY keys) with HAVING deciding survival:
+    * with GROUP BY, EXISTS ⟺ some group of that rid survives; with an
+    * UNGROUPED HAVING, SQL's one-aggregate-row-per-outer-row semantics
+    * (count 0 over an empty candidate set — the qe85/qe93 corner) come
+    * from a left join back with count-family aggregates coalesced to 0. */
+  private def lowerExistsNestedAggregated(qb: QueryBody, nested: Seq[Expr],
+      correlated: Seq[Expr], innerCtx: Ctx, ctx: Ctx, negated: Boolean): Unit = {
+    val what = "aggregated EXISTS subquery"
+    val rid = fresh("aerid")
+    val rid2 = fresh("aerid2")
+    // persist: the rid-tagged frame feeds the candidate join AND the
+    // join-back; monotonically_increasing_id is not stable across
+    // recomputations (same reasoning as lowerExistsNegatedNested)
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined =
+      try outer.join(renamed, cond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what correlation here may only reference columns of the " +
+            "outer relation — rewrite the correlated conjuncts")
+      }
+    var cur = Rel(joined, ctx.rel.scopes ++ rScopes)
+    nested.foreach { c =>
+      negatedNested(c).map { case (nqb, lhsOpt) =>
+        cur = joinNestedBody(nqb, lhsOpt, cur, ctx.ctes, anti = true)
+      }.orElse(positiveNested(c).map { case (nqb, lhsOpt) =>
+        cur = joinNestedBody(nqb, lhsOpt, cur, ctx.ctes, anti = false)
+      }).getOrElse(err(s"a nested subquery in an $what references columns " +
+        "two scopes up in a position that cannot lower per row — only " +
+        "EXISTS/IN/NOT EXISTS/NOT IN conjuncts with plain bodies support " +
+        "grandparent correlation under aggregation"))
+    }
+    val candCtx = new Ctx(cur, None, ctx.ctes)
+    val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+      .map(e => (e, fresh("gg")))
+    val groupCols = col(rid) +: groupPairs.map { case (e, nm) =>
+      bindExpr(e, candCtx).as(nm)
+    }
+    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+    val aggPairs = havingExpr.toSeq.flatMap(collectAggs).distinct
+      .map(fc => (fc, fresh("gagg")))
+    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, candCtx).as(n) } match {
+      case Nil => Seq(count(lit(1)).as(fresh("gcnt")))
+      case cs => cs
+    }
+    val grouped = cur.df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+
+    if (qb.groupBy.isEmpty && havingExpr.isDefined) {
+      val g = grouped.withColumnRenamed(rid, rid2)
+      val joinedBack = outer.join(g, col(rid) === col(rid2), "left")
+      val subst: Map[Expr, Column] = aggPairs.map { case (fc, n) =>
+        (fc: Expr) -> (if (isCountFamily(fc.name)) coalesce(g(n), lit(0L)) else g(n))
+      }.toMap
+      val hCtx = new Ctx(
+        Rel(joinedBack, ctx.rel.scopes :+ hiddenScope(g, g.columns.toSeq)),
+        None, ctx.ctes, subst = subst)
+      val flag = bindExpr(havingExpr.get, hCtx)
+      val keep = if (negated) !coalesce(flag, lit(false)) else coalesce(flag, lit(false))
+      ctx.rel = Rel(
+        joinedBack.filter(keep).drop(g.columns.toSeq: _*).drop(rid),
+        ctx.rel.scopes)
+    } else {
+      val gCtx = new Ctx(
+        Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+        None, ctx.ctes,
+        subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
+          groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
+      val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+        .getOrElse(grouped)
+      val survivors = filtered.select(col(rid)).distinct().withColumnRenamed(rid, rid2)
+      val how = if (negated) "left_anti" else "left_semi"
+      ctx.rel = Rel(
+        outer.join(survivors, col(rid) === col(rid2), how).drop(rid),
+        ctx.rel.scopes)
+    }
+  }
+
+  /** LEFT ANTI (negated) or LEFT SEMI (positive) join one nested body
+    * onto the candidate (outer × middle) frame — every referenced
+    * scope's columns are in `rel`, so the body's correlation (to parent
+    * AND grandparent) binds as an ordinary join condition. Both joins
+    * preserve the candidate frame's multiplicity (each pair row kept at
+    * most once), which is what lets the aggregated-EXISTS path group
+    * the pruned pairs afterwards. For the NOT IN form (`lhsOpt` present,
+    * anti) the match condition is NULL-aware — `lhs = e OR lhs IS NULL
+    * OR e IS NULL` — so a candidate is pruned whenever the membership
+    * test is TRUE or UNKNOWN, which in WHERE position is exactly
+    * three-valued NOT IN. For positive IN (semi) the plain equality is
+    * right: IN is TRUE iff a true match exists, and NULL/UNKNOWN rows
+    * simply fail the semi condition. */
+  private def joinNestedBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
+      ctes: Map[String, DataFrame], anti: Boolean): Rel = {
+    val what = if (anti) "negated nested subquery" else "nested subquery"
     if (nqb.ctes.nonEmpty || nqb.groupBy.nonEmpty || nqb.having.isDefined ||
         nqb.distinct.isDefined || nqb.limit.isDefined)
       err(s"a grandparent-correlated $what must be a plain body " +
@@ -889,11 +1007,11 @@ final class Binder(
       }
       val l = bindExpr(lhs, bCtx)
       val r = bindExpr(sel, bCtx)
-      (l === r) || l.isNull || r.isNull
+      if (anti) (l === r) || l.isNull || r.isNull else l === r
     }
     val cond = (nCorr.map(bindExpr(_, bCtx)) ++ matchCond.toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
-    Rel(rel.df.join(renamed, cond, "left_anti"), rel.scopes)
+    Rel(rel.df.join(renamed, cond, if (anti) "left_anti" else "left_semi"), rel.scopes)
   }
 
   /** One grandparent-correlated nested-subquery conjunct → join its

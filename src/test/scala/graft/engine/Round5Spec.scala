@@ -414,16 +414,31 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
   // error" test retired in r6 — the shape now lowers via the NULL-aware
   // per-row anti join; Round6Spec carries its correctness tests.)
 
-  test("grandparent-nested conjunct inside an aggregated EXISTS body errors") {
-    val e = intercept[Exception](rows(
+  test("grandparent-nested conjunct inside an aggregated EXISTS body lowers per row") {
+    // round 6 implemented the shape this test used to pin as an error
+    // (lowerExistsNestedAggregated). The nested conjunct here depends
+    // only on the GRANDPARENT (c_custkey), so the whole query factors
+    // into two independently-lowerable pieces — which the engine itself
+    // can compute as the oracle.
+    val got = rows(
       """select c_custkey from customer
          where exists (select 1 from orders
                        where o_custkey = c_custkey
                          and exists (select 1 from lineitem
                                      where l_orderkey = c_custkey)
                        group by o_orderstatus
-                       having count(*) > 1)"""))
-    assert(e.getMessage.toLowerCase.contains("aggregated exists"), e.getMessage)
+                       having count(*) > 1)
+         order by c_custkey""").map(_.getLong(0))
+    val want = rows(
+      """select c_custkey from customer
+         where c_custkey in (select l_orderkey from lineitem)
+           and exists (select 1 from orders
+                       where o_custkey = c_custkey
+                       group by o_orderstatus
+                       having count(*) > 1)
+         order by c_custkey""").map(_.getLong(0))
+    assert(want.nonEmpty, "fixture produced an empty oracle — test is vacuous")
+    assert(got == want)
   }
 
   // ---- Summing maintenance: self-referencing INSERT -------------------
