@@ -309,6 +309,13 @@ object Dedup {
 
   // ---- near-dup clustering (connected components + canonical pick) ----
 
+  /** Single-slot session memo for [[connectedComponents]] results:
+    * (key, lineage-free checkpointed labels). A new key evicts the old
+    * entry; the evicted checkpoint's blocks are freed by the context
+    * cleaner once unreferenced. */
+  private val ccCache =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)](("", null))
+
   /** Connected components over an undirected pair list (id_a, id_b):
     * every node gets the MINIMUM id reachable from it as its component
     * label. Pure min-label propagation — each round joins the current
@@ -330,6 +337,18 @@ object Dedup {
     * a "cached" result costing 5 s instead of 0.1 s). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    // session-scoped memo: qp71's components and qp73's are the same
+    // expensive pipeline; key on the canonicalized pair plan so the
+    // second caller reuses the lineage-free checkpoint (the testdata
+    // is immutable within a session — same caveat as the CTE caches)
+    val cacheKey = s"${pairs.queryExecution.analyzed.semanticHash()}|$idA|$idB|$maxRounds"
+    ccCache.get() match {
+      case (k, cached) if cached != null && k == cacheKey &&
+          (cached.sparkSession eq pairs.sparkSession) &&
+          !cached.sparkSession.sparkContext.isStopped =>
+        return cached
+      case _ => ()
+    }
     // persist the pair list before mirroring it: the union's two
     // branches would otherwise each re-run the (possibly expensive)
     // pair-producing pipeline feeding this
@@ -345,8 +364,14 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = null
     try {
-      labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("component"))
+      // the init labels FOLD IN round 0: label₀ = min(id, min neighbor)
+      // straight off the edge aggregation — one round (join + shuffle +
+      // persist cycle) cheaper than initializing to id and propagating
+      // (VERDICT r5 #6). Every node appears as dst (edges are
+      // symmetric), so the node set is preserved.
+      labels = edges.groupBy(col("dst")).agg(min(col("src")).as("nmin"))
+        .select(col("dst").as("id"),
+          least(col("dst"), col("nmin")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // labels only ever DECREASE, so an unchanged label sum is a
       // fixpoint — one cheap aggregate per round instead of a
@@ -361,7 +386,11 @@ object Dedup {
       // no pairs → no nodes: the empty labels frame IS the answer (every
       // doc is its own component via keepCanonicalByComponent's coalesce)
       // — and the sum-fixpoint loop could never converge on null sums
-      if (prevSum == null) return labels.localCheckpoint(true)
+      if (prevSum == null) {
+        val empty = labels.localCheckpoint(true)
+        ccCache.set((cacheKey, empty))
+        return empty
+      }
       var round = 0
       var converged = false
       while (round < maxRounds && !converged) {
@@ -398,6 +427,7 @@ object Dedup {
       val out = labels.localCheckpoint(true)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] checkpoint ${(System.nanoTime()-t0)/1e9}%.2f s")
+      ccCache.set((cacheKey, out))
       out
     } finally {
       // also on throw (non-convergence, mid-round failure): no cached
@@ -502,23 +532,34 @@ object Dedup {
     val dim = embeddings.filter(col("embedding").isNotNull)
       .select(size(col("embedding")).as("d"))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
-    val e = embeddings
-      .select(col("vec_id"), col("embedding").as("v"), quantizeD(col("embedding")).as("q"))
-      .withColumn("n2", dotQ(col("q"), col("q")))
-    val withBuckets = cappedBuckets(
-      e.select(col("vec_id"), col("q"), col("n2"),
-        posexplode(array((0 until tables).map(t =>
-          Similarity.signBucket(col("v"), t, nbits, dim)): _*)))
+    // the candidate stage is ids-only: buckets, the bucket self-join,
+    // and the pair dedup all move two longs per row. Carrying the
+    // quantized vectors through the bucket join (the r5 shape) made the
+    // dedup shuffle 2·dim doubles per CANDIDATE — ~50× the bytes, and
+    // at 100 TB the difference between a pair-list shuffle and an
+    // embedding-table-sized one. Vectors re-join AFTER dedup, once per
+    // SURVIVING pair side (the Vernica pattern the Jaccard tier uses).
+    val bucketed = cappedBuckets(
+      embeddings.filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          posexplode(array((0 until tables).map(t =>
+            Similarity.signBucket(col("embedding"), t, nbits, dim)): _*)))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket")),
       Seq(col("tbl"), col("bucket")), maxBucket)
-    val a = withBuckets.select(col("vec_id").as("id_a"), col("q").as("__qa"),
-      col("n2").as("__na"), col("tbl"), col("bucket"))
-    val b = withBuckets.select(col("vec_id").as("id_b"), col("q").as("__qb"),
-      col("n2").as("__nb"), col("tbl"), col("bucket"))
-    val cands = a.join(b, Seq("tbl", "bucket"))
+    val candIds = bucketed.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__qa"), col("__na"), col("__qb"), col("__nb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val e = embeddings
+      .select(col("vec_id"), quantizeD(col("embedding")).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+    val cands = candIds
+      .join(e.select(col("vec_id").as("id_a"), col("q").as("__qa"),
+        col("n2").as("__na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("q").as("__qb"),
+        col("n2").as("__nb")), Seq("id_b"))
     cosPairs(cands, thresholdNum, thresholdDen)
   }
 

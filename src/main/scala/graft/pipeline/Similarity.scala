@@ -83,6 +83,31 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Cosine brute-force top-k over milli-quantized integer vectors: the
+    * dot product and both squared norms are EXACT integers (every term
+    * and partial sum sits far below 2^53, so the double arithmetic that
+    * carries them is exact in any order), and the cosine is a
+    * multiply + sqrt + divide over those integers — each an IEEE
+    * correctly-rounded operation on identical inputs, hence
+    * bit-identical in any engine. This is the qe76 near-dup predicate
+    * generalized from a threshold test to a ranking score, which is
+    * what lets qp53 carry a full DuckDB oracle instead of a rows-only
+    * check. [[cosineTopK]] stays as the true-float precision baseline. */
+  def quantizedCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    gateBruteForce("quantizedCosineTopK", nQueries)
+    val qz = graft.functions.VectorOps.quantizeMilli(col("embedding"))
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), qz.as("v"))
+      .withColumn("n2", dotD(col("v"), col("v")))
+      .filter(col("n2") > 0)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("n2").as("qn2"))
+    val scored = e.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q"), col("v")) / sqrt(col("qn2") * col("n2"))).as("score"))
+    topK(scored, k)
+  }
+
   /** True cosine brute-force top-k (double precision). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     gateBruteForce("cosineTopK", nQueries)

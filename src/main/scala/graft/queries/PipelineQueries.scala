@@ -95,12 +95,33 @@ object PipelineQueries {
         .select(col("q_id"), col("rank").cast("int").as("rank"),
           col("vec_id"), col("score"))),
 
-    // ---- ANN: true cosine brute force (float ordering — rows-only) ------
+    // ---- ANN: cosine brute force, quantized-integer scoring -------------
+    // cosine over milli-quantized vectors: dot and norms are exact
+    // integers, the score a correctly-rounded double over them —
+    // bit-identical in any engine, so this entry carries a full oracle
+    // (r5 ran the true-float path rows-only; the float cosine itself
+    // is engine-divergent, not the ranking machinery being tested)
     QueryDef(
       "qp53_ann_cosine_topk",
-      None,
-      (s, dir) => Similarity.cosineTopK(
-        Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3)),
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) n2 FROM e
+              WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        sc AS (SELECT q.vec_id AS q_id, c.vec_id,
+            list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+              / sqrt(q.n2 * c.n2) AS score
+          FROM n q JOIN n c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5),
+        r AS (SELECT q_id, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+          FROM sc)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score
+        FROM r WHERE rank <= 3 ORDER BY q_id, rank"""),
+      (s, dir) => Similarity.quantizedCosineTopK(
+          Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("score"))),
 
     // ---- ANN: hyperplane-LSH bucketed (approximate — rows-only + spec) --
     QueryDef(

@@ -10,10 +10,43 @@ package graft.queries
   * DuckDB resolves grandparent refs natively = the oracle. */
 object Round6Queries {
 
+  import org.apache.spark.sql.functions._
+  import graft.Tables
+  import graft.pipeline.Dedup
+
   private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
     QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
 
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- embedding near-dup, LSH scale tier (bucketed) ------------------
+    // The r5 gap: embeddingNearDupPairsLsh had only spec coverage, no
+    // driver entry. Precision is 1 by construction (every candidate
+    // passes the exact quantized predicate), so the entry is
+    // oracle-EXACT iff recall is 1 on this corpus — and with the
+    // deterministic plane set that is a fixed fact, not a sample:
+    // measured 0 missed pairs at sf0.01 AND sf0.1 with nbits=1 (the
+    // per-pair miss bound at cos >= 0.4 is (1-p)^12 ~ 1e-5 with
+    // tables=12, ~0.006 expected misses corpus-wide). The oracle is
+    // the full-range exact all-pairs SQL (qe76 without the id slice).
+    // nbits=1 halves the corpus per bucket — the right setting for a
+    // few-thousand-vector fixture; production corpora raise nbits so
+    // buckets stay O(thousands) and rely on the same verify step.
+    QueryDef(
+      "qp74_embed_neardup_lsh",
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) q
+                 FROM embeddings),
+               n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) n2 FROM e),
+               sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS dot,
+                        a.n2 AS na, b.n2 AS nb
+                      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              SELECT id_a, id_b, dot / sqrt(na * nb) AS cos
+              FROM sc WHERE na > 0 AND nb > 0 AND dot >= 0 AND 25 * dot * dot >= 4 * na * nb
+              ORDER BY id_a, id_b"""),
+      (s, dir) => Dedup.embeddingNearDupPairsLsh(
+        Tables.load(s, dir, "embeddings"), thresholdNum = 2, thresholdDen = 5,
+        nbits = 1, tables = 12)),
 
     // ---- nested NOT IN with grandparent correlation ---------------------
     // ∃o: p(c,o) ∧ o_orderkey ∉ {l_orderkey : q(c,l)} — the nested
@@ -61,5 +94,104 @@ object Round6Queries {
              and (0 - c_custkey) not in (
                select case when l_quantity > 49 then null else l_suppkey end
                  from lineitem where l_extendedprice > c_acctbal * 12))
-         order by c_custkey"""))
+         order by c_custkey"""),
+
+    // ---- aggregated EXISTS bodies with grandparent-referencing nested
+    // subqueries (VERDICT r5 missing-list #2 / task #7). Flattening the
+    // nested conjunct would duplicate middle rows and corrupt the
+    // aggregate, so these route through the per-row candidate-pair
+    // lowering (Binder.lowerExistsNestedAggregated): multiplicity-
+    // preserving semi/anti prune, then GROUP BY (rid, keys) + HAVING.
+    // qe103: positive nested EXISTS under GROUP BY + HAVING — "has a
+    // customer at least 2 orders each containing a line priced above
+    // the customer's account balance".
+    engineSql("qe103_exists_agg_grandparent",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 500 AND EXISTS (
+           SELECT o_custkey FROM orders
+            WHERE o_custkey = c_custkey
+              AND EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey
+                             AND l_extendedprice > c_acctbal)
+            GROUP BY o_custkey
+            HAVING count(1) >= 2)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 500 and exists (
+           select o_custkey from orders
+            where o_custkey = c_custkey
+              and exists (select 1 from lineitem
+                           where l_orderkey = o_orderkey
+                             and l_extendedprice > c_acctbal)
+            group by o_custkey
+            having count(1) >= 2)
+         order by c_custkey"""),
+
+    // qe104: nested NOT IN (NULL-free set) under GROUP BY + HAVING — the
+    // anti-prune branch: "has a customer a priority class with >= 3
+    // orders none of whose keys appear among lines priced above twice
+    // the customer's balance".
+    engineSql("qe104_exists_agg_notin",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT o_orderpriority FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderkey NOT IN (
+                SELECT l_orderkey FROM lineitem
+                 WHERE l_extendedprice > c_acctbal * 2)
+            GROUP BY o_orderpriority
+            HAVING count(1) >= 3)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select o_orderpriority from orders
+            where o_custkey = c_custkey
+              and o_orderkey not in (
+                select l_orderkey from lineitem
+                 where l_extendedprice > c_acctbal * 2)
+            group by o_orderpriority
+            having count(1) >= 3)
+         order by c_custkey"""),
+
+    // qe105: NOT EXISTS over an UNGROUPED HAVING body with a positive
+    // nested grandparent EXISTS — SQL's one-aggregate-row-per-outer-row
+    // corner: a customer with ZERO qualifying (order, line) candidates
+    // still produces count(1) = 0, HAVING 0 <= 2 keeps the row, EXISTS
+    // is TRUE, so NOT EXISTS drops it. Exercises the left-join-back +
+    // coalesce-to-0 branch of the lowering under negation.
+    engineSql("qe105_not_exists_agg_having",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 400 AND NOT EXISTS (
+           SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey
+                             AND l_quantity > 45
+                             AND l_extendedprice > c_acctbal)
+            HAVING count(1) <= 2)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 400 and not exists (
+           select 1 from orders
+            where o_custkey = c_custkey
+              and exists (select 1 from lineitem
+                           where l_orderkey = o_orderkey
+                             and l_quantity > 45
+                             and l_extendedprice > c_acctbal)
+            having count(1) <= 2)
+         order by c_custkey"""),
+
+    // ---- LIMIT n OFFSET o WITH TIES (VERDICT r5 missing-list #4) --------
+    // Standard order: offset first, then fetch n with ties extending the
+    // TAIL boundary. The projection is the sort key alone, so the result
+    // multiset is deterministic even where the offset boundary cuts a tie
+    // group (the driver compares sorted rows). Oracle: RANK <= o+n (the
+    // at-or-before-threshold set) then OFFSET o in sort order.
+    engineSql("qe106_with_ties_offset",
+      """SELECT o_orderdate FROM (
+           SELECT o_orderdate, RANK() OVER (ORDER BY o_orderdate) AS rk
+           FROM orders) x
+         WHERE rk <= 65 ORDER BY o_orderdate LIMIT 1000000 OFFSET 25""",
+      """select o_orderdate from orders
+         order by o_orderdate limit 40 offset 25 with ties"""))
 }
