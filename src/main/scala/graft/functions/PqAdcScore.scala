@@ -95,8 +95,14 @@ case class PqAdcScore(left: Expression, right: Expression)
   * m·ksub DotProducts into ONE generated method, which blows janino's
   * method-size limits at real codebook sizes (16×16×4 already fails).
   * Like QuantizeMilli this is CodegenFallback: one virtual call per row
-  * with primitive loops inside, O(m·ksub·dsub) flops on flat arrays. */
-case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+  * with primitive loops inside, O(m·ksub·dsub) flops on flat arrays.
+  *
+  * The codebook is an IndexedSeq (not Array): case-class equality over
+  * arrays is by reference, which silently defeated canonicalization /
+  * common-subexpression reuse for semantically identical encode
+  * expressions (ADVICE r5) — Vector equality is structural. */
+case class PqEncode(child: Expression,
+    codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -115,7 +121,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
   private val dsub = if (ksub > 0) codebook(0)(0).length else 0
   // flat per-subspace codeword matrix for cache-friendly scans
   @transient private lazy val flat: Array[Array[Double]] =
-    codebook.map(cb => cb.flatten)
+    codebook.map(cb => cb.flatten.toArray).toArray
 
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -164,5 +170,6 @@ object PqOps {
 
   /** Native PQ encoding of a vector column (see PqEncode). */
   def encode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
-    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v), codebook))
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v),
+      codebook.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 }

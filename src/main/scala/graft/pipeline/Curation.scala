@@ -88,13 +88,15 @@ object Curation {
 
   /** `text` with all PII classes replaced by typed placeholders. Order
     * matters: SSNs would otherwise be half-eaten by the phone pattern,
-    * and emails can embed digit runs — scrub emails, then SSNs, then
-    * phones, then IPs. */
+    * emails can embed digit runs, and dotted-quads whose middle octets
+    * run 3 digits (192.168.100.200) parse as phone shapes — so scrub
+    * emails, then SSNs, then IPs, then phones (the IP pattern cannot
+    * match a phone, so IP-first is the safe order; ADVICE r5). */
   def redactPii(text: Column): Column = {
     val e = regexp_replace(text, lit(EmailPattern), lit("[EMAIL]"))
     val s = regexp_replace(e, lit(SsnPattern), lit("[SSN]"))
-    val p = regexp_replace(s, lit(PhonePattern), lit("[PHONE]"))
-    regexp_replace(p, lit(Ipv4Pattern), lit("[IP]"))
+    val ip = regexp_replace(s, lit(Ipv4Pattern), lit("[IP]"))
+    regexp_replace(ip, lit(PhonePattern), lit("[PHONE]"))
   }
 
   // ---- temperature-weighted source mixing -------------------------------
@@ -121,7 +123,14 @@ object Curation {
         floor(lit(1000) * sqrt(col("__n").cast("double") / col("__mx")))
           .cast("long").as("sample_rate"))
     docs.join(broadcast(rates), sourceCol)
-      .filter(pmod(col(idCol) * lit(2654435761L), lit(1000L)) < col("sample_rate"))
+      // the id is reduced mod a large prime BEFORE the Knuth multiply:
+      // the raw product wraps 64-bit arithmetic from id ≈ 3.5e9 —
+      // silently in Spark (non-ANSI) but as an overflow ERROR in
+      // DuckDB/ANSI engines, breaking the any-engine-reproducible
+      // contract exactly at the design scale (ADVICE r5). The reduced
+      // product tops out near 2.7e15, far inside the long range.
+      .filter(pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
+        lit(1000L)) < col("sample_rate"))
   }
 
   // ---- event sessionization (batch) -------------------------------------

@@ -84,8 +84,8 @@ object CurationQueries {
                 regexp_replace(
                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
-                '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?', '[PHONE]', 'g'),
-              '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS red
+                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+              '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?', '[PHONE]', 'g') AS red
           FROM p)
           SELECT source,
             CAST(SUM(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) emails,
@@ -129,7 +129,7 @@ object CurationQueries {
           r AS (SELECT lang, CAST(floor(1000 * sqrt(CAST(n AS DOUBLE) / (SELECT MAX(n) FROM c))) AS BIGINT) sample_rate FROM c)
           SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS kept, MAX(r.sample_rate) AS sample_rate
           FROM documents d JOIN r USING (lang)
-          WHERE (d.doc_id * 2654435761) % 1000 < r.sample_rate
+          WHERE ((d.doc_id % 1000003) * 2654435761) % 1000 < r.sample_rate
           GROUP BY 1 ORDER BY 1"""),
       (s, dir) =>
         Curation.temperatureSample(

@@ -49,10 +49,24 @@ object StreamRunner {
           .start()
       }
       try q.awaitTermination() finally q.stop()
-      s.table(sinkName)
+      // Localize the sink and DROP its temp view before returning: the
+      // memory sink already holds the replayed rows on the driver, so
+      // the copy is reference-sized — and without the drop every
+      // bench/verify invocation leaked one uniquely-named sink table
+      // (and its rows) for the life of the session (ADVICE r5).
+      val sink = s.table(sinkName)
+      val rows = sink.collect()
+      s.catalog.dropTempView(sinkName)
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), sink.schema)
     } finally {
-      java.nio.file.Files.deleteIfExists(staged)
-      java.nio.file.Files.deleteIfExists(tmp)
+      // best-effort: a stray file in the staging dir would otherwise
+      // throw DirectoryNotEmptyException from finally and MASK the
+      // query's own failure (ADVICE r5)
+      try {
+        java.nio.file.Files.deleteIfExists(staged)
+        java.nio.file.Files.deleteIfExists(tmp)
+      } catch { case _: java.io.IOException => () }
     }
   }
 }

@@ -93,6 +93,14 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == "ssn [SSN] end")
   }
 
+  test("dotted-quad with 3-digit middle octets redacts as IP, not PHONE") {
+    // 192.168.100.200 also matches the phone shape (digits with '.'
+    // separators) — the IP pass must run first (ADVICE r5)
+    val r = docs(1L -> "host 192.168.100.200 end")
+      .select(Curation.redactPii(col("text"))).collect().head.getString(0)
+    assert(r == "host [IP] end")
+  }
+
   test("temperatureSample keeps all of the largest source, sqrt-rate of others") {
     import spark.implicits._
     // source A: ids 0..99 (100 docs), source B: ids 100..124 (25 docs)
