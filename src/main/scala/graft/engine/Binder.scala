@@ -678,17 +678,37 @@ final class Binder(
       case b: QueryBody => b
       case _ => err("EXISTS subquery must be a plain query body")
     }
-    // LIMIT k>0 never changes existence; LIMIT 0 makes it constant-false;
-    // OFFSET would change the semantics to count > offset — reject it
-    // cleanly rather than silently ignoring it
+    // LIMIT k>0 never changes existence; LIMIT 0 makes it constant-false.
+    // OFFSET o>0 changes existence to "the pre-limit body yields MORE
+    // THAN o rows" (ORDER BY cannot change the count):
+    //  - plain body → rewrite as HAVING count(1) > o and re-enter (the
+    //    ungrouped-HAVING machinery — including the nested-grandparent
+    //    variant — already lowers that, with count-0 for empty keys);
+    //  - ungrouped HAVING body → at most one row ever, so OFFSET ≥ 1 is
+    //    constant-false existence;
+    //  - GROUP BY body → more than o SURVIVING GROUPS per key, handled
+    //    at the aggregated branch below via `existsOff`.
+    var existsOff = 0
     qb.limit.foreach { lc =>
-      if (lc.offset.isDefined) err("EXISTS subquery with OFFSET is unsupported")
-      evalLimitInt(lc.limit, "LIMIT") match {
-        case 0 =>
+      val o = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+      if (evalLimitInt(lc.limit, "LIMIT") == 0) {
+        val keep = if (negated) lit(true) else lit(false)
+        ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
+        return
+      }
+      if (o > 0) {
+        if (qb.groupBy.isEmpty && qb.having.isEmpty) {
+          lowerExists(qb.copy(limit = None, having = Some(
+            Binary(">", FnCall("count", Seq(IntLit(BigInt(1)))),
+              IntLit(BigInt(o))))), negated, ctx)
+          return
+        }
+        if (qb.groupBy.isEmpty) {
           val keep = if (negated) lit(true) else lit(false)
           ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
           return
-        case _ => ()
+        }
+        existsOff = o
       }
     }
     val innerBase = qb.from.map(bindSource(_, ctx.ctes))
@@ -730,16 +750,29 @@ final class Binder(
     val (negNested, posFlattenable) =
       flattenable.partition(negatedNested(_).isDefined)
     if (flattenable.nonEmpty && (qb.groupBy.nonEmpty || qb.having.isDefined)) {
+      if (existsOff > 0)
+        err("EXISTS over a GROUP BY body with OFFSET and grandparent-nested " +
+          "subqueries is unsupported — count the surviving groups explicitly")
       // flattening would change the aggregate's input multiset — the
       // per-row candidate-pair lowering prunes with multiplicity-
       // preserving semi/anti joins and groups afterwards
       lowerExistsNestedAggregated(qb, flattenable, correlated0, innerCtx, ctx, negated)
       return
     }
+    // grandparent-referencing subqueries in EXPRESSION position (under
+    // OR, CASE, …) can neither flatten (the subquery is not a conjunct)
+    // nor anti-join — but on the rid-tagged (outer, middle) pair frame
+    // every referenced scope is an ordinary column, so the expression-
+    // position mark-join machinery binds them directly
+    val (posTop, exprNested) = posFlattenable.partition(positiveNested(_).isDefined)
+    if (exprNested.nonEmpty) {
+      lowerExistsExprNested(qb, flattenable, correlated0, innerCtx, ctx, negated)
+      return
+    }
     val hoisted =
       if (flattenable.isEmpty) Nil
       else
-        posFlattenable.flatMap(flattenNested(_, innerCtx, "EXISTS subquery",
+        posTop.flatMap(flattenNested(_, innerCtx, "EXISTS subquery",
           scopeQuals(ctx.rel.scopes)))
     val correlated = correlated0 ++ hoisted
     if (negNested.nonEmpty) {
@@ -762,7 +795,21 @@ final class Binder(
         ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
         return
       }
-      val (filtered, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, ctx.ctes)
+      val (filtered0, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, ctx.ctes)
+      // OFFSET o over a GROUP BY body: existence needs MORE THAN o
+      // surviving groups per correlation key — one more (tiny, post-
+      // HAVING) aggregate over the group keys. Uncorrelated: a global
+      // count whose 0-or-1-row result drives the semi join.
+      val filtered =
+        if (existsOff == 0) filtered0
+        else {
+          val cnt = fresh("goff")
+          val counted =
+            if (keyNames.isEmpty) filtered0.agg(count(lit(1)).as(cnt))
+            else filtered0.groupBy(keyNames.map(filtered0(_)): _*)
+              .agg(count(lit(1)).as(cnt))
+          counted.filter(col(cnt) > existsOff).drop(cnt)
+        }
       val cond =
         if (keyPairs.isEmpty) lit(true)
         else keyPairs.zip(keyNames).map { case ((_, oe), kn) =>
@@ -909,16 +956,7 @@ final class Binder(
             "outer relation — rewrite the correlated conjuncts")
       }
     var cur = Rel(joined, ctx.rel.scopes ++ rScopes)
-    nested.foreach { c =>
-      negatedNested(c).map { case (nqb, lhsOpt) =>
-        cur = joinNestedBody(nqb, lhsOpt, cur, ctx.ctes, anti = true)
-      }.orElse(positiveNested(c).map { case (nqb, lhsOpt) =>
-        cur = joinNestedBody(nqb, lhsOpt, cur, ctx.ctes, anti = false)
-      }).getOrElse(err(s"a nested subquery in an $what references columns " +
-        "two scopes up in a position that cannot lower per row — only " +
-        "EXISTS/IN/NOT EXISTS/NOT IN conjuncts with plain bodies support " +
-        "grandparent correlation under aggregation"))
-    }
+    nested.foreach { c => cur = pruneNestedConjunct(c, cur, ctx.ctes) }
     val candCtx = new Ctx(cur, None, ctx.ctes)
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("gg")))
@@ -964,6 +1002,82 @@ final class Binder(
     }
   }
 
+  /** Prune the candidate (outer × middle) pair frame by one nested-
+    * subquery-bearing conjunct, multiplicity-preserved: top-level
+    * [NOT] EXISTS / [NOT] IN forms become left-semi/anti joins
+    * ([[joinNestedBody]]); anything else (a subquery under OR/CASE/…)
+    * binds as an EXPRESSION over the pair frame — the mark-join
+    * machinery resolves parent and grandparent refs alike there, and
+    * the mark joins themselves add columns, never rows — and filters
+    * with WHERE's NULL ≡ FALSE rule. */
+  private def pruneNestedConjunct(c: Expr, cur: Rel,
+      ctes: Map[String, DataFrame]): Rel =
+    negatedNested(c).map { case (nqb, lhsOpt) =>
+      joinNestedBody(nqb, lhsOpt, cur, ctes, anti = true)
+    }.orElse(positiveNested(c).map { case (nqb, lhsOpt) =>
+      joinNestedBody(nqb, lhsOpt, cur, ctes, anti = false)
+    }).getOrElse {
+      val candCtx = new Ctx(cur, None, ctes)
+      val bound = bindExpr(c, candCtx)
+      Rel(candCtx.rel.df.filter(coalesce(bound, lit(false))), candCtx.rel.scopes)
+    }
+
+  /** Prune the pair frame by one conjunct, distributing over top-level
+    * OR: survivors(A ∨ B) = survivors(A) ∪ survivors(B) — three-valued
+    * OR is TRUE iff a branch is TRUE, and each branch then lowers with
+    * the cheap conjunct machinery (a filter, or a hash-joinable
+    * semi/anti join) instead of a per-pair mark-join aggregate (the
+    * 40× qe110 difference). Branch outputs project back to the pair
+    * frame's columns (a mark-join branch may have joined flag frames
+    * on), so the union is column-aligned. ONLY safe where downstream
+    * consumes the DISTINCT rid set — a pair satisfying both branches
+    * appears twice — hence used by the plain-existence path, not the
+    * aggregated one. */
+  private def pruneDisjunctive(c: Expr, cur: Rel,
+      ctes: Map[String, DataFrame]): Rel = c match {
+    case Binary(op, l, r) if op.equalsIgnoreCase("or") =>
+      val cols = cur.df.columns.map(col).toSeq
+      val a = pruneDisjunctive(l, cur, ctes).df.select(cols: _*)
+      val b = pruneDisjunctive(r, cur, ctes).df.select(cols: _*)
+      Rel(a.unionByName(b), cur.scopes)
+    case _ => pruneNestedConjunct(c, cur, ctes)
+  }
+
+  /** Plain EXISTS body whose WHERE carries grandparent-referencing
+    * subqueries in EXPRESSION position (under OR, CASE, …): rid-tag the
+    * outer frame, join the body's source on the directly-correlated
+    * conjuncts, prune the pairs per conjunct ([[pruneDisjunctive]] —
+    * semi/anti joins for top-level forms, OR distributed as a survivor
+    * union, mark-join expression filters otherwise), and survival of
+    * any pair decides [NOT] EXISTS. */
+  private def lowerExistsExprNested(qb: QueryBody, nested: Seq[Expr],
+      correlated: Seq[Expr], innerCtx: Ctx, ctx: Ctx, negated: Boolean): Unit = {
+    val what = "EXISTS subquery"
+    val rid = fresh("xnrid")
+    val rid2 = fresh("xnrid2")
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined =
+      try outer.join(renamed, cond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what correlation here may only reference columns of the " +
+            "outer relation — rewrite the correlated conjuncts")
+      }
+    var cur = Rel(joined, ctx.rel.scopes ++ rScopes)
+    nested.foreach { c => cur = pruneDisjunctive(c, cur, ctx.ctes) }
+    val survivors = cur.df.select(col(rid)).distinct().withColumnRenamed(rid, rid2)
+    val how = if (negated) "left_anti" else "left_semi"
+    ctx.rel = Rel(
+      outer.join(survivors, col(rid) === col(rid2), how).drop(rid),
+      ctx.rel.scopes)
+  }
+
   /** LEFT ANTI (negated) or LEFT SEMI (positive) join one nested body
     * onto the candidate (outer × middle) frame — every referenced
     * scope's columns are in `rel`, so the body's correlation (to parent
@@ -1000,18 +1114,41 @@ final class Binder(
           "alias one of them differently")
       }
     val bCtx = new Ctx(Rel(rel.df, rel.scopes ++ rScopes), None, ctes)
-    val matchCond = lhsOpt.map { lhs =>
-      val sel = nqb.selectList match {
-        case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => e
-        case _ => err("IN subquery must produce exactly 1 column")
-      }
-      val l = bindExpr(lhs, bCtx)
-      val r = bindExpr(sel, bCtx)
-      if (anti) (l === r) || l.isNull || r.isNull else l === r
+    val how = if (anti) "left_anti" else "left_semi"
+    val corrCond = nCorr.map(bindExpr(_, bCtx)).reduceOption(_ && _)
+    lhsOpt match {
+      case None =>
+        Rel(rel.df.join(renamed, corrCond.getOrElse(lit(true)), how), rel.scopes)
+      case Some(lhs) =>
+        val sel = nqb.selectList match {
+          case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => e
+          case _ => err("IN subquery must produce exactly 1 column")
+        }
+        val l = bindExpr(lhs, bCtx)
+        val r = bindExpr(sel, bCtx)
+        val eqCond = corrCond.map(_ && (l === r)).getOrElse(l === r)
+        if (!anti) Rel(rel.df.join(renamed, eqCond, "left_semi"), rel.scopes)
+        else {
+          // NOT IN's three-valued anti join, DECOMPOSED so the common
+          // case stays hash-joinable (a single `l = r OR l IS NULL OR
+          // r IS NULL` condition forces a nested-loop plan — ~5× on the
+          // qe101/qe110 shapes, and a scale-killer on a real corpus):
+          //   1. prune TRUE memberships — equality anti join (hash,
+          //      with any theta correlation as residual);
+          //   2. a NULL lhs against a NON-EMPTY theta-set is UNKNOWN →
+          //      prune; only the lhs-null slice of the frame pays the
+          //      non-equi join (degenerate-empty for non-null keys);
+          //   3. a NULL inner value makes membership UNKNOWN for every
+          //      remaining lhs → anti against the r-IS-NULL slice of
+          //      the body (small by the same argument).
+          val afterEq = rel.df.join(renamed, eqCond, "left_anti")
+          val nullL = afterEq.filter(l.isNull)
+            .join(renamed, corrCond.getOrElse(lit(true)), "left_anti")
+          val notNullL = afterEq.filter(l.isNotNull)
+            .join(renamed.filter(r.isNull), corrCond.getOrElse(lit(true)), "left_anti")
+          Rel(nullL.unionByName(notNullL), rel.scopes)
+        }
     }
-    val cond = (nCorr.map(bindExpr(_, bCtx)) ++ matchCond.toSeq)
-      .reduceOption(_ && _).getOrElse(lit(true))
-    Rel(rel.df.join(renamed, cond, if (anti) "left_anti" else "left_semi"), rel.scopes)
   }
 
   /** One grandparent-correlated nested-subquery conjunct → join its
@@ -1534,12 +1671,24 @@ final class Binder(
       case b: QueryBody => b
       case _ => err("EXISTS subquery must be a plain query body")
     }
-    // same LIMIT semantics as the top-level conjunct path (lowerExists):
-    // k>0 never changes existence, 0 is constant, OFFSET is rejected
+    // same LIMIT/OFFSET semantics as the top-level conjunct path
+    // (lowerExists): k>0 never changes existence, 0 is constant, and
+    // OFFSET o>0 means "more than o pre-limit rows" — plain bodies
+    // rewrite to HAVING count(1) > o, ungrouped-HAVING bodies (≤1 row)
+    // become constant, GROUP BY bodies count surviving groups below.
+    var existsOff = 0
     qb.limit.foreach { lc =>
-      if (lc.offset.isDefined) err("EXISTS subquery with OFFSET is unsupported")
+      val o = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
       if (evalLimitInt(lc.limit, "LIMIT") == 0)
         return lit(negated) // EXISTS(LIMIT 0) = false; NOT EXISTS = true
+      if (o > 0) {
+        if (qb.groupBy.isEmpty && qb.having.isEmpty)
+          return bindExistsExpr(qb.copy(limit = None, having = Some(
+            Binary(">", FnCall("count", Seq(IntLit(BigInt(1)))),
+              IntLit(BigInt(o))))), negated, ctx)
+        if (qb.groupBy.isEmpty) return lit(negated)
+        existsOff = o
+      }
     }
     val innerBase = qb.from.map(bindSource(_, ctx.ctes))
       .getOrElse(err("EXISTS subquery needs a FROM"))
@@ -1565,7 +1714,19 @@ final class Binder(
         val out = coalesce(h, lit(false))
         return if (negated) !out else out
       }
-      val (filtered, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, ctx.ctes)
+      val (filtered0, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, ctx.ctes)
+      // OFFSET over GROUP BY: more than existsOff surviving groups per
+      // key (same post-HAVING count as the conjunct path)
+      val filtered =
+        if (existsOff == 0) filtered0
+        else {
+          val cnt = fresh("goff")
+          val counted =
+            if (keyNames.isEmpty) filtered0.agg(count(lit(1)).as(cnt))
+            else filtered0.groupBy(keyNames.map(filtered0(_)): _*)
+              .agg(count(lit(1)).as(cnt))
+          counted.filter(col(cnt) > existsOff).drop(cnt)
+        }
       val out: Column =
         if (keyPairs.isEmpty) {
           val one = filtered.agg((count(lit(1)) > 0).as(flag))

@@ -187,6 +187,100 @@ object Round6Queries {
     // multiset is deterministic even where the offset boundary cuts a tie
     // group (the driver compares sorted rows). Oracle: RANK <= o+n (the
     // at-or-before-threshold set) then OFFSET o in sort order.
+    // ---- grandparent correlation in EXPRESSION position (missing #3) ----
+    // The nested subquery sits under OR — not a flattenable conjunct —
+    // so it lowers on the rid-tagged (customer, order) pair frame where
+    // the mark-join machinery binds parent and grandparent refs alike
+    // (Binder.lowerExistsExprNested / pruneNestedConjunct).
+    engineSql("qe109_exists_or_grandparent",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 800 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND (o_totalprice > 400000 OR EXISTS (
+               SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                 AND l_quantity > 48 AND l_suppkey % 7 = c_custkey % 7)))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 800 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and (o_totalprice > 400000 or exists (
+               select 1 from lineitem where l_orderkey = o_orderkey
+                 and l_quantity > 48 and l_suppkey % 7 = c_custkey % 7)))
+         order by c_custkey"""),
+
+    // ...NOT IN under OR with THETA grandparent correlation — rides
+    // bindInExpr's per-row three-valued path on the pair frame.
+    engineSql("qe110_notin_or_grandparent",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND (o_orderpriority = '1-URGENT' OR o_orderkey NOT IN (
+               SELECT l_orderkey FROM lineitem
+                WHERE l_extendedprice > c_acctbal)))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and (o_orderpriority = '1-URGENT' or o_orderkey not in (
+               select l_orderkey from lineitem
+                where l_extendedprice > c_acctbal)))
+         order by c_custkey"""),
+
+    // ...and the same expression-position shape under AGGREGATION: the
+    // OR filter prunes the candidate pairs (adding columns, never rows)
+    // before the (rid, priority) grouping.
+    engineSql("qe111_agg_or_grandparent",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 500 AND EXISTS (
+           SELECT o_orderpriority FROM orders WHERE o_custkey = c_custkey
+             AND (o_totalprice > 350000 OR EXISTS (
+               SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                 AND l_quantity > 48 AND l_suppkey % 7 = c_custkey % 7))
+           GROUP BY o_orderpriority HAVING count(1) >= 2)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 500 and exists (
+           select o_orderpriority from orders where o_custkey = c_custkey
+             and (o_totalprice > 350000 or exists (
+               select 1 from lineitem where l_orderkey = o_orderkey
+                 and l_quantity > 48 and l_suppkey % 7 = c_custkey % 7))
+           group by o_orderpriority having count(1) >= 2)
+         order by c_custkey"""),
+
+    // ---- EXISTS bodies with OFFSET (VERDICT r5 missing-list #5) ---------
+    // EXISTS(body LIMIT n>0 OFFSET o) ⟺ the pre-limit body yields more
+    // than o rows; plain bodies rewrite to HAVING count(1) > o and ride
+    // the ungrouped-HAVING machinery (ORDER BY cannot change the count).
+    engineSql("qe107_exists_offset",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 500 AND EXISTS (
+           SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey
+             AND o_totalprice > 250000
+           ORDER BY o_orderkey LIMIT 10 OFFSET 2)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 500 and exists (
+           select o_orderkey from orders where o_custkey = c_custkey
+             and o_totalprice > 250000
+           order by o_orderkey limit 10 offset 2)
+         order by c_custkey"""),
+
+    // ...and over a GROUP BY body (negated): existence needs MORE THAN
+    // o surviving groups per key — one extra post-HAVING count.
+    engineSql("qe108_not_exists_group_offset",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 500 AND NOT EXISTS (
+           SELECT o_orderpriority FROM orders WHERE o_custkey = c_custkey
+           GROUP BY o_orderpriority HAVING count(1) >= 2
+           LIMIT 10 OFFSET 1)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 500 and not exists (
+           select o_orderpriority from orders where o_custkey = c_custkey
+           group by o_orderpriority having count(1) >= 2
+           limit 10 offset 1)
+         order by c_custkey"""),
+
     engineSql("qe106_with_ties_offset",
       """SELECT o_orderdate FROM (
            SELECT o_orderdate, RANK() OVER (ORDER BY o_orderdate) AS rk

@@ -672,7 +672,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     sql("drop table t_sumkey")
   }
 
-  test("EXISTS LIMIT 0 is constant-false in both positions; OFFSET rejected") {
+  test("EXISTS LIMIT 0 is constant-false in both positions; OFFSET counts rows") {
     // top-level conjunct
     val top = rows("""
       select count(*) as n from nation
@@ -683,9 +683,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       select count(*) as n from nation
       where n_nationkey = 3 or exists (select 1 from orders limit 0)""").head.getLong(0)
     assert(or == 1)
-    val e = intercept[GraftException](rows(
-      "select 1 as x from nation where exists (select 1 from orders limit 1 offset 5)"))
-    assert(e.msg.contains("OFFSET"))
+    // OFFSET o: existence ⟺ more than o pre-limit rows (round 6).
+    // orders has far more than 5 rows and far fewer than 10^8.
+    val some = rows("""
+      select count(*) as n from nation
+      where exists (select 1 from orders limit 1 offset 5)""").head.getLong(0)
+    assert(some == 25)
+    val none = rows("""
+      select count(*) as n from nation
+      where exists (select 1 from orders limit 1 offset 100000000)""").head.getLong(0)
+    assert(none == 0)
+    // ...and in expression position
+    val orOff = rows("""
+      select count(*) as n from nation
+      where n_nationkey = 3 or exists (select 1 from orders limit 1 offset 100000000)""")
+      .head.getLong(0)
+    assert(orOff == 1)
   }
 
   test("expression-wrapped correlated count sees 0 for unmatched outer rows") {
