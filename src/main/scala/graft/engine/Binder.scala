@@ -559,13 +559,15 @@ final class Binder(
     val leftOrdCol = bindExpr(lOrd, lCtx).as(ordName)
     val rightKeyCols = eqPairs.zip(keyNames).map { case ((_, re), kn) => bindExpr(re, rCtx).as(kn) }
     val rightOrdCol = bindExpr(rOrd, rCtx).as(ordName)
-    if (!(lCtx.rel.df eq left.df) || !(rCtx.rel.df eq right.df))
-      err("scalar subqueries in ASOF join conditions are unsupported")
-    val leftPrep = left.df.select(
+    // a scalar subquery in a key/ordering expression cross-joins its
+    // (broadcast, 1-row) value onto the side's frame during binding —
+    // select from the POST-BINDING frames; the projection below keeps
+    // only the named columns, so the scalar rider never leaks
+    val leftPrep = lCtx.rel.df.select(
       leftCols.map { case (s, c, u) => s.column(c).as(u) } ++ leftKeyCols :+ leftOrdCol: _*)
       .withColumn(isLeftName, lit(true))
     // right rows with a null key or null ordering value can never match
-    val rightPrep = right.df.select(
+    val rightPrep = rCtx.rel.df.select(
       rightKeyCols ++
         Seq(rightOrdCol,
           struct(rightCols.map { case (s, c, u) => s.column(c).as(u) }: _*).as(payloadName)): _*)
@@ -621,16 +623,22 @@ final class Binder(
     val leftDf = left.df.withColumn(id, monotonically_increasing_id())
     val ctx2 = new Ctx(Rel(leftDf, Scope(None, leftDf, Seq(id)) +: bothScopes), None, ctes)
     val cond = (eqs :+ ineq).map(bindExpr(_, ctx2)).reduce(_ && _)
-    if (!(ctx2.rel.df eq leftDf))
-      err("scalar subqueries in ASOF join conditions are unsupported")
-    val joined = leftDf.join(right.df, cond, if (leftOuter) "left" else "inner")
-    // `left.ts >= right.ts` wants the greatest right.ts → desc
+    // the rank column binds BEFORE the frame snapshot: re-binding rOrd
+    // joins its own scalar-subquery riders (a second, independent
+    // instance) onto ctx2's frame, and the window below must see them
     val ordCol = bindExpr(rOrd, ctx2)
+    // scalar subqueries in the condition cross-join their (1-row
+    // broadcast) values onto ctx2's frame during binding — join FROM
+    // that frame and drop the fresh-named riders after the pick
+    val srcDf = ctx2.rel.df
+    val riders = srcDf.columns.toSeq.diff(leftDf.columns.toSeq)
+    val joined = srcDf.join(right.df, cond, if (leftOuter) "left" else "inner")
+    // `left.ts >= right.ts` wants the greatest right.ts → desc
     val w = Window.partitionBy(col(id))
       .orderBy(if (op == ">" || op == ">=") ordCol.desc else ordCol.asc)
     val rn = fresh("rn")
     val picked = joined.withColumn(rn, row_number().over(w))
-      .filter(col(rn) === 1).drop(rn, id)
+      .filter(col(rn) === 1).drop(rn +: id +: riders: _*)
     Rel(picked, bothScopes)
   }
 

@@ -281,6 +281,25 @@ object Round6Queries {
            limit 10 offset 1)
          order by c_custkey"""),
 
+    // ---- scalar subquery inside an ASOF join ON (missing #6) ------------
+    // The scalar (uncorrelated, 1-row broadcast) rides the left frame
+    // through the union+last-non-null plan; `<=` picks the LEAST right
+    // value at-or-after the bound, so the matched l_extendedprice is
+    // MIN(l_extendedprice >= o_totalprice · s) — unique per order, no
+    // tie ambiguity in the projected columns.
+    engineSql("qe112_asof_scalar_on",
+      """SELECT o_orderkey, MIN(l_extendedprice) AS first_price
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_extendedprice >= o_totalprice *
+           (SELECT 1.0 / min(n_nationkey + 5) FROM nation)
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+      """select o_orderkey, l_extendedprice as first_price
+         from orders asof join lineitem
+           on o_orderkey = l_orderkey
+          and o_totalprice * (select 1.0 / min(n_nationkey + 5) from nation)
+              <= l_extendedprice
+         order by o_orderkey"""),
+
     engineSql("qe106_with_ties_offset",
       """SELECT o_orderdate FROM (
            SELECT o_orderdate, RANK() OVER (ORDER BY o_orderdate) AS rk

@@ -731,6 +731,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scalar subquery in a keyless ASOF condition rides the fallback plan") {
+    // round 6: the scalar (here 0, via min(n_nationkey)) cross-joins
+    // onto the left frame during binding; the rider column must not
+    // leak into the output (missing-list #6)
+    val got = rows("""
+      with v as (select ts, max(value) as vv from events where event_type = 'view' group by ts),
+           c as (select event_id, value as cv from events where event_type = 'click')
+      select c.event_id, c.cv, v.vv from c asof join v
+        on c.cv >= v.vv * (select min(n_nationkey) + 1 from nation)
+      order by c.event_id limit 25""")
+    val plain = rows("""
+      with v as (select ts, max(value) as vv from events where event_type = 'view' group by ts),
+           c as (select event_id, value as cv from events where event_type = 'click')
+      select c.event_id, c.cv, v.vv from c asof join v on c.cv >= v.vv
+      order by c.event_id limit 25""")
+    assert(got.nonEmpty)
+    assert(got.head.length == 3, s"rider columns leaked: ${got.head}")
+    assert(got == plain) // ×1 is the identity on the ordering bound
+  }
+
   test("IN and EXISTS subqueries under OR (expression position)") {
     val r = rows("""
       select count(*) as n from customer
