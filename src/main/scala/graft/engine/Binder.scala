@@ -758,13 +758,11 @@ final class Binder(
     val (negNested, posFlattenable) =
       flattenable.partition(negatedNested(_).isDefined)
     if (flattenable.nonEmpty && (qb.groupBy.nonEmpty || qb.having.isDefined)) {
-      if (existsOff > 0)
-        err("EXISTS over a GROUP BY body with OFFSET and grandparent-nested " +
-          "subqueries is unsupported — count the surviving groups explicitly")
       // flattening would change the aggregate's input multiset — the
       // per-row candidate-pair lowering prunes with multiplicity-
       // preserving semi/anti joins and groups afterwards
-      lowerExistsNestedAggregated(qb, flattenable, correlated0, innerCtx, ctx, negated)
+      lowerExistsNestedAggregated(qb, flattenable, correlated0, innerCtx, ctx,
+        negated, existsOff)
       return
     }
     // grandparent-referencing subqueries in EXPRESSION position (under
@@ -942,7 +940,8 @@ final class Binder(
     * (count 0 over an empty candidate set — the qe85/qe93 corner) come
     * from a left join back with count-family aggregates coalesced to 0. */
   private def lowerExistsNestedAggregated(qb: QueryBody, nested: Seq[Expr],
-      correlated: Seq[Expr], innerCtx: Ctx, ctx: Ctx, negated: Boolean): Unit = {
+      correlated: Seq[Expr], innerCtx: Ctx, ctx: Ctx, negated: Boolean,
+      existsOff: Int = 0): Unit = {
     val what = "aggregated EXISTS subquery"
     val rid = fresh("aerid")
     val rid2 = fresh("aerid2")
@@ -1002,7 +1001,15 @@ final class Binder(
           groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
       val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
         .getOrElse(grouped)
-      val survivors = filtered.select(col(rid)).distinct().withColumnRenamed(rid, rid2)
+      // OFFSET o over the GROUP BY body: existence needs MORE THAN o
+      // surviving groups for the rid (same counting as lowerExists)
+      val survivors =
+        (if (existsOff == 0) filtered.select(col(rid)).distinct()
+         else {
+           val cnt = fresh("goff")
+           filtered.groupBy(col(rid)).agg(count(lit(1)).as(cnt))
+             .filter(col(cnt) > existsOff).select(col(rid))
+         }).withColumnRenamed(rid, rid2)
       val how = if (negated) "left_anti" else "left_semi"
       ctx.rel = Rel(
         outer.join(survivors, col(rid) === col(rid2), how).drop(rid),

@@ -4,13 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
-/** Round-6: nested NOT IN with grandparent correlation (the last
-  * NOT-variant dialect gap — VERDICT r5 missing-list #1). The lowering
-  * extends the per-row candidate-pair machinery with a NULL-aware anti
-  * join (`lhs = e OR lhs IS NULL OR e IS NULL`), so three-valued NOT IN
-  * semantics hold across two scopes. Spark's own analyzer rejects
-  * outer references that skip a scope level, so every oracle below is
-  * the hand-decorrelated single-scope equivalent. */
+/** Round-6 binder paths: aggregated EXISTS bodies with grandparent-
+  * nested subqueries (incl. GROUP BY + OFFSET), expression-position
+  * grandparent subqueries with the OR survivor-union distribution, the
+  * decomposed three-valued NOT IN anti join, and WITH TIES + OFFSET.
+  * Each test's oracle is an equivalent query the engine itself can
+  * compute through an independent, already-proven lowering. */
 class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -27,120 +26,146 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     engine = Engine.forTestdata(spark, dir)
-    Seq("customer", "orders", "lineitem", "nation", "supplier").foreach { t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
-    }
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def sql(s: String): DataFrame = engine.execute(s)
   private def rows(s: String): Seq[Row] = sql(s).collect().toSeq
+  private def keys(s: String): Seq[Long] = rows(s).map(_.getLong(0))
 
-  // ---- nested NOT IN with grandparent correlation ---------------------
+  // ---- aggregated EXISTS + grandparent-nested + OFFSET ----------------
 
-  test("nested NOT IN whose body filters on the grandparent scope") {
-    val r = rows(
+  test("GROUP BY body with OFFSET and a grandparent-nested conjunct counts surviving groups") {
+    // nested conjunct depends only on the grandparent (c_custkey), so
+    // the query factors: the engine computes the oracle via IN + a
+    // grandparent-free aggregated EXISTS with the same OFFSET
+    val got = keys(
       """select c_custkey from customer
-         where c_custkey < 200
-           and exists (select 1 from orders
+         where exists (select o_orderpriority from orders
                        where o_custkey = c_custkey
-                         and o_orderkey not in (select l_orderkey from lineitem
-                                                where l_extendedprice > c_acctbal))
+                         and exists (select 1 from lineitem
+                                     where l_orderkey = c_custkey)
+                       group by o_orderpriority
+                       having count(1) >= 1
+                       limit 10 offset 1)
          order by c_custkey""")
-    // oracle: candidate (customer, order) pairs, then a SINGLE-scope
-    // correlated NOT IN Spark can check natively
-    val oracle = spark.sql(
+    val want = keys(
       """select c_custkey from customer
-         where c_custkey < 200
-           and c_custkey in (
-             select cp.c_custkey from (
-               select c_custkey, c_acctbal, o_orderkey
-               from customer join orders on o_custkey = c_custkey
-               where c_custkey < 200) cp
-             where cp.o_orderkey not in (select l_orderkey from lineitem
-                                         where l_extendedprice > cp.c_acctbal))
-         order by c_custkey""").collect().toSeq
-    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+         where c_custkey in (select l_orderkey from lineitem)
+           and exists (select o_orderpriority from orders
+                       where o_custkey = c_custkey
+                       group by o_orderpriority
+                       having count(1) >= 1
+                       limit 10 offset 1)
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
   }
 
-  test("nested NOT IN with an outer-referencing lhs routes to the per-row path") {
-    // the LHS itself lives in the grandparent scope — the conjunct's
-    // top-level refs reach the outer query, so the corrDeep partition
-    // (not the local/flattenable one) must claim it
-    val r = rows(
+  // ---- OR distribution: multiset safety under aggregation -------------
+
+  test("a pair satisfying BOTH OR branches is counted once under aggregation") {
+    // l_quantity >= 1 is a tautology on the fixture, so every candidate
+    // pair satisfies both branches of the OR; the aggregated count must
+    // equal the OR-free count (the aggregated path filters, it must
+    // never union-duplicate)
+    val got = keys(
       """select c_custkey from customer
-         where c_custkey < 200
-           and exists (select 1 from orders
+         where exists (select 1 from orders
                        where o_custkey = c_custkey
-                         and c_nationkey not in (select l_linenumber from lineitem
-                                                 where l_orderkey = o_orderkey))
+                         and (o_totalprice > 0 or exists (
+                           select 1 from lineitem
+                            where l_orderkey = o_orderkey
+                              and l_suppkey % 3 = c_custkey % 3))
+                       having count(1) >= 5)
          order by c_custkey""")
-    val oracle = spark.sql(
+    val want = keys(
       """select c_custkey from customer
-         where c_custkey < 200
-           and c_custkey in (
-             select cp.c_custkey from (
-               select c_custkey, c_nationkey, o_orderkey
-               from customer join orders on o_custkey = c_custkey
-               where c_custkey < 200) cp
-             where cp.c_nationkey not in (select l_linenumber from lineitem
-                                          where l_orderkey = cp.o_orderkey))
-         order by c_custkey""").collect().toSeq
-    assert(r.nonEmpty && r == oracle, s"${r.size} vs ${oracle.size}")
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                       having count(1) >= 5)
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
   }
 
-  test("nested NOT IN is three-valued: one NULL in the match set kills the pair") {
-    sql("drop table if exists r6_o"); sql("drop table if exists r6_m")
-    sql("drop table if exists r6_i")
-    sql("create table r6_o (ok Int32, bound Int32)")
-    sql("create table r6_m (mk Int32, fk Int32)")
-    sql("create table r6_i (ik Int32, v Nullable(Int32))")
-    // outer 1: middle rows exist; inner set for bound=10 is {5} (no
-    //   match vs lhs mk=1? lhs is mk) …construct per-case:
-    // ok=1: middle mk=1 → inner set {5} (no 1, no NULL) → NOT IN true → keep
-    // ok=2: middle mk=2 → inner set {5, NULL} → UNKNOWN → pair dies → drop
-    // ok=3: middle mk=3 → inner set {3} → match → FALSE → drop
-    // ok=4: middle mk=4 → inner set empty → TRUE → keep
-    sql("insert into r6_o values (1, 10), (2, 20), (3, 30), (4, 40)")
-    sql("insert into r6_m values (1, 10), (2, 20), (3, 30), (4, 40)")
-    sql("insert into r6_i values (10, 5), (20, 5), (20, null), (30, 3)")
-    val r = rows(
-      """select ok from r6_o
-         where exists (select 1 from r6_m
-                       where mk = ok
-                         and mk not in (select v from r6_i where ik = bound))
-         order by ok""").map(_.getInt(0))
-    assert(r == Seq(1, 4), s"three-valued NOT IN over two scopes: $r")
-    sql("drop table r6_o"); sql("drop table r6_m"); sql("drop table r6_i")
+  test("plain-existence OR distribution matches the single-branch unions") {
+    val got = keys(
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and (o_totalprice > 200000 or exists (
+                           select 1 from lineitem
+                            where l_orderkey = o_orderkey
+                              and l_suppkey % 5 = c_custkey % 5)))
+         order by c_custkey""")
+    val a = keys(
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey and o_totalprice > 200000)""")
+    val b = keys(
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where o_custkey = c_custkey
+                         and exists (select 1 from lineitem
+                                     where l_orderkey = o_orderkey
+                                       and l_suppkey % 5 = c_custkey % 5))""")
+    val want = (a.toSet ++ b.toSet).toSeq.sorted
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
   }
 
-  test("NOT IN and NOT EXISTS nested bodies compose in one EXISTS body") {
-    val r = rows(
+  // ---- decomposed NOT IN: NULL semantics survive the 3-join split -----
+
+  test("decomposed NOT IN anti join keeps three-valued NULL semantics") {
+    // inner select is conditionally NULL; lhs (-c_custkey) never
+    // matches. NOT IN is TRUE iff the theta-set is empty or NULL-free —
+    // for these, iff it contains no row with l_quantity > 49
+    val got = keys(
       """select c_custkey from customer
-         where c_custkey < 100
-           and exists (select 1 from orders
-                       where o_custkey = c_custkey
-                         and o_orderkey not in (select l_orderkey from lineitem
-                                                where l_extendedprice > c_acctbal)
-                         and not exists (select 1 from lineitem
-                                         where l_orderkey = o_orderkey
-                                           and l_partkey < c_custkey))
+         where c_custkey < 100 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and (0 - c_custkey) not in (
+               select case when l_quantity > 49 then null else l_suppkey end
+                 from lineitem where l_extendedprice > c_acctbal * 10))
          order by c_custkey""")
-    val oracle = spark.sql(
+    val want = keys(
       """select c_custkey from customer
-         where c_custkey < 100
-           and c_custkey in (
-             select cp.c_custkey from (
-               select c_custkey, c_acctbal, o_orderkey
-               from customer join orders on o_custkey = c_custkey
-               where c_custkey < 100) cp
-             where cp.o_orderkey not in (select l_orderkey from lineitem
-                                         where l_extendedprice > cp.c_acctbal)
-               and not exists (select 1 from lineitem
-                               where l_orderkey = cp.o_orderkey
-                                 and l_partkey < cp.c_custkey))
-         order by c_custkey""").collect().toSeq
-    assert(r == oracle, s"${r.size} vs ${oracle.size}")
+         where c_custkey < 100 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and not exists (
+               select 1 from lineitem
+                where l_extendedprice > c_acctbal * 10 and l_quantity > 49))
+         order by c_custkey""")
+    assert(got == want)
+  }
+
+  // ---- WITH TIES + OFFSET ---------------------------------------------
+
+  test("LIMIT n OFFSET o WITH TIES = rank <= o+n minus the first o rows") {
+    val got = rows(
+      """select o_orderdate from orders
+         order by o_orderdate limit 7 offset 4 with ties""")
+      .map(_.get(0).toString)
+    val all = rows("select o_orderdate from orders order by o_orderdate")
+      .map(_.get(0).toString)
+    // rank <= 11 ⟺ date <= the 11th date; then drop the first 4
+    val thr = all(10)
+    val want = all.filter(_ <= thr).drop(4)
+    assert(want.nonEmpty && got.nonEmpty)
+    assert(got.sorted == want.sorted)
+  }
+
+  test("WITH TIES without OFFSET is unchanged by the offset plumbing") {
+    val got = rows(
+      """select o_orderdate from orders
+         order by o_orderdate limit 11 with ties""")
+      .map(_.get(0).toString)
+    val all = rows("select o_orderdate from orders order by o_orderdate")
+      .map(_.get(0).toString)
+    val thr = all(10)
+    val want = all.filter(_ <= thr)
+    assert(got.sorted == want.sorted)
   }
 }
