@@ -133,6 +133,119 @@ object Curation {
         lit(1000L)) < col("sample_rate"))
   }
 
+  // ---- duplicated-span removal (block-level exact substring dedup) ------
+
+  /** Removes text spans that repeat across the corpus, at fixed
+    * token-block granularity — the scalable form of exact substring
+    * deduplication (remove any passage duplicated corpus-wide, as in
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, and C4's duplicated-line rule). Text is cut into
+    * consecutive `blockTokens`-word blocks; a block whose exact string
+    * occurs more than `maxOccurrences` times corpus-wide is dropped from
+    * every document, and the surviving blocks are re-joined in order.
+    *
+    * Returns one row per document: total block count, dropped-duplicate
+    * count, and the cleaned text (NULL when every block was dropped).
+    *
+    * Scale shape: blocks are built per-document from the token array
+    * (no shuffle), then ONE groupBy on the block string (map-side
+    * partial aggregation collapses each partition's copies first, so a
+    * pathologically common block costs one row per partition, not a
+    * hot reduce key), a shuffle join of blocks against the
+    * above-threshold span set on the same key, and one regroup by
+    * document for reassembly. Reassembly sorts each document's kept
+    * blocks — per-document arrays, bounded by document size. The two
+    * interpreted lambdas (block slicing, field extraction) run at BLOCK
+    * granularity (~tokens/blockTokens elements per doc), not per token
+    * — measured noise at sf0.1 next to the two shuffles. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 4, maxOccurrences: Int = 2): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // ceil(n / B) blocks; split("","\\s+") yields [""] so n >= 1 always
+    val blockArr = transform(
+      sequence(lit(0), (size(toks) + (blockTokens - 1)).cast("int")
+        .divide(lit(blockTokens)).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * blockTokens + 1, lit(blockTokens))))
+    val blocks = docs
+      .select(col(idCol).as("id"), posexplode(blockArr).as(Seq("blk", "s")))
+    val dupSpans = blocks.groupBy(col("s")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select(col("s"), lit(1L).as("__dup"))
+    val marked = blocks.join(dupSpans, Seq("s"), "left")
+    marked.groupBy(col("id")).agg(
+        count(lit(1)).as("n_blocks"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_blocks"),
+        // collect_list skips NULLs, so the filter rides the aggregate
+        array_sort(collect_list(
+          when(col("__dup").isNull, struct(col("blk"), col("s"))))).as("__kept"))
+      .select(col("id").as(idCol), col("n_blocks"), col("n_dup_blocks"),
+        when(size(col("__kept")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(col("__kept"), x => x.getField("s")), " "))
+          .as("clean_text"))
+      .orderBy(col(idCol))
+  }
+
+  // ---- training-sequence packing ----------------------------------------
+
+  /** Greedy concatenation packing: documents are laid out end-to-end in
+    * a deterministic order and chopped into fixed `capacity`-token
+    * training sequences (the standard GPT-style pre-training layout).
+    * Each document is assigned the sequence index and offset where it
+    * starts, plus whether it straddles a sequence boundary — the exact
+    * inputs a loader needs to materialize packed batches, and the
+    * inputs to fragmentation stats (what fraction of docs are split).
+    *
+    * Documents first hash into `shards` independent streams (the Knuth
+    * multiplicative mix of the id — reproducible in any engine, no RNG
+    * state), so packing is embarrassingly parallel: the running token
+    * total is a per-shard window over doc id order. At corpus scale
+    * shards are sized so one shard's metadata (ids + token counts, not
+    * text) fits an executor's window buffer; the text itself is never
+    * shuffled — packing is metadata-only until the loader gathers each
+    * sequence's documents. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 512, shards: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      TextOps.bpeishTokenCount(col(textCol)).cast("long").as("n_tokens"),
+      pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
+        lit(shards.toLong)).as("shard"))
+    val before = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("__cum", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .select(col("id").as(idCol), col("shard"), col("n_tokens"),
+        expr(s"__cum DIV $capacity").as("seq_index"),
+        pmod(col("__cum"), lit(capacity.toLong)).as("seq_offset"),
+        (expr(s"(__cum + n_tokens - 1) DIV $capacity") >
+          expr(s"__cum DIV $capacity")).cast("int").as("crosses_boundary"))
+      .orderBy(col(idCol))
+  }
+
+  // ---- per-source document cap ------------------------------------------
+
+  /** Caps every source (domain) at `cap` documents, keeping a
+    * deterministic pseudo-random subset — the web-curation rule that
+    * stops one giant domain from dominating the mix. Selection ranks
+    * each source's documents by the Knuth multiplicative mix of the id
+    * (ties broken by id), so the kept set is reproducible in any
+    * engine and independent of id ranges within a source.
+    *
+    * One shuffle on the source key. The rank window scans a whole
+    * source's rows on one partition; at web scale, pre-thin hot
+    * domains first with a mix-threshold pass sized from approximate
+    * counts (keep ~3·cap expected), then rank exactly — the same
+    * two-phase shape as [[Similarity]]'s salted top-k. */
+  def domainCap(docs: DataFrame, idCol: String, sourceCol: String,
+      cap: Int): DataFrame = {
+    val mix = pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(mix, col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+      .orderBy(col(idCol))
+  }
+
   // ---- event sessionization (batch) -------------------------------------
 
   /** Gap-based sessionization of an event log: a new session starts

@@ -1,18 +1,22 @@
 package graft.queries
 
-/** Round-6 additions: the last NOT-variant dialect corner — nested
+/** Round-6 additions. Dialect: the last NOT-variant corner — nested
   * NOT IN whose body references the grandparent scope (VERDICT r5
   * missing-list #1). The reference grammar composes `[NOT] IN` freely
   * at any depth (/root/reference/src/parser/mod.rs:1404,1439-1440);
   * Spark's own analyzer rejects outer references that skip scope
   * levels, so the lowering (Binder.antiJoinNestedBody's NULL-aware
   * anti join over rid-tagged candidate pairs) is genuinely additive.
-  * DuckDB resolves grandparent refs natively = the oracle. */
+  * DuckDB resolves grandparent refs natively = the oracle.
+  * Pipeline: three curation operators a pre-training data layout needs
+  * beyond the r5 set — duplicated-span removal (qp75), training-
+  * sequence packing (qp76), and per-domain capping (qp77), each
+  * integer/string-exact with a full DuckDB oracle. */
 object Round6Queries {
 
   import org.apache.spark.sql.functions._
   import graft.Tables
-  import graft.pipeline.Dedup
+  import graft.pipeline.{Curation, Dedup}
 
   private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
     QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
@@ -47,6 +51,71 @@ object Round6Queries {
       (s, dir) => Dedup.embeddingNearDupPairsLsh(
         Tables.load(s, dir, "embeddings"), thresholdNum = 2, thresholdDen = 5,
         nbits = 1, tables = 12)),
+
+    // ---- duplicated-span removal (block-level substring dedup) ----------
+    // the scalable form of exact substring dedup (Lee et al. 2022 / C4's
+    // duplicated-line rule): 4-token blocks occurring > 2 times
+    // corpus-wide are dropped from every document and the survivors
+    // re-joined in order. Integer counts + exact strings — bit-stable
+    // across engines.
+    QueryDef(
+      "qp75_span_dedup",
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+          b AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) blk,
+                  string_agg(w[i], ' ' ORDER BY i) s
+                FROM t, UNNEST(range(1, len(w) + 1)) u(i) GROUP BY 1, 2),
+          c AS (SELECT s FROM b GROUP BY s HAVING count(*) > 2),
+          m AS (SELECT b.doc_id, b.blk, b.s,
+                  CASE WHEN c.s IS NULL THEN 0 ELSE 1 END dup
+                FROM b LEFT JOIN c ON b.s = c.s)
+          SELECT doc_id, count(*) AS n_blocks,
+                 CAST(sum(dup) AS BIGINT) AS n_dup_blocks,
+                 string_agg(CASE WHEN dup = 0 THEN s END, ' ' ORDER BY blk)
+                   AS clean_text
+          FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => Curation.spanDedup(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        blockTokens = 4, maxOccurrences = 2)),
+
+    // ---- training-sequence packing --------------------------------------
+    // GPT-style greedy concatenation packing: documents hash into 8
+    // shards, are laid end-to-end in id order per shard, and chopped
+    // into 512-token sequences. Per-doc outputs (sequence index, offset,
+    // boundary-straddle flag) are all integer window arithmetic — the
+    // oracle reproduces them exactly.
+    QueryDef(
+      "qp76_pack_sequences",
+      Some("""WITH d AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]+')) AS BIGINT) n_tokens,
+                  ((doc_id % 1000003) * 2654435761) % 8 AS shard
+                FROM documents),
+              c AS (SELECT doc_id, shard, n_tokens,
+                  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) cum FROM d)
+          SELECT doc_id, shard, n_tokens,
+                 cum // 512 AS seq_index, cum % 512 AS seq_offset,
+                 CASE WHEN (cum + n_tokens - 1) // 512 > cum // 512
+                      THEN 1 ELSE 0 END AS crosses_boundary
+          FROM c ORDER BY doc_id"""),
+      (s, dir) => Curation.packSequences(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        capacity = 512, shards = 8)),
+
+    // ---- per-source document cap ----------------------------------------
+    // web-curation domain capping: every source keeps at most 20 docs,
+    // picked by the engine-reproducible Knuth-mix rank (ties by id).
+    QueryDef(
+      "qp77_domain_cap",
+      Some("""SELECT doc_id, source FROM (
+                SELECT doc_id, source, ROW_NUMBER() OVER (
+                  PARTITION BY source
+                  ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007,
+                           doc_id) rk
+                FROM documents) t
+              WHERE rk <= 20 ORDER BY doc_id"""),
+      (s, dir) => Curation.domainCap(
+        Tables.load(s, dir, "documents"), "doc_id", "source", cap = 20)),
 
     // ---- nested NOT IN with grandparent correlation ---------------------
     // ∃o: p(c,o) ∧ o_orderkey ∉ {l_orderkey : q(c,l)} — the nested

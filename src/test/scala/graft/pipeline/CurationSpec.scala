@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 /** Curation-operator specs: repetition stats on hand-computable
   * fixtures, decontamination hit/miss behavior, PII redaction
   * idempotence + zero-leak, temperature-sampling rate math, and
-  * sessionization boundary semantics. The driver entries qp65–qp69
-  * carry the DuckDB-oracle burden; these tests pin the semantics on
-  * inputs small enough to verify by hand. */
+  * sessionization boundary semantics, duplicated-span removal,
+  * sequence packing, and per-domain capping. The driver entries
+  * qp65–qp69 and qp75–qp77 carry the DuckDB-oracle burden; these tests
+  * pin the semantics on inputs small enough to verify by hand. */
 class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = {
@@ -183,5 +184,66 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon == Map(1L -> 2L, 7L -> 7L))
     assert(out.filter(col("is_canonical")).count() == 2)
     assert(out.count() == 4)
+  }
+
+  // ---- duplicated-span removal ----------------------------------------
+
+  test("spanDedup drops corpus-repeated blocks and reassembles in order") {
+    // block size 2, threshold 2: "x y" appears in docs 1,2,3 (3 > 2 →
+    // dropped everywhere); every other block is unique and survives.
+    val out = Curation.spanDedup(
+      docs(1L -> "x y a b", 2L -> "x y c d", 3L -> "x y", 4L -> "p q r"),
+      "doc_id", "text", blockTokens = 2, maxOccurrences = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_dup_blocks"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((2L, 1L, "a b")))
+    assert(out(2L) == ((2L, 1L, "c d")))
+    assert(out(3L) == ((1L, 1L, null)))      // everything dropped → NULL
+    assert(out(4L) == ((2L, 0L, "p q r")))   // trailing partial block kept
+  }
+
+  test("spanDedup below threshold keeps text verbatim") {
+    val out = Curation.spanDedup(
+      docs(1L -> "x y a b", 2L -> "x y c d"),
+      "doc_id", "text", blockTokens = 2, maxOccurrences = 2)
+      .collect().map(r => r.getAs[String]("clean_text")).toSeq
+    assert(out == Seq("x y a b", "x y c d"))
+  }
+
+  // ---- training-sequence packing --------------------------------------
+
+  test("packSequences: contiguous offsets within a shard, exact boundary math") {
+    val fixture = docs((0L until 40L).map(i => i -> ("tok " * 7).trim): _*)
+    val out = Curation.packSequences(fixture, "doc_id", "text",
+      capacity = 10, shards = 2).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val (off, n) = (r.getAs[Long]("seq_offset"), r.getAs[Long]("n_tokens"))
+      assert(n == 7 && off >= 0 && off < 10)
+      // 7-token doc starting at offset off crosses iff off + 7 > 10
+      assert(r.getAs[Int]("crosses_boundary") == (if (off + n > 10) 1 else 0))
+    }
+    // per shard: doc k (0-based in id order) starts at cumulative 7k
+    out.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
+      rs.sortBy(_.getAs[Long]("doc_id")).zipWithIndex.foreach { case (r, k) =>
+        assert(r.getAs[Long]("seq_index") == 7L * k / 10)
+        assert(r.getAs[Long]("seq_offset") == 7L * k % 10)
+      }
+    }
+  }
+
+  // ---- per-source document cap ----------------------------------------
+
+  test("domainCap keeps at most cap docs per source, deterministically") {
+    import spark.implicits._
+    val fixture = (0L until 50L).map(i => (i, if (i < 40) "big" else "small"))
+      .toDF("doc_id", "source")
+    val a = Curation.domainCap(fixture, "doc_id", "source", cap = 10)
+    val bySource = a.collect().groupBy(_.getAs[String]("source"))
+    assert(bySource("big").length == 10)     // capped
+    assert(bySource("small").length == 10)   // under cap → all kept
+    val b = Curation.domainCap(fixture, "doc_id", "source", cap = 10)
+    assert(a.collect().toSeq == b.collect().toSeq)  // reproducible pick
   }
 }
