@@ -14,7 +14,12 @@ object Bench {
     // plan family — scan+agg, shuffle join, window — because warming
     // only q01 left q03's first measurement carrying ~3 s of join/JIT
     // setup that no re-run of the same JVM ever pays again.
+    // optional comma-separated name filter for targeted timing runs
+    // (substring match); the driver never sets it — full suite by default
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
     Seq(names.head, "q03_join_inner", "qp49_dedup_keep_first")
       .distinct.filter(SparkEntry.queries.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
@@ -81,10 +86,12 @@ object Bench {
     // Full-precision record first (humans / full logs), and to a file the
     // judge can read from the repo even when stdout is tail-truncated.
     println(fullLine)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SELF.json"),
-      fullLine.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // a filtered (targeted) run must not clobber the full-suite snapshot
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SELF.json"),
+        fullLine.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
 
     // The harness captures only the LAST ~2000 chars of stdout and parses
     // the final JSON line. With 100+ entries the full map can never fit

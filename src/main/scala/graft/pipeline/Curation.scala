@@ -166,8 +166,12 @@ object Curation {
       sequence(lit(0), (size(toks) + (blockTokens - 1)).cast("int")
         .divide(lit(blockTokens)).cast("int") - 1),
       i => concat_ws(" ", slice(toks, i * blockTokens + 1, lit(blockTokens))))
+    // one pinned exchange on the block string: the occurrence-count
+    // branch and the mark join both read it via ReuseExchange, so the
+    // scan + block build run once (the Dedup.ngramJaccardPairs pattern)
     val blocks = docs
       .select(col(idCol).as("id"), posexplode(blockArr).as(Seq("blk", "s")))
+      .repartition(col("s"))
     val dupSpans = blocks.groupBy(col("s")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxOccurrences)
       .select(col("s"), lit(1L).as("__dup"))
@@ -183,6 +187,9 @@ object Curation {
           .otherwise(array_join(
             transform(col("__kept"), x => x.getField("s")), " "))
           .as("clean_text"))
+      // pin an exchange so the final sort's range-sampling pass re-reads
+      // shuffle files instead of re-running the reassembly aggregate
+      .repartition(col(idCol))
       .orderBy(col(idCol))
   }
 
