@@ -2154,11 +2154,26 @@ final class Binder(
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
     val aggCalls = (collectAggs(valueExpr) ++
       havingExpr.toSeq.flatMap(collectAggs)).distinct
-    if (aggCalls.isEmpty)
-      err(s"$what must select an aggregate (a bare correlated subquery " +
-        "cannot guarantee a single row per outer row)")
+    if (aggCalls.isEmpty && havingExpr.isDefined)
+      err(s"$what with HAVING needs an aggregate body")
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
     applyLocal(local, innerCtx, what)
+    if (aggCalls.isEmpty) {
+      // bare lookup body under theta correlation: per outer row, carry
+      // (first matched value, match count) through the per-row
+      // aggregation; several matches raise at execution, none → NULL.
+      // The value argument gates on the presence marker so an unmatched
+      // outer row's all-NULL placeholder contributes nothing.
+      val vName = fresh("tbval")
+      val cName = fresh("tbcnt")
+      val proj = thetaAggPerRow(innerCtx.rel.df, innerCtx.rel.scopes,
+        correlated, ctx, what, (aggCtx, mkCol) => Seq(
+          vName -> first(when(mkCol, bindExpr(valueExpr, aggCtx))),
+          cName -> count(mkCol)))
+      return (when(coalesce(proj(cName), lit(0L)) <= 1, proj(vName))
+        .otherwise(raise_error(lit(
+          "scalar subquery returned more than one row"))), None)
+    }
     val aggPairs = aggCalls.map(fc => (fc, fresh("tagg")))
     val proj = thetaAggPerRow(innerCtx.rel.df, innerCtx.rel.scopes, correlated,
       ctx, what, (aggCtx, mkCol) =>
@@ -2243,6 +2258,37 @@ final class Binder(
     proj(valName)
   }
 
+  /** Bare correlated lookup (`SELECT expr FROM t WHERE t.k = outer.k`
+    * with no aggregate): the inner side groups by the correlation keys
+    * carrying (first value, row count) and left-joins back; unmatched
+    * keys are NULL, keys with several rows raise at execution — SQL
+    * scalar-subquery semantics, enforced distributedly (the count rides
+    * the same aggregate, no extra pass). */
+  private def bareCorrelatedLookup(valueExpr: Expr,
+      keyPairs: Seq[(Expr, Expr)], innerCtx: Ctx, ctx: Ctx, what: String): Column = {
+    val keyNames = keyPairs.indices.map(_ => fresh("bk"))
+    val valName = fresh("bval")
+    val cntName = fresh("bcnt")
+    val base = innerCtx.rel.df.select(
+      (keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+        bindExpr(ie, innerCtx).as(kn) } :+
+        bindExpr(valueExpr, innerCtx).as(valName)): _*)
+    val proj = base.groupBy(keyNames.map(col): _*)
+      .agg(first(col(valName)).as(valName), count(lit(1)).as(cntName))
+    val outerCols = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
+    outerCols.foreach { c =>
+      if (Try(ctx.rel.df.select(c).schema).isFailure)
+        err(s"$what here may only reference columns of the current " +
+          "(left) relation — move it to WHERE or rewrite the join")
+    }
+    val joinCond = outerCols.zip(keyNames).map { case (oc, kn) => oc === proj(kn) }
+      .reduce(_ && _)
+    ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
+    when(coalesce(proj(cntName), lit(0L)) <= 1, proj(valName))
+      .otherwise(raise_error(lit("scalar subquery returned more than one row")))
+  }
+
   /** Correlated scalar subquery with non-equality correlation: theta
     * decorrelation per outer row. An ungrouped aggregate yields exactly
     * one row per outer row, so no >1-row raise can occur; a HAVING that
@@ -2284,14 +2330,24 @@ final class Binder(
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     val valueExpr = qb.selectList.head.expr
     val valueAggs = collectAggs(valueExpr).distinct
-    if (valueAggs.isEmpty && qb.groupBy.isEmpty)
-      err(s"$what must select an aggregate or use GROUP BY (a bare " +
-        "correlated subquery cannot guarantee a single row per outer row)")
+    if (valueAggs.isEmpty && qb.groupBy.isEmpty && qb.having.isDefined)
+      err(s"$what with HAVING needs an aggregate or GROUP BY body")
 
     val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
 
     val innerCtx = new Ctx(innerRel, None, ctx.ctes)
     applyLocal(local, innerCtx, "correlated scalar subquery")
+
+    if (valueAggs.isEmpty && qb.groupBy.isEmpty)
+      // bare lookup body (`SELECT expr FROM t WHERE t.k = outer.k`):
+      // SQL returns the single matching row's value, NULL when none,
+      // and errors when several. Group the inner side by the
+      // correlation keys carrying (first value, row count); the >1-row
+      // raise fires in the OUTPUT expression so only outer rows that
+      // actually match an offending key raise — same deferred-raise
+      // rule as the GROUP BY branch below. ORDER BY without LIMIT is a
+      // no-op here (LIMIT bodies routed to decorrelateScalarTop1 above).
+      return bareCorrelatedLookup(valueExpr, keyPairs, innerCtx, ctx, what)
 
     val ungrouped = qb.groupBy.isEmpty
     val gs = groupedCorrelated(qb, innerCtx, keyPairs, valueAggs, ctx.ctes)

@@ -369,6 +369,35 @@ object Round6Queries {
               <= l_extendedprice
          order by o_orderkey"""),
 
+    // ---- bare correlated scalar lookups ---------------------------------
+    // `SELECT expr FROM t WHERE t.k = outer.k` with NO aggregate — the
+    // dimension-lookup pattern. SQL semantics: the single matching
+    // row's value, NULL when none, runtime error when several (the
+    // engine enforces the raise distributedly; DuckDB silently picks a
+    // row, so oracle entries use single-row-guaranteed keys). qe113:
+    // equality correlation → grouped lookup + left join back.
+    engineSql("qe113_bare_scalar_lookup",
+      """SELECT c_custkey,
+           (SELECT n_name FROM nation WHERE n_nationkey = c_nationkey) AS nname
+         FROM customer ORDER BY c_custkey""",
+      """select c_custkey,
+           (select n_name from nation where n_nationkey = c_nationkey) as nname
+         from customer order by c_custkey"""),
+
+    // qe114: mixed equality + range correlation → the per-row theta
+    // machinery carries (first value, match count); c_custkey is unique
+    // so the count never exceeds 1 and the range conjunct only gates
+    // the value to NULL.
+    engineSql("qe114_bare_scalar_theta",
+      """SELECT o_orderkey,
+           (SELECT c_name FROM customer
+             WHERE c_custkey = o_custkey AND c_acctbal < o_totalprice) AS buyer
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
+      """select o_orderkey,
+           (select c_name from customer
+             where c_custkey = o_custkey and c_acctbal < o_totalprice) as buyer
+         from orders where o_orderkey < 2000 order by o_orderkey"""),
+
     engineSql("qe106_with_ties_offset",
       """SELECT o_orderdate FROM (
            SELECT o_orderdate, RANK() OVER (ORDER BY o_orderdate) AS rk

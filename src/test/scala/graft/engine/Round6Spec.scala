@@ -157,6 +157,47 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted == want.sorted)
   }
 
+  // ---- bare correlated scalar lookups ---------------------------------
+
+  test("bare lookup returns the single row's value and NULL when unmatched") {
+    val got = rows(
+      """select c_custkey,
+           (select n_name from nation where n_nationkey = c_custkey + 1000) as nn
+         from customer where c_custkey < 20 order by c_custkey""")
+    assert(got.size == 20 && got.forall(_.isNullAt(1)))
+    val looked = rows(
+      """select c_custkey,
+           (select n_name from nation where n_nationkey = c_nationkey) as nn
+         from customer where c_custkey < 50 order by c_custkey""")
+    val want = rows(
+      """select c_custkey, n_name as nn from customer
+         join nation on n_nationkey = c_nationkey
+         where c_custkey < 50 order by c_custkey""")
+    assert(looked == want)
+  }
+
+  test("bare lookup raises when a key matches several rows") {
+    val e = intercept[Exception](rows(
+      """select c_custkey,
+           (select o_orderkey from orders where o_custkey = c_custkey) as k
+         from customer order by c_custkey"""))
+    assert(e.getMessage.contains("more than one row"))
+  }
+
+  test("theta bare lookup gates the value on the range conjunct") {
+    val got = rows(
+      """select o_orderkey,
+           (select c_name from customer
+             where c_custkey = o_custkey and c_acctbal < o_totalprice) as buyer
+         from orders where o_orderkey < 500 order by o_orderkey""")
+    val want = rows(
+      """select o_orderkey, c_name as buyer from orders
+         left join customer
+           on c_custkey = o_custkey and c_acctbal < o_totalprice
+         where o_orderkey < 500 order by o_orderkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
   test("WITH TIES without OFFSET is unchanged by the offset plumbing") {
     val got = rows(
       """select o_orderdate from orders
