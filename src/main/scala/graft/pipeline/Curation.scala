@@ -217,9 +217,14 @@ object Curation {
       TextOps.bpeishTokenCount(col(textCol)).cast("long").as("n_tokens"),
       pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
         lit(shards.toLong)).as("shard"))
-    val before = Window.partitionBy(col("shard")).orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base.withColumn("__cum", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+    // inclusive running sum minus the current row (rather than an
+    // UNBOUNDED PRECEDING..1 PRECEDING frame): identical arithmetic, but
+    // the inclusive frame is the one every engine exercises on its hot
+    // path, so the oracle comparison is portable across DuckDB builds
+    val upToHere = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("__cum",
+        sum(col("n_tokens")).over(upToHere) - col("n_tokens"))
       .select(col("id").as(idCol), col("shard"), col("n_tokens"),
         expr(s"__cum DIV $capacity").as("seq_index"),
         pmod(col("__cum"), lit(capacity.toLong)).as("seq_offset"),

@@ -90,9 +90,9 @@ object Round6Queries {
                   ((doc_id % 1000003) * 2654435761) % 8 AS shard
                 FROM documents),
               c AS (SELECT doc_id, shard, n_tokens,
-                  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
-                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                    AND 1 PRECEDING), 0) cum FROM d)
+                  SUM(n_tokens) OVER (PARTITION BY shard
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    - n_tokens AS cum FROM d)
           SELECT doc_id, shard, n_tokens,
                  cum // 512 AS seq_index, cum % 512 AS seq_offset,
                  CASE WHEN (cum + n_tokens - 1) // 512 > cum // 512

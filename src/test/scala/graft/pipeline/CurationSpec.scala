@@ -233,6 +233,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packSequences: zero-token docs inherit the running offset, never straddle") {
+    // ids 0, 8, 16 all land in shard 0 (the Knuth mix is id-mod-8
+    // preserving for multiples of 8). Doc 8 is empty: it starts exactly
+    // where doc 0 ended, adds nothing to the running total, and its
+    // crosses_boundary stays 0 even though it sits mid-sequence.
+    val fixture = docs(0L -> ("tok " * 9).trim, 8L -> "", 16L -> ("tok " * 5).trim)
+    val out = Curation.packSequences(fixture, "doc_id", "text",
+      capacity = 10, shards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_index"),
+          r.getAs[Long]("seq_offset"), r.getAs[Int]("crosses_boundary"))).toMap
+    assert(out(0L) == ((9L, 0L, 0L, 0)))
+    assert(out(8L) == ((0L, 0L, 9L, 0)))   // empty doc: no straddle
+    assert(out(16L) == ((5L, 0L, 9L, 1)))  // 9+5 > 10 → crosses
+  }
+
+  test("packSequences: leading empty doc starts at offset 0 without straddle") {
+    val out = Curation.packSequences(docs(0L -> "", 8L -> "a b c"),
+      "doc_id", "text", capacity = 10, shards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq_offset"), r.getAs[Int]("crosses_boundary"))).toMap
+    assert(out(0L) == ((0L, 0)))
+    assert(out(8L) == ((0L, 0)))
+  }
+
   // ---- per-source document cap ----------------------------------------
 
   test("domainCap keeps at most cap docs per source, deterministically") {
