@@ -771,7 +771,20 @@ final class Binder(
     // every referenced scope is an ordinary column, so the expression-
     // position mark-join machinery binds them directly
     val (posTop, exprNested) = posFlattenable.partition(positiveNested(_).isDefined)
-    if (exprNested.nonEmpty) {
+    // a positive nested body with GROUP BY / HAVING / aggregate select
+    // cannot flatten either (the flatten join runs BELOW the body's own
+    // aggregation) — those take the pair-frame route, where
+    // joinNestedAggBody lowers them per rid
+    def aggNestedBody(c: Expr): Boolean = positiveNested(c).exists {
+      case (nqb, lhsOpt) =>
+        nqb.groupBy.nonEmpty || nqb.having.isDefined ||
+          (lhsOpt.isDefined && (nqb.selectList match {
+            case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] =>
+              collectAggs(e).nonEmpty
+            case _ => false
+          }))
+    }
+    if (exprNested.nonEmpty || posTop.exists(aggNestedBody)) {
       lowerExistsExprNested(qb, flattenable, correlated0, innerCtx, ctx, negated)
       return
     }
@@ -1109,10 +1122,21 @@ final class Binder(
   private def joinNestedBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
       ctes: Map[String, DataFrame], anti: Boolean): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
-    if (nqb.ctes.nonEmpty || nqb.groupBy.nonEmpty || nqb.having.isDefined ||
-        nqb.distinct.isDefined || nqb.limit.isDefined)
-      err(s"a grandparent-correlated $what must be a plain body " +
-        "(no WITH/GROUP BY/HAVING/DISTINCT/LIMIT)")
+    if (nqb.ctes.nonEmpty || nqb.limit.isDefined)
+      err(s"a grandparent-correlated $what must not use WITH or LIMIT")
+    // plain DISTINCT is membership/existence-blind — ignore it; DISTINCT
+    // ON changes WHICH row represents a key (order-dependent), so reject
+    nqb.distinct.foreach(on => if (on.nonEmpty)
+      err(s"a grandparent-correlated $what must not use DISTINCT ON"))
+    // an aggregated body (GROUP BY / HAVING / aggregate select item under
+    // IN) cannot lower as a row-level semi/anti join — its membership set
+    // is PER-GROUP values — so it takes the per-pair grouped lowering
+    val selAggs = lhsOpt.toSeq.flatMap(_ => nqb.selectList match {
+      case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => collectAggs(e)
+      case _ => err("IN subquery must produce exactly 1 column")
+    })
+    if (nqb.groupBy.nonEmpty || nqb.having.isDefined || selAggs.nonEmpty)
+      return joinNestedAggBody(nqb, lhsOpt, rel, ctes, anti)
     val base = nqb.from.map(bindSource(_, ctes))
       .getOrElse(err(s"$what needs a FROM"))
     val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, ctes))
@@ -1144,6 +1168,13 @@ final class Binder(
         val eqCond = corrCond.map(_ && (l === r)).getOrElse(l === r)
         if (!anti) Rel(rel.df.join(renamed, eqCond, "left_semi"), rel.scopes)
         else {
+          // the decomposed slices below filter `renamed` ALONE by the
+          // select value — a select item referencing enclosing scopes
+          // cannot slice that way (ADVICE r6: it died with a raw
+          // AnalysisException); fail with the explanation instead
+          if (!resolvesWithin(sel, nCtx.rel))
+            err(s"the select item of a grandparent-correlated NOT IN must " +
+              "reference only the subquery's own relations")
           // NOT IN's three-valued anti join, DECOMPOSED so the common
           // case stays hash-joinable (a single `l = r OR l IS NULL OR
           // r IS NULL` condition forces a nested-loop plan — ~5× on the
@@ -1163,6 +1194,137 @@ final class Binder(
             .join(renamed.filter(r.isNull), corrCond.getOrElse(lit(true)), "left_anti")
           Rel(nullL.unionByName(notNullL), rel.scopes)
         }
+    }
+  }
+
+  /** AGGREGATED nested body (GROUP BY / HAVING / aggregate select item
+    * under IN) pruning the candidate pair frame. The membership set is
+    * per-GROUP values, so the row-level semi/anti join is out; instead
+    * each pair row gets a rid, the body's source joins on the correlated
+    * conjuncts (parent AND grandparent refs are plain columns of the
+    * pair frame), and the joined rows group by (rid ∪ explicit GROUP BY
+    * keys) — HAVING filters groups, the select item evaluates per group.
+    *   - GROUP BY body: EXISTS ⟺ some group of the rid survives; IN ⟺
+    *     some surviving group's value equals lhs; NOT IN prunes a rid
+    *     when any surviving group makes the membership TRUE or UNKNOWN
+    *     (value = lhs, lhs NULL, or value NULL) — three-valued NOT IN
+    *     in WHERE position. Empty candidate sets yield no groups, which
+    *     is exactly SQL: EXISTS false, NOT IN true.
+    *   - UNGROUPED body (HAVING and/or aggregate select): SQL produces
+    *     exactly ONE aggregate row per pair even over an empty set
+    *     (count 0, other aggregates NULL), so the per-rid aggregates
+    *     left-join back onto the pairs with count-family coalesced to 0
+    *     and HAVING/membership evaluate per pair row.
+    * All prune decisions join back on the rid — hash joins, never
+    * nested-loop — and each pair row is kept at most once, preserving
+    * the multiplicity the aggregated-EXISTS caller groups afterwards. */
+  private def joinNestedAggBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
+      ctes: Map[String, DataFrame], anti: Boolean): Rel = {
+    val what = if (anti) "negated nested subquery" else "nested subquery"
+    val prid = fresh("ngrid")
+    val prid2 = fresh("ngrid2")
+    val lhsName = fresh("nglhs")
+    val pairs0 = rel.df.withColumn(prid, monotonically_increasing_id())
+    // bind lhs over the PAIR frame now: it is functionally dependent on
+    // the rid, so it can ride the grouping as an extra key
+    val pairCtx = new Ctx(Rel(pairs0, rel.scopes), None, ctes)
+    // persist: the rid feeds both the grouped compute and the join-back;
+    // monotonically_increasing_id is not stable across recomputations
+    val pairs = lhsOpt.map(l => pairs0.withColumn(lhsName, bindExpr(l, pairCtx)))
+      .getOrElse(pairs0).persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += pairs
+
+    val base = nqb.from.map(bindSource(_, ctes))
+      .getOrElse(err(s"$what needs a FROM"))
+    val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, ctes))
+    val nConj = nqb.where.map(splitAnd).getOrElse(Nil)
+    val (nLocal, nCorr) = nConj.partition(resolvesWithin(_, nestedRel))
+    val nCtx = new Ctx(nestedRel, None, ctes)
+    applyLocal(nLocal, nCtx, what)
+    val (renamed, rScopes) = freshRenamed(nCtx.rel.df, nCtx.rel.scopes, what)
+    val quals = rel.scopes.filterNot(_.hidden)
+      .flatMap(_.qualifier.map(_.toLowerCase)).toSet
+    rScopes.filterNot(_.hidden).flatMap(_.qualifier)
+      .find(q => quals(q.toLowerCase)).foreach { q =>
+        err(s"$what: relation '$q' is named on more than one level — " +
+          "alias one of them differently")
+      }
+    val bCtx = new Ctx(Rel(pairs, rel.scopes ++ rScopes), None, ctes)
+    val corrCond = nCorr.map(bindExpr(_, bCtx)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val joined =
+      try pairs.join(renamed, corrCond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what correlation here may only reference columns of the " +
+            "enclosing scopes — rewrite the correlated conjuncts")
+      }
+    val jCtx = new Ctx(Rel(joined, rel.scopes ++ rScopes), None, ctes)
+
+    val groupPairs = nqb.groupBy.map(substituteAliases(_, nqb.selectList))
+      .map(e => (e, fresh("ngg")))
+    val havingExpr = nqb.having.map(substituteAliases(_, nqb.selectList))
+    val selExpr = lhsOpt.map { _ =>
+      nqb.selectList match {
+        case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => e
+        case _ => err("IN subquery must produce exactly 1 column")
+      }
+    }
+    val aggCalls = (havingExpr.toSeq.flatMap(collectAggs) ++
+      selExpr.toSeq.flatMap(collectAggs)).distinct
+    val aggPairs = aggCalls.map(fc => (fc, fresh("nga")))
+    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, jCtx).as(n) } match {
+      case Nil => Seq(count(lit(1)).as(fresh("ngc")))
+      case cs => cs
+    }
+    val groupCols = (col(prid) +: lhsOpt.toSeq.map(_ => col(lhsName))) ++
+      groupPairs.map { case (e, nm) => bindExpr(e, jCtx).as(nm) }
+    val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+
+    val how = if (anti) "left_anti" else "left_semi"
+    if (nqb.groupBy.nonEmpty) {
+      val gCtx = new Ctx(
+        Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+        None, ctes,
+        subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
+          groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
+      val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+        .getOrElse(grouped)
+      val hits = (selExpr match {
+        case None => filtered
+        case Some(se) =>
+          val v = bindExpr(se, gCtx)
+          if (!anti) filtered.filter(col(lhsName) === v)
+          // NOT IN: TRUE or UNKNOWN membership prunes the rid
+          else filtered.filter(col(lhsName) === v ||
+            col(lhsName).isNull || v.isNull)
+      }).select(col(prid)).distinct().withColumnRenamed(prid, prid2)
+      Rel(pairs.join(hits, col(prid) === col(prid2), how)
+        .drop(prid, lhsName), rel.scopes)
+    } else {
+      // ungrouped aggregate body: one aggregate row per rid, including
+      // rids whose candidate set is empty — left join back, count → 0
+      val g = grouped.drop(lhsName).withColumnRenamed(prid, prid2)
+      val joinedBack = pairs.join(g, col(prid) === col(prid2), "left")
+      val subst: Map[Expr, Column] = aggPairs.map { case (fc, n) =>
+        (fc: Expr) -> (if (isCountFamily(fc.name)) coalesce(g(n), lit(0L))
+                       else g(n))
+      }.toMap
+      val hCtx = new Ctx(
+        Rel(joinedBack, rel.scopes :+ hiddenScope(g, g.columns.toSeq)),
+        None, ctes, subst = subst)
+      val flag = havingExpr.map(bindExpr(_, hCtx)).getOrElse(lit(true))
+      val keep = selExpr match {
+        case None =>
+          if (anti) !coalesce(flag, lit(false)) else coalesce(flag, lit(false))
+        case Some(se) =>
+          val eq = col(lhsName) === bindExpr(se, hCtx)
+          // the set is {value} when HAVING passes, {} otherwise
+          if (anti) !(coalesce(flag, lit(false)) && coalesce(eq, lit(true)))
+          else coalesce(flag, lit(false)) && coalesce(eq, lit(false))
+      }
+      Rel(joinedBack.filter(keep).drop(g.columns.toSeq: _*)
+        .drop(prid, lhsName), rel.scopes)
     }
   }
 
