@@ -2376,7 +2376,10 @@ final class Binder(
       local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx): Column = {
     val what = "correlated scalar subquery with LIMIT"
     val lc = qb.limit.get
-    if (lc.offset.isDefined) err(s"$what does not support OFFSET")
+    // LIMIT 1 OFFSET k = the (k+1)-th row in sort order per key; fewer
+    // rows than that → no row → NULL through the left join, same as an
+    // unmatched key
+    val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
     if (evalLimitInt(lc.limit, "LIMIT") != 1)
       err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
     if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.distinct.isDefined ||
@@ -2405,7 +2408,7 @@ final class Binder(
         if (ok.desc) col(on).desc else col(on).asc }: _*)
     val rn = fresh("lrn")
     val proj = base.withColumn(rn, row_number().over(w))
-      .filter(col(rn) === 1)
+      .filter(col(rn) === (off + 1))
       .select((keyNames.map(col) :+ col(valName)): _*)
     val outerCols = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
     outerCols.foreach { c =>
@@ -2458,11 +2461,83 @@ final class Binder(
   private def decorrelateScalarTheta(qb: QueryBody, innerRel: Rel,
       local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx): Column = {
     val what = "correlated scalar subquery (non-equality correlation)"
+    if (qb.groupBy.nonEmpty)
+      return thetaGroupedAgg(qb, innerRel, local, correlated, ctx, what)
     val (value, having) = thetaUngroupedAgg(qb, innerRel, local, correlated, ctx, what)
     having match {
       case Some(h) => when(coalesce(h, lit(false)), value).otherwise(lit(null))
       case None => value
     }
+  }
+
+  /** GROUP BY body under THETA (non-equality) correlation: rid-tag the
+    * outer frame, inner-join the body source on the correlated
+    * conjuncts, group by (rid ∪ explicit GROUP BY keys), HAVING filters
+    * the groups, and the per-rid surviving-group count enforces the
+    * scalar contract the way [[decorrelateScalar]]'s grouped path does:
+    * 0 groups → NULL (unmatched rids never join back), >1 → runtime
+    * raise deferred to the output expression. The correlation join
+    * bounds candidate volume; groups never span rids, so the group
+    * aggregate rides the rid exchange. */
+  private def thetaGroupedAgg(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
+      correlated: Seq[Expr], ctx: Ctx, what: String): Column = {
+    if (qb.limit.isDefined || qb.distinct.isDefined || qb.ctes.nonEmpty)
+      err(s"$what with GROUP BY takes an aggregate body with optional " +
+        "HAVING (no LIMIT/DISTINCT/WITH)")
+    if (qb.selectList.size != 1) err(s"$what must produce 1 column")
+    val valueExpr = qb.selectList.head.expr
+    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    applyLocal(local, innerCtx, what)
+    val rid = fresh("tgrid")
+    val rid2 = fresh("tgrid2")
+    // persist: the rid feeds the correlation join AND the join-back;
+    // monotonically_increasing_id is not stable across recomputations
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+    val joined =
+      try outer.join(renamed, cond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what here may only reference columns of the current " +
+            "(left) relation — move it to WHERE or rewrite the join")
+      }
+    val jCtx = new Ctx(Rel(joined, rScopes), None, ctx.ctes)
+    val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+      .map(e => (e, fresh("tgg")))
+    val aggCalls = (collectAggs(valueExpr) ++
+      havingExpr.toSeq.flatMap(collectAggs)).distinct
+    val aggPairs = aggCalls.map(fc => (fc, fresh("tga")))
+    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, jCtx).as(n) } match {
+      case Nil => Seq(count(lit(1)).as(fresh("tgc")))
+      case cs => cs
+    }
+    val groupCols = col(rid) +: groupPairs.map { case (e, nm) =>
+      bindExpr(e, jCtx).as(nm)
+    }
+    val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val gCtx = new Ctx(
+      Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+      None, ctx.ctes,
+      subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
+        groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
+    val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+      .getOrElse(grouped)
+    val valName = fresh("tgval")
+    val gcName = fresh("tggc")
+    val proj = filtered
+      .select(col(rid), bindExpr(valueExpr, gCtx).as(valName))
+      .groupBy(col(rid))
+      .agg(min(col(valName)).as(valName), count(lit(1)).as(gcName))
+      .withColumnRenamed(rid, rid2)
+    ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
+    when(coalesce(proj(gcName), lit(0L)) <= 1, proj(valName))
+      .otherwise(raise_error(lit("scalar subquery returned more than one row")))
   }
 
   /** Correlated scalar subquery decorrelation. Bodies supported:

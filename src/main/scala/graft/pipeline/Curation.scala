@@ -242,20 +242,37 @@ object Curation {
     * (ties broken by id), so the kept set is reproducible in any
     * engine and independent of id ranges within a source.
     *
-    * One shuffle on the source key. The rank window scans a whole
-    * source's rows on one partition; at web scale, pre-thin hot
-    * domains first with a mix-threshold pass sized from approximate
-    * counts (keep ~3·cap expected), then rank exactly — the same
-    * two-phase shape as [[Similarity]]'s salted top-k. */
+    * Two-phase exact rank — the salted-top-k shape [[Similarity]] uses:
+    * phase 1 ranks within (source, id-mod-salt) buckets and keeps each
+    * bucket's top `cap`, which is a LOSSLESS pre-thin (any row in a
+    * source's global top cap is necessarily in its own bucket's top
+    * cap); phase 2 ranks the survivors exactly. The final window's
+    * input is bounded at preThinSalts·cap rows per source, so a
+    * mega-domain at web scale splits across `preThinSalts` partitions
+    * in phase 1 instead of becoming one straggler partition. */
   def domainCap(docs: DataFrame, idCol: String, sourceCol: String,
-      cap: Int): DataFrame = {
+      cap: Int, preThinSalts: Int = 32): DataFrame = {
     val mix = pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
       lit(1000000007L))
     val w = Window.partitionBy(col(sourceCol)).orderBy(mix, col(idCol))
-    docs.select(col(idCol), col(sourceCol))
+    domainCapPreThin(docs, idCol, sourceCol, cap, preThinSalts)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap).drop("__rk")
       .orderBy(col(idCol))
+  }
+
+  /** Phase 1 of [[domainCap]]: per-(source, salt-bucket) top `cap` by
+    * the rank key. Package-visible so the spec can assert the bound. */
+  private[pipeline] def domainCapPreThin(docs: DataFrame, idCol: String,
+      sourceCol: String, cap: Int, preThinSalts: Int): DataFrame = {
+    val mix = pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w1 = Window
+      .partitionBy(col(sourceCol), pmod(col(idCol), lit(preThinSalts.toLong)))
+      .orderBy(mix, col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= cap).drop("__rk1")
   }
 
   // ---- event sessionization (batch) -------------------------------------

@@ -131,5 +131,39 @@ object Round7Queries {
                select min(l_linenumber) from lineitem
                 where l_orderkey = o_orderkey
                   and l_extendedprice > c_acctbal))
-         order by c_custkey"""))
+         order by c_custkey"""),
+
+    // ---- grouped body under a THETA-correlated scalar -------------------
+    // (VERDICT r6 missing-list #2). The HAVING pins ONE group key, so at
+    // most one group survives per outer row and the scalar contract
+    // holds; zero surviving groups (no expensive-enough lines, or no 'R'
+    // lines among them) → NULL. count(1) keeps every value integer.
+    engineSql("qe119_scalar_theta_grouped",
+      """SELECT o_orderkey,
+           (SELECT count(1) FROM lineitem
+             WHERE l_extendedprice > o_totalprice / 2
+             GROUP BY l_returnflag HAVING l_returnflag = 'R') AS r_lines
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+      """select o_orderkey,
+           (select count(1) from lineitem
+             where l_extendedprice > o_totalprice / 2
+             group by l_returnflag having l_returnflag = 'R') as r_lines
+         from orders where o_orderkey < 1000 order by o_orderkey"""),
+
+    // ---- correlated scalar top-1 with OFFSET ----------------------------
+    // (VERDICT r6 missing-list #3): the second-most-expensive order per
+    // customer — rank = offset+1 in the per-key window, NULL for
+    // customers with fewer than two orders. Ties broken by o_orderkey
+    // so the pick is deterministic in both engines.
+    engineSql("qe120_scalar_top1_offset",
+      """SELECT c_custkey,
+           (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 1)
+             AS second_order
+         FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""",
+      """select c_custkey,
+           (select o_orderkey from orders where o_custkey = c_custkey
+             order by o_totalprice desc, o_orderkey limit 1 offset 1)
+             as second_order
+         from customer where c_custkey < 500 order by c_custkey"""))
 }

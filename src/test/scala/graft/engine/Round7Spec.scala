@@ -145,6 +145,69 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  // ---- grouped bodies under theta-correlated scalars ------------------
+
+  test("theta-correlated scalar with GROUP BY + single-group HAVING") {
+    // HAVING pins the 'R' group, so the grouped body returns that one
+    // group's count or no row at all; the oracle expresses the same
+    // value through the proven UNGROUPED theta path, with CASE mapping
+    // the empty-set count 0 back to the grouped path's NULL
+    val got = rows(
+      """select o_orderkey,
+           (select count(1) from lineitem
+             where l_extendedprice > o_totalprice / 2
+             group by l_returnflag having l_returnflag = 'R') as r
+         from orders where o_orderkey < 300 order by o_orderkey""")
+    val want = rows(
+      """select o_orderkey,
+           (select case when count(1) = 0 then null else count(1) end
+             from lineitem
+             where l_extendedprice > o_totalprice / 2
+               and l_returnflag = 'R') as r
+         from orders where o_orderkey < 300 order by o_orderkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(want.exists(_.isNullAt(1)) && want.exists(!_.isNullAt(1)),
+      "fixture exercises only one branch")
+    assert(got == want)
+  }
+
+  test("theta-grouped scalar raises when several groups survive") {
+    val e = intercept[Exception](rows(
+      """select o_orderkey,
+           (select count(1) from lineitem
+             where l_extendedprice > o_totalprice / 20
+             group by l_returnflag) as x
+         from orders where o_orderkey < 50 order by o_orderkey"""))
+    assert(e.getMessage.contains("more than one row"), s"unexpected: ${e.getMessage}")
+  }
+
+  // ---- correlated scalar top-1 with OFFSET ----------------------------
+
+  test("scalar ORDER BY … LIMIT 1 OFFSET 1 picks the second row per key") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = rows(
+      """select c_custkey,
+           (select o_orderkey from orders where o_custkey = c_custkey
+               and o_totalprice > 300000
+             order by o_totalprice desc, o_orderkey limit 1 offset 1) as k
+         from customer where c_custkey < 100 order by c_custkey""")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val second = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_totalprice") > 300000)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 2)
+      .select(col("o_custkey"), col("o_orderkey").as("k"))
+    val want = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") < 100)
+      .join(second, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("k"))
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(want.exists(_.isNullAt(1)) && want.exists(!_.isNullAt(1)),
+      "fixture exercises only one branch")
+    assert(got == want)
+  }
+
   // ---- ADVICE r6: decomposed NOT IN select-item scope guard -----------
 
   test("NOT IN select item referencing enclosing scopes fails with a clean error") {

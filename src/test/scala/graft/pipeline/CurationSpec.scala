@@ -260,6 +260,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- per-source document cap ----------------------------------------
 
+  test("domainCap pre-thin bounds the rank window input for a hot source") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one hot source at 40× the cap; the lossless phase-1 thin must
+    // bound what reaches the exact per-source rank at salts·cap
+    val fixture = (0L until 220L).map(i => (i, if (i < 200) "hot" else "cold"))
+      .toDF("doc_id", "source")
+    val thinned = Curation.domainCapPreThin(fixture, "doc_id", "source",
+      cap = 5, preThinSalts = 4).collect().groupBy(_.getAs[String]("source"))
+    assert(thinned("hot").length <= 4 * 5)   // 200 rows → at most 20 survive
+    assert(thinned("cold").length == 20)     // under cap per bucket → all kept
+    // …and the two-phase result is identical to the single-window rank
+    val got = Curation.domainCap(fixture, "doc_id", "source", cap = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mix = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col("source")).orderBy(mix, col("doc_id"))
+    val want = fixture.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select("doc_id", "source").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want)
+  }
+
   test("domainCap keeps at most cap docs per source, deterministically") {
     import spark.implicits._
     val fixture = (0L until 50L).map(i => (i, if (i < 40) "big" else "small"))
