@@ -20,6 +20,13 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
+    if (names.isEmpty) {
+      // ADVICE r6: a filter matching nothing previously died on
+      // names.head with no output at all
+      println(s"""{"metric":"total","value":0.0,"unit":"sec","queries":{},"failed":["SPARK_GRAFT_BENCH_ONLY matched no query names"],"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     Seq(names.head, "q03_join_inner", "qp49_dedup_keep_first")
       .distinct.filter(SparkEntry.queries.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
@@ -75,9 +82,25 @@ object Bench {
     names.foreach(n => if (results(n) >= 0) errs.remove(n))
     failures ++= names.flatMap(errs.get)
 
+    // cold-CC visibility (VERDICT r6 #3): qp71/qp73 share a session memo
+    // for the connected-components checkpoint, so their entries time the
+    // memoized read (~0.5 s) while the one-time compute (~5 s) never
+    // appears. Time ONE extra labeled run with the memo dropped so the
+    // cold cost stays an explicit BENCH line instead of vanishing.
+    val ccEntry = "qp71_neardup_components"
+    val withCold: ListMap[String, Double] =
+      if (!names.contains(ccEntry)) results
+      else {
+        pipeline.Dedup.clearCcCache()
+        errs.remove(ccEntry)
+        val t = attempt(ccEntry)
+        if (t < 0) failures += errs.getOrElse(ccEntry, s"$ccEntry (cold): failed")
+        results + (s"${ccEntry}_cold" -> t)
+      }
+
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val good = results.values.filter(_ >= 0)
+    val qs = withCold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val good = withCold.values.filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0
     val errJson = failures.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
@@ -105,9 +128,9 @@ object Bench {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(v))
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${failures.size},"sf":"$sfDir","queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${withCold.size},"failed":${failures.size},"sf":"$sfDir","queries":{"""
     val footerMax = """},"omitted":999}""".length
-    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val entries = withCold.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     var used = header.length + footerMax
     val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
     val digest = header + kept.mkString(",") + s"""},"omitted":${entries.size - kept.size}}"""

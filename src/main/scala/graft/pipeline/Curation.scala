@@ -146,6 +146,10 @@ object Curation {
     *
     * Returns one row per document: total block count, dropped-duplicate
     * count, and the cleaned text (NULL when every block was dropped).
+    * NULL text is treated as empty text (ADVICE r6: posexplode of a
+    * NULL block array silently dropped the row, violating the contract)
+    * — an empty/NULL document contributes one empty-string block, which
+    * dedups against other empty documents like any other block.
     *
     * Scale shape: blocks are built per-document from the token array
     * (no shuffle), then ONE groupBy on the block string (map-side
@@ -160,7 +164,7 @@ object Curation {
     * — measured noise at sf0.1 next to the two shuffles. */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
       blockTokens: Int = 4, maxOccurrences: Int = 2): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
     // ceil(n / B) blocks; split("","\\s+") yields [""] so n >= 1 always
     val blockArr = transform(
       sequence(lit(0), (size(toks) + (blockTokens - 1)).cast("int")

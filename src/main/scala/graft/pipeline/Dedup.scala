@@ -316,6 +316,13 @@ object Dedup {
   private val ccCache =
     new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)](("", null))
 
+  /** Bench/test hook: drop the session memo so the next
+    * [[connectedComponents]] call pays the full propagation — used to
+    * keep the one-time cold cost visible in BENCH (the memoized read is
+    * what production pipelines see after the first use, but a bench
+    * that only ever times the memo would hide the compute entirely). */
+  def clearCcCache(): Unit = ccCache.set(("", null))
+
   /** Connected components over an undirected pair list (id_a, id_b):
     * every node gets the MINIMUM id reachable from it as its component
     * label. Pure min-label propagation — each round joins the current
@@ -338,10 +345,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
     // session-scoped memo: qp71's components and qp73's are the same
-    // expensive pipeline; key on the canonicalized pair plan so the
-    // second caller reuses the lineage-free checkpoint (the testdata
-    // is immutable within a session — same caveat as the CTE caches)
-    val cacheKey = s"${pairs.queryExecution.analyzed.semanticHash()}|$idA|$idB|$maxRounds"
+    // expensive pipeline; key on the FULL canonicalized pair plan — a
+    // 32-bit semanticHash could collide across different pipelines in
+    // one session and silently return wrong labels (ADVICE r6) — so the
+    // second caller reuses the lineage-free checkpoint (the source
+    // tables are immutable within a session — same caveat as the CTE
+    // caches)
+    val cacheKey =
+      s"${pairs.queryExecution.analyzed.canonicalized}|$idA|$idB|$maxRounds"
     ccCache.get() match {
       case (k, cached) if cached != null && k == cacheKey &&
           (cached.sparkSession eq pairs.sparkSession) &&
@@ -529,9 +540,24 @@ object Dedup {
     require(thresholdNum >= 0 && thresholdDen >= 1,
       "cosine threshold must be num >= 0, den >= 1 (the squared predicate loses the sign)")
     // dim probe tolerates empty input and null embeddings
-    val dim = embeddings.filter(col("embedding").isNotNull)
-      .select(size(col("embedding")).as("d"))
+    val nonNull = embeddings.filter(col("embedding").isNotNull)
+    val dim = nonNull.select(size(col("embedding")).as("d"))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
+    // fail fast when nbits is too low for the corpus (VERDICT r6 #7):
+    // an expected bucket population of n / 2^nbits beyond maxBucket
+    // means the skew cap would drop essentially EVERY bucket, silently
+    // zeroing recall at scale. The count is a column-pruned scan — the
+    // same probe-job budget as the exact tier's max-id gate.
+    val n = nonNull.count()
+    if ((n >> nbits) > maxBucket) {
+      var k = nbits
+      while ((n >> k) > maxBucket) k += 1
+      throw new IllegalArgumentException(
+        s"embeddingNearDupPairsLsh: expected bucket population ${n >> nbits} " +
+        s"($n vectors / 2^$nbits) exceeds maxBucket=$maxBucket — the cap " +
+        s"would drop whole buckets and silently zero recall; raise nbits " +
+        s"to >= $k (or raise maxBucket)")
+    }
     // the candidate stage is ids-only: buckets, the bucket self-join,
     // and the pair dedup all move two longs per row. Carrying the
     // quantized vectors through the bucket join (the r5 shape) made the
@@ -540,7 +566,7 @@ object Dedup {
     // embedding-table-sized one. Vectors re-join AFTER dedup, once per
     // SURVIVING pair side (the Vernica pattern the Jaccard tier uses).
     val bucketed = cappedBuckets(
-      embeddings.filter(col("embedding").isNotNull)
+      nonNull
         .select(col("vec_id"),
           posexplode(array((0 until tables).map(t =>
             Similarity.signBucket(col("embedding"), t, nbits, dim)): _*)))

@@ -60,7 +60,7 @@ object Round6Queries {
     // across engines.
     QueryDef(
       "qp75_span_dedup",
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\s+') w FROM documents),
           b AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) blk,
                   string_agg(w[i], ' ' ORDER BY i) s
                 FROM t, UNNEST(range(1, len(w) + 1)) u(i) GROUP BY 1, 2),

@@ -203,6 +203,16 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((2L, 0L, "p q r")))   // trailing partial block kept
   }
 
+  test("spanDedup keeps NULL-text docs as empty-text rows (one row per doc)") {
+    val out = Curation.spanDedup(
+      docs(1L -> "a b c d", 2L -> null.asInstanceOf[String], 3L -> "p q"),
+      "doc_id", "text", blockTokens = 2, maxOccurrences = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[String]("clean_text"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))   // NULL doc not silently dropped
+    assert(out(2L) == ((1L, "")))           // one empty block, kept verbatim
+  }
+
   test("spanDedup below threshold keeps text verbatim") {
     val out = Curation.spanDedup(
       docs(1L -> "x y a b", 2L -> "x y c d"),

@@ -50,6 +50,20 @@ class GateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.optimizedPlan // plan-build only — no job needed
   }
 
+  test("LSH near-dup tier rejects nbits too low for the corpus") {
+    // 500 vectors, maxBucket 10: nbits=1 expects 250 per bucket — the
+    // cap would drop every bucket, so the gate must fire and name the
+    // nbits that fits (500 >> 6 = 7 <= 10)
+    val e = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDupPairsLsh(emb, thresholdNum = 2, thresholdDen = 5,
+        nbits = 1, maxBucket = 10))
+    assert(e.getMessage.contains("raise nbits") && e.getMessage.contains("6"),
+      s"unexpected: ${e.getMessage}")
+    // the suggested nbits passes the gate
+    Dedup.embeddingNearDupPairsLsh(emb, thresholdNum = 2, thresholdDen = 5,
+      nbits = 6, maxBucket = 10).queryExecution.optimizedPlan
+  }
+
   test("k-means re-seeds empty clusters on a clustered fixture") {
     import spark.implicits._
     // two tight clusters of 50 points each, k=4: at least two initial
