@@ -466,6 +466,22 @@ final class Binder(
         jc.joinType match {
           case "asof" => bindAsOf(left, right, condExpr, ctes, leftOuter = false)
           case "asof_left" => bindAsOf(left, right, condExpr, ctes, leftOuter = true)
+          case "inner" if splitAnd(condExpr).exists(containsSubquery) =>
+            // INNER ON ≡ WHERE over the joined frame, so subquery-bearing
+            // conjuncts defer to the full WHERE machinery AFTER the join —
+            // which also lets their correlation reference the RIGHT side
+            // (the pre-join scalar broadcast below sees only the left
+            // frame). Outer joins keep the pre-join path: a deferred
+            // filter would change which rows null-extend.
+            val (subq, plain) = splitAnd(condExpr).partition(containsSubquery)
+            val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+            val cond = plain.map(bindExpr(_, condCtx)).reduceOption(_ && _)
+              .getOrElse(lit(true))
+            val jCtx = new Ctx(
+              Rel(condCtx.rel.df.join(right.df, cond, "inner"), bothScopes),
+              None, ctes)
+            subq.foreach(applyWhere(_, jCtx))
+            jCtx.rel
           case how @ ("inner" | "left" | "right" | "full") =>
             val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
             val cond = bindExpr(condExpr, condCtx)

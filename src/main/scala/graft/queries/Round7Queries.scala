@@ -165,5 +165,25 @@ object Round7Queries {
            (select o_orderkey from orders where o_custkey = c_custkey
              order by o_totalprice desc, o_orderkey limit 1 offset 1)
              as second_order
-         from customer where c_custkey < 500 order by c_custkey"""))
+         from customer where c_custkey < 500 order by c_custkey"""),
+
+    // ---- scalar subquery in INNER JOIN ON referencing the RIGHT side ----
+    // (VERDICT r6 missing-list #4). INNER ON ≡ WHERE over the joined
+    // frame, so subquery-bearing conjuncts defer to the WHERE machinery
+    // after the join — the scalar's correlation key (c_custkey) lives on
+    // the join's right relation, which the pre-join scalar broadcast
+    // could not see. 1755 of 3000 joined rows survive at sf0.01.
+    engineSql("qe121_join_on_scalar_right",
+      """SELECT o_orderkey, c_custkey FROM orders
+           JOIN customer ON o_custkey = c_custkey
+            AND o_totalprice / 200 > (
+              SELECT max(p_retailprice) FROM part
+               WHERE p_partkey % 100 = c_custkey % 100)
+         WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
+      """select o_orderkey, c_custkey from orders
+           join customer on o_custkey = c_custkey
+            and o_totalprice / 200 > (
+              select max(p_retailprice) from part
+               where p_partkey % 100 = c_custkey % 100)
+         where o_orderkey < 3000 order by o_orderkey"""))
 }

@@ -208,6 +208,32 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  // ---- scalar in INNER JOIN ON referencing the right side -------------
+
+  test("inner-join ON scalar correlated against the RIGHT side = WHERE form") {
+    val got = rows(
+      """select o_orderkey, c_custkey from orders
+           join customer on o_custkey = c_custkey
+            and o_totalprice / 200 > (
+              select max(p_retailprice) from part
+               where p_partkey % 100 = c_custkey % 100)
+         where o_orderkey < 2000 order by o_orderkey""")
+    // INNER ON ≡ WHERE: the oracle binds the same scalar in WHERE
+    // position over the joined frame (the established post-join path)
+    val want = rows(
+      """select o_orderkey, c_custkey from orders
+           join customer on o_custkey = c_custkey
+         where o_totalprice / 200 > (
+              select max(p_retailprice) from part
+               where p_partkey % 100 = c_custkey % 100)
+           and o_orderkey < 2000 order by o_orderkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got.size < rows(
+      """select o_orderkey from orders join customer on o_custkey = c_custkey
+         where o_orderkey < 2000""").size, "filter is vacuous")
+    assert(got == want)
+  }
+
   // ---- ADVICE r6: decomposed NOT IN select-item scope guard -----------
 
   test("NOT IN select item referencing enclosing scopes fails with a clean error") {
