@@ -789,11 +789,12 @@ final class Binder(
     val (posTop, exprNested) = posFlattenable.partition(positiveNested(_).isDefined)
     // a positive nested body with GROUP BY / HAVING / aggregate select
     // cannot flatten either (the flatten join runs BELOW the body's own
-    // aggregation) — those take the pair-frame route, where
-    // joinNestedAggBody lowers them per rid
+    // aggregation), and neither can one with LIMIT/OFFSET (flattening
+    // has no per-pair row counting) — those take the pair-frame route,
+    // where joinNestedBody lowers them per rid
     def aggNestedBody(c: Expr): Boolean = positiveNested(c).exists {
       case (nqb, lhsOpt) =>
-        nqb.groupBy.nonEmpty || nqb.having.isDefined ||
+        nqb.groupBy.nonEmpty || nqb.having.isDefined || nqb.limit.isDefined ||
           (lhsOpt.isDefined && (nqb.selectList match {
             case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] =>
               collectAggs(e).nonEmpty
@@ -1138,25 +1139,54 @@ final class Binder(
   private def joinNestedBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
       ctes: Map[String, DataFrame], anti: Boolean): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
-    if (nqb.ctes.nonEmpty || nqb.limit.isDefined)
-      err(s"a grandparent-correlated $what must not use WITH or LIMIT")
+    if (nqb.ctes.nonEmpty)
+      err(s"a grandparent-correlated $what must not use WITH")
     // plain DISTINCT is membership/existence-blind — ignore it; DISTINCT
     // ON changes WHICH row represents a key (order-dependent), so reject
     nqb.distinct.foreach(on => if (on.nonEmpty)
       err(s"a grandparent-correlated $what must not use DISTINCT ON"))
+    // LIMIT/OFFSET on an EXISTS-form body lowers by COUNTING (the same
+    // rewrites as lowerExists): LIMIT k>0 never changes existence,
+    // LIMIT 0 makes it constant, OFFSET o needs MORE THAN o pre-limit
+    // rows (plain body → HAVING count(1) > o; ungrouped HAVING → at most
+    // one row, constant-false; GROUP BY → more than o surviving groups).
+    // An IN-form body's membership SET depends on row order under LIMIT —
+    // rejected.
+    var body = nqb
+    var existsOff = 0
+    body.limit match {
+      case Some(lc) =>
+        if (lhsOpt.isDefined)
+          err(s"a grandparent-correlated IN subquery must not use LIMIT " +
+            "(the membership set would depend on row order)")
+        val constFalse =
+          if (anti) rel else Rel(rel.df.filter(lit(false)), rel.scopes)
+        if (evalLimitInt(lc.limit, "LIMIT") == 0) return constFalse
+        val o = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+        body = body.copy(limit = None)
+        if (o > 0) {
+          if (body.groupBy.isEmpty && body.having.isEmpty)
+            body = body.copy(having = Some(
+              Binary(">", FnCall("count", Seq(IntLit(BigInt(1)))),
+                IntLit(BigInt(o)))))
+          else if (body.groupBy.isEmpty) return constFalse
+          else existsOff = o
+        }
+      case None => ()
+    }
     // an aggregated body (GROUP BY / HAVING / aggregate select item under
     // IN) cannot lower as a row-level semi/anti join — its membership set
     // is PER-GROUP values — so it takes the per-pair grouped lowering
-    val selAggs = lhsOpt.toSeq.flatMap(_ => nqb.selectList match {
+    val selAggs = lhsOpt.toSeq.flatMap(_ => body.selectList match {
       case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => collectAggs(e)
       case _ => err("IN subquery must produce exactly 1 column")
     })
-    if (nqb.groupBy.nonEmpty || nqb.having.isDefined || selAggs.nonEmpty)
-      return joinNestedAggBody(nqb, lhsOpt, rel, ctes, anti)
-    val base = nqb.from.map(bindSource(_, ctes))
+    if (body.groupBy.nonEmpty || body.having.isDefined || selAggs.nonEmpty)
+      return joinNestedAggBody(body, lhsOpt, rel, ctes, anti, existsOff)
+    val base = body.from.map(bindSource(_, ctes))
       .getOrElse(err(s"$what needs a FROM"))
-    val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, ctes))
-    val nConj = nqb.where.map(splitAnd).getOrElse(Nil)
+    val nestedRel = body.joins.foldLeft(base)((r, j) => bindJoin(r, j, ctes))
+    val nConj = body.where.map(splitAnd).getOrElse(Nil)
     val (nLocal, nCorr) = nConj.partition(resolvesWithin(_, nestedRel))
     val nCtx = new Ctx(nestedRel, None, ctes)
     applyLocal(nLocal, nCtx, what)
@@ -1175,7 +1205,7 @@ final class Binder(
       case None =>
         Rel(rel.df.join(renamed, corrCond.getOrElse(lit(true)), how), rel.scopes)
       case Some(lhs) =>
-        val sel = nqb.selectList match {
+        val sel = body.selectList match {
           case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => e
           case _ => err("IN subquery must produce exactly 1 column")
         }
@@ -1235,7 +1265,7 @@ final class Binder(
     * nested-loop — and each pair row is kept at most once, preserving
     * the multiplicity the aggregated-EXISTS caller groups afterwards. */
   private def joinNestedAggBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
-      ctes: Map[String, DataFrame], anti: Boolean): Rel = {
+      ctes: Map[String, DataFrame], anti: Boolean, existsOff: Int = 0): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
     val prid = fresh("ngrid")
     val prid2 = fresh("ngrid2")
@@ -1307,7 +1337,15 @@ final class Binder(
       val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
         .getOrElse(grouped)
       val hits = (selExpr match {
-        case None => filtered
+        case None =>
+          // OFFSET o over the GROUP BY body: existence needs MORE THAN
+          // o surviving groups for the rid (same counting as lowerExists)
+          if (existsOff == 0) filtered
+          else {
+            val cnt = fresh("ngoff")
+            filtered.groupBy(col(prid)).agg(count(lit(1)).as(cnt))
+              .filter(col(cnt) > existsOff)
+          }
         case Some(se) =>
           val v = bindExpr(se, gCtx)
           if (!anti) filtered.filter(col(lhsName) === v)

@@ -279,6 +279,69 @@ object Curation {
       .filter(col("__rk1") <= cap).drop("__rk1")
   }
 
+  // ---- train/val/test split assignment ----------------------------------
+
+  /** Deterministic split assignment by the Knuth multiplicative mix of
+    * the id: `testPermille` per-mille of documents land in 'test', the
+    * next `valPermille` in 'val', the rest in 'train'. A pure function
+    * of the id — stable under repartitioning, corpus growth (a document
+    * keeps its split forever), and engine choice; no RNG state, no
+    * shuffle at all (the assignment is a projection). Proportions hold
+    * per source automatically because the mix is uniform within any
+    * id subset. */
+  def assignSplit(docs: DataFrame, idCol: String,
+      valPermille: Int = 50, testPermille: Int = 10): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      "val + test permille must fit in [0, 1000]")
+    val m = pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
+      lit(1000L))
+    docs.select(col(idCol),
+      when(m < testPermille, lit("test"))
+        .when(m < testPermille + valPermille, lit("val"))
+        .otherwise(lit("train")).as("split"))
+      .orderBy(col(idCol))
+  }
+
+  // ---- global shuffle order (training-order manifest) --------------------
+
+  /** Assigns every document its position in a deterministic pseudo-random
+    * global training order (rank of the Knuth mix, ties by id) WITHOUT a
+    * single-partition global window. The mix is uniform in [0, M), so
+    * fixed-width value buckets `mix·B DIV M` are balanced AND monotone in
+    * the global order: per-bucket counts (B rows) come to the driver
+    * once, turn into cumulative offsets, broadcast back, and the global
+    * position is offset + rank-within-bucket — every window partition
+    * holds ~n/B rows. Fixed-width bucketing (not repartitionByRange) is
+    * deliberate: range partitioning SAMPLES its boundaries, which is not
+    * reproducible across the count pass and the rank pass; the bucket
+    * function is pure, so the two passes agree without persisting.
+    * The driver-side collect is B longs — the k-means-centroid budget. */
+  def shufflePositions(docs: DataFrame, idCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val M = 1000000007L
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol))
+      .withColumn("__mix", pmod(pmod(col(idCol), lit(1000003L)) *
+        lit(2654435761L), lit(M)))
+      .withColumn("__bkt", expr(s"(__mix * $buckets) DIV $M").cast("int"))
+    val counts = base.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets).scanLeft(0L) {
+      case (acc, b) => acc + counts.getOrElse(b, 0L)
+    }
+    import spark.implicits._
+    val offDf = (0 until buckets).map(b => (b, offsets(b))).toDF("__bkt2", "__off")
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__mix"), col(idCol))
+    base.join(broadcast(offDf), col("__bkt") === col("__bkt2"))
+      .withColumn("shuffle_pos",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("shuffle_pos"))
+      .orderBy(col(idCol))
+  }
+
   // ---- event sessionization (batch) -------------------------------------
 
   /** Gap-based sessionization of an event log: a new session starts

@@ -11,10 +11,47 @@ package graft.queries
   * DuckDB resolves grandparent refs natively = the oracle. */
 object Round7Queries {
 
+  import graft.Tables
+  import graft.pipeline.Curation
+
   private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
     QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
 
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- train/val/test split assignment --------------------------------
+    // deterministic holdout assignment by the Knuth id mix: a pure
+    // projection (no shuffle), stable under corpus growth — a document
+    // keeps its split forever. Integer/string output, bit-stable.
+    QueryDef(
+      "qp78_assign_split",
+      Some("""SELECT doc_id,
+                CASE WHEN m < 10 THEN 'test'
+                     WHEN m < 60 THEN 'val'
+                     ELSE 'train' END AS split
+              FROM (SELECT doc_id,
+                      ((doc_id % 1000003) * 2654435761) % 1000 AS m
+                    FROM documents)
+              ORDER BY doc_id"""),
+      (s, dir) => Curation.assignSplit(
+        Tables.load(s, dir, "documents"), "doc_id",
+        valPermille = 50, testPermille = 10)),
+
+    // ---- global shuffle order (training-order manifest) -----------------
+    // rank of the id mix with ties by id — computed WITHOUT a global
+    // single-partition window: fixed-width mix buckets are monotone in
+    // the order, per-bucket counts become driver-side cumulative
+    // offsets, and the position is offset + rank-within-bucket. The
+    // oracle is the literal global window DuckDB can afford at sf0.01.
+    QueryDef(
+      "qp79_shuffle_positions",
+      Some("""SELECT doc_id,
+                ROW_NUMBER() OVER (
+                  ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007,
+                           doc_id) - 1 AS shuffle_pos
+              FROM documents ORDER BY doc_id"""),
+      (s, dir) => Curation.shufflePositions(
+        Tables.load(s, dir, "documents"), "doc_id")),
 
     // ---- nested NOT IN with a GROUP BY body + grandparent ref -----------
     // the membership set is per-group counts of this order's lines priced
@@ -185,5 +222,59 @@ object Round7Queries {
             and o_totalprice / 200 > (
               select max(p_retailprice) from part
                where p_partkey % 100 = c_custkey % 100)
-         where o_orderkey < 3000 order by o_orderkey"""))
+         where o_orderkey < 3000 order by o_orderkey"""),
+
+    // ---- nested NOT EXISTS with OFFSET + grandparent ref ----------------
+    // NOT EXISTS(body LIMIT n OFFSET 2) ⟺ the body yields at most 2 rows
+    // — the plain nested body rewrites to HAVING count(1) > 2 and rides
+    // the per-pair ungrouped-aggregate lowering with its count-0
+    // left-join-back. 271 of 300 customers survive at sf0.01 (29 decided
+    // by the counting).
+    engineSql("qe122_nested_not_exists_offset",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND NOT EXISTS (
+               SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_extendedprice > c_acctbal / 2
+                LIMIT 10 OFFSET 2))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and not exists (
+               select 1 from lineitem
+                where l_orderkey = o_orderkey
+                  and l_extendedprice > c_acctbal / 2
+                limit 10 offset 2))
+         order by c_custkey"""),
+
+    // ---- positive nested EXISTS over a GROUP BY body with OFFSET --------
+    // existence ⟺ MORE THAN 3 surviving supplier groups per (customer,
+    // order) pair — the grouped per-pair lowering counts post-HAVING
+    // groups per rid. 271 of 300 at sf0.01.
+    engineSql("qe123_nested_exists_group_offset",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND o_totalprice > 250000
+             AND EXISTS (
+               SELECT l_suppkey FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_extendedprice > c_acctbal
+                GROUP BY l_suppkey HAVING count(1) >= 1
+                LIMIT 100 OFFSET 3))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and o_totalprice > 250000
+             and exists (
+               select l_suppkey from lineitem
+                where l_orderkey = o_orderkey
+                  and l_extendedprice > c_acctbal
+                group by l_suppkey having count(1) >= 1
+                limit 100 offset 3))
+         order by c_custkey"""))
 }

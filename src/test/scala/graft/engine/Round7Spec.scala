@@ -208,6 +208,75 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  // ---- LIMIT/OFFSET in nested grandparent bodies ----------------------
+
+  test("nested NOT EXISTS with OFFSET counts pre-limit rows per pair") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and not exists (
+               select 1 from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                limit 5 offset 1))
+         order by c_custkey""")
+    // NOT EXISTS(body OFFSET 1) ⟺ at most 1 pre-limit row — the oracle
+    // is the parent-level ungrouped-HAVING form of the same count
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and not exists (
+               select 1 from lineitem
+                where l_orderkey = o_orderkey
+                having count(1) > 1))
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("nested EXISTS over GROUP BY with OFFSET counts surviving groups per pair") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and exists (
+               select l_suppkey from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                group by l_suppkey limit 10 offset 2))
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and exists (
+               select l_suppkey from lineitem
+                where l_orderkey = o_orderkey
+                group by l_suppkey limit 10 offset 2))
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("nested body LIMIT 0 is constant existence") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 100 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and not exists (
+               select 1 from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                limit 0))
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 100 and exists (
+           select 1 from orders where o_custkey = c_custkey)
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
   // ---- scalar in INNER JOIN ON referencing the right side -------------
 
   test("inner-join ON scalar correlated against the RIGHT side = WHERE form") {

@@ -270,6 +270,44 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- per-source document cap ----------------------------------------
 
+  test("assignSplit is a stable pure function with permille-exact regions") {
+    import spark.implicits._
+    val fixture = (0L until 2000L).map(i => (i, "x")).toDF("doc_id", "text")
+    val out = Curation.assignSplit(fixture, "doc_id",
+      valPermille = 50, testPermille = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 2000)
+    // region membership is exactly the mix arithmetic
+    out.foreach { case (id, split) =>
+      val m = ((id % 1000003L) * 2654435761L) % 1000L
+      val want = if (m < 10) "test" else if (m < 60) "val" else "train"
+      assert(split == want, s"id $id mix $m")
+    }
+    // growing the corpus never reassigns an existing document
+    val grown = Curation.assignSplit(
+      (0L until 4000L).map(i => (i, "x")).toDF("doc_id", "text"),
+      "doc_id", valPermille = 50, testPermille = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, s0) => assert(grown(id) == s0) }
+  }
+
+  test("shufflePositions is the exact global mix rank, bucketed or not") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fixture = (0L until 500L).map(i => (i, "x")).toDF("doc_id", "text")
+    val got = Curation.shufflePositions(fixture, "doc_id", buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mix = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+      lit(1000000007L))
+    val want = fixture
+      .withColumn("p", row_number().over(Window.orderBy(mix, col("doc_id"))) - 1)
+      .select("doc_id", "p")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == want)
+    // positions are a permutation of 0..n-1
+    assert(got.values.toSeq.sorted == (0L until 500L))
+  }
+
   test("domainCap pre-thin bounds the rank window input for a hot source") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
