@@ -1319,7 +1319,29 @@ final class Binder(
     val aggCalls = (havingExpr.toSeq.flatMap(collectAggs) ++
       selExpr.toSeq.flatMap(collectAggs)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("nga")))
-    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, jCtx).as(n) } match {
+    // HAVING / select-item identifiers OUTSIDE aggregate arguments that
+    // belong to the ENCLOSING scopes (aggregate args bind over the
+    // joined frame and need nothing): constant per rid, so they ride
+    // the grouping as first() aggregates and substitute per group
+    def nonAggIdents(e: Expr): Seq[Ident] = e match {
+      case i: Ident => Seq(i)
+      case fc: FnCall if collectAggs(fc) == Seq(fc) => Nil
+      case FnCall(_, args) => args.flatMap(nonAggIdents)
+      case Binary(_, l, r) => nonAggIdents(l) ++ nonAggIdents(r)
+      case Unary(_, o) => nonAggIdents(o)
+      case CaseExpr(s, bs, el) => (s.toSeq ++ bs.flatMap(b => Seq(b._1, b._2)) ++
+        el.toSeq).flatMap(nonAggIdents)
+      case BetweenExpr(a, lo, hi, _) => Seq(a, lo, hi).flatMap(nonAggIdents)
+      case InList(a, items, _) => (a +: items).flatMap(nonAggIdents)
+      case _ => Nil
+    }
+    val outerRiders = (havingExpr.toSeq ++ selExpr.toSeq).flatMap(nonAggIdents)
+      .distinct
+      .filterNot(i => resolvesWithin(i, nCtx.rel)) // body-side → group key
+      .filter(i => resolvesWithin(i, rel))
+      .map(i => (i, fresh("ngo")))
+    val aggCols = (aggPairs.map { case (fc, n) => bindAggCall(fc, jCtx).as(n) } ++
+      outerRiders.map { case (i, n) => first(bindExpr(i, jCtx)).as(n) }) match {
       case Nil => Seq(count(lit(1)).as(fresh("ngc")))
       case cs => cs
     }
@@ -1333,7 +1355,8 @@ final class Binder(
         Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
         None, ctes,
         subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
-          groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
+          groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap ++
+          outerRiders.map { case (i, n) => (i: Expr) -> grouped(n) }.toMap)
       val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
         .getOrElse(grouped)
       val hits = (selExpr match {

@@ -276,5 +276,30 @@ object Round7Queries {
                   and l_extendedprice > c_acctbal
                 group by l_suppkey having count(1) >= 1
                 limit 100 offset 3))
+         order by c_custkey"""),
+
+    // ---- grandparent ref in the nested body's HAVING --------------------
+    // the HAVING's non-aggregate side references the GRANDPARENT
+    // (c_acctbal), which is constant per candidate pair — it rides the
+    // per-pair grouping as a first() aggregate and substitutes per
+    // group. 219 of 300 customers qualify at sf0.01.
+    engineSql("qe124_nested_having_grandparent",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND o_orderkey % 4 IN (
+               SELECT count(1) FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                GROUP BY l_suppkey
+                HAVING min(l_quantity) < c_acctbal / 200))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and o_orderkey % 4 in (
+               select count(1) from lineitem
+                where l_orderkey = o_orderkey
+                group by l_suppkey
+                having min(l_quantity) < c_acctbal / 200))
          order by c_custkey"""))
 }

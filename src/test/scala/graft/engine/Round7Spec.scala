@@ -208,6 +208,39 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("nested grouped HAVING referencing the grandparent rides a first() aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and o_orderkey % 4 in (
+               select count(1) from lineitem
+                where l_orderkey = o_orderkey
+                group by l_suppkey
+                having min(l_quantity) < c_acctbal / 200 + (c_custkey % 2) * 1000))
+         order by c_custkey""")
+    // independent oracle built directly with the DataFrame API: group
+    // lineitem per (order, supplier), join the (customer, order) pairs,
+    // apply the HAVING with the outer columns as plain join outputs
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") < 150)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val grp = lineitem.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"), min(col("l_quantity")).as("mq"))
+    val want = customer
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .join(grp, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("mq") <
+        col("c_acctbal") / 200 + pmod(col("c_custkey"), lit(2L)) * 1000)
+      .filter(pmod(col("o_orderkey"), lit(4L)) === col("cnt"))
+      .select(col("c_custkey")).distinct().orderBy(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
   // ---- LIMIT/OFFSET in nested grandparent bodies ----------------------
 
   test("nested NOT EXISTS with OFFSET counts pre-limit rows per pair") {
