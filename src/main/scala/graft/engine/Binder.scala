@@ -89,10 +89,17 @@ final class Binder(
     case qb: QueryBody => bindBody(qb, ctes, outer = None)
   }
 
-  private def bindBody(qb: QueryBody, outerCtes: Map[String, DataFrame], outer: Option[Rel]): DataFrame = {
-    // ---- CTEs: later CTEs see earlier ones; a CTE referenced more than
-    // once is persisted so its exchange isn't recomputed per consumer ----
-    val ctes = qb.ctes.foldLeft(outerCtes) { case (acc, (name, cteQ)) =>
+  /** Bind a body's WITH list (later CTEs see earlier ones; a CTE
+    * referenced more than once is persisted so its exchange isn't
+    * recomputed per consumer) and return the extended CTE map. CTEs are
+    * bound UNCORRELATED — one referencing an enclosing scope fails with
+    * the normal unresolved-column error. Shared by the main body path
+    * and the subquery-body lowerings (EXISTS bodies, nested
+    * grandparent bodies), so `EXISTS (WITH t AS … SELECT …)` works
+    * anywhere a plain body does. */
+  private def bindBodyCtes(qb: QueryBody,
+      outerCtes: Map[String, DataFrame]): Map[String, DataFrame] =
+    qb.ctes.foldLeft(outerCtes) { case (acc, (name, cteQ)) =>
       val df = bindQuery(cteQ, acc)
       val refs = countTableRefs(qb, name)
       val bound = if (refs > 1) {
@@ -102,6 +109,9 @@ final class Binder(
       } else df
       acc + (name.toLowerCase -> bound)
     }
+
+  private def bindBody(qb: QueryBody, outerCtes: Map[String, DataFrame], outer: Option[Rel]): DataFrame = {
+    val ctes = bindBodyCtes(qb, outerCtes)
 
     // ---- FROM + JOINs ----
     val baseRel: Rel = qb.from match {
@@ -735,9 +745,12 @@ final class Binder(
         existsOff = o
       }
     }
-    val innerBase = qb.from.map(bindSource(_, ctx.ctes))
+    // the body's own WITH list binds first (uncorrelated) — its names
+    // are visible to the body's FROM/JOINs and to nested subqueries
+    val bodyCtes = bindBodyCtes(qb, ctx.ctes)
+    val innerBase = qb.from.map(bindSource(_, bodyCtes))
       .getOrElse(err("EXISTS subquery needs a FROM"))
-    val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+    val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, bodyCtes))
 
     val conjuncts = qb.where.map(splitAnd).getOrElse(Nil)
     val (local0, correlated1) = conjuncts.partition(resolvesWithin(_, innerRel))
@@ -755,7 +768,7 @@ final class Binder(
         case InSubquery(_, _: QueryBody, _) => true
         case Unary(op, InSubquery(_, _: QueryBody, _)) if op.equalsIgnoreCase("not") => true
         case _ => false
-      }) || (containsSubquery(c) && !subqueryBodiesResolveWithin(c, innerRel, ctx.ctes)))
+      }) || (containsSubquery(c) && !subqueryBodiesResolveWithin(c, innerRel, bodyCtes)))
     // subquery-bearing "local" conjuncts whose bodies reference columns
     // beyond this subquery's reach (grandparent correlation) FLATTEN:
     // ∃m ∃i p(o,m,i) ≡ ∃(m,i) p(o,m,i), so a non-negated nested
@@ -764,10 +777,10 @@ final class Binder(
     // pool — EXISTS/IN are multiplicity-blind, so the join's row
     // duplication is invisible
     val (flattenable0, local) = local0.partition(c =>
-      containsSubquery(c) && !resolvesWithinDeep(c, innerRel, ctx.ctes))
+      containsSubquery(c) && !resolvesWithinDeep(c, innerRel, bodyCtes))
     val flattenable = flattenable0 ++ corrDeep
 
-    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, "EXISTS subquery")
     // negated nested subqueries cannot flatten (anti-join semantics are
     // not multiplicity-blind) — they get the per-row anti-join lowering
@@ -831,7 +844,7 @@ final class Binder(
         ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
         return
       }
-      val (filtered0, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, ctx.ctes)
+      val (filtered0, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, innerCtx.ctes)
       // OFFSET o over a GROUP BY body: existence needs MORE THAN o
       // surviving groups per correlation key — one more (tiny, post-
       // HAVING) aggregate over the group keys. Uncorrelated: a global
@@ -859,7 +872,7 @@ final class Binder(
         else {
           // resolve inner names first, then outer (SQL scoping); the
           // post-flatten scopes include the joined-in nested relations
-          val corrCtx = new Ctx(Rel(innerDf, innerCtx.rel.scopes), Some(ctx.rel), ctx.ctes)
+          val corrCtx = new Ctx(Rel(innerDf, innerCtx.rel.scopes), Some(ctx.rel), innerCtx.ctes)
           try correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
           catch {
             case e: GraftException if hoisted.nonEmpty => throw GraftException(
@@ -943,7 +956,7 @@ final class Binder(
       }
     var cur = Rel(joined, ctx.rel.scopes ++ rScopes)
     bodies.foreach { case (nqb, lhsOpt) =>
-      cur = antiJoinNestedBody(nqb, lhsOpt, cur, ctx.ctes)
+      cur = antiJoinNestedBody(nqb, lhsOpt, cur, innerCtx.ctes)
     }
     val survivors = cur.df.select(col(rid)).distinct().withColumnRenamed(rid, rid2)
     val how = if (negated) "left_anti" else "left_semi"
@@ -993,8 +1006,8 @@ final class Binder(
             "outer relation — rewrite the correlated conjuncts")
       }
     var cur = Rel(joined, ctx.rel.scopes ++ rScopes)
-    nested.foreach { c => cur = pruneNestedConjunct(c, cur, ctx.ctes) }
-    val candCtx = new Ctx(cur, None, ctx.ctes)
+    nested.foreach { c => cur = pruneNestedConjunct(c, cur, innerCtx.ctes) }
+    val candCtx = new Ctx(cur, None, innerCtx.ctes)
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("gg")))
     val groupCols = col(rid) +: groupPairs.map { case (e, nm) =>
@@ -1115,7 +1128,7 @@ final class Binder(
             "outer relation — rewrite the correlated conjuncts")
       }
     var cur = Rel(joined, ctx.rel.scopes ++ rScopes)
-    nested.foreach { c => cur = pruneDisjunctive(c, cur, ctx.ctes) }
+    nested.foreach { c => cur = pruneDisjunctive(c, cur, innerCtx.ctes) }
     val survivors = cur.df.select(col(rid)).distinct().withColumnRenamed(rid, rid2)
     val how = if (negated) "left_anti" else "left_semi"
     ctx.rel = Rel(
@@ -1139,8 +1152,6 @@ final class Binder(
   private def joinNestedBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
       ctes: Map[String, DataFrame], anti: Boolean): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
-    if (nqb.ctes.nonEmpty)
-      err(s"a grandparent-correlated $what must not use WITH")
     // plain DISTINCT is membership/existence-blind — ignore it; DISTINCT
     // ON changes WHICH row represents a key (order-dependent), so reject
     nqb.distinct.foreach(on => if (on.nonEmpty)
@@ -1181,14 +1192,16 @@ final class Binder(
       case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => collectAggs(e)
       case _ => err("IN subquery must produce exactly 1 column")
     })
+    // the body's own WITH list binds first (uncorrelated)
+    val bodyCtes = bindBodyCtes(body, ctes)
     if (body.groupBy.nonEmpty || body.having.isDefined || selAggs.nonEmpty)
-      return joinNestedAggBody(body, lhsOpt, rel, ctes, anti, existsOff)
-    val base = body.from.map(bindSource(_, ctes))
+      return joinNestedAggBody(body, lhsOpt, rel, bodyCtes, anti, existsOff)
+    val base = body.from.map(bindSource(_, bodyCtes))
       .getOrElse(err(s"$what needs a FROM"))
-    val nestedRel = body.joins.foldLeft(base)((r, j) => bindJoin(r, j, ctes))
+    val nestedRel = body.joins.foldLeft(base)((r, j) => bindJoin(r, j, bodyCtes))
     val nConj = body.where.map(splitAnd).getOrElse(Nil)
     val (nLocal, nCorr) = nConj.partition(resolvesWithin(_, nestedRel))
-    val nCtx = new Ctx(nestedRel, None, ctes)
+    val nCtx = new Ctx(nestedRel, None, bodyCtes)
     applyLocal(nLocal, nCtx, what)
     val (renamed, rScopes) = freshRenamed(nCtx.rel.df, nCtx.rel.scopes, what)
     val quals = rel.scopes.filterNot(_.hidden)
@@ -1198,7 +1211,7 @@ final class Binder(
         err(s"$what: relation '$q' is named on more than one level — " +
           "alias one of them differently")
       }
-    val bCtx = new Ctx(Rel(rel.df, rel.scopes ++ rScopes), None, ctes)
+    val bCtx = new Ctx(Rel(rel.df, rel.scopes ++ rScopes), None, bodyCtes)
     val how = if (anti) "left_anti" else "left_semi"
     val corrCond = nCorr.map(bindExpr(_, bCtx)).reduceOption(_ && _)
     lhsOpt match {
@@ -1704,15 +1717,20 @@ final class Binder(
   private def resolvesWithinDeep(e: Expr, rel: Rel, ctes: Map[String, DataFrame]): Boolean = {
     var ok = true
     def walkQ(q: Query): Unit = q match {
-      case qb: QueryBody if qb.ctes.isEmpty =>
+      case qb: QueryBody =>
         try {
+          // a body's own WITH list binds (uncorrelated) before its FROM,
+          // so a CTE-bearing body classifies like any other instead of
+          // silently counting as "resolving" (round 7: that misrouted
+          // grandparent-correlated WITH bodies to the local path)
+          val bCtes = bindBodyCtes(qb, ctes)
           val bound = qb.from.map { src =>
-            qb.joins.foldLeft(bindSource(src, ctes))((r, j) => bindJoin(r, j, ctes))
+            qb.joins.foldLeft(bindSource(src, bCtes))((r, j) => bindJoin(r, j, bCtes))
           }
           val merged = Rel(rel.df, bound.map(_.scopes).getOrElse(Nil) ++ rel.scopes)
           val exprs = qb.selectList.map(_.expr) ++ qb.where.toSeq ++ qb.groupBy ++
             qb.having.toSeq ++ qb.orderBy.map(_.expr) ++ qb.distinct.toSeq.flatten
-          if (!exprs.forall(resolvesWithinDeep(_, merged, ctes))) ok = false
+          if (!exprs.forall(resolvesWithinDeep(_, merged, bCtes))) ok = false
         } catch { case _: GraftException => () }
       case _ => ()
     }

@@ -301,5 +301,43 @@ object Round7Queries {
                 where l_orderkey = o_orderkey
                 group by l_suppkey
                 having min(l_quantity) < c_acctbal / 200))
+         order by c_custkey"""),
+
+    // ---- WITH inside subquery bodies ------------------------------------
+    // an EXISTS body's own (uncorrelated) CTE list binds before the
+    // body's FROM — 258 of 300 customers at sf0.01.
+    engineSql("qe125_exists_with_cte",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           WITH big AS (SELECT o_custkey AS k FROM orders
+                         WHERE o_totalprice > 400000)
+           SELECT 1 FROM big WHERE k = c_custkey)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           with big as (select o_custkey as k from orders
+                         where o_totalprice > 400000)
+           select 1 from big where k = c_custkey)
+         order by c_custkey"""),
+
+    // ...and inside a grandparent-correlated NESTED body: the CTE binds
+    // uncorrelated, the selecting body over it keeps its grandparent
+    // ref (c_acctbal) and rides the per-pair NOT IN lowering.
+    engineSql("qe126_nested_with_grandparent",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND o_orderkey NOT IN (
+               WITH pricey AS (SELECT l_orderkey AS k, l_extendedprice AS p
+                               FROM lineitem WHERE l_suppkey < 40)
+               SELECT k FROM pricey WHERE p > c_acctbal * 2))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and o_orderkey not in (
+               with pricey as (select l_orderkey as k, l_extendedprice as p
+                               from lineitem where l_suppkey < 40)
+               select k from pricey where p > c_acctbal * 2))
          order by c_custkey"""))
 }

@@ -336,6 +336,48 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  // ---- WITH inside subquery bodies ------------------------------------
+
+  test("EXISTS body with its own CTE equals the inlined form") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           with big as (select o_custkey as k from orders
+                         where o_totalprice > 300000)
+           select 1 from big where k = c_custkey)
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and o_totalprice > 300000)
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("nested WITH body keeps its grandparent correlation") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and o_orderkey not in (
+               with pricey as (select l_orderkey as k, l_extendedprice as p
+                               from lineitem where l_suppkey < 40)
+               select k from pricey where p > c_acctbal * 2))
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and o_orderkey not in (
+               select l_orderkey from lineitem
+                where l_suppkey < 40 and l_extendedprice > c_acctbal * 2))
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
   // ---- ADVICE r6: decomposed NOT IN select-item scope guard -----------
 
   test("NOT IN select item referencing enclosing scopes fails with a clean error") {
