@@ -481,8 +481,7 @@ final class Binder(
             // conjuncts defer to the full WHERE machinery AFTER the join —
             // which also lets their correlation reference the RIGHT side
             // (the pre-join scalar broadcast below sees only the left
-            // frame). Outer joins keep the pre-join path: a deferred
-            // filter would change which rows null-extend.
+            // frame).
             val (subq, plain) = splitAnd(condExpr).partition(containsSubquery)
             val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
             val cond = plain.map(bindExpr(_, condCtx)).reduceOption(_ && _)
@@ -492,6 +491,31 @@ final class Binder(
               None, ctes)
             subq.foreach(applyWhere(_, jCtx))
             jCtx.rel
+          case how @ ("left" | "right" | "full")
+              if splitAnd(condExpr).exists(containsSubquery) =>
+            // OUTER joins cannot defer ON conjuncts to a post-join filter
+            // (that would change which rows null-extend), so each
+            // subquery-bearing conjunct binds PRE-JOIN on whichever side
+            // its subquery bodies' correlation resolves within — the
+            // lowered value/flag columns ride that side through the join
+            // as ordinary columns, and null-extension behaves like any
+            // other column of that side.
+            val (subq, plain) = splitAnd(condExpr).partition(containsSubquery)
+            val lCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+            val rCtx = new Ctx(Rel(right.df, bothScopes), None, ctes)
+            val boundSubq = subq.map { c =>
+              if (subqueryBodiesResolveWithin(c, Rel(left.df, left.scopes), ctes))
+                bindExpr(c, lCtx)
+              else if (subqueryBodiesResolveWithin(c, Rel(right.df, right.scopes), ctes))
+                bindExpr(c, rCtx)
+              else err("a subquery in an OUTER JOIN ON condition must " +
+                "correlate entirely with one side of the join")
+            }
+            val plainCond = plain.map(bindExpr(
+              _, new Ctx(Rel(left.df, bothScopes), None, ctes)))
+            val cond = (plainCond ++ boundSubq).reduceOption(_ && _)
+              .getOrElse(lit(true))
+            Rel(lCtx.rel.df.join(rCtx.rel.df, cond, how), bothScopes)
           case how @ ("inner" | "left" | "right" | "full") =>
             val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
             val cond = bindExpr(condExpr, condCtx)

@@ -339,5 +339,24 @@ object Round7Queries {
                with pricey as (select l_orderkey as k, l_extendedprice as p
                                from lineitem where l_suppkey < 40)
                select k from pricey where p > c_acctbal * 2))
-         order by c_custkey"""))
+         order by c_custkey"""),
+
+    // ---- scalar subquery in an OUTER JOIN ON, right-correlated ----------
+    // the conjunct cannot defer to a post-join filter (it decides which
+    // customers null-extend), so the scalar binds PRE-JOIN on the right
+    // side and its value column rides orders through the left join.
+    // 726 matched + 9 null-extended rows at sf0.01.
+    engineSql("qe127_left_join_on_scalar",
+      """SELECT c_custkey, o_orderkey FROM customer
+           LEFT JOIN orders ON o_custkey = c_custkey
+            AND o_totalprice > 6 * (
+              SELECT avg(l_extendedprice) FROM lineitem
+               WHERE l_orderkey = o_orderkey)
+         WHERE c_custkey < 200 ORDER BY c_custkey, o_orderkey""",
+      """select c_custkey, o_orderkey from customer
+           left join orders on o_custkey = c_custkey
+            and o_totalprice > 6 * (
+              select avg(l_extendedprice) from lineitem
+               where l_orderkey = o_orderkey)
+         where c_custkey < 200 order by c_custkey, o_orderkey"""))
 }

@@ -378,6 +378,29 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("LEFT JOIN ON scalar correlated with the right side null-extends correctly") {
+    import org.apache.spark.sql.functions._
+    val got = rows(
+      """select c_custkey, o_orderkey from customer
+           left join orders on o_custkey = c_custkey
+            and o_totalprice > 6 * (
+              select avg(l_extendedprice) from lineitem
+               where l_orderkey = o_orderkey)
+         where c_custkey < 100 order by c_custkey, o_orderkey""")
+    val avgP = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_orderkey")).agg(avg(col("l_extendedprice")).as("ap"))
+    val ordersAvg = spark.read.parquet(s"$dir/orders.parquet")
+      .join(avgP, col("l_orderkey") === col("o_orderkey"), "left")
+    val want = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") < 100)
+      .join(ordersAvg, col("o_custkey") === col("c_custkey") &&
+        col("o_totalprice") > col("ap") * 6, "left")
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy(col("c_custkey"), col("o_orderkey")).collect().toSeq
+    assert(want.exists(_.isNullAt(1)), "fixture has no null-extended rows")
+    assert(got == want)
+  }
+
   // ---- ADVICE r6: decomposed NOT IN select-item scope guard -----------
 
   test("NOT IN select item referencing enclosing scopes fails with a clean error") {
