@@ -1618,8 +1618,11 @@ final class Binder(
   private def lowerInSubquery(lhsExpr: Expr, sub: Query, negated: Boolean, ctx: Ctx): Unit = {
     val isCorrelated = sub match {
       case qb: QueryBody if qb.from.isDefined && qb.where.isDefined =>
-        val innerBase = bindSource(qb.from.get, ctx.ctes)
-        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+        // the body's own WITH list binds first (uncorrelated) so a
+        // CTE-named FROM resolves during the correlation probe
+        val bodyCtes = bindBodyCtes(qb, ctx.ctes)
+        val innerBase = bindSource(qb.from.get, bodyCtes)
+        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, bodyCtes))
         !qb.where.map(splitAnd).get.forall(resolvesWithin(_, innerRel))
       case _ => false
     }
@@ -1986,12 +1989,15 @@ final class Binder(
         existsOff = o
       }
     }
-    val innerBase = qb.from.map(bindSource(_, ctx.ctes))
+    // the body's own WITH list binds first (uncorrelated), as in the
+    // WHERE-conjunct EXISTS lowering
+    val bodyCtes = bindBodyCtes(qb, ctx.ctes)
+    val innerBase = qb.from.map(bindSource(_, bodyCtes))
       .getOrElse(err("EXISTS subquery needs a FROM"))
-    val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+    val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, bodyCtes))
     val conjuncts = qb.where.map(splitAnd).getOrElse(Nil)
     val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
-    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, "EXISTS subquery")
 
     val flag = fresh("exists")
@@ -2082,18 +2088,21 @@ final class Binder(
     // correlation FIRST and reject unsupported shapes cleanly — falling
     // through to the uncorrelated bindQuery would surface a bare
     // unresolved-column error for the outer reference
-    val correlatedParts: Option[(QueryBody, Rel, Seq[Expr], Seq[Expr])] = sub match {
+    val correlatedParts: Option[(QueryBody, Rel, Seq[Expr], Seq[Expr],
+        Map[String, DataFrame])] = sub match {
       case qb: QueryBody if qb.from.isDefined && qb.where.isDefined =>
-        val innerBase = bindSource(qb.from.get, ctx.ctes)
-        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+        // the body's own WITH list binds first (uncorrelated) — its
+        // names are visible to FROM/JOINs and local conjuncts
+        val bodyCtes = bindBodyCtes(qb, ctx.ctes)
+        val innerBase = bindSource(qb.from.get, bodyCtes)
+        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, bodyCtes))
         val conjuncts = splitAnd(qb.where.get)
         val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
         if (correlated.isEmpty) None
-        else if (qb.limit.isDefined || qb.ctes.nonEmpty ||
-            qb.distinct.exists(_.nonEmpty))
+        else if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty))
           err("correlated IN subquery supports plain, DISTINCT, and " +
-            "GROUP BY/HAVING bodies (no LIMIT/DISTINCT ON/WITH)")
-        else Some((qb, innerRel, local, correlated))
+            "GROUP BY/HAVING bodies (no LIMIT/DISTINCT ON)")
+        else Some((qb, innerRel, local, correlated, bodyCtes))
       case _ => None
     }
     val lhs = bindExpr(lhsExpr, ctx)
@@ -2116,7 +2125,7 @@ final class Binder(
           .when(stats(cnt) === 0, lit(false))
           .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
           .otherwise(lit(false))
-      case Some((qb, innerRel, local, correlated))
+      case Some((qb, innerRel, local, correlated, bodyCtes))
           if !equalityOrientable(correlated, innerRel, ctx.rel) ||
             (qb.groupBy.isEmpty && qb.having.isDefined &&
               collectAggs(qb.selectList.head.expr).nonEmpty) =>
@@ -2137,7 +2146,7 @@ final class Binder(
           // is UNKNOWN) empties the subquery's result set, and IN over
           // an empty set is FALSE for any lhs, NULL included
           val (value, having) = thetaUngroupedAgg(qb, innerRel, local,
-            correlated, ctx, what)
+            correlated, ctx, what, bodyCtes)
           having match {
             case Some(h) =>
               when(coalesce(h, lit(false)), lhs === value).otherwise(lit(false))
@@ -2146,7 +2155,7 @@ final class Binder(
         } else {
           // plain body: per-outer-row membership with the same 3-valued
           // stats as the uncorrelated lowering (match / empty / has-null)
-          val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+          val innerCtx = new Ctx(innerRel, None, bodyCtes)
           applyLocal(local, innerCtx, what)
           val matchN = fresh("tmatch")
           val cntN = fresh("tcnt")
@@ -2164,12 +2173,12 @@ final class Binder(
             .when(lhs.isNull || proj(nullN), lit(null).cast("boolean"))
             .otherwise(lit(false))
         }
-      case Some((qb, innerRel, local, correlated)) =>
+      case Some((qb, innerRel, local, correlated, bodyCtes)) =>
         if (qb.selectList.size != 1)
           err("IN subquery must produce exactly 1 column")
         val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel,
           "correlated IN in expression position")
-        val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+        val innerCtx = new Ctx(innerRel, None, bodyCtes)
         applyLocal(local, innerCtx, "correlated IN subquery")
         val keyNames = keyPairs.indices.map(_ => fresh("ik"))
         val selectExpr = qb.selectList.head.expr
@@ -2195,7 +2204,7 @@ final class Binder(
             innerCtx.rel.df.select(
               (keyCols :+ bindExpr(selectExpr, innerCtx).as(n)): _*)
           } else {
-            val gs = groupedCorrelated(qb, innerCtx, keyPairs, aggInSelect, ctx.ctes)
+            val gs = groupedCorrelated(qb, innerCtx, keyPairs, aggInSelect, bodyCtes)
             // re-alias the helper's key names to this lowering's own so
             // the stats/vals machinery below stays branch-agnostic
             gs.filtered.select(
@@ -2258,12 +2267,15 @@ final class Binder(
   private def bindScalarSubquery(q: Query, ctx: Ctx): Column = {
     q match {
       case qb: QueryBody if qb.from.isDefined && qb.where.isDefined =>
-        val innerBase = bindSource(qb.from.get, ctx.ctes)
-        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, ctx.ctes))
+        // the body's own WITH list binds first (uncorrelated) — its
+        // names are visible to FROM/JOINs and local conjuncts
+        val bodyCtes = bindBodyCtes(qb, ctx.ctes)
+        val innerBase = bindSource(qb.from.get, bodyCtes)
+        val innerRel = qb.joins.foldLeft(innerBase)((r, j) => bindJoin(r, j, bodyCtes))
         val conjuncts = splitAnd(qb.where.get)
         val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
         if (correlated.nonEmpty)
-          return decorrelateScalar(qb, innerRel, local, correlated, ctx)
+          return decorrelateScalar(qb, innerRel, local, correlated, ctx, bodyCtes)
       case _ => ()
     }
     val sub = bindQuery(q, ctx.ctes)
@@ -2425,11 +2437,11 @@ final class Binder(
     * row. Count-star aggregates count the presence marker so empty
     * matches yield 0, not 1. */
   private def thetaUngroupedAgg(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
-      correlated: Seq[Expr], ctx: Ctx, what: String): (Column, Option[Column]) = {
-    if (qb.limit.isDefined || qb.distinct.isDefined || qb.ctes.nonEmpty ||
-        qb.groupBy.nonEmpty)
+      correlated: Seq[Expr], ctx: Ctx, what: String,
+      bodyCtes: Map[String, DataFrame]): (Column, Option[Column]) = {
+    if (qb.limit.isDefined || qb.distinct.isDefined || qb.groupBy.nonEmpty)
       err(s"$what supports ungrouped aggregate bodies only " +
-        "(no GROUP BY/LIMIT/DISTINCT/WITH)")
+        "(no GROUP BY/LIMIT/DISTINCT)")
     if (qb.selectList.size != 1) err(s"$what must produce 1 column")
     val valueExpr = qb.selectList.head.expr
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
@@ -2437,7 +2449,7 @@ final class Binder(
       havingExpr.toSeq.flatMap(collectAggs)).distinct
     if (aggCalls.isEmpty && havingExpr.isDefined)
       err(s"$what with HAVING needs an aggregate body")
-    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
     if (aggCalls.isEmpty) {
       // bare lookup body under theta correlation: per outer row, carry
@@ -2492,7 +2504,8 @@ final class Binder(
     * window), and unmatched keys are NULL via the left join. LIMIT 1
     * without ORDER BY would pick an arbitrary row per key; rejected. */
   private def decorrelateScalarTop1(qb: QueryBody, innerRel: Rel,
-      local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx): Column = {
+      local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx,
+      bodyCtes: Map[String, DataFrame]): Column = {
     val what = "correlated scalar subquery with LIMIT"
     val lc = qb.limit.get
     // LIMIT 1 OFFSET k = the (k+1)-th row in sort order per key; fewer
@@ -2501,8 +2514,7 @@ final class Binder(
     val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
     if (evalLimitInt(lc.limit, "LIMIT") != 1)
       err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
-    if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.distinct.isDefined ||
-        qb.ctes.nonEmpty)
+    if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.distinct.isDefined)
       err(s"$what supports plain `SELECT expr … ORDER BY … LIMIT 1` bodies")
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     if (qb.orderBy.isEmpty)
@@ -2513,7 +2525,7 @@ final class Binder(
       err(s"$what takes a plain value expression (drop the LIMIT for " +
         "aggregate bodies — they already yield one row)")
     val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
-    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
     val keyNames = keyPairs.indices.map(_ => fresh("lk"))
     val valName = fresh("lval")
@@ -2578,11 +2590,13 @@ final class Binder(
     * one row per outer row, so no >1-row raise can occur; a HAVING that
     * fails (or is UNKNOWN) removes the row → NULL. */
   private def decorrelateScalarTheta(qb: QueryBody, innerRel: Rel,
-      local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx): Column = {
+      local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx,
+      bodyCtes: Map[String, DataFrame]): Column = {
     val what = "correlated scalar subquery (non-equality correlation)"
     if (qb.groupBy.nonEmpty)
-      return thetaGroupedAgg(qb, innerRel, local, correlated, ctx, what)
-    val (value, having) = thetaUngroupedAgg(qb, innerRel, local, correlated, ctx, what)
+      return thetaGroupedAgg(qb, innerRel, local, correlated, ctx, what, bodyCtes)
+    val (value, having) = thetaUngroupedAgg(qb, innerRel, local, correlated, ctx,
+      what, bodyCtes)
     having match {
       case Some(h) => when(coalesce(h, lit(false)), value).otherwise(lit(null))
       case None => value
@@ -2599,14 +2613,15 @@ final class Binder(
     * bounds candidate volume; groups never span rids, so the group
     * aggregate rides the rid exchange. */
   private def thetaGroupedAgg(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
-      correlated: Seq[Expr], ctx: Ctx, what: String): Column = {
-    if (qb.limit.isDefined || qb.distinct.isDefined || qb.ctes.nonEmpty)
+      correlated: Seq[Expr], ctx: Ctx, what: String,
+      bodyCtes: Map[String, DataFrame]): Column = {
+    if (qb.limit.isDefined || qb.distinct.isDefined)
       err(s"$what with GROUP BY takes an aggregate body with optional " +
-        "HAVING (no LIMIT/DISTINCT/WITH)")
+        "HAVING (no LIMIT/DISTINCT)")
     if (qb.selectList.size != 1) err(s"$what must produce 1 column")
     val valueExpr = qb.selectList.head.expr
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
-    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
     val rid = fresh("tgrid")
     val rid2 = fresh("tgrid2")
@@ -2625,7 +2640,7 @@ final class Binder(
           err(s"$what here may only reference columns of the current " +
             "(left) relation — move it to WHERE or rewrite the join")
       }
-    val jCtx = new Ctx(Rel(joined, rScopes), None, ctx.ctes)
+    val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("tgg")))
     val aggCalls = (collectAggs(valueExpr) ++
@@ -2641,7 +2656,7 @@ final class Binder(
     val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
     val gCtx = new Ctx(
       Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
-      None, ctx.ctes,
+      None, bodyCtes,
       subst = aggPairs.map { case (fc, n) => (fc: Expr) -> grouped(n) }.toMap ++
         groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
     val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
@@ -2674,15 +2689,16 @@ final class Binder(
     *
     * Only equality correlation is supported; non-equi correlation errors. */
   private def decorrelateScalar(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
-      correlated: Seq[Expr], ctx: Ctx): Column = {
+      correlated: Seq[Expr], ctx: Ctx,
+      bodyCtes: Map[String, DataFrame]): Column = {
     val what = "correlated scalar subquery"
     if (!equalityOrientable(correlated, innerRel, ctx.rel))
-      return decorrelateScalarTheta(qb, innerRel, local, correlated, ctx)
+      return decorrelateScalarTheta(qb, innerRel, local, correlated, ctx, bodyCtes)
     if (qb.limit.isDefined)
-      return decorrelateScalarTop1(qb, innerRel, local, correlated, ctx)
-    if (qb.distinct.isDefined || qb.ctes.nonEmpty)
+      return decorrelateScalarTop1(qb, innerRel, local, correlated, ctx, bodyCtes)
+    if (qb.distinct.isDefined)
       err(s"$what supports aggregate bodies with optional GROUP BY/HAVING " +
-        "(no DISTINCT/WITH)")
+        "(no DISTINCT)")
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     val valueExpr = qb.selectList.head.expr
     val valueAggs = collectAggs(valueExpr).distinct
@@ -2691,7 +2707,7 @@ final class Binder(
 
     val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
 
-    val innerCtx = new Ctx(innerRel, None, ctx.ctes)
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, "correlated scalar subquery")
 
     if (valueAggs.isEmpty && qb.groupBy.isEmpty)
@@ -2706,7 +2722,7 @@ final class Binder(
       return bareCorrelatedLookup(valueExpr, keyPairs, innerCtx, ctx, what)
 
     val ungrouped = qb.groupBy.isEmpty
-    val gs = groupedCorrelated(qb, innerCtx, keyPairs, valueAggs, ctx.ctes)
+    val gs = groupedCorrelated(qb, innerCtx, keyPairs, valueAggs, bodyCtes)
     val GroupedSub(grouped, _, keyNames, aggPairs, gCtx, havingExpr) = gs
 
     val valName = fresh("cscalar")

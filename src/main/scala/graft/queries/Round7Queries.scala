@@ -358,5 +358,39 @@ object Round7Queries {
             and o_totalprice > 6 * (
               select avg(l_extendedprice) from lineitem
                where l_orderkey = o_orderkey)
-         where c_custkey < 200 order by c_custkey, o_orderkey"""))
+         where c_custkey < 200 order by c_custkey, o_orderkey"""),
+
+    // ---- WITH bodies inside correlated IN / scalar subqueries -----------
+    // the body's own CTE list binds uncorrelated before its FROM, so a
+    // CTE-named source resolves during the correlation probe and the
+    // null-aware NOT IN lowering sees the composed body. The CTE filter
+    // keeps the value set partial (o_custkey < 500) so both membership
+    // outcomes occur.
+    engineSql("qe128_notin_with_body",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 600 AND c_custkey NOT IN (
+           WITH big AS (SELECT o_custkey AS k, o_totalprice AS p FROM orders
+                         WHERE o_totalprice > 100 AND o_custkey < 500)
+           SELECT k FROM big WHERE p > c_acctbal)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 600 and c_custkey not in (
+           with big as (select o_custkey as k, o_totalprice as p from orders
+                         where o_totalprice > 100 and o_custkey < 500)
+           select k from big where p > c_acctbal)
+         order by c_custkey"""),
+
+    // equality-correlated scalar aggregate whose body reads a CTE — the
+    // decorrelated group-by-key aggregate rides the CTE's plan
+    engineSql("qe129_scalar_with_body",
+      """SELECT c_custkey,
+                (WITH lo AS (SELECT o_custkey AS k, o_totalprice AS p
+                              FROM orders WHERE o_orderstatus = 'F')
+                 SELECT max(p) FROM lo WHERE k = c_custkey) AS mx
+         FROM customer WHERE c_custkey < 400 ORDER BY c_custkey""",
+      """select c_custkey,
+                (with lo as (select o_custkey as k, o_totalprice as p
+                              from orders where o_orderstatus = 'F')
+                 select max(p) from lo where k = c_custkey) as mx
+         from customer where c_custkey < 400 order by c_custkey"""))
 }

@@ -401,6 +401,88 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  // ---- WITH bodies inside correlated IN / scalar subqueries -----------
+
+  test("correlated IN with a WITH body equals the inlined form") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 300 and c_custkey in (
+           with big as (select o_custkey as k, o_totalprice as p from orders
+                         where o_totalprice > 100)
+           select k from big where p > c_acctbal)
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 300 and c_custkey in (
+           select o_custkey from orders
+            where o_totalprice > 100 and o_totalprice > c_acctbal)
+         order by c_custkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("correlated NOT IN with a WITH body equals the inlined form") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 300 and c_custkey not in (
+           with big as (select o_custkey as k, o_totalprice as p from orders
+                         where o_totalprice > 100 and o_custkey < 50)
+           select k from big where p > c_acctbal)
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 300 and c_custkey not in (
+           select o_custkey from orders
+            where o_totalprice > 100 and o_custkey < 50
+              and o_totalprice > c_acctbal)
+         order by c_custkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("correlated scalar with a WITH body equals the inlined form") {
+    val got = rows(
+      """select c_custkey,
+                (with lo as (select o_custkey as k, o_totalprice as p
+                              from orders where o_orderstatus = 'F')
+                 select max(p) from lo where k = c_custkey) as mx
+         from customer where c_custkey < 200 order by c_custkey""")
+    val want = rows(
+      """select c_custkey,
+                (select max(o_totalprice) from orders
+                  where o_orderstatus = 'F' and o_custkey = c_custkey) as mx
+         from customer where c_custkey < 200 order by c_custkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("uncorrelated scalar with a WITH body works") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_acctbal > (with t as (select avg(c_acctbal) as a from customer)
+                            select a from t)
+           and c_custkey < 100
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_acctbal > (select avg(c_acctbal) from customer)
+           and c_custkey < 100
+         order by c_custkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("theta-correlated scalar with a WITH body equals the inlined form") {
+    val got = rows(
+      """select c_custkey,
+                (with lo as (select o_custkey as k, o_totalprice as p
+                              from orders)
+                 select count(1) from lo where p > c_acctbal and k < 500) as n
+         from customer where c_custkey < 150 order by c_custkey""")
+    val want = rows(
+      """select c_custkey,
+                (select count(1) from orders
+                  where o_totalprice > c_acctbal and o_custkey < 500) as n
+         from customer where c_custkey < 150 order by c_custkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
   // ---- ADVICE r6: decomposed NOT IN select-item scope guard -----------
 
   test("NOT IN select item referencing enclosing scopes fails with a clean error") {
