@@ -2099,9 +2099,6 @@ final class Binder(
         val conjuncts = splitAnd(qb.where.get)
         val (local, correlated) = conjuncts.partition(resolvesWithin(_, innerRel))
         if (correlated.isEmpty) None
-        else if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty))
-          err("correlated IN subquery supports plain, DISTINCT, and " +
-            "GROUP BY/HAVING bodies (no LIMIT/DISTINCT ON)")
         else Some((qb, innerRel, local, correlated, bodyCtes))
       case _ => None
     }
@@ -2132,6 +2129,9 @@ final class Binder(
         // per-outer-row theta path: non-equality correlation, or HAVING
         // over an ungrouped aggregate (the per-key grouped lowering
         // cannot distinguish that HAVING from a group filter)
+        if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty))
+          err("correlated IN with non-equality correlation supports plain, " +
+            "DISTINCT, or ungrouped-aggregate bodies (no LIMIT/DISTINCT ON)")
         if (qb.selectList.size != 1)
           err("IN subquery must produce exactly 1 column")
         val selectExpr = qb.selectList.head.expr
@@ -2184,6 +2184,16 @@ final class Binder(
         val selectExpr = qb.selectList.head.expr
         val aggInSelect = collectAggs(selectExpr).distinct
         val isGrouped = qb.groupBy.nonEmpty || qb.having.isDefined || aggInSelect.nonEmpty
+        val onKeys = qb.distinct.toSeq.flatten
+        val hasLimit = qb.limit.isDefined
+        if ((hasLimit || onKeys.nonEmpty) && isGrouped)
+          err("correlated IN with LIMIT/DISTINCT ON takes a plain body " +
+            "(no GROUP BY/HAVING/aggregates)")
+        if (hasLimit && qb.distinct.contains(Nil))
+          err("correlated IN with LIMIT does not combine with DISTINCT")
+        if ((hasLimit || onKeys.nonEmpty) && qb.orderBy.isEmpty)
+          err("correlated IN with LIMIT/DISTINCT ON needs an ORDER BY " +
+            "(the kept rows are arbitrary without one)")
         // UNGROUPED aggregate body: SQL yields exactly ONE value per outer
         // key even when the key's inner set is empty (count-family → 0,
         // others → NULL) — the empty-group branch below must not read as
@@ -2201,8 +2211,46 @@ final class Binder(
             val keyCols = keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
               bindExpr(ie, innerCtx).as(kn)
             }
-            innerCtx.rel.df.select(
-              (keyCols :+ bindExpr(selectExpr, innerCtx).as(n)): _*)
+            if (!hasLimit && onKeys.isEmpty)
+              innerCtx.rel.df.select(
+                (keyCols :+ bindExpr(selectExpr, innerCtx).as(n)): _*)
+            else {
+              // LIMIT/DISTINCT ON see the PER-OUTER-ROW result set: both
+              // lower to windows bucketed by the correlation keys (plus
+              // the ON keys for DISTINCT ON) in the body's ORDER BY —
+              // correlation-key-sized buckets, never a global sort
+              val onNames = onKeys.indices.map(_ => fresh("ion"))
+              val ordNames = qb.orderBy.indices.map(_ => fresh("iord"))
+              var df = innerCtx.rel.df.select(
+                (keyCols ++
+                  onKeys.zip(onNames).map { case (oe, on) =>
+                    bindExpr(oe, innerCtx).as(on) } ++
+                  qb.orderBy.zip(ordNames).map { case (ok, on) =>
+                    bindExpr(ok.expr, innerCtx).as(on) } :+
+                  bindExpr(selectExpr, innerCtx).as(n)): _*)
+              val ordCols = qb.orderBy.zip(ordNames).map { case (ok, on) =>
+                if (ok.desc) col(on).desc else col(on).asc }
+              if (onKeys.nonEmpty) {
+                // keep-first per (correlation keys ∪ ON keys) — DuckDB
+                // DISTINCT ON semantics scoped to each outer row's set
+                val rn = fresh("irn")
+                df = df.withColumn(rn, row_number().over(
+                    Window.partitionBy((keyNames ++ onNames).map(col): _*)
+                      .orderBy(ordCols: _*)))
+                  .filter(col(rn) === 1).drop(rn)
+              }
+              if (hasLimit) {
+                val lc = qb.limit.get
+                val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+                val lim = evalLimitInt(lc.limit, "LIMIT")
+                val rn = fresh("irn")
+                df = df.withColumn(rn, row_number().over(
+                    Window.partitionBy(keyNames.map(col): _*)
+                      .orderBy(ordCols: _*)))
+                  .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
+              }
+              df.select((keyNames.map(col) :+ col(n)): _*)
+            }
           } else {
             val gs = groupedCorrelated(qb, innerCtx, keyPairs, aggInSelect, bodyCtes)
             // re-alias the helper's key names to this lowering's own so

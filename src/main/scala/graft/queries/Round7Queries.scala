@@ -392,5 +392,53 @@ object Round7Queries {
                 (with lo as (select o_custkey as k, o_totalprice as p
                               from orders where o_orderstatus = 'F')
                  select max(p) from lo where k = c_custkey) as mx
-         from customer where c_custkey < 400 order by c_custkey"""))
+         from customer where c_custkey < 400 order by c_custkey"""),
+
+    // ---- LIMIT / DISTINCT ON bodies in correlated IN --------------------
+    // LIMIT sees the PER-OUTER-ROW result set: both sides pick the two
+    // smallest-by-linenumber rows of each order before the membership
+    // test. Ties share the select value (order col = value col), so the
+    // kept set is deterministic in both engines.
+    engineSql("qe130_in_limit_body",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 3000 AND 1 IN (
+           SELECT l_linenumber FROM lineitem WHERE l_orderkey = o_orderkey
+            ORDER BY l_linenumber DESC LIMIT 2)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 3000 and 1 in (
+           select l_linenumber from lineitem where l_orderkey = o_orderkey
+            order by l_linenumber desc limit 2)
+         order by o_orderkey"""),
+
+    // NOT IN over a per-key LIMIT 1 OFFSET 1 window — membership against
+    // the single second-smallest row, negated (empty post-offset set →
+    // NOT IN is true)
+    engineSql("qe131_notin_limit_offset",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 3000 AND 2 NOT IN (
+           SELECT l_linenumber FROM lineitem WHERE l_orderkey = o_orderkey
+            ORDER BY l_linenumber LIMIT 1 OFFSET 1)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 3000 and 2 not in (
+           select l_linenumber from lineitem where l_orderkey = o_orderkey
+            order by l_linenumber limit 1 offset 1)
+         order by o_orderkey"""),
+
+    // DISTINCT ON inside a correlated IN body: keep-first per (outer row,
+    // ON key) in the body's ORDER BY — first linenumber of each parity
+    engineSql("qe132_in_distinct_on_body",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 3000 AND 2 IN (
+           SELECT DISTINCT ON (l_linenumber % 2) l_linenumber
+             FROM lineitem WHERE l_orderkey = o_orderkey
+            ORDER BY l_linenumber % 2, l_linenumber)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 3000 and 2 in (
+           select distinct on (l_linenumber % 2) l_linenumber
+             from lineitem where l_orderkey = o_orderkey
+            order by l_linenumber % 2, l_linenumber)
+         order by o_orderkey"""))
 }

@@ -483,6 +483,97 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got == want)
   }
 
+  // ---- LIMIT / DISTINCT ON bodies in correlated IN --------------------
+
+  test("correlated IN with LIMIT OFFSET equals the count-threshold oracle") {
+    // the body selects its own correlation key, so membership after
+    // LIMIT 1 OFFSET 2 holds iff the key has >= 3 orders
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey in (
+           select o_custkey from orders where o_custkey = c_custkey
+            order by o_orderkey limit 1 offset 2)
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where (select count(1) from orders
+                 where o_custkey = c_custkey) >= 3
+         order by c_custkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("correlated IN LIMIT equals the min-or-second scalar cross-check") {
+    // 1 ∈ (2 smallest linenumbers) iff min = 1 or the 2nd-smallest = 1 —
+    // the rhs rides the already-proven scalar top-1 OFFSET machinery.
+    // Ties within an order share the select value (order col = value
+    // col), so the kept SET is deterministic either way
+    val got = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 2000 and 1 in (
+           select l_linenumber from lineitem where l_orderkey = o_orderkey
+            order by l_linenumber limit 2)
+         order by o_orderkey""")
+    val want = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 2000
+           and ((select min(l_linenumber) from lineitem
+                  where l_orderkey = o_orderkey) = 1
+             or (select l_linenumber from lineitem
+                  where l_orderkey = o_orderkey
+                  order by l_linenumber limit 1 offset 1) = 1)
+         order by o_orderkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("correlated NOT IN with LIMIT complements the IN result") {
+    // linenumbers are never NULL, so IN ∪ NOT IN partitions the keys
+    // (an empty post-limit set makes IN false and NOT IN true)
+    val inKeys = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 2000 and 1 in (
+           select l_linenumber from lineitem where l_orderkey = o_orderkey
+            order by l_linenumber desc limit 2)
+         order by o_orderkey""")
+    val notInKeys = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 2000 and 1 not in (
+           select l_linenumber from lineitem where l_orderkey = o_orderkey
+            order by l_linenumber desc limit 2)
+         order by o_orderkey""")
+    val all = keys(
+      "select o_orderkey from orders where o_orderkey < 2000 order by o_orderkey")
+    assert(inKeys.nonEmpty && notInKeys.nonEmpty)
+    assert(inKeys.toSet.intersect(notInKeys.toSet).isEmpty)
+    assert((inKeys ++ notInKeys).sorted == all)
+  }
+
+  test("correlated IN with DISTINCT ON keeps first per group per outer row") {
+    // DISTINCT ON (parity) ordered by (parity, linenumber) keeps the min
+    // linenumber per parity; 2 is even, so membership ≡ min-even = 2
+    val in2 = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 2000 and 2 in (
+           select distinct on (l_linenumber % 2) l_linenumber
+             from lineitem where l_orderkey = o_orderkey
+            order by l_linenumber % 2, l_linenumber)
+         order by o_orderkey""")
+    val want2 = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 2000
+           and (select min(l_linenumber) from lineitem
+                 where l_orderkey = o_orderkey and l_linenumber % 2 = 0) = 2
+         order by o_orderkey""")
+    assert(in2.nonEmpty && in2 == want2)
+  }
+
+  test("correlated IN with LIMIT and no ORDER BY fails cleanly") {
+    val e = intercept[Exception](rows(
+      """select c_custkey from customer
+         where c_custkey in (
+           select o_custkey from orders where o_custkey = c_custkey limit 2)"""))
+    assert(e.getMessage.contains("needs an ORDER BY"))
+  }
+
   // ---- ADVICE r6: decomposed NOT IN select-item scope guard -----------
 
   test("NOT IN select item referencing enclosing scopes fails with a clean error") {
