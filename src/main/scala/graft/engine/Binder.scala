@@ -2562,19 +2562,23 @@ final class Binder(
     val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
     if (evalLimitInt(lc.limit, "LIMIT") != 1)
       err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
-    if (qb.groupBy.nonEmpty || qb.having.isDefined || qb.distinct.isDefined)
-      err(s"$what supports plain `SELECT expr … ORDER BY … LIMIT 1` bodies")
+    if (qb.distinct.isDefined)
+      err(s"$what supports plain or GROUP BY bodies (no DISTINCT)")
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     if (qb.orderBy.isEmpty)
       err(s"$what needs an ORDER BY (LIMIT 1 without one picks an " +
         "arbitrary row per key)")
     val valueExpr = qb.selectList.head.expr
-    if (collectAggs(valueExpr).nonEmpty)
+    val valueAggs = collectAggs(valueExpr).distinct
+    if (qb.groupBy.isEmpty && (valueAggs.nonEmpty || qb.having.isDefined))
       err(s"$what takes a plain value expression (drop the LIMIT for " +
         "aggregate bodies — they already yield one row)")
     val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
     val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
+    if (qb.groupBy.nonEmpty)
+      return groupedScalarTop1(qb, innerCtx, keyPairs, valueAggs, ctx, off,
+        bodyCtes)
     val keyNames = keyPairs.indices.map(_ => fresh("lk"))
     val valName = fresh("lval")
     val ordNames = qb.orderBy.indices.map(_ => fresh("lord"))
@@ -2597,6 +2601,57 @@ final class Binder(
     }
     val joinCond = outerCols.zip(keyNames).map { case (oc, kn) => oc === proj(kn) }
       .reduce(_ && _)
+    ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
+    proj(valName)
+  }
+
+  /** Correlated scalar with GROUP BY … ORDER BY … LIMIT 1 [OFFSET k] —
+    * the top-group-per-key pattern (`SELECT sum(x) FROM t WHERE t.k =
+    * o.k GROUP BY g ORDER BY sum(x) DESC LIMIT 1`): the shared grouped
+    * correlated lowering builds one row per (correlation key ∪ GROUP BY
+    * key) group, a row_number window bucketed by the correlation keys
+    * ranks the surviving groups in the body's ORDER BY (which may
+    * reference aggregates), and the (k+1)-th group's value left-joins
+    * back. LIMIT 1 guarantees at most one row per key, so no >1-row
+    * raise is needed; missing keys — or fewer than k+1 surviving
+    * groups — are NULL through the left join. Window buckets are
+    * correlation-key groups, never a global sort.
+    * Reference: correlated scalar subqueries compose with GROUP BY and
+    * LIMIT freely (/root/reference/src/parser/mod.rs:447-544,1229-1245). */
+  private def groupedScalarTop1(qb: QueryBody, innerCtx: Ctx,
+      keyPairs: Seq[(Expr, Expr)], valueAggs: Seq[FnCall], ctx: Ctx,
+      off: Int, bodyCtes: Map[String, DataFrame]): Column = {
+    val what = "correlated scalar subquery with GROUP BY and LIMIT"
+    val valueExpr = qb.selectList.head.expr
+    // ORDER BY terms may be aggregates (ranking groups by their
+    // aggregate) — fold them into the grouped aggregate set
+    val ordExprs = qb.orderBy.map(ok => substituteAliases(ok.expr, qb.selectList))
+    val ordAggs = ordExprs.flatMap(collectAggs)
+    val gs = groupedCorrelated(qb, innerCtx, keyPairs,
+      (valueAggs ++ ordAggs).distinct, bodyCtes)
+    val valName = fresh("gtval")
+    val ordNames = ordExprs.indices.map(_ => fresh("gtord"))
+    val base = gs.filtered.select(
+      (gs.keyNames.map(gs.grouped(_)) ++
+        Seq(bindExpr(valueExpr, gs.gCtx).as(valName)) ++
+        ordExprs.zip(ordNames).map { case (oe, on) =>
+          bindExpr(oe, gs.gCtx).as(on) }): _*)
+    val w = Window.partitionBy(gs.keyNames.map(col): _*)
+      .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
+        if (ok.desc) col(on).desc else col(on).asc }: _*)
+    val rn = fresh("gtrn")
+    val proj = base.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === (off + 1))
+      .select((gs.keyNames.map(col) :+ col(valName)): _*)
+    val outerCols = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
+    outerCols.foreach { c =>
+      if (Try(ctx.rel.df.select(c).schema).isFailure)
+        err(s"$what here may only reference columns of the current " +
+          "(left) relation — move it to WHERE or rewrite the join")
+    }
+    val joinCond = outerCols.zip(gs.keyNames).map { case (oc, kn) =>
+      oc === proj(kn) }.reduce(_ && _)
     ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
       ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
     proj(valName)

@@ -440,5 +440,43 @@ object Round7Queries {
            select distinct on (l_linenumber % 2) l_linenumber
              from lineitem where l_orderkey = o_orderkey
             order by l_linenumber % 2, l_linenumber)
-         order by o_orderkey"""))
+         order by o_orderkey"""),
+
+    // ---- GROUP BY bodies under correlated scalar LIMIT 1 ----------------
+    // top-group-per-key: the dominant supplier of each order by summed
+    // quantity (quantities are whole numbers, so the double sums are
+    // exact and the cross-engine ordering is deterministic; ties break
+    // on the suppkey)
+    engineSql("qe133_scalar_group_top1",
+      """SELECT o_orderkey,
+                (SELECT l_suppkey FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                  GROUP BY l_suppkey
+                  ORDER BY sum(l_quantity) DESC, l_suppkey LIMIT 1) AS top_supp
+         FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
+      """select o_orderkey,
+                (select l_suppkey from lineitem
+                  where l_orderkey = o_orderkey
+                  group by l_suppkey
+                  order by sum(l_quantity) desc, l_suppkey limit 1) as top_supp
+         from orders where o_orderkey < 3000 order by o_orderkey"""),
+
+    // HAVING + OFFSET composition: the SECOND-heaviest supplier among
+    // those contributing at least 2 lines (NULL when fewer than two
+    // groups survive the HAVING)
+    engineSql("qe134_scalar_group_top1_having",
+      """SELECT o_orderkey,
+                (SELECT l_suppkey FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                  GROUP BY l_suppkey HAVING count(1) >= 2
+                  ORDER BY sum(l_quantity) DESC, l_suppkey
+                  LIMIT 1 OFFSET 1) AS snd_supp
+         FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
+      """select o_orderkey,
+                (select l_suppkey from lineitem
+                  where l_orderkey = o_orderkey
+                  group by l_suppkey having count(1) >= 2
+                  order by sum(l_quantity) desc, l_suppkey
+                  limit 1 offset 1) as snd_supp
+         from orders where o_orderkey < 3000 order by o_orderkey"""))
 }

@@ -566,6 +566,46 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(in2.nonEmpty && in2 == want2)
   }
 
+  // ---- GROUP BY bodies under correlated scalar LIMIT 1 ----------------
+
+  test("grouped scalar top-1 on the group key equals the plain aggregate") {
+    // grouping by the selected key and taking the last group in key
+    // order is max(key) — a data-independent identity
+    val got = rows(
+      """select o_orderkey,
+                (select l_suppkey from lineitem
+                  where l_orderkey = o_orderkey
+                  group by l_suppkey order by l_suppkey desc limit 1) as s
+         from orders where o_orderkey < 500 order by o_orderkey""")
+    val want = rows(
+      """select o_orderkey,
+                (select max(l_suppkey) from lineitem
+                  where l_orderkey = o_orderkey) as s
+         from orders where o_orderkey < 500 order by o_orderkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("grouped scalar top-1 OFFSET picks the second group") {
+    // groups are linenumber parities in parity order; the second group
+    // exists (value 1) iff the order has both parities
+    val got = rows(
+      """select o_orderkey,
+                (select l_linenumber % 2 from lineitem
+                  where l_orderkey = o_orderkey
+                  group by l_linenumber % 2
+                  order by l_linenumber % 2 limit 1 offset 1) as p
+         from orders where o_orderkey < 500 order by o_orderkey""")
+    val want = rows(
+      """select o_orderkey,
+                case when (select min(l_linenumber % 2) from lineitem
+                            where l_orderkey = o_orderkey) = 0
+                       and (select max(l_linenumber % 2) from lineitem
+                            where l_orderkey = o_orderkey) = 1
+                     then 1 end as p
+         from orders where o_orderkey < 500 order by o_orderkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
   test("correlated IN with LIMIT and no ORDER BY fails cleanly") {
     val e = intercept[Exception](rows(
       """select c_custkey from customer
