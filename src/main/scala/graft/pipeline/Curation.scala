@@ -237,6 +237,69 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  // ---- sliding-window chunking ------------------------------------------
+
+  /** Overlapping fixed-window chunking of long documents — the standard
+    * long-context preprocessing split (window `window` tokens, stride
+    * `stride`, so consecutive chunks overlap by `window - stride`).
+    * Chunk starts are 0, stride, 2·stride, … and the LAST chunk is the
+    * first one whose window reaches the document's end (shorter than
+    * `window` when the tail is short). Empty documents yield no chunks.
+    *
+    * Output is chunk METADATA (doc id, chunk index, token start, token
+    * length) — like [[packSequences]], the text itself is never copied
+    * or shuffled; the loader slices each chunk from its document at
+    * read time. The whole operator is a projection + explode over a
+    * per-doc `sequence()` — a narrow transformation with NO shuffle at
+    * any scale, so it parallelizes perfectly at 100 TB. */
+  def chunkSlidingWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 512, stride: Int = 384): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val base = docs.select(col(idCol).as("id"),
+      TextOps.bpeishTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    // last chunk index = ceil(max(n - window, 0) / stride); integer-exact
+    val lastIdx = expr(
+      s"(greatest(n_tokens - $window, 0L) + ${stride - 1}) DIV $stride")
+    base.withColumn("chunk_id", explode(sequence(lit(0L), lastIdx)))
+      .select(col("id").as(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(lit(window.toLong),
+          col("n_tokens") - col("chunk_id") * stride).as("tok_len"))
+      .orderBy(col(idCol), col("chunk_id"))
+  }
+
+  // ---- vocabulary building (global token frequency top-k) ----------------
+
+  /** Top-`k` most frequent case-folded BPE-ish tokens across the corpus
+    * with their counts and dense rank — the seed statistic for vocab
+    * construction and frequency-based filters. Ties are broken by token
+    * text, so the ranking is deterministic in any engine.
+    *
+    * Shape at scale: explode + one hash-aggregate shuffle on the token
+    * (map-side partial aggregation collapses each partition's counts
+    * first, so the shuffle carries at most |vocab| rows per partition,
+    * not one row per token occurrence). The global rank then uses the
+    * salted two-phase top-k (the [[Similarity]] shape): per-salt-bucket
+    * top k — a lossless pre-thin — then an exact rank over ≤ salts·k
+    * survivors, so no single partition ever sees the full vocabulary. */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int,
+      salts: Int = 64): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.bpeishTokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w1 = Window.partitionBy(pmod(xxhash64(col("token")), lit(salts.toLong)))
+      .orderBy(col("cnt").desc, col("token").asc)
+    val pruned = counts.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k).drop("__r1")
+    val w2 = Window.orderBy(col("cnt").desc, col("token").asc)
+    pruned.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("token"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
   // ---- per-source document cap ------------------------------------------
 
   /** Caps every source (domain) at `cap` documents, keeping a

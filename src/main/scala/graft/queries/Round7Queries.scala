@@ -53,6 +53,45 @@ object Round7Queries {
       (s, dir) => Curation.shufflePositions(
         Tables.load(s, dir, "documents"), "doc_id")),
 
+    // ---- sliding-window chunking ----------------------------------------
+    // overlapping long-doc splits (window 32 tokens, stride 24 — sized so
+    // the fixture's 10-99-token docs exercise 1-4 chunks each). Output is
+    // chunk metadata only; all-integer arithmetic on the shared BPE-ish
+    // token count, bit-stable across engines.
+    QueryDef(
+      "qp80_chunk_windows",
+      Some("""WITH d AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]+')) AS BIGINT) n
+                FROM documents),
+              k AS (SELECT doc_id, n,
+                  CAST(unnest(generate_series(0,
+                    (CASE WHEN n > 32 THEN n - 32 ELSE 0 END + 23) // 24)) AS BIGINT) AS chunk_id
+                FROM d WHERE n > 0)
+          SELECT doc_id, chunk_id, chunk_id * 24 AS tok_start,
+                 CASE WHEN n - chunk_id * 24 < 32
+                      THEN n - chunk_id * 24 ELSE 32 END AS tok_len
+          FROM k ORDER BY doc_id, chunk_id"""),
+      (s, dir) => Curation.chunkSlidingWindows(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)),
+
+    // ---- vocabulary top-k ------------------------------------------------
+    // global token-frequency ranking (case-folded BPE-ish tokens, top
+    // 100, ties by token text) — the salted two-phase top-k keeps every
+    // window partition bounded; counts and rank are integer-exact.
+    QueryDef(
+      "qp81_vocab_topk",
+      Some("""WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
+                  '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]+')) AS token
+                FROM documents),
+              c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                FROM t GROUP BY token)
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+                 token, cnt
+          FROM c ORDER BY cnt DESC, token LIMIT 100"""),
+      (s, dir) => Curation.vocabTopK(
+        Tables.load(s, dir, "documents"), "text", k = 100)),
+
     // ---- nested NOT IN with a GROUP BY body + grandparent ref -----------
     // the membership set is per-group counts of this order's lines priced
     // above the GRANDPARENT customer's balance, one count per supplier;

@@ -270,6 +270,58 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- per-source document cap ----------------------------------------
 
+  test("chunkSlidingWindows: exact boundaries, overlap, and short tail") {
+    // doc 1: 10 tokens, window 8, stride 4 → chunks [0,8) and [4,10):
+    // last index = ceil((10-8)/4) = 1; tail chunk is 6 long
+    val out = Curation.chunkSlidingWindows(
+      docs(1L -> ("x " * 10).trim), "doc_id", "text",
+      window = 8, stride = 4).collect()
+    assert(out.map(r => (r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("tok_start"), r.getAs[Long]("tok_len"))).toSeq ==
+      Seq((0L, 0L, 8L), (1L, 4L, 6L)))
+  }
+
+  test("chunkSlidingWindows: every token is covered; empty docs vanish") {
+    // doc of n tokens: union of [start, start+len) must be [0, n); an
+    // empty doc contributes no chunks at all
+    val out = Curation.chunkSlidingWindows(
+      docs(1L -> ("t " * 25).trim, 2L -> "", 3L -> ("y " * 8).trim),
+      "doc_id", "text", window = 8, stride = 5).collect()
+    assert(!out.exists(_.getAs[Long]("doc_id") == 2L))
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    for ((id, n) <- Seq(1L -> 25, 3L -> 8)) {
+      val covered = byDoc(id).flatMap { r =>
+        val s = r.getAs[Long]("tok_start"); val l = r.getAs[Long]("tok_len")
+        s until (s + l)
+      }.toSet
+      assert(covered == (0 until n).map(_.toLong).toSet)
+      // no chunk exceeds the window, and only the LAST chunk may be short
+      val lens = byDoc(id).sortBy(_.getAs[Long]("chunk_id"))
+        .map(_.getAs[Long]("tok_len"))
+      assert(lens.forall(_ <= 8))
+      assert(lens.dropRight(1).forall(_ == 8))
+    }
+  }
+
+  test("vocabTopK ranks by count then token, exactly") {
+    // counts: a=3 b=3 c=2 d=1 — ties (a,b) break by token text
+    val out = Curation.vocabTopK(
+      docs(1L -> "a b c", 2L -> "a b c", 3L -> "a b d"),
+      "text", k = 3).collect()
+    assert(out.map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
+      r.getAs[Long]("cnt"))).toSeq ==
+      Seq((1L, "a", 3L), (2L, "b", 3L), (3L, "c", 2L)))
+  }
+
+  test("vocabTopK case-folds and is unaffected by the salt count") {
+    val d = docs(1L -> "The THE the word Word", 2L -> "word apple")
+    val r1 = Curation.vocabTopK(d, "text", k = 4, salts = 2).collect()
+    val r64 = Curation.vocabTopK(d, "text", k = 4, salts = 64).collect()
+    assert(r1.toSeq == r64.toSeq)
+    assert(r1.map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSeq ==
+      Seq("the" -> 3L, "word" -> 3L, "apple" -> 1L))
+  }
+
   test("assignSplit is a stable pure function with permille-exact regions") {
     import spark.implicits._
     val fixture = (0L until 2000L).map(i => (i, "x")).toDF("doc_id", "text")
