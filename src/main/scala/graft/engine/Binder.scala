@@ -2662,16 +2662,21 @@ final class Binder(
     * carrying (first value, row count) and left-joins back; unmatched
     * keys are NULL, keys with several rows raise at execution — SQL
     * scalar-subquery semantics, enforced distributedly (the count rides
-    * the same aggregate, no extra pass). */
+    * the same aggregate, no extra pass). With `distinct`, the (key,
+    * value) pairs dedupe FIRST — so the >1-row raise counts distinct
+    * values (NULL counts as a value, matching SELECT DISTINCT rows),
+    * and a key whose matches all share one value is a legal scalar. */
   private def bareCorrelatedLookup(valueExpr: Expr,
-      keyPairs: Seq[(Expr, Expr)], innerCtx: Ctx, ctx: Ctx, what: String): Column = {
+      keyPairs: Seq[(Expr, Expr)], innerCtx: Ctx, ctx: Ctx, what: String,
+      distinct: Boolean = false): Column = {
     val keyNames = keyPairs.indices.map(_ => fresh("bk"))
     val valName = fresh("bval")
     val cntName = fresh("bcnt")
-    val base = innerCtx.rel.df.select(
+    val base0 = innerCtx.rel.df.select(
       (keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
         bindExpr(ie, innerCtx).as(kn) } :+
         bindExpr(valueExpr, innerCtx).as(valName)): _*)
+    val base = if (distinct) base0.distinct() else base0
     val proj = base.groupBy(keyNames.map(col): _*)
       .agg(first(col(valName)).as(valName), count(lit(1)).as(cntName))
     val outerCols = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
@@ -2799,12 +2804,15 @@ final class Binder(
       return decorrelateScalarTheta(qb, innerRel, local, correlated, ctx, bodyCtes)
     if (qb.limit.isDefined)
       return decorrelateScalarTop1(qb, innerRel, local, correlated, ctx, bodyCtes)
-    if (qb.distinct.isDefined)
-      err(s"$what supports aggregate bodies with optional GROUP BY/HAVING " +
-        "(no DISTINCT)")
+    if (qb.distinct.exists(_.nonEmpty))
+      err(s"$what supports plain DISTINCT bodies only (no DISTINCT ON)")
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     val valueExpr = qb.selectList.head.expr
     val valueAggs = collectAggs(valueExpr).distinct
+    if (qb.distinct.contains(Nil) &&
+        (valueAggs.nonEmpty || qb.groupBy.nonEmpty || qb.having.isDefined))
+      err(s"$what: DISTINCT applies to bare lookup bodies only " +
+        "(aggregate bodies already yield one row)")
     if (valueAggs.isEmpty && qb.groupBy.isEmpty && qb.having.isDefined)
       err(s"$what with HAVING needs an aggregate or GROUP BY body")
 
@@ -2822,7 +2830,8 @@ final class Binder(
       // actually match an offending key raise — same deferred-raise
       // rule as the GROUP BY branch below. ORDER BY without LIMIT is a
       // no-op here (LIMIT bodies routed to decorrelateScalarTop1 above).
-      return bareCorrelatedLookup(valueExpr, keyPairs, innerCtx, ctx, what)
+      return bareCorrelatedLookup(valueExpr, keyPairs, innerCtx, ctx, what,
+        distinct = qb.distinct.contains(Nil))
 
     val ungrouped = qb.groupBy.isEmpty
     val gs = groupedCorrelated(qb, innerCtx, keyPairs, valueAggs, bodyCtes)

@@ -517,5 +517,20 @@ object Round7Queries {
                   group by l_suppkey having count(1) >= 2
                   order by sum(l_quantity) desc, l_suppkey
                   limit 1 offset 1) as snd_supp
+         from orders where o_orderkey < 3000 order by o_orderkey"""),
+
+    // ---- DISTINCT bodies in correlated scalar lookups -------------------
+    // the deduped (key, value) stream enforces the single-row rule over
+    // DISTINCT values; the fixture's value (l_orderkey % 7) is constant
+    // within each key, so both engines see a legal one-row scalar —
+    // orders without lines are NULL through the left join
+    engineSql("qe135_scalar_distinct_lookup",
+      """SELECT o_orderkey,
+                (SELECT DISTINCT l_orderkey % 7 FROM lineitem
+                  WHERE l_orderkey = o_orderkey) AS m
+         FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
+      """select o_orderkey,
+                (select distinct l_orderkey % 7 from lineitem
+                  where l_orderkey = o_orderkey) as m
          from orders where o_orderkey < 3000 order by o_orderkey"""))
 }

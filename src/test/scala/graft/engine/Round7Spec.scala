@@ -606,6 +606,37 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got == want)
   }
 
+  // ---- DISTINCT bodies in correlated scalar lookups -------------------
+
+  test("DISTINCT scalar lookup collapses duplicate values to one row") {
+    // every lineitem of an order shares l_orderkey % 7, so the deduped
+    // lookup is a legal scalar; without DISTINCT the same body raises
+    // on any order with >1 line
+    val got = rows(
+      """select o_orderkey,
+                (select distinct l_orderkey % 7 from lineitem
+                  where l_orderkey = o_orderkey) as m
+         from orders where o_orderkey < 300 order by o_orderkey""")
+    val want = rows(
+      """select o_orderkey,
+                case when exists (select 1 from lineitem
+                                   where l_orderkey = o_orderkey)
+                     then o_orderkey % 7 end as m
+         from orders where o_orderkey < 300 order by o_orderkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("DISTINCT scalar lookup still raises on >1 distinct value") {
+    val e = intercept[Exception](rows(
+      """select o_orderkey,
+                (select distinct l_partkey from lineitem
+                  where l_orderkey = o_orderkey) as p
+         from orders where o_orderkey < 300 order by o_orderkey"""))
+    assert(e.getMessage.contains("more than one row") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("more than one row"))
+  }
+
   test("correlated IN with LIMIT and no ORDER BY fails cleanly") {
     val e = intercept[Exception](rows(
       """select c_custkey from customer
