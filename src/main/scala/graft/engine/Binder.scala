@@ -1176,10 +1176,19 @@ final class Binder(
   private def joinNestedBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
       ctes: Map[String, DataFrame], anti: Boolean): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
-    // plain DISTINCT is membership/existence-blind — ignore it; DISTINCT
-    // ON changes WHICH row represents a key (order-dependent), so reject
-    nqb.distinct.foreach(on => if (on.nonEmpty)
-      err(s"a grandparent-correlated $what must not use DISTINCT ON"))
+    // plain DISTINCT is membership/existence-blind — ignore it. DISTINCT
+    // ON keeps one row per ON-key, which cannot change EXISTENCE either
+    // (≥1 row stays ≥1 row), so the EXISTS form drops it too; only the
+    // IN form depends on WHICH row survives (the membership set is the
+    // kept rows' select values, order-dependent) and is rejected
+    // (droppable only for plain bodies: under LIMIT OFFSET the count
+    // rewrite below would count pre-distinct rows, and with GROUP BY the
+    // ON keys apply post-aggregation — both keep the clean error)
+    nqb.distinct.foreach(on => if (on.nonEmpty &&
+        (lhsOpt.isDefined || nqb.limit.isDefined || nqb.groupBy.nonEmpty ||
+          nqb.having.isDefined))
+      err(s"a grandparent-correlated $what supports DISTINCT ON only on a " +
+        "plain EXISTS body (drop the ON keys, LIMIT, or grouping)"))
     // LIMIT/OFFSET on an EXISTS-form body lowers by COUNTING (the same
     // rewrites as lowerExists): LIMIT k>0 never changes existence,
     // LIMIT 0 makes it constant, OFFSET o needs MORE THAN o pre-limit
@@ -1463,9 +1472,16 @@ final class Binder(
   private def flattenExistsBody(nqb: QueryBody, lhsOpt: Option[Expr],
       innerCtx: Ctx, what: String, enclosingQuals: Set[String]): Seq[Expr] = {
     if (nqb.ctes.nonEmpty || nqb.groupBy.nonEmpty || nqb.having.isDefined ||
-        nqb.distinct.isDefined || nqb.limit.isDefined)
+        nqb.limit.isDefined)
       err(s"a grandparent-correlated nested subquery in a $what must be a " +
-        "plain body (no WITH/GROUP BY/HAVING/DISTINCT/LIMIT)")
+        "plain body (no WITH/GROUP BY/HAVING/LIMIT)")
+    // plain DISTINCT is membership/existence-blind — drop it. DISTINCT ON
+    // keeps ≥1 row per ON-key so the EXISTS form (no lhs) drops it too;
+    // only the IN form depends on WHICH row survives (the membership set
+    // is the kept rows' select values, order-dependent) and is rejected
+    nqb.distinct.foreach(on => if (on.nonEmpty && lhsOpt.isDefined)
+      err(s"a grandparent-correlated nested IN subquery in a $what " +
+        "supports DISTINCT ON only in the EXISTS form (drop the ON keys)"))
     val base = nqb.from.map(bindSource(_, innerCtx.ctes))
       .getOrElse(err(s"nested subquery in a $what needs a FROM"))
     val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, innerCtx.ctes))

@@ -606,6 +606,43 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got == want)
   }
 
+  // ---- DISTINCT ON in nested grandparent EXISTS bodies ----------------
+
+  test("nested EXISTS body with DISTINCT ON equals the plain form") {
+    // DISTINCT ON cannot change existence — the engine drops it on the
+    // plain EXISTS path (grandparent ref forces the nested lowering)
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and exists (
+               select distinct on (l_suppkey) l_extendedprice from lineitem
+                where l_orderkey = o_orderkey and l_extendedprice > c_acctbal
+                order by l_suppkey, l_linenumber))
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and exists (
+               select 1 from lineitem
+                where l_orderkey = o_orderkey and l_extendedprice > c_acctbal))
+         order by c_custkey""")
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("nested IN body with DISTINCT ON fails cleanly") {
+    val e = intercept[Exception](rows(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and o_orderkey in (
+               select distinct on (l_suppkey) l_orderkey from lineitem
+                where l_extendedprice > c_acctbal
+                order by l_suppkey, l_linenumber))"""))
+    assert(e.getMessage.contains("DISTINCT ON"))
+  }
+
   // ---- DISTINCT bodies in correlated scalar lookups -------------------
 
   test("DISTINCT scalar lookup collapses duplicate values to one row") {
