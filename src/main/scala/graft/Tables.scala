@@ -13,16 +13,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects; spark.sql.legacy.parquet.nanosAsLong (set at session
-      // build — Sessions.build) reads it as a long. Floor-divide ns → us
-      // (pmod keeps floor semantics for pre-epoch timestamps, matching
-      // DuckDB's narrowing; plain `div` truncates toward zero).
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The driver has shipped events.parquet with two ts layouts:
+    * TIMESTAMP(NANOS) (readable only as a long via
+    * spark.sql.legacy.parquet.nanosAsLong — set at session build,
+    * Sessions.build) and TIMESTAMP(MICROS) (plain TIMESTAMP_NTZ to
+    * Spark). Normalize both to a session-TZ (UTC) TimestampType column
+    * at micros precision — the type every downstream query and the
+    * DuckDB oracle already agree on. For the nanos layout, floor-divide
+    * ns → us (pmod keeps floor semantics for pre-epoch timestamps,
+    * matching DuckDB's narrowing; plain `div` truncates toward zero). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view (for the SQL route / NutQL engine). */

@@ -156,10 +156,20 @@ object CurationQueries {
                  MIN(tns) session_start, MAX(tns) - MIN(tns) span_nanos
           FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
       (s, dir) => Curation.sessionize(
-        // raw read keeps ts as nanos-as-long; floor to micros ticks to
-        // match what DuckDB's reader (micros timestamps) sees in epoch_ns
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("ts - pmod(ts, 1000)")),
+        // sessionize wants epoch-nanos longs; derive them from whichever
+        // ts layout the fixture ships (nanos-as-long floored to micros
+        // ticks — what DuckDB's micros reader sees in epoch_ns — or a
+        // micros timestamp scaled up exactly)
+        {
+          val raw = s.read.parquet(s"$dir/events.parquet")
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              raw.withColumn("ts", expr("ts - pmod(ts, 1000)"))
+            case _ =>
+              raw.withColumn("ts",
+                unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          }
+        },
         "user_id", "ts", "event_id",
         gapNanos = 43200000000000L)),
 

@@ -37,11 +37,9 @@ object StreamRunner {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
     try {
-      val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
-        // nanos→micros narrowing, same as Tables.load (events ts is
-        // TIMESTAMP(NANOS), read as long via nanosAsLong)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      // same layout-adaptive ts normalization as the batch loaders
+      val stream = graft.Tables.normalizeEventTs(
+        s.readStream.schema(raw.schema).parquet(tmp.toString))
       val q = startWithPartitions(s, statePartitions) {
         build(stream)
           .writeStream.format("memory").queryName(sinkName)

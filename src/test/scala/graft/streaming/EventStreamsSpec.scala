@@ -107,11 +107,10 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.Tables.load(spark, dir, "events")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
+    val stream = graft.Tables.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      .parquet(dir))
     val q = stream.groupBy("event_type").agg(count(lit(1)).as("cnt"))
       .writeStream.format("memory").queryName("ev_counts")
       .outputMode("complete").start()
