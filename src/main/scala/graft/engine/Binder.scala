@@ -2154,9 +2154,10 @@ final class Binder(
         val aggInSelect = collectAggs(selectExpr).distinct
         val what = "correlated IN subquery (theta path)"
         if (aggInSelect.nonEmpty || qb.having.isDefined || qb.groupBy.nonEmpty) {
-          if (qb.groupBy.nonEmpty)
-            err("correlated IN with non-equality correlation supports " +
-              "plain or ungrouped-aggregate bodies (no GROUP BY)")
+          if (qb.groupBy.nonEmpty) {
+            val r = thetaGroupedIn(qb, innerRel, local, correlated, ctx, lhs, bodyCtes)
+            return if (negated) !r else r
+          }
           // ungrouped aggregate: exactly ONE value per outer row —
           // `x IN (v)` is the 3-valued `x = v`. A HAVING that fails (or
           // is UNKNOWN) empties the subquery's result set, and IN over
@@ -2796,6 +2797,89 @@ final class Binder(
       ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
     when(coalesce(proj(gcName), lit(0L)) <= 1, proj(valName))
       .otherwise(raise_error(lit("scalar subquery returned more than one row")))
+  }
+
+  /** GROUP BY body under THETA (non-equality) correlation in IN
+    * position: the membership set per outer row is the HAVING-surviving
+    * groups' select values. rid-tag the outer frame, inner-join on the
+    * correlated conjuncts (unmatched rids keep an EMPTY set — IN over
+    * it is FALSE for any lhs, NULL included), group by (rid ∪ explicit
+    * GROUP BY keys), filter HAVING, and reduce each rid's surviving
+    * values to the three-valued IN stats (match / group count /
+    * has-null) joined back by rid. Groups never span rids, so both
+    * aggregations ride the rid exchange — no global shuffle beyond the
+    * correlation join itself. */
+  private def thetaGroupedIn(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
+      correlated: Seq[Expr], ctx: Ctx, lhs: Column,
+      bodyCtes: Map[String, DataFrame]): Column = {
+    val what = "correlated IN subquery (theta path, GROUP BY body)"
+    // plain DISTINCT is membership-blind; DISTINCT ON/LIMIT were
+    // rejected by the caller before routing here
+    if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty))
+      err(s"$what takes a grouped aggregate body (no LIMIT/DISTINCT ON)")
+    if (qb.selectList.size != 1) err("IN subquery must produce exactly 1 column")
+    val valueExpr = qb.selectList.head.expr
+    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
+    applyLocal(local, innerCtx, what)
+    val rid = fresh("tirid")
+    val rid2 = fresh("tirid2")
+    val lhsName = fresh("tilhs")
+    // persist: the rid feeds the correlation join AND the join-back;
+    // monotonically_increasing_id is not stable across recomputations
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+    // lhs is an outer-row expression — constant within a rid; stamp it
+    // on the frame before the join so the group-level match can use it
+    val joined =
+      try outer.withColumn(lhsName, lhs).join(renamed, cond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what here may only reference columns of the current " +
+            "(left) relation — move it to WHERE or rewrite the join")
+      }
+    val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
+    val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+      .map(e => (e, fresh("tig")))
+    val aggCalls = (collectAggs(valueExpr) ++
+      havingExpr.toSeq.flatMap(collectAggs)).distinct
+    val aggPairs = aggCalls.map(fc => (fc, fresh("tia")))
+    val aggCols = aggPairs.map { case (fc, nm) => bindAggCall(fc, jCtx).as(nm) } match {
+      case Nil => Seq(count(lit(1)).as(fresh("tic0")))
+      case cs => cs
+    }
+    val groupCols = Seq(col(rid), col(lhsName)) ++ groupPairs.map { case (e, nm) =>
+      bindExpr(e, jCtx).as(nm)
+    }
+    val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val gCtx = new Ctx(
+      Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+      None, bodyCtes,
+      subst = aggPairs.map { case (fc, nm) => (fc: Expr) -> grouped(nm) }.toMap ++
+        groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
+    val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+      .getOrElse(grouped)
+    val vName = fresh("tiv")
+    val perGroup = filtered.select(col(rid), col(lhsName),
+      bindExpr(valueExpr, gCtx).as(vName))
+    val matchN = fresh("timatch")
+    val cntN = fresh("ticnt")
+    val nullN = fresh("tinull")
+    val proj = perGroup.groupBy(col(rid)).agg(
+        max(when(col(vName) === col(lhsName), lit(1))).as(matchN),
+        count(lit(1)).as(cntN),
+        (count(when(col(vName).isNull, 1)) > 0).as(nullN))
+      .withColumnRenamed(rid, rid2)
+    ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(matchN, cntN, nullN)))
+    when(proj(matchN) === 1, lit(true))
+      .when(coalesce(proj(cntN), lit(0L)) === 0, lit(false))
+      .when(lhs.isNull || proj(nullN), lit(null).cast("boolean"))
+      .otherwise(lit(false))
   }
 
   /** Correlated scalar subquery decorrelation. Bodies supported:

