@@ -2145,9 +2145,10 @@ final class Binder(
         // per-outer-row theta path: non-equality correlation, or HAVING
         // over an ungrouped aggregate (the per-key grouped lowering
         // cannot distinguish that HAVING from a group filter)
-        if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty))
-          err("correlated IN with non-equality correlation supports plain, " +
-            "DISTINCT, or ungrouped-aggregate bodies (no LIMIT/DISTINCT ON)")
+        if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty)) {
+          val r = thetaLimitIn(qb, innerRel, local, correlated, ctx, lhs, bodyCtes)
+          return if (negated) !r else r
+        }
         if (qb.selectList.size != 1)
           err("IN subquery must produce exactly 1 column")
         val selectExpr = qb.selectList.head.expr
@@ -2830,7 +2831,12 @@ final class Binder(
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
-    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    // parallelize the streamed side of the theta join (single-split
+    // parquet inputs would otherwise serialize the join predicate and
+    // the partial aggregation pass on one core — see thetaLimitIn)
+    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val renamed = renamed0.repartition(
+      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
     val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
     val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
     // lhs is an outer-row expression — constant within a rid; stamp it
@@ -2870,6 +2876,100 @@ final class Binder(
     val cntN = fresh("ticnt")
     val nullN = fresh("tinull")
     val proj = perGroup.groupBy(col(rid)).agg(
+        max(when(col(vName) === col(lhsName), lit(1))).as(matchN),
+        count(lit(1)).as(cntN),
+        (count(when(col(vName).isNull, 1)) > 0).as(nullN))
+      .withColumnRenamed(rid, rid2)
+    ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(matchN, cntN, nullN)))
+    when(proj(matchN) === 1, lit(true))
+      .when(coalesce(proj(cntN), lit(0L)) === 0, lit(false))
+      .when(lhs.isNull || proj(nullN), lit(null).cast("boolean"))
+      .otherwise(lit(false))
+  }
+
+  /** LIMIT / DISTINCT ON body under THETA (non-equality) correlation in
+    * IN position: the membership set per outer row is the window-kept
+    * slice of that row's matching inner rows. Same rid-tagged frame as
+    * [[thetaGroupedIn]], with the per-row set shaped by windows
+    * PARTITIONED BY rid (plus the ON keys for DISTINCT ON) in the
+    * body's ORDER BY — rid-sized buckets, never a global sort. The
+    * inner correlation join drops unmatched rids, whose set is empty
+    * (IN → FALSE for any lhs). */
+  private def thetaLimitIn(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
+      correlated: Seq[Expr], ctx: Ctx, lhs: Column,
+      bodyCtes: Map[String, DataFrame]): Column = {
+    val what = "correlated IN subquery (theta path, LIMIT/DISTINCT ON body)"
+    if (qb.groupBy.nonEmpty || qb.having.isDefined ||
+        collectAggs(qb.selectList.head.expr).nonEmpty)
+      err(s"$what takes a plain body (no GROUP BY/HAVING/aggregates)")
+    if (qb.limit.isDefined && qb.distinct.contains(Nil))
+      err("correlated IN with LIMIT does not combine with DISTINCT")
+    if (qb.orderBy.isEmpty)
+      err(s"$what needs an ORDER BY (the kept rows are arbitrary without one)")
+    if (qb.selectList.size != 1) err("IN subquery must produce exactly 1 column")
+    val selectExpr = qb.selectList.head.expr
+    val onKeys = qb.distinct.toSeq.flatten
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
+    applyLocal(local, innerCtx, what)
+    val rid = fresh("tlrid")
+    val rid2 = fresh("tlrid2")
+    val lhsName = fresh("tllhs")
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    // the theta join broadcasts the (small) outer frame and STREAMS the
+    // inner side — whose parquet file is often a single split, which
+    // would serialize the join predicate AND the per-rid window's
+    // partial sort pass on one core. A round-robin repartition of the
+    // (pre-join, narrow) inner rows is one cheap shuffle that
+    // parallelizes everything downstream; the window's own rid exchange
+    // then only moves the pruned survivors.
+    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val renamed = renamed0.repartition(
+      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+    val joined =
+      try outer.withColumn(lhsName, lhs).join(renamed, cond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what here may only reference columns of the current " +
+            "(left) relation — move it to WHERE or rewrite the join")
+      }
+    val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
+    val vName = fresh("tlv")
+    val onNames = onKeys.indices.map(_ => fresh("tlon"))
+    val ordNames = qb.orderBy.indices.map(_ => fresh("tlord"))
+    var df = joined.select(
+      (Seq(col(rid), col(lhsName)) ++
+        onKeys.zip(onNames).map { case (oe, on) => bindExpr(oe, jCtx).as(on) } ++
+        qb.orderBy.zip(ordNames).map { case (ok, on) =>
+          bindExpr(ok.expr, jCtx).as(on) } :+
+        bindExpr(selectExpr, jCtx).as(vName)): _*)
+    val ordCols = qb.orderBy.zip(ordNames).map { case (ok, on) =>
+      if (ok.desc) col(on).desc else col(on).asc }
+    if (onKeys.nonEmpty) {
+      // keep-first per (rid ∪ ON keys) — DuckDB DISTINCT ON semantics
+      // scoped to each outer row's set
+      val rn = fresh("tlrn")
+      df = df.withColumn(rn, row_number().over(
+          Window.partitionBy((col(rid) +: onNames.map(col)): _*)
+            .orderBy(ordCols: _*)))
+        .filter(col(rn) === 1).drop(rn)
+    }
+    qb.limit.foreach { lc =>
+      val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+      val lim = evalLimitInt(lc.limit, "LIMIT")
+      val rn = fresh("tlrn")
+      df = df.withColumn(rn, row_number().over(
+          Window.partitionBy(col(rid)).orderBy(ordCols: _*)))
+        .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
+    }
+    val matchN = fresh("tlmatch")
+    val cntN = fresh("tlcnt")
+    val nullN = fresh("tlnull")
+    val proj = df.groupBy(col(rid)).agg(
         max(when(col(vName) === col(lhsName), lit(1))).as(matchN),
         count(lit(1)).as(cntN),
         (count(when(col(vName).isNull, 1)) > 0).as(nullN))

@@ -538,16 +538,18 @@ object Round7Queries {
     // the membership set per customer is the nation keys of supplier
     // groups with ≥2 richer-than-this-customer suppliers — non-equality
     // correlation (s_acctbal > c_acctbal) with an explicit GROUP BY +
-    // HAVING, previously rejected on the theta path. 718 of 1500
-    // customers survive at sf0.01.
+    // HAVING, previously rejected on the theta path. 718 of 1500 customers
+    // survive at sf0.01 (the custkey bound only trims sf0.1 cost).
     engineSql("qe136_in_theta_grouped",
       """SELECT c_custkey, c_nationkey FROM customer
-         WHERE c_nationkey IN (SELECT s_nationkey FROM supplier
+         WHERE c_custkey < 5000
+           AND c_nationkey IN (SELECT s_nationkey FROM supplier
                                WHERE s_acctbal > c_acctbal
                                GROUP BY s_nationkey HAVING count(1) >= 2)
          ORDER BY c_custkey""",
       """select c_custkey, c_nationkey from customer
-         where c_nationkey in (select s_nationkey from supplier
+         where c_custkey < 5000
+           and c_nationkey in (select s_nationkey from supplier
                                where s_acctbal > c_acctbal
                                group by s_nationkey having count(1) >= 2)
          order by c_custkey"""),
@@ -569,5 +571,43 @@ object Round7Queries {
            select case when count(1) >= 3 then null else min(c_custkey) end
            from customer where c_acctbal > o_totalprice / 40
            group by c_nationkey)
-         order by o_orderkey"""))
+         order by o_orderkey"""),
+
+    // ---- LIMIT/OFFSET body under a THETA-correlated IN ------------------
+    // per customer: the 3rd..22nd most expensive orders above a
+    // customer-specific threshold — the window partitions by the outer
+    // rid (never a global sort), and membership is decided over the
+    // kept slice only. 5 of 300 customers appear in their own slice.
+    engineSql("qe138_in_theta_limit",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND c_custkey IN (
+           SELECT o_custkey FROM orders
+           WHERE o_totalprice > c_acctbal * 45
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 2)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and c_custkey in (
+           select o_custkey from orders
+           where o_totalprice > c_acctbal * 45
+           order by o_totalprice desc, o_orderkey limit 2, 20)
+         order by c_custkey"""),
+
+    // ---- DISTINCT ON body under a THETA-correlated IN -------------------
+    // keep-first per (outer row, l_returnflag) — which row survives
+    // depends on the per-row set, so DISTINCT ON is NOT membership-blind
+    // here; full tie-break (orderkey, linenumber) keeps both engines'
+    // picks identical.
+    engineSql("qe139_in_theta_distinct_on",
+      """SELECT p_partkey, p_size FROM part
+         WHERE p_partkey < 100 AND p_partkey % 50 IN (
+           SELECT DISTINCT ON (l_returnflag) l_suppkey % 50 FROM lineitem
+           WHERE l_quantity > p_size + 25
+           ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber)
+         ORDER BY p_partkey""",
+      """select p_partkey, p_size from part
+         where p_partkey < 100 and p_partkey % 50 in (
+           select distinct on (l_returnflag) l_suppkey % 50 from lineitem
+           where l_quantity > p_size + 25
+           order by l_returnflag, l_extendedprice desc, l_orderkey, l_linenumber)
+         order by p_partkey"""))
 }
