@@ -2580,8 +2580,9 @@ final class Binder(
     val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
     if (evalLimitInt(lc.limit, "LIMIT") != 1)
       err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
-    if (qb.distinct.isDefined)
-      err(s"$what supports plain or GROUP BY bodies (no DISTINCT)")
+    if (qb.distinct.exists(_.nonEmpty))
+      err(s"$what supports plain DISTINCT bodies only (no DISTINCT ON)")
+    val isDistinct = qb.distinct.contains(Nil)
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     if (qb.orderBy.isEmpty)
       err(s"$what needs an ORDER BY (LIMIT 1 without one picks an " +
@@ -2591,6 +2592,18 @@ final class Binder(
     if (qb.groupBy.isEmpty && (valueAggs.nonEmpty || qb.having.isDefined))
       err(s"$what takes a plain value expression (drop the LIMIT for " +
         "aggregate bodies — they already yield one row)")
+    if (isDistinct && qb.groupBy.nonEmpty)
+      err(s"$what: DISTINCT applies to plain bodies only (a GROUP BY " +
+        "body already dedupes per group)")
+    // SELECT DISTINCT … ORDER BY: the sort keys must be the selected
+    // value (standard SQL restriction) — then dedup before the rank is
+    // exactly DISTINCT-then-LIMIT
+    if (isDistinct)
+      qb.orderBy.foreach { ok =>
+        if (substituteAliases(ok.expr, qb.selectList) != valueExpr)
+          err(s"$what with DISTINCT: ORDER BY expressions must appear " +
+            "in the select list")
+      }
     val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
     val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
@@ -2600,10 +2613,11 @@ final class Binder(
     val keyNames = keyPairs.indices.map(_ => fresh("lk"))
     val valName = fresh("lval")
     val ordNames = qb.orderBy.indices.map(_ => fresh("lord"))
-    val base = innerCtx.rel.df.select(
+    val base0 = innerCtx.rel.df.select(
       (keyPairs.zip(keyNames).map { case ((ie, _), kn) => bindExpr(ie, innerCtx).as(kn) } ++
         Seq(bindExpr(valueExpr, innerCtx).as(valName)) ++
         qb.orderBy.zip(ordNames).map { case (ok, on) => bindExpr(ok.expr, innerCtx).as(on) }): _*)
+    val base = if (isDistinct) base0.distinct() else base0
     val w = Window.partitionBy(keyNames.map(col): _*)
       .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
         if (ok.desc) col(on).desc else col(on).asc }: _*)
@@ -2719,6 +2733,8 @@ final class Binder(
       local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx,
       bodyCtes: Map[String, DataFrame]): Column = {
     val what = "correlated scalar subquery (non-equality correlation)"
+    if (qb.limit.isDefined)
+      return thetaScalarTop1(qb, innerRel, local, correlated, ctx, bodyCtes)
     if (qb.groupBy.nonEmpty)
       return thetaGroupedAgg(qb, innerRel, local, correlated, ctx, what, bodyCtes)
     val (value, having) = thetaUngroupedAgg(qb, innerRel, local, correlated, ctx,
@@ -2727,6 +2743,71 @@ final class Binder(
       case Some(h) => when(coalesce(h, lit(false)), value).otherwise(lit(null))
       case None => value
     }
+  }
+
+  /** ORDER BY … LIMIT 1 [OFFSET k] body under THETA (non-equality)
+    * correlation: the per-outer-row (k+1)-th matching row in sort
+    * order. Same rid-tagged frame as [[thetaLimitIn]] — inner
+    * correlation join (repartitioned streamed side), a row_number
+    * window PARTITIONED BY rid, rank == k+1 joined back by rid. Fewer
+    * matching rows than the offset — or none at all — yield NULL
+    * through the left join-back; LIMIT 1 guarantees at most one row, so
+    * no >1-row raise is needed. */
+  private def thetaScalarTop1(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
+      correlated: Seq[Expr], ctx: Ctx,
+      bodyCtes: Map[String, DataFrame]): Column = {
+    val what = "correlated scalar subquery (theta path, LIMIT)"
+    val lc = qb.limit.get
+    val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+    if (evalLimitInt(lc.limit, "LIMIT") != 1)
+      err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
+    if (qb.groupBy.nonEmpty || qb.having.isDefined ||
+        collectAggs(qb.selectList.head.expr).nonEmpty)
+      err(s"$what takes a plain body (no GROUP BY/HAVING/aggregates)")
+    if (qb.distinct.isDefined)
+      err(s"$what takes a plain body (no DISTINCT)")
+    if (qb.orderBy.isEmpty)
+      err(s"$what needs an ORDER BY (LIMIT 1 without one picks an " +
+        "arbitrary row)")
+    if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
+    val valueExpr = qb.selectList.head.expr
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
+    applyLocal(local, innerCtx, what)
+    val rid = fresh("tsrid")
+    val rid2 = fresh("tsrid2")
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val renamed = renamed0.repartition(
+      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+    val joined =
+      try outer.join(renamed, cond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what here may only reference columns of the current " +
+            "(left) relation — move it to WHERE or rewrite the join")
+      }
+    val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
+    val vName = fresh("tsv")
+    val ordNames = qb.orderBy.indices.map(_ => fresh("tsord"))
+    val base = joined.select(
+      (Seq(col(rid)) ++
+        qb.orderBy.zip(ordNames).map { case (ok, on) =>
+          bindExpr(ok.expr, jCtx).as(on) } :+
+        bindExpr(valueExpr, jCtx).as(vName)): _*)
+    val w = Window.partitionBy(col(rid))
+      .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
+        if (ok.desc) col(on).desc else col(on).asc }: _*)
+    val rn = fresh("tsrn")
+    val proj = base.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === (off + 1))
+      .select(col(rid).as(rid2), col(vName))
+    ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(vName)))
+    proj(vName)
   }
 
   /** GROUP BY body under THETA (non-equality) correlation: rid-tag the

