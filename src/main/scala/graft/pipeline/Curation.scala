@@ -342,6 +342,72 @@ object Curation {
       .filter(col("__rk1") <= cap).drop("__rk1")
   }
 
+  // ---- unigram lexical familiarity (perplexity proxy) --------------------
+
+  /** Per-document unigram-frequency statistics — the integer-exact core
+    * of a perplexity-style quality score without a float LM: corpus-wide
+    * token counts joined back onto each document's token stream. A
+    * document made of frequent tokens has high familiar mass; one full
+    * of hapax legomena scores low (high n_rare). Ratios/logs are left
+    * to the caller so every output stays bit-comparable across engines.
+    *
+    * Two linear passes over the token stream: the count table is
+    * vocabulary-sized (sublinear in corpus bytes), and the join back is
+    * left to AQE — broadcast at fixture scale, shuffle keyed by token
+    * at web scale. Token skew (stopwords) is safe: the counts side has
+    * ONE row per token, so no single-key hot spot forms on the build
+    * side. Documents with no tokens keep a zero row via the left join. */
+  def lexicalFamiliarity(docs: DataFrame, idCol: String, textCol: String,
+      rareMax: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.bpeishTokens(lower(col(textCol)))).as("__tok"))
+    val counts = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val perDoc = toks.join(counts, "__tok")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__cnt")).as("familiar_mass"),
+        count(when(col("__cnt") <= rareMax, 1)).as("n_rare"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("familiar_mass"), lit(0L)).as("familiar_mass"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .orderBy(col(idCol))
+  }
+
+  // ---- Gopher-style rule verdict -----------------------------------------
+
+  /** Composes integer-exact quality signals into a keep/drop verdict
+    * with the FIRST failing rule named — the filter stage a
+    * Gopher/Dolma-style pipeline runs after stats collection, kept
+    * integer-only (mean word length ×10, not a float) so the verdict is
+    * bit-stable across engines. A pure projection — no explode, no
+    * shuffle; every signal (word count, mean length, distinct-stopword
+    * hits) computes inside whole-stage codegen per row. */
+  def gopherVerdict(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, maxWords: Int = 60,
+      minMeanLenX10: Int = 35, maxMeanLenX10: Int = 47,
+      minStopHits: Int = 2): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nWords = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    val nChars = length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+    val meanX10 = when(nWords === 0, lit(0L))
+      .otherwise(floor((nChars * 10L) / nWords).cast("long"))
+    val stopHits = TextOps.stopwordHits(toks, "en").cast("long")
+    docs.select(col(idCol), nWords.as("n_words"), meanX10.as("mean_len_x10"),
+        stopHits.as("stop_hits"))
+      .withColumn("reason",
+        when(col("n_words") < minWords, lit("too_few_words"))
+          .when(col("n_words") > maxWords, lit("too_many_words"))
+          .when(col("mean_len_x10") < minMeanLenX10, lit("short_words"))
+          .when(col("mean_len_x10") > maxMeanLenX10, lit("long_words"))
+          .when(col("stop_hits") < minStopHits, lit("low_stopwords"))
+          .otherwise(lit("ok")))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy(col(idCol))
+  }
+
   // ---- train/val/test split assignment ----------------------------------
 
   /** Deterministic split assignment by the Knuth multiplicative mix of

@@ -646,5 +646,53 @@ object Round7Queries {
            (select distinct l_quantity from lineitem
             where l_orderkey = o_orderkey
             order by l_quantity limit 1, 1) as second_qty
-         from orders where o_orderkey < 3000 order by o_orderkey"""))
+         from orders where o_orderkey < 3000 order by o_orderkey"""),
+
+    // ---- unigram lexical familiarity (perplexity proxy) -----------------
+    // corpus token counts joined back per document: familiar_mass is the
+    // integer core of a unigram log-prob score (logs/ratios left to the
+    // caller for bit-stability). rareMax=100 marks the fixture's one
+    // genuinely rare token ('dup', 26 occurrences vs 840+ for the rest).
+    QueryDef(
+      "qp82_lexical_familiarity",
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]+')) AS tok FROM documents),
+              c AS (SELECT tok, CAST(count(*) AS BIGINT) cnt FROM t GROUP BY tok)
+          SELECT d.doc_id,
+            COALESCE(x.n_tokens, 0) AS n_tokens,
+            COALESCE(x.familiar_mass, 0) AS familiar_mass,
+            COALESCE(x.n_rare, 0) AS n_rare
+          FROM documents d LEFT JOIN (
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) n_tokens,
+                   CAST(sum(c.cnt) AS BIGINT) familiar_mass,
+                   CAST(count(CASE WHEN c.cnt <= 100 THEN 1 END) AS BIGINT) n_rare
+            FROM t JOIN c USING (tok) GROUP BY t.doc_id) x USING (doc_id)
+          ORDER BY doc_id"""),
+      (s, dir) => Curation.lexicalFamiliarity(
+        Tables.load(s, dir, "documents"), "doc_id", "text", rareMax = 100)),
+
+    // ---- Gopher-style rule verdict --------------------------------------
+    // keep/drop with the first failing rule named; thresholds sized so
+    // the fixture exercises every branch that can fire on it (216
+    // too_many_words / 31 long_words / 129 low_stopwords / 124 ok).
+    QueryDef(
+      "qp83_gopher_verdict",
+      Some("""SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) * 10
+                      // CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS mean_len_x10,
+            CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+                 ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS stop_hits,
+            CASE WHEN n_words < 5 THEN 'too_few_words'
+                 WHEN n_words > 60 THEN 'too_many_words'
+                 WHEN mean_len_x10 < 35 THEN 'short_words'
+                 WHEN mean_len_x10 > 47 THEN 'long_words'
+                 WHEN stop_hits < 2 THEN 'low_stopwords'
+                 ELSE 'ok' END AS reason,
+            (reason = 'ok') AS keep
+          FROM documents ORDER BY doc_id"""),
+      (s, dir) => Curation.gopherVerdict(
+        Tables.load(s, dir, "documents"), "doc_id", "text")))
 }

@@ -394,4 +394,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = Curation.domainCap(fixture, "doc_id", "source", cap = 10)
     assert(a.collect().toSeq == b.collect().toSeq)  // reproducible pick
   }
+
+  test("lexicalFamiliarity: hand-computed counts, rare flags, empty doc") {
+    import spark.implicits._
+    // corpus counts: aa=3, bb=2, cc=1  → with rareMax=2, bb and cc are rare
+    val docs = Seq(
+      (1L, "aa aa bb"),    // tokens 3, mass 3+3+2=8, rare 1 (the bb)
+      (2L, "aa bb cc"),    // tokens 3, mass 3+2+1=6, rare 2 (bb, cc)
+      (3L, ""),            // no tokens at all → zero row survives
+      (4L, "  "))          // whitespace only → zero row too
+      .toDF("doc_id", "text")
+    val got = Curation.lexicalFamiliarity(docs, "doc_id", "text", rareMax = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 8L, 1L), (2L, 3L, 6L, 2L),
+      (3L, 0L, 0L, 0L), (4L, 0L, 0L, 0L)))
+  }
+
+  test("gopherVerdict names the FIRST failing rule; every branch fires") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "these a with from it is small words here today"), // mean 37, ok
+      (2L, "one two"),                                  // too_few_words
+      (3L, Seq.fill(70)("the").mkString(" ")),          // too_many_words
+      (4L, "a a a a a a a a a a"),                      // mean 10 → short_words
+      (5L, "the a gargantuan sesquipedalian communications interminable"), // long
+      (6L, "cats dogs bird fish goat frog deer mole"))  // mean 40, low_stop
+      .toDF("doc_id", "text")
+    val got = Curation.gopherVerdict(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("reason")).toMap
+    assert(got == Map(1L -> "ok", 2L -> "too_few_words",
+      3L -> "too_many_words", 4L -> "short_words", 5L -> "long_words",
+      6L -> "low_stopwords"))
+    // keep column mirrors reason
+    val keeps = Curation.gopherVerdict(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(keeps == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+  }
 }
