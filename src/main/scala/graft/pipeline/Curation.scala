@@ -387,6 +387,16 @@ object Curation {
   def gopherVerdict(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 5, maxWords: Int = 60,
       minMeanLenX10: Int = 35, maxMeanLenX10: Int = 47,
+      minStopHits: Int = 2): DataFrame =
+    gopherVerdictProj(docs, idCol, textCol, minWords, maxWords,
+      minMeanLenX10, maxMeanLenX10, minStopHits).orderBy(col(idCol))
+
+  /** The sort-free projection behind [[gopherVerdict]] — usable on a
+    * STREAMING frame too (ingest-time filtering): stateless, so a
+    * bounded replay's output is row-identical to the batch pass. */
+  def gopherVerdictProj(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, maxWords: Int = 60,
+      minMeanLenX10: Int = 35, maxMeanLenX10: Int = 47,
       minStopHits: Int = 2): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val nWords = when(length(trim(col(textCol))) === 0, lit(0L))
@@ -405,7 +415,6 @@ object Curation {
           .when(col("stop_hits") < minStopHits, lit("low_stopwords"))
           .otherwise(lit("ok")))
       .withColumn("keep", col("reason") === "ok")
-      .orderBy(col(idCol))
   }
 
   // ---- train/val/test split assignment ----------------------------------

@@ -13,6 +13,9 @@ object Round7Queries {
 
   import graft.Tables
   import graft.pipeline.Curation
+  import org.apache.spark.sql.functions.col
+
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
     QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
@@ -694,5 +697,36 @@ object Round7Queries {
             (reason = 'ok') AS keep
           FROM documents ORDER BY doc_id"""),
       (s, dir) => Curation.gopherVerdict(
-        Tables.load(s, dir, "documents"), "doc_id", "text")))
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- ingest-time quality filtering (streaming curation) -------------
+    // the same Gopher verdict applied AT READ TIME over a replayed
+    // document stream (file source → append sink): the projection is
+    // stateless, so the bounded replay's kept set is row-identical to
+    // the batch filter — which IS the oracle. The pattern matters at
+    // scale: filtering at ingest means rejected documents never hit
+    // storage or a second batch pass.
+    QueryDef(
+      "qp84_stream_gopher_filter",
+      Some("""SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+            CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+                 ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS stop_hits
+          FROM documents
+          WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END) BETWEEN 5 AND 60
+            AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) * 10
+                           // CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END) BETWEEN 35 AND 47
+            AND CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+                 ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) >= 2
+          ORDER BY doc_id"""),
+      (s, dir) =>
+        StreamRunner.replayParquet(s, s"$dir/documents.parquet",
+            s"qp84_sink_${streamRuns.incrementAndGet()}", "append")(raw =>
+          Curation.gopherVerdictProj(raw, "doc_id", "text")
+            .filter(col("keep"))
+            .select(col("doc_id"), col("n_words"), col("stop_hits")))
+          .orderBy(col("doc_id"))))
 }

@@ -30,16 +30,24 @@ object StreamRunner {
     * table. The staged copy is deleted before returning. */
   def replayEvents(s: SparkSession, dir: String, sinkName: String,
       outputMode: String, statePartitions: Int = 8)(
+      build: DataFrame => DataFrame): DataFrame =
+    // same layout-adaptive ts normalization as the batch loaders
+    replayParquet(s, s"$dir/events.parquet", sinkName, outputMode,
+      statePartitions)(raw => build(graft.Tables.normalizeEventTs(raw)))
+
+  /** Replay any single parquet file as a bounded stream — the
+    * ingest-time shape of the batch curation operators (filter/score at
+    * read time instead of in a later batch pass). */
+  def replayParquet(s: SparkSession, path: String, sinkName: String,
+      outputMode: String, statePartitions: Int = 8)(
       build: DataFrame => DataFrame): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory(s"${sinkName}_events")
-    val staged = tmp.resolve("events.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    val raw = s.read.parquet(path)
+    val fileName = java.nio.file.Paths.get(path).getFileName.toString
+    val tmp = java.nio.file.Files.createTempDirectory(s"${sinkName}_replay")
+    val staged = tmp.resolve(fileName)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
     try {
-      // same layout-adaptive ts normalization as the batch loaders
-      val stream = graft.Tables.normalizeEventTs(
-        s.readStream.schema(raw.schema).parquet(tmp.toString))
+      val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
       val q = startWithPartitions(s, statePartitions) {
         build(stream)
           .writeStream.format("memory").queryName(sinkName)
