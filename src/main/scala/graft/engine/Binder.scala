@@ -449,6 +449,17 @@ final class Binder(
   private def bindJoin(left: Rel, jc: JoinClause, ctes: Map[String, DataFrame]): Rel = {
     val right = bindSource(jc.source, ctes)
     jc.condition match {
+      case UsingCondition(cols) if jc.joinType == "right_semi" ||
+          jc.joinType == "right_anti" =>
+        // swap sides: Spark only has the left-flavored variants; the
+        // output carries the RIGHT side's columns (keys coalesce from
+        // the join output like the left-flavored branch below)
+        val how = if (jc.joinType == "right_semi") "left_semi" else "left_anti"
+        val df = right.df.join(left.df, cols, how)
+        val keyScope = Scope(None, df, cols)
+        val rightRest = right.scopes.map(s =>
+          s.copy(cols = s.cols.filterNot(c => cols.exists(_.equalsIgnoreCase(c)))))
+        Rel(df, keyScope +: rightRest)
       case UsingCondition(cols) =>
         val how = jc.joinType match {
           case "inner" | "left" | "right" | "full" => jc.joinType
@@ -2689,6 +2700,66 @@ final class Binder(
     proj(valName)
   }
 
+  /** DISTINCT ON body in a correlated scalar lookup (`SELECT DISTINCT
+    * ON (g) v FROM t WHERE t.k = outer.k ORDER BY …`): keep-first per
+    * (correlation key ∪ ON key) in the body's ORDER BY — the window
+    * buckets are key-group-sized, never global — then the scalar
+    * contract applies to the SURVIVING rows per correlation key: 0 →
+    * NULL through the left join, >1 ON-groups → runtime raise deferred
+    * to the output expression (only outer rows that hit the offending
+    * key raise). */
+  private def distinctOnScalar(qb: QueryBody, innerRel: Rel,
+      local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx,
+      bodyCtes: Map[String, DataFrame]): Column = {
+    val what = "correlated scalar subquery (DISTINCT ON body)"
+    val onKeys = qb.distinct.get
+    if (qb.groupBy.nonEmpty || qb.having.isDefined ||
+        collectAggs(qb.selectList.head.expr).nonEmpty)
+      err(s"$what takes a plain body (no GROUP BY/HAVING/aggregates)")
+    if (qb.orderBy.isEmpty)
+      err(s"$what needs an ORDER BY (the kept row per ON key is " +
+        "arbitrary without one)")
+    if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
+    val valueExpr = qb.selectList.head.expr
+    val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, what)
+    val innerCtx = new Ctx(innerRel, None, bodyCtes)
+    applyLocal(local, innerCtx, what)
+    val keyNames = keyPairs.indices.map(_ => fresh("dok"))
+    val onNames = onKeys.indices.map(_ => fresh("doon"))
+    val ordNames = qb.orderBy.indices.map(_ => fresh("doord"))
+    val valName = fresh("doval")
+    val cntName = fresh("docnt")
+    val base = innerCtx.rel.df.select(
+      (keyPairs.zip(keyNames).map { case ((ie, _), kn) =>
+        bindExpr(ie, innerCtx).as(kn) } ++
+        onKeys.zip(onNames).map { case (oe, on) =>
+          bindExpr(oe, innerCtx).as(on) } ++
+        qb.orderBy.zip(ordNames).map { case (ok, on) =>
+          bindExpr(ok.expr, innerCtx).as(on) } :+
+        bindExpr(valueExpr, innerCtx).as(valName)): _*)
+    val ordCols = qb.orderBy.zip(ordNames).map { case (ok, on) =>
+      if (ok.desc) col(on).desc else col(on).asc }
+    val rn = fresh("dorn")
+    val kept = base.withColumn(rn, row_number().over(
+        Window.partitionBy((keyNames ++ onNames).map(col): _*)
+          .orderBy(ordCols: _*)))
+      .filter(col(rn) === 1)
+    val proj = kept.groupBy(keyNames.map(col): _*)
+      .agg(first(col(valName)).as(valName), count(lit(1)).as(cntName))
+    val outerCols = keyPairs.map { case (_, oe) => bindExpr(oe, ctx) }
+    outerCols.foreach { c =>
+      if (Try(ctx.rel.df.select(c).schema).isFailure)
+        err(s"$what here may only reference columns of the current " +
+          "(left) relation — move it to WHERE or rewrite the join")
+    }
+    val joinCond = outerCols.zip(keyNames).map { case (oc, kn) => oc === proj(kn) }
+      .reduce(_ && _)
+    ctx.rel = Rel(ctx.rel.df.join(proj, joinCond, "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
+    when(coalesce(proj(cntName), lit(0L)) <= 1, proj(valName))
+      .otherwise(raise_error(lit("scalar subquery returned more than one row")))
+  }
+
   /** Bare correlated lookup (`SELECT expr FROM t WHERE t.k = outer.k`
     * with no aggregate): the inner side groups by the correlation keys
     * carrying (first value, row count) and left-joins back; unmatched
@@ -3086,7 +3157,7 @@ final class Binder(
     if (qb.limit.isDefined)
       return decorrelateScalarTop1(qb, innerRel, local, correlated, ctx, bodyCtes)
     if (qb.distinct.exists(_.nonEmpty))
-      err(s"$what supports plain DISTINCT bodies only (no DISTINCT ON)")
+      return distinctOnScalar(qb, innerRel, local, correlated, ctx, bodyCtes)
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     val valueExpr = qb.selectList.head.expr
     val valueAggs = collectAggs(valueExpr).distinct

@@ -728,5 +728,52 @@ object Round7Queries {
           Curation.gopherVerdictProj(raw, "doc_id", "text")
             .filter(col("keep"))
             .select(col("doc_id"), col("n_words"), col("stop_hits")))
-          .orderBy(col("doc_id"))))
+          .orderBy(col("doc_id"))),
+
+    // ---- RIGHT SEMI / RIGHT ANTI joins with USING -----------------------
+    // side-swapped to Spark's left-flavored variants; the output carries
+    // the RIGHT side's columns with the key coalesced from the join.
+    // 97 suppliers share a key with a near-ceiling order (qe142); the
+    // other 3 don't (qe143).
+    engineSql("qe142_right_semi_using",
+      """SELECT sk, s_name FROM (SELECT s_suppkey AS sk, s_name FROM supplier) s
+         SEMI JOIN (SELECT o_custkey % 100 AS sk FROM orders
+                    WHERE o_totalprice > 490000) o USING (sk)
+         ORDER BY sk""",
+      """select sk, s_name from
+           (select o_custkey % 100 as sk from orders
+            where o_totalprice > 490000) as o
+           right semi join
+           (select s_suppkey as sk, s_name from supplier) as s using (sk)
+         order by sk"""),
+    engineSql("qe143_right_anti_using",
+      """SELECT sk, s_name FROM (SELECT s_suppkey AS sk, s_name FROM supplier) s
+         ANTI JOIN (SELECT o_custkey % 100 AS sk FROM orders
+                    WHERE o_totalprice > 490000) o USING (sk)
+         ORDER BY sk""",
+      """select sk, s_name from
+           (select o_custkey % 100 as sk from orders
+            where o_totalprice > 490000) as o
+           right anti join
+           (select s_suppkey as sk, s_name from supplier) as s using (sk)
+         order by sk"""),
+
+    // ---- DISTINCT ON body in a correlated scalar lookup -----------------
+    // keep-first per (order, returnflag): the 'R' pin makes at most ONE
+    // ON-group per order, so the surviving row is a legal scalar — the
+    // priciest returned line's number, NULL for the 836 orders with no
+    // returned lines. Full tie-break keeps both engines' picks equal.
+    engineSql("qe144_scalar_distinct_on",
+      """SELECT o_orderkey,
+           (SELECT DISTINCT ON (l_returnflag) l_linenumber FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+            ORDER BY l_returnflag, l_extendedprice DESC, l_linenumber)
+             AS top_r_line
+         FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
+      """select o_orderkey,
+           (select distinct on (l_returnflag) l_linenumber from lineitem
+            where l_orderkey = o_orderkey and l_returnflag = 'R'
+            order by l_returnflag, l_extendedprice desc, l_linenumber)
+             as top_r_line
+         from orders where o_orderkey < 3000 order by o_orderkey"""))
 }
