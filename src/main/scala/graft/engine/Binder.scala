@@ -2149,13 +2149,14 @@ final class Binder(
           .when(stats(cnt) === 0, lit(false))
           .when(lhs.isNull || stats(hasNull), lit(null).cast("boolean"))
           .otherwise(lit(false))
-      case Some((qb, innerRel, local, correlated, bodyCtes))
+      case Some((qb0, innerRel, local, correlated, bodyCtes))
           if !equalityOrientable(correlated, innerRel, ctx.rel) ||
-            (qb.groupBy.isEmpty && qb.having.isDefined &&
-              collectAggs(qb.selectList.head.expr).nonEmpty) =>
+            (qb0.groupBy.isEmpty && qb0.having.isDefined &&
+              collectAggs(qb0.selectList.head.expr).nonEmpty) =>
         // per-outer-row theta path: non-equality correlation, or HAVING
         // over an ungrouped aggregate (the per-key grouped lowering
         // cannot distinguish that HAVING from a group filter)
+        val qb = stripNoopLimit(qb0)
         if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty)) {
           val r = thetaLimitIn(qb, innerRel, local, correlated, ctx, lhs, bodyCtes)
           return if (negated) !r else r
@@ -2202,7 +2203,8 @@ final class Binder(
             .when(lhs.isNull || proj(nullN), lit(null).cast("boolean"))
             .otherwise(lit(false))
         }
-      case Some((qb, innerRel, local, correlated, bodyCtes)) =>
+      case Some((qb0, innerRel, local, correlated, bodyCtes)) =>
+        val qb = stripNoopLimit(qb0)
         if (qb.selectList.size != 1)
           err("IN subquery must produce exactly 1 column")
         val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel,
@@ -2700,6 +2702,22 @@ final class Binder(
     proj(valName)
   }
 
+  /** LIMIT over a body that already yields AT MOST ONE row (an ungrouped
+    * aggregate, with or without HAVING) is a no-op for `LIMIT n>=1
+    * OFFSET 0` — engines accept the composition freely, so strip it
+    * instead of routing to a plain-body window path that would reject
+    * the aggregate. LIMIT 0 / OFFSET>=1 (which EMPTY the one-row set)
+    * keep the limit and surface the path's own clean error. */
+  private def stripNoopLimit(qb: QueryBody): QueryBody = qb.limit match {
+    case Some(lc) if qb.groupBy.isEmpty && qb.selectList.size == 1 &&
+        !qb.selectList.head.expr.isInstanceOf[Wildcard] &&
+        (collectAggs(qb.selectList.head.expr).nonEmpty || qb.having.isDefined) &&
+        lc.offset.forall(o => Try(evalLimitInt(o, "OFFSET")).toOption.contains(0)) &&
+        Try(evalLimitInt(lc.limit, "LIMIT")).toOption.exists(_ >= 1) =>
+      qb.copy(limit = None)
+    case _ => qb
+  }
+
   /** DISTINCT ON body in a correlated scalar lookup (`SELECT DISTINCT
     * ON (g) v FROM t WHERE t.k = outer.k ORDER BY …`): keep-first per
     * (correlation key ∪ ON key) in the body's ORDER BY — the window
@@ -2804,11 +2822,12 @@ final class Binder(
       local: Seq[Expr], correlated: Seq[Expr], ctx: Ctx,
       bodyCtes: Map[String, DataFrame]): Column = {
     val what = "correlated scalar subquery (non-equality correlation)"
-    if (qb.limit.isDefined)
-      return thetaScalarTop1(qb, innerRel, local, correlated, ctx, bodyCtes)
-    if (qb.groupBy.nonEmpty)
-      return thetaGroupedAgg(qb, innerRel, local, correlated, ctx, what, bodyCtes)
-    val (value, having) = thetaUngroupedAgg(qb, innerRel, local, correlated, ctx,
+    val qbN = stripNoopLimit(qb)
+    if (qbN.limit.isDefined)
+      return thetaScalarTop1(qbN, innerRel, local, correlated, ctx, bodyCtes)
+    if (qbN.groupBy.nonEmpty)
+      return thetaGroupedAgg(qbN, innerRel, local, correlated, ctx, what, bodyCtes)
+    val (value, having) = thetaUngroupedAgg(qbN, innerRel, local, correlated, ctx,
       what, bodyCtes)
     having match {
       case Some(h) => when(coalesce(h, lit(false)), value).otherwise(lit(null))
@@ -3148,10 +3167,11 @@ final class Binder(
     *    (SQL scalar-subquery semantics), zero groups yield NULL.
     *
     * Only equality correlation is supported; non-equi correlation errors. */
-  private def decorrelateScalar(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
+  private def decorrelateScalar(qb0: QueryBody, innerRel: Rel, local: Seq[Expr],
       correlated: Seq[Expr], ctx: Ctx,
       bodyCtes: Map[String, DataFrame]): Column = {
     val what = "correlated scalar subquery"
+    val qb = stripNoopLimit(qb0)
     if (!equalityOrientable(correlated, innerRel, ctx.rel))
       return decorrelateScalarTheta(qb, innerRel, local, correlated, ctx, bodyCtes)
     if (qb.limit.isDefined)

@@ -775,5 +775,25 @@ object Round7Queries {
             where l_orderkey = o_orderkey and l_returnflag = 'R'
             order by l_returnflag, l_extendedprice desc, l_linenumber)
              as top_r_line
-         from orders where o_orderkey < 3000 order by o_orderkey"""))
+         from orders where o_orderkey < 3000 order by o_orderkey"""),
+
+    // ---- LIMIT over one-row aggregate bodies (no-op composition) --------
+    // grammars compose LIMIT onto any body; over an ungrouped aggregate
+    // it bounds a one-row set and must be a no-op — exercised on BOTH
+    // the equality scalar path and the theta IN path in one entry.
+    engineSql("qe145_limit_over_agg",
+      """SELECT c_custkey,
+           (SELECT min(o_totalprice) FROM orders
+            WHERE o_custkey = c_custkey LIMIT 1) AS min_spend
+         FROM customer
+         WHERE c_nationkey IN (SELECT min(s_nationkey) FROM supplier
+                               WHERE s_acctbal > c_acctbal LIMIT 1)
+         ORDER BY c_custkey""",
+      """select c_custkey,
+           (select min(o_totalprice) from orders
+            where o_custkey = c_custkey limit 1) as min_spend
+         from customer
+         where c_nationkey in (select min(s_nationkey) from supplier
+                               where s_acctbal > c_acctbal limit 1)
+         order by c_custkey"""))
 }
