@@ -2823,10 +2823,11 @@ final class Binder(
       bodyCtes: Map[String, DataFrame]): Column = {
     val what = "correlated scalar subquery (non-equality correlation)"
     val qbN = stripNoopLimit(qb)
+    if (qbN.groupBy.nonEmpty)
+      // handles its own ORDER BY … LIMIT 1 group-ranking form
+      return thetaGroupedAgg(qbN, innerRel, local, correlated, ctx, what, bodyCtes)
     if (qbN.limit.isDefined)
       return thetaScalarTop1(qbN, innerRel, local, correlated, ctx, bodyCtes)
-    if (qbN.groupBy.nonEmpty)
-      return thetaGroupedAgg(qbN, innerRel, local, correlated, ctx, what, bodyCtes)
     val (value, having) = thetaUngroupedAgg(qbN, innerRel, local, correlated, ctx,
       what, bodyCtes)
     having match {
@@ -2912,12 +2913,26 @@ final class Binder(
   private def thetaGroupedAgg(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
       correlated: Seq[Expr], ctx: Ctx, what: String,
       bodyCtes: Map[String, DataFrame]): Column = {
-    if (qb.limit.isDefined || qb.distinct.isDefined)
+    if (qb.distinct.isDefined)
       err(s"$what with GROUP BY takes an aggregate body with optional " +
-        "HAVING (no LIMIT/DISTINCT)")
+        "HAVING (no DISTINCT)")
+    // GROUP BY … ORDER BY … LIMIT 1 [OFFSET k]: rank the surviving
+    // groups per rid (the theta analog of groupedScalarTop1) instead of
+    // enforcing the one-group scalar contract
+    val top1Off: Option[Int] = qb.limit.map { lc =>
+      if (evalLimitInt(lc.limit, "LIMIT") != 1)
+        err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
+      if (qb.orderBy.isEmpty)
+        err(s"$what with LIMIT needs an ORDER BY (LIMIT 1 without one " +
+          "picks an arbitrary group)")
+      lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+    }
     if (qb.selectList.size != 1) err(s"$what must produce 1 column")
     val valueExpr = qb.selectList.head.expr
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+    // ORDER BY terms may be aggregates (ranking groups by their
+    // aggregate) — fold them into the grouped aggregate set below
+    val ordExprs = qb.orderBy.map(ok => substituteAliases(ok.expr, qb.selectList))
     val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
     val rid = fresh("tgrid")
@@ -2927,7 +2942,12 @@ final class Binder(
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
-    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    // parallelize the streamed side of the theta join (single-split
+    // parquet inputs would otherwise serialize the join predicate and
+    // the partial aggregation pass on one core — see thetaLimitIn)
+    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val renamed = renamed0.repartition(
+      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
     val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
     val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
     val joined =
@@ -2941,7 +2961,8 @@ final class Binder(
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("tgg")))
     val aggCalls = (collectAggs(valueExpr) ++
-      havingExpr.toSeq.flatMap(collectAggs)).distinct
+      havingExpr.toSeq.flatMap(collectAggs) ++
+      (if (top1Off.isDefined) ordExprs.flatMap(collectAggs) else Nil)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("tga")))
     val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, jCtx).as(n) } match {
       case Nil => Seq(count(lit(1)).as(fresh("tgc")))
@@ -2959,16 +2980,38 @@ final class Binder(
     val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
       .getOrElse(grouped)
     val valName = fresh("tgval")
-    val gcName = fresh("tggc")
-    val proj = filtered
-      .select(col(rid), bindExpr(valueExpr, gCtx).as(valName))
-      .groupBy(col(rid))
-      .agg(min(col(valName)).as(valName), count(lit(1)).as(gcName))
-      .withColumnRenamed(rid, rid2)
-    ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
-      ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
-    when(coalesce(proj(gcName), lit(0L)) <= 1, proj(valName))
-      .otherwise(raise_error(lit("scalar subquery returned more than one row")))
+    top1Off match {
+      case Some(off) =>
+        // per-rid group ranking: window buckets are rid-sized group
+        // sets, never a global sort; fewer than off+1 surviving groups
+        // → NULL through the left join-back
+        val ordNames = ordExprs.indices.map(_ => fresh("tgord"))
+        val base = filtered.select(
+          (Seq(col(rid), bindExpr(valueExpr, gCtx).as(valName)) ++
+            ordExprs.zip(ordNames).map { case (oe, on) =>
+              bindExpr(oe, gCtx).as(on) }): _*)
+        val w = Window.partitionBy(col(rid))
+          .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
+            if (ok.desc) col(on).desc else col(on).asc }: _*)
+        val rn = fresh("tgrn")
+        val proj = base.withColumn(rn, row_number().over(w))
+          .filter(col(rn) === (off + 1))
+          .select(col(rid).as(rid2), col(valName))
+        ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
+          ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
+        proj(valName)
+      case None =>
+        val gcName = fresh("tggc")
+        val proj = filtered
+          .select(col(rid), bindExpr(valueExpr, gCtx).as(valName))
+          .groupBy(col(rid))
+          .agg(min(col(valName)).as(valName), count(lit(1)).as(gcName))
+          .withColumnRenamed(rid, rid2)
+        ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
+          ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
+        when(coalesce(proj(gcName), lit(0L)) <= 1, proj(valName))
+          .otherwise(raise_error(lit("scalar subquery returned more than one row")))
+    }
   }
 
   /** GROUP BY body under THETA (non-equality) correlation in IN

@@ -795,5 +795,24 @@ object Round7Queries {
          from customer
          where c_nationkey in (select min(s_nationkey) from supplier
                                where s_acctbal > c_acctbal limit 1)
-         order by c_custkey"""))
+         order by c_custkey"""),
+
+    // ---- GROUP BY … ORDER BY agg LIMIT 1 under a THETA scalar -----------
+    // the busiest supplier among lines priced above an order-scaled
+    // budget: surviving (rid, suppkey) groups rank per rid by their own
+    // aggregate (count), ties by key — 56 of 300 orders have no
+    // qualifying line (NULL). The window buckets are rid-sized.
+    engineSql("qe146_scalar_theta_group_top1",
+      """SELECT o_orderkey,
+           (SELECT l_suppkey FROM lineitem
+            WHERE l_extendedprice > o_totalprice / 4
+            GROUP BY l_suppkey
+            ORDER BY count(1) DESC, l_suppkey LIMIT 1) AS busiest_supp
+         FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""",
+      """select o_orderkey,
+           (select l_suppkey from lineitem
+            where l_extendedprice > o_totalprice / 4
+            group by l_suppkey
+            order by count(1) desc, l_suppkey limit 1) as busiest_supp
+         from orders where o_orderkey < 300 order by o_orderkey"""))
 }
