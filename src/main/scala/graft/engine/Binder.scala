@@ -766,19 +766,33 @@ final class Binder(
         return
       }
       if (o > 0) {
-        if (qb.groupBy.isEmpty && qb.having.isEmpty) {
+        val selectAggs = qb.selectList.exists(si =>
+          !si.expr.isInstanceOf[Wildcard] && collectAggs(si.expr).nonEmpty)
+        if (qb.groupBy.isEmpty && qb.having.isEmpty && !selectAggs) {
           lowerExists(qb.copy(limit = None, having = Some(
             Binary(">", FnCall("count", Seq(IntLit(BigInt(1)))),
               IntLit(BigInt(o))))), negated, ctx)
           return
         }
         if (qb.groupBy.isEmpty) {
+          // ungrouped HAVING or aggregate-select body: at most ONE
+          // pre-limit row ever, so OFFSET >= 1 is constant-false
           val keep = if (negated) lit(true) else lit(false)
           ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
           return
         }
         existsOff = o
       }
+    }
+    // an ungrouped aggregate-select body with no HAVING yields exactly
+    // ONE row whatever the WHERE matches (SQL's empty-set aggregate
+    // row), so its existence is constant-true
+    if (qb.groupBy.isEmpty && qb.having.isEmpty &&
+        qb.selectList.exists(si =>
+          !si.expr.isInstanceOf[Wildcard] && collectAggs(si.expr).nonEmpty)) {
+      val keep = if (negated) lit(false) else lit(true)
+      ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
+      return
     }
     // the body's own WITH list binds first (uncorrelated) — its names
     // are visible to the body's FROM/JOINs and to nested subqueries
@@ -867,6 +881,10 @@ final class Binder(
     val how = if (negated) "left_anti" else "left_semi"
 
     if (qb.groupBy.nonEmpty || qb.having.isDefined) {
+      if (correlated.nonEmpty && !equalityOrientable(correlated, innerRel, ctx.rel)) {
+        thetaAggExists(qb, innerCtx, correlated, ctx, negated, existsOff)
+        return
+      }
       val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel, "aggregated EXISTS")
       if (qb.groupBy.isEmpty && qb.having.isDefined && keyPairs.nonEmpty) {
         // HAVING over an UNGROUPED aggregate: SQL produces exactly one
@@ -917,6 +935,90 @@ final class Binder(
         }
       ctx.rel = Rel(ctx.rel.df.join(innerDf, cond, how), ctx.rel.scopes)
     }
+  }
+
+  /** Aggregated EXISTS under THETA (non-equality) correlation.
+    *
+    * GROUP BY body: existence ≡ more than `existsOff` HAVING-surviving
+    * groups in this outer row's matching set — rid-tag the outer frame,
+    * inner-join on the correlated conjuncts (repartitioned streamed
+    * side, see thetaLimitIn), group by (rid ∪ keys), filter HAVING,
+    * count surviving groups per rid, semi/anti join back by rid.
+    *
+    * Ungrouped HAVING body: SQL yields exactly ONE aggregate row per
+    * outer row even over an empty match set, so existence is the HAVING
+    * flag evaluated with empty-set aggregate semantics — which is
+    * precisely what thetaUngroupedAgg's presence-gated aggregation
+    * computes per rid. */
+  private def thetaAggExists(qb: QueryBody, innerCtx: Ctx,
+      correlated: Seq[Expr], ctx: Ctx, negated: Boolean,
+      existsOff: Int): Unit = {
+    val what = "aggregated EXISTS (theta path)"
+    if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty))
+      err(s"$what takes a grouped/aggregate body (no LIMIT/DISTINCT ON)")
+    if (qb.groupBy.isEmpty) {
+      // ungrouped HAVING: reuse the per-rid aggregate machinery with a
+      // neutral select item (EXISTS ignores the select list)
+      val qb2 = qb.copy(selectList =
+        Seq(SelectItem(FnCall("count", Seq(IntLit(BigInt(1)))), None)))
+      val (_, having) = thetaUngroupedAgg(qb2, innerCtx.rel, Nil, correlated,
+        ctx, what, innerCtx.ctes)
+      val flag = having.map(h => coalesce(h, lit(false))).getOrElse(lit(true))
+      val keep = if (negated) !flag else flag
+      ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
+      return
+    }
+    val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+    val rid = fresh("terid")
+    val rid2 = fresh("terid2")
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val renamed = renamed0.repartition(
+      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+    val joined =
+      try outer.join(renamed, cond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what here may only reference columns of the current " +
+            "(left) relation — move it to WHERE or rewrite the join")
+      }
+    val jCtx = new Ctx(Rel(joined, rScopes), None, innerCtx.ctes)
+    val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+      .map(e => (e, fresh("teg")))
+    val aggCalls = havingExpr.toSeq.flatMap(collectAggs).distinct
+    val aggPairs = aggCalls.map(fc => (fc, fresh("tea")))
+    val aggCols = aggPairs.map { case (fc, nm) => bindAggCall(fc, jCtx).as(nm) } match {
+      case Nil => Seq(count(lit(1)).as(fresh("tec0")))
+      case cs => cs
+    }
+    val groupCols = col(rid) +: groupPairs.map { case (e, nm) =>
+      bindExpr(e, jCtx).as(nm)
+    }
+    val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val gCtx = new Ctx(
+      Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+      None, innerCtx.ctes,
+      subst = aggPairs.map { case (fc, nm) => (fc: Expr) -> grouped(nm) }.toMap ++
+        groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
+    val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+      .getOrElse(grouped)
+    val survivors0 = filtered.select(col(rid))
+    val survivors =
+      if (existsOff == 0) survivors0.distinct()
+      else {
+        val cnt = fresh("teoff")
+        survivors0.groupBy(col(rid)).agg(count(lit(1)).as(cnt))
+          .filter(col(cnt) > existsOff).drop(cnt)
+      }
+    val how = if (negated) "left_anti" else "left_semi"
+    ctx.rel = Rel(
+      outer.join(survivors.withColumnRenamed(rid, rid2),
+        col(rid) === col(rid2), how).drop(rid),
+      ctx.rel.scopes)
   }
 
   /** Lower-cased visible relation qualifiers of a scope list. */

@@ -814,5 +814,42 @@ object Round7Queries {
             where l_extendedprice > o_totalprice / 4
             group by l_suppkey
             order by count(1) desc, l_suppkey limit 1) as busiest_supp
-         from orders where o_orderkey < 300 order by o_orderkey"""))
+         from orders where o_orderkey < 300 order by o_orderkey"""),
+
+    // ---- aggregated EXISTS under THETA correlation ----------------------
+    // existence = at least one supplier group with >= 40 lines priced
+    // above an order-scaled threshold; the rid-tagged grouped lowering
+    // counts HAVING-surviving groups per outer row (307 of 500).
+    engineSql("qe147_exists_theta_grouped",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 500 AND EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_extendedprice > o_totalprice / 3
+           GROUP BY l_suppkey HAVING count(1) >= 40)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 500 and exists (
+           select 1 from lineitem
+           where l_extendedprice > o_totalprice / 3
+           group by l_suppkey having count(1) >= 40)
+         order by o_orderkey"""),
+
+    // ---- ungrouped HAVING body under theta NOT EXISTS -------------------
+    // the one-aggregate-row-even-over-empty-sets rule is decisive: a
+    // customer with fewer than 25 cheap-enough orders has a HAVING-false
+    // row (NOT EXISTS true) — including customers with NO matching
+    // orders at all (count = 0), which a bare semi join would get wrong.
+    engineSql("qe148_not_exists_theta_having",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 500 AND NOT EXISTS (
+           SELECT max(o_orderkey) FROM orders
+           WHERE o_totalprice < c_acctbal * 20
+           HAVING count(1) >= 25)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 500 and not exists (
+           select max(o_orderkey) from orders
+           where o_totalprice < c_acctbal * 20
+           having count(1) >= 25)
+         order by c_custkey"""))
 }

@@ -696,4 +696,147 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("own relations"),
       s"unexpected: ${e.getMessage}")
   }
+
+  // ---- theta-grouped IN (session: GROUP BY bodies on the theta path) --
+
+  test("theta-grouped IN equals the aggregated-EXISTS form") {
+    // membership of c_nationkey in the grouped set ≡ the group keyed
+    // c_nationkey itself survives HAVING — the aggregated-EXISTS path
+    // is proven independently (qe78 family)
+    val got = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 200
+           and o_orderkey % 10 in (select l_linenumber from lineitem
+                                   where l_extendedprice > o_totalprice / 8
+                                   group by l_linenumber having count(1) >= 2)
+         order by o_orderkey""")
+    val want = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 200
+           and (select count(1) from lineitem
+                where l_linenumber = o_orderkey % 10
+                  and l_extendedprice > o_totalprice / 8) >= 2
+         order by o_orderkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("theta IN with an unselective LIMIT equals the no-LIMIT form") {
+    val base =
+      """select c_custkey from customer
+         where c_custkey < 200
+           and c_custkey in (select o_custkey from orders
+                             where o_totalprice > c_acctbal * 30%s)
+         order by c_custkey"""
+    val got = keys(base.format(" order by o_totalprice desc, o_orderkey limit 1000000"))
+    val want = keys(base.format(""))
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("theta scalar ORDER BY … LIMIT 1 equals the min-aggregate form") {
+    val got = rows(
+      """select c_custkey,
+           (select o_orderkey from orders
+            where o_totalprice < c_acctbal * 40
+            order by o_orderkey limit 1) as v
+         from customer where c_custkey < 200 order by c_custkey""")
+    val want = rows(
+      """select c_custkey,
+           (select min(o_orderkey) from orders
+            where o_totalprice < c_acctbal * 40) as v
+         from customer where c_custkey < 200 order by c_custkey""")
+    assert(want.exists(!_.isNullAt(1)), "vacuous fixture")
+    assert(got.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))) ==
+      want.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))))
+  }
+
+  test("DISTINCT ON scalar with a pinned group equals the max-aggregate form") {
+    // one possible ON-group ('R') whose kept row's select value is the
+    // group key itself — so the survivor equals max(flag) over matches
+    val got = rows(
+      """select o_orderkey,
+           (select distinct on (l_returnflag) l_returnflag from lineitem
+            where l_orderkey = o_orderkey and l_returnflag = 'R'
+            order by l_returnflag) as f
+         from orders where o_orderkey < 500 order by o_orderkey""")
+    val want = rows(
+      """select o_orderkey,
+           (select max(l_returnflag) from lineitem
+            where l_orderkey = o_orderkey and l_returnflag = 'R') as f
+         from orders where o_orderkey < 500 order by o_orderkey""")
+    def norm(rs: Seq[Row]) = rs.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1))))
+    assert(norm(want).exists(_._2.isDefined), "vacuous fixture")
+    assert(norm(got) == norm(want))
+  }
+
+  test("LIMIT over a one-row aggregate body is a no-op") {
+    val got = rows(
+      """select c_custkey,
+           (select min(o_totalprice) from orders
+            where o_custkey = c_custkey limit 1) as v
+         from customer where c_custkey < 100 order by c_custkey""")
+    val want = rows(
+      """select c_custkey,
+           (select min(o_totalprice) from orders
+            where o_custkey = c_custkey) as v
+         from customer where c_custkey < 100 order by c_custkey""")
+    def norm(rs: Seq[Row]) = rs.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(norm(got) == norm(want))
+  }
+
+  test("right semi/anti USING equal their ON-condition forms") {
+    val semiU = keys(
+      """select sk from
+           (select o_custkey % 50 as sk from orders where o_totalprice > 450000) as o
+           right semi join (select s_suppkey as sk from supplier) as s using (sk)
+         order by sk""")
+    val semiOn = keys(
+      """select s.sk from
+           (select o_custkey % 50 as sk from orders where o_totalprice > 450000) as o
+           right semi join (select s_suppkey as sk from supplier) as s on o.sk = s.sk
+         order by sk""")
+    assert(semiU == semiOn)
+    val antiU = keys(
+      """select sk from
+           (select o_custkey % 50 as sk from orders where o_totalprice > 450000) as o
+           right anti join (select s_suppkey as sk from supplier) as s using (sk)
+         order by sk""")
+    val antiOn = keys(
+      """select s.sk from
+           (select o_custkey % 50 as sk from orders where o_totalprice > 450000) as o
+           right anti join (select s_suppkey as sk from supplier) as s on o.sk = s.sk
+         order by sk""")
+    assert(antiU == antiOn)
+    assert((semiU ++ antiU).sorted ==
+      keys("select s_suppkey from supplier order by s_suppkey"))
+  }
+
+  test("theta-grouped scalar top-1 matches a driver-side brute force") {
+    val got = rows(
+      """select o_orderkey,
+           (select l_suppkey from lineitem
+            where l_extendedprice > o_totalprice / 4
+            group by l_suppkey
+            order by count(1) desc, l_suppkey limit 1) as busiest
+         from orders where o_orderkey < 100 order by o_orderkey""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val lines = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_suppkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 < 100).sortBy(_._1)
+    val want = orders.map { case (ok, tp) =>
+      val counts = lines.filter(_._2 > tp / 4).groupBy(_._1)
+        .view.mapValues(_.length).toMap
+      val pick = counts.toSeq.sortBy { case (sk, c) => (-c, sk) }.headOption.map(_._1)
+      (ok, pick)
+    }.toSeq
+    assert(want.exists(_._2.isDefined), "vacuous fixture")
+    assert(got == want)
+  }
 }
