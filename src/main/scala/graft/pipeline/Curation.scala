@@ -417,6 +417,25 @@ object Curation {
       .withColumn("keep", col("reason") === "ok")
   }
 
+  // ---- end-to-end training manifest --------------------------------------
+
+  /** The composed curation tail every training run needs, as ONE
+    * operator: exact dedup (keep lowest id per content fingerprint) →
+    * per-source cap → deterministic split assignment. Each stage is the
+    * already-proven primitive ([[Dedup.keepFirstByKey]], [[domainCap]],
+    * [[assignSplit]]), so the manifest inherits their scale contracts —
+    * fingerprint-bucketed dedup windows, the salted pre-thin for hot
+    * sources, and a pure-projection split. Output: (id, source, split)
+    * ordered by id — the shuffle-ready training manifest. */
+  def trainingManifest(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, cap: Int): DataFrame = {
+    val kept = Dedup.keepFirstByKey(docs, idCol, TextOps.fingerprint(col(textCol)))
+    domainCap(kept, idCol, sourceCol, cap)
+      .join(assignSplit(kept, idCol), Seq(idCol))
+      .select(col(idCol), col(sourceCol), col("split"))
+      .orderBy(col(idCol))
+  }
+
   // ---- train/val/test split assignment ----------------------------------
 
   /** Deterministic split assignment by the Knuth multiplicative mix of

@@ -851,5 +851,32 @@ object Round7Queries {
            select max(o_orderkey) from orders
            where o_totalprice < c_acctbal * 20
            having count(1) >= 25)
-         order by c_custkey"""))
+         order by c_custkey"""),
+
+    // ---- end-to-end training manifest -----------------------------------
+    // the composed curation tail (exact dedup → domain cap → split
+    // assignment) as one entry: 400 of 500 docs survive the cap at
+    // sf0.01 and every split region is represented. The oracle chains
+    // the three stages' proven SQL forms.
+    QueryDef(
+      "qp85_training_manifest",
+      Some("""WITH f AS (SELECT doc_id, source,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents),
+          d AS (SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+          kept AS (SELECT doc_id, source FROM d WHERE rn = 1),
+          capped AS (SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007,
+                           doc_id) AS rk
+              FROM kept)
+          SELECT doc_id, source,
+            CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 10 THEN 'test'
+                 WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 60 THEN 'val'
+                 ELSE 'train' END AS split
+          FROM capped WHERE rk <= 20 ORDER BY doc_id"""),
+      (s, dir) => Curation.trainingManifest(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        cap = 20)))
 }

@@ -395,6 +395,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.collect().toSeq == b.collect().toSeq)  // reproducible pick
   }
 
+  test("trainingManifest dedupes, caps per source, and assigns every split") {
+    import spark.implicits._
+    // 30 docs in one hot source (ids 0-29, two exact-duplicate pairs)
+    // plus 5 in a cold one; cap=10
+    val docs = ((0L until 30L).map(i =>
+        (i, if (i == 7) "dup text here" else if (i == 9) "dup text here"
+            else s"text $i", "hot")) ++
+      (30L until 35L).map(i => (i, s"cold $i", "cold")))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.trainingManifest(docs, "doc_id", "text", "source", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the exact duplicate (id 9 duplicates id 7) never survives
+    assert(!got.exists(_._1 == 9L))
+    // cap respected per source; cold side keeps all 5
+    val bySource = got.groupBy(_._2)
+    assert(bySource("hot").length == 10)
+    assert(bySource("cold").length == 5)
+    // split values legal, and consistent with assignSplit on the same ids
+    val split = Curation.assignSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, _, s) => split(id) == s })
+    // deterministic
+    val again = Curation.trainingManifest(docs, "doc_id", "text", "source", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("lexicalFamiliarity: hand-computed counts, rare flags, empty doc") {
     import spark.implicits._
     // corpus counts: aa=3, bb=2, cc=1  → with rareMax=2, bb and cc are rare
