@@ -2376,8 +2376,15 @@ final class Binder(
                 val lc = qb.limit.get
                 val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
                 val lim = evalLimitInt(lc.limit, "LIMIT")
+                if (lc.withTies && off > 0)
+                  err("correlated IN with LIMIT … WITH TIES does not " +
+                    "combine with OFFSET")
                 val rn = fresh("irn")
-                df = df.withColumn(rn, row_number().over(
+                // WITH TIES keeps every row tying with the lim-th on the
+                // sort key — rank() (not row_number) is exactly that cut
+                val rnCol =
+                  if (lc.withTies) rank() else row_number()
+                df = df.withColumn(rn, rnCol.over(
                     Window.partitionBy(keyNames.map(col): _*)
                       .orderBy(ordCols: _*)))
                   .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
@@ -2695,6 +2702,9 @@ final class Binder(
     val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
     if (evalLimitInt(lc.limit, "LIMIT") != 1)
       err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
+    if (lc.withTies)
+      err(s"$what: LIMIT … WITH TIES is not scalar (ties can yield " +
+        "several rows)")
     if (qb.distinct.exists(_.nonEmpty))
       err(s"$what supports plain DISTINCT bodies only (no DISTINCT ON)")
     val isDistinct = qb.distinct.contains(Nil)
@@ -2954,6 +2964,9 @@ final class Binder(
     val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
     if (evalLimitInt(lc.limit, "LIMIT") != 1)
       err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
+    if (lc.withTies)
+      err(s"$what: LIMIT … WITH TIES is not scalar (ties can yield " +
+        "several rows)")
     if (qb.groupBy.nonEmpty || qb.having.isDefined ||
         collectAggs(qb.selectList.head.expr).nonEmpty)
       err(s"$what takes a plain body (no GROUP BY/HAVING/aggregates)")
@@ -3024,6 +3037,9 @@ final class Binder(
     val top1Off: Option[Int] = qb.limit.map { lc =>
       if (evalLimitInt(lc.limit, "LIMIT") != 1)
         err(s"$what supports only LIMIT 1 (a scalar needs exactly one row)")
+      if (lc.withTies)
+        err(s"$what: LIMIT … WITH TIES is not scalar (ties can yield " +
+          "several rows)")
       if (qb.orderBy.isEmpty)
         err(s"$what with LIMIT needs an ORDER BY (LIMIT 1 without one " +
           "picks an arbitrary group)")
@@ -3277,8 +3293,12 @@ final class Binder(
     qb.limit.foreach { lc =>
       val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
       val lim = evalLimitInt(lc.limit, "LIMIT")
+      if (lc.withTies && off > 0)
+        err(s"$what: LIMIT … WITH TIES does not combine with OFFSET")
       val rn = fresh("tlrn")
-      df = df.withColumn(rn, row_number().over(
+      // WITH TIES = rank() cut (every row tying with the lim-th kept)
+      val rnCol = if (lc.withTies) rank() else row_number()
+      df = df.withColumn(rn, rnCol.over(
           Window.partitionBy(col(rid)).orderBy(ordCols: _*)))
         .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
     }

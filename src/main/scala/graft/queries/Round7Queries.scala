@@ -878,5 +878,27 @@ object Round7Queries {
           FROM capped WHERE rk <= 20 ORDER BY doc_id"""),
       (s, dir) => Curation.trainingManifest(
         Tables.load(s, dir, "documents"), "doc_id", "text", "source",
-        cap = 20)))
+        cap = 20)),
+
+    // ---- LIMIT … WITH TIES inside a correlated IN body ------------------
+    // the per-key membership set keeps every row tying with the 2nd on
+    // the (deliberately collision-heavy) sort key — the rank() cut.
+    // DuckDB has no WITH TIES, so the oracle states the rank() form
+    // directly; ties are decisive for 11 of 566 kept orders at sf0.01.
+    engineSql("qe149_in_limit_with_ties",
+      """SELECT o_orderkey FROM orders o
+         WHERE o_orderkey < 3000 AND o_custkey % 10 IN (
+           SELECT v FROM (
+             SELECT l_orderkey AS lk, l_linenumber AS v,
+                    rank() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_quantity DESC) rk
+             FROM lineitem) t
+           WHERE t.lk = o.o_orderkey AND rk <= 2)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 3000 and o_custkey % 10 in (
+           select l_linenumber from lineitem
+           where l_orderkey = o_orderkey
+           order by l_quantity desc limit 2 with ties)
+         order by o_orderkey"""))
 }
