@@ -2814,20 +2814,29 @@ final class Binder(
     proj(valName)
   }
 
-  /** LIMIT over a body that already yields AT MOST ONE row (an ungrouped
-    * aggregate, with or without HAVING) is a no-op for `LIMIT n>=1
-    * OFFSET 0` — engines accept the composition freely, so strip it
-    * instead of routing to a plain-body window path that would reject
-    * the aggregate. LIMIT 0 / OFFSET>=1 (which EMPTY the one-row set)
-    * keep the limit and surface the path's own clean error. */
-  private def stripNoopLimit(qb: QueryBody): QueryBody = qb.limit match {
-    case Some(lc) if qb.groupBy.isEmpty && qb.selectList.size == 1 &&
-        !qb.selectList.head.expr.isInstanceOf[Wildcard] &&
-        (collectAggs(qb.selectList.head.expr).nonEmpty || qb.having.isDefined) &&
-        lc.offset.forall(o => Try(evalLimitInt(o, "OFFSET")).toOption.contains(0)) &&
-        Try(evalLimitInt(lc.limit, "LIMIT")).toOption.exists(_ >= 1) =>
-      qb.copy(limit = None)
-    case _ => qb
+  /** LIMIT / plain DISTINCT over a body that already yields AT MOST ONE
+    * row (an ungrouped aggregate, with or without HAVING) are no-ops —
+    * engines accept the compositions freely, so strip them instead of
+    * routing to plain-body paths that would reject the aggregate. LIMIT
+    * applies only for `n>=1 OFFSET 0`; LIMIT 0 / OFFSET>=1 (which EMPTY
+    * the one-row set) keep the limit and surface the path's own clean
+    * error, and DISTINCT ON keeps its own errors too. */
+  private def stripNoopLimit(qb0: QueryBody): QueryBody = {
+    def oneRowAggBody(b: QueryBody): Boolean =
+      b.groupBy.isEmpty && b.selectList.size == 1 &&
+        !b.selectList.head.expr.isInstanceOf[Wildcard] &&
+        (collectAggs(b.selectList.head.expr).nonEmpty || b.having.isDefined)
+    val qb =
+      if (qb0.distinct.contains(Nil) && oneRowAggBody(qb0))
+        qb0.copy(distinct = None)
+      else qb0
+    qb.limit match {
+      case Some(lc) if oneRowAggBody(qb) &&
+          lc.offset.forall(o => Try(evalLimitInt(o, "OFFSET")).toOption.contains(0)) &&
+          Try(evalLimitInt(lc.limit, "LIMIT")).toOption.exists(_ >= 1) =>
+        qb.copy(limit = None)
+      case _ => qb
+    }
   }
 
   /** DISTINCT ON body in a correlated scalar lookup (`SELECT DISTINCT

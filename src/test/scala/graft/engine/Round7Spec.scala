@@ -771,6 +771,30 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(norm(got) == norm(want))
   }
 
+  test("DISTINCT + LIMIT over a one-row aggregate body are no-ops (both paths)") {
+    // equality-correlated scalar and theta IN, each with the full
+    // DISTINCT … LIMIT 1 decoration over an ungrouped aggregate
+    val got = rows(
+      """select c_custkey,
+           (select distinct min(o_totalprice) from orders
+            where o_custkey = c_custkey limit 1) as v
+         from customer where c_custkey < 100
+           and c_nationkey in (select distinct min(s_nationkey) from supplier
+                               where s_acctbal > c_acctbal limit 1)
+         order by c_custkey""")
+    val want = rows(
+      """select c_custkey,
+           (select min(o_totalprice) from orders
+            where o_custkey = c_custkey) as v
+         from customer where c_custkey < 100
+           and c_nationkey in (select min(s_nationkey) from supplier
+                               where s_acctbal > c_acctbal)
+         order by c_custkey""")
+    def norm(rs: Seq[Row]) = rs.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(norm(got) == norm(want))
+  }
+
   test("LIMIT over a one-row aggregate body is a no-op") {
     val got = rows(
       """select c_custkey,
