@@ -838,6 +838,42 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
       keys("select s_suppkey from supplier order by s_suppkey"))
   }
 
+  test("IN body LIMIT WITH TIES: no-op under a unique sort key, superset otherwise") {
+    // unique key (l_orderkey, l_linenumber ordering surrogate via
+    // extendedprice ties broken by linenumber): ties change nothing
+    val tiesUnique = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 300 and o_custkey % 10 in (
+           select l_linenumber from lineitem
+           where l_orderkey = o_orderkey
+           order by l_extendedprice desc, l_linenumber limit 2 with ties)
+         order by o_orderkey""")
+    val plainUnique = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 300 and o_custkey % 10 in (
+           select l_linenumber from lineitem
+           where l_orderkey = o_orderkey
+           order by l_extendedprice desc, l_linenumber limit 2)
+         order by o_orderkey""")
+    assert(tiesUnique == plainUnique)
+    // colliding key (quantity): the tie cut keeps a SUPERSET membership
+    val tiesColl = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 300 and o_custkey % 10 in (
+           select l_linenumber from lineitem
+           where l_orderkey = o_orderkey
+           order by l_quantity desc limit 2 with ties)
+         order by o_orderkey""")
+    val plainColl = keys(
+      """select o_orderkey from orders
+         where o_orderkey < 300 and o_custkey % 10 in (
+           select l_linenumber from lineitem
+           where l_orderkey = o_orderkey
+           order by l_quantity desc, l_linenumber limit 2)
+         order by o_orderkey""")
+    assert(plainColl.toSet.subsetOf(tiesColl.toSet))
+  }
+
   test("theta-grouped scalar top-1 matches a driver-side brute force") {
     val got = rows(
       """select o_orderkey,
