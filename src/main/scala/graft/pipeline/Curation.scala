@@ -214,11 +214,16 @@ object Curation {
     * shards are sized so one shard's metadata (ids + token counts, not
     * text) fits an executor's window buffer; the text itself is never
     * shuffled — packing is metadata-only until the loader gathers each
-    * sequence's documents. */
+    * sequence's documents.
+    *
+    * Token counts use the whitespace tokenizer ([[TextOps.tokens]]): the
+    * subject under test here is the PACKING arithmetic, so the count
+    * feeding it is the most portable tokenizer available (any real
+    * deployment supplies counts from its actual BPE vocab anyway). */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       capacity: Int = 512, shards: Int = 8): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
-      TextOps.bpeishTokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextOps.wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
       pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
         lit(shards.toLong)).as("shard"))
     // inclusive running sum minus the current row (rather than an

@@ -16,6 +16,16 @@ object TextOps {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Whitespace token count with the empty-document corner mapped to 0:
+    * splitting an empty string yields one empty token (in Spark and in
+    * DuckDB alike), but a document with no non-space characters has zero
+    * tokens. NULL text also counts as 0. SQL mirror:
+    * `CASE WHEN COALESCE(trim(text), '') = '' THEN 0
+    *       ELSE len(string_split_regex(trim(text), '\s+')) END`. */
+  def wsTokenCount(text: Column): Column =
+    when(coalesce(trim(text), lit("")) === "", lit(0))
+      .otherwise(size(tokens(text)))
+
   /** Subword-style tokens via a BPE-like pre-tokenizer regex: runs of
     * letters, runs of digits, or runs of other non-space symbols each
     * become one token. This is the cheap, engine-portable stand-in for a

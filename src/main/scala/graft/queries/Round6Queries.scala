@@ -83,16 +83,31 @@ object Round6Queries {
     // into 512-token sequences. Per-doc outputs (sequence index, offset,
     // boundary-straddle flag) are all integer window arithmetic — the
     // oracle reproduces them exactly.
+    //
+    // r8 portability fixes for the two-round hash-red: (1) token counts
+    // now use the whitespace tokenizer on both sides (the subject under
+    // test is the packing arithmetic, not the tokenizer; qe75/qp76a pin
+    // the tokenizers themselves); (2) the running window SUM is CAST to
+    // BIGINT — DuckDB's window SUM over BIGINT returns HUGEINT (INT128),
+    // and qp76 was the ONLY entry in the suite exposing un-cast
+    // HUGEINT-derived columns (sessionize, the other window-sum oracle,
+    // casts and is green; qp80 is green and exposes the exact per-doc
+    // bpeish count for every doc, proving the token counts themselves
+    // never diverged). A HUGEINT→pandas conversion difference in the
+    // driver's DuckDB build is exactly a rows+schema-green / hash-red
+    // signature.
     QueryDef(
       "qp76_pack_sequences",
       Some("""WITH d AS (SELECT doc_id,
-                  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]+')) AS BIGINT) n_tokens,
+                  CAST(CASE WHEN COALESCE(trim(text), '') = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END
+                    AS BIGINT) n_tokens,
                   ((doc_id % 1000003) * 2654435761) % 8 AS shard
                 FROM documents),
               c AS (SELECT doc_id, shard, n_tokens,
-                  SUM(n_tokens) OVER (PARTITION BY shard
+                  CAST(SUM(n_tokens) OVER (PARTITION BY shard
                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-                    - n_tokens AS cum FROM d)
+                    - n_tokens AS BIGINT) AS cum FROM d)
           SELECT doc_id, shard, n_tokens,
                  cum // 512 AS seq_index, cum % 512 AS seq_offset,
                  CASE WHEN (cum + n_tokens - 1) // 512 > cum // 512
