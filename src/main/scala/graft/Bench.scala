@@ -38,6 +38,20 @@ object Bench {
     // noop sink forces full materialization of every column — a bare
     // count() lets Catalyst prune projections and drop un-limited sorts,
     // which under-measures expression-heavy queries.
+    // Cross-entry interference control (VERDICT r7 #2: committed qe86 at
+    // 4.19 s vs 0.55 s isolated — suite state, not the query): releases
+    // are BLOCKING so no entry's leftover cached blocks occupy the
+    // unified memory region while the next entry is timed, and a
+    // periodic untimed GC nudges the ContextCleaner (weak-ref-driven) to
+    // actually delete accumulated shuffle files and dropped blocks.
+    var sinceSettle = 0
+    def settle(force: Boolean = false): Unit = {
+      sinceSettle += 1
+      if (force || sinceSettle >= 20) {
+        sinceSettle = 0
+        System.gc(); Thread.sleep(if (force) 1000 else 100)
+      }
+    }
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
@@ -45,7 +59,8 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // release per run so CTE caches never accumulate across the
       // entries (each run re-persists its own CTEs — timings stay fair)
-      queries.Engines.releaseAll()
+      queries.Engines.releaseAll(blocking = true)
+      settle()
       t
     }
     val errs = scala.collection.mutable.Map.empty[String, String]
@@ -64,6 +79,7 @@ object Bench {
     // passes still disagree by >1.5x get one tie-break run after a GC
     // settle; min of the three is reported.
     val pass1 = names.map(n => n -> attempt(n)).toMap
+    settle(force = true) // full drain between the two interleaved passes
     val pass2 = names.map(n => n -> attempt(n)).toMap
     val results: ListMap[String, Double] = ListMap(names.map { name =>
       val (a, b) = (pass1(name), pass2(name))

@@ -954,13 +954,18 @@ final class Binder(
       correlated: Seq[Expr], ctx: Ctx, negated: Boolean,
       existsOff: Int): Unit = {
     val what = "aggregated EXISTS (theta path)"
-    if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty))
-      err(s"$what takes a grouped/aggregate body (no LIMIT/DISTINCT ON)")
+    if (qb.distinct.exists(_.nonEmpty))
+      err(s"$what takes a grouped/aggregate body (no DISTINCT ON)")
+    // LIMIT n (n >= 1; the caller rewrote LIMIT 0 to constant
+    // existence) never changes "more than existsOff rows exist" — the
+    // OFFSET part already arrived via existsOff, so the clause is
+    // dropped here, matching the equality path's coverage (ADVICE r7).
     if (qb.groupBy.isEmpty) {
       // ungrouped HAVING: reuse the per-rid aggregate machinery with a
       // neutral select item (EXISTS ignores the select list)
       val qb2 = qb.copy(selectList =
-        Seq(SelectItem(FnCall("count", Seq(IntLit(BigInt(1)))), None)))
+        Seq(SelectItem(FnCall("count", Seq(IntLit(BigInt(1)))), None)),
+        limit = None)
       val (_, having) = thetaUngroupedAgg(qb2, innerCtx.rel, Nil, correlated,
         ctx, what, innerCtx.ctes)
       val flag = having.map(h => coalesce(h, lit(false))).getOrElse(lit(true))
@@ -974,31 +979,25 @@ final class Binder(
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
-    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
-    val renamed = renamed0.repartition(
-      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
-    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
-    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
-    val joined =
-      try outer.join(renamed, cond, "inner")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          err(s"$what here may only reference columns of the current " +
-            "(left) relation — move it to WHERE or rewrite the join")
-      }
-    val jCtx = new Ctx(Rel(joined, rScopes), None, innerCtx.ctes)
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("teg")))
     val aggCalls = havingExpr.toSeq.flatMap(collectAggs).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("tea")))
-    val aggCols = aggPairs.map { case (fc, nm) => bindAggCall(fc, jCtx).as(nm) } match {
-      case Nil => Seq(count(lit(1)).as(fresh("tec0")))
-      case cs => cs
-    }
-    val groupCols = col(rid) +: groupPairs.map { case (e, nm) =>
-      bindExpr(e, jCtx).as(nm)
-    }
-    val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val grouped = thetaBandedGroupedAgg(outer, rid, renamed, rScopes,
+        correlated, ctx, groupPairs, aggPairs, innerCtx.ctes, what)
+      .getOrElse {
+        val joined = thetaInnerJoin(outer, renamed, rScopes, correlated, ctx, what)
+        val jCtx = new Ctx(Rel(joined, rScopes), None, innerCtx.ctes)
+        val aggCols = aggPairs.map { case (fc, nm) => bindAggCall(fc, jCtx).as(nm) } match {
+          case Nil => Seq(count(lit(1)).as(fresh("tec0")))
+          case cs => cs
+        }
+        val groupCols = col(rid) +: groupPairs.map { case (e, nm) =>
+          bindExpr(e, jCtx).as(nm)
+        }
+        joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
     val gCtx = new Ctx(
       Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
       None, innerCtx.ctes,
@@ -2376,18 +2375,36 @@ final class Binder(
                 val lc = qb.limit.get
                 val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
                 val lim = evalLimitInt(lc.limit, "LIMIT")
-                if (lc.withTies && off > 0)
-                  err("correlated IN with LIMIT … WITH TIES does not " +
-                    "combine with OFFSET")
-                val rn = fresh("irn")
-                // WITH TIES keeps every row tying with the lim-th on the
-                // sort key — rank() (not row_number) is exactly that cut
-                val rnCol =
-                  if (lc.withTies) rank() else row_number()
-                df = df.withColumn(rn, rnCol.over(
-                    Window.partitionBy(keyNames.map(col): _*)
-                      .orderBy(ordCols: _*)))
-                  .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
+                val w = Window.partitionBy(keyNames.map(col): _*)
+                  .orderBy(ordCols: _*)
+                if (lc.withTies && off > 0) {
+                  // OFFSET + WITH TIES: drop the first `off` rows by
+                  // position, then keep through the RANK of the
+                  // (off+lim)-th row — the per-key window form of the
+                  // top-level withTies threshold semantics (fewer than
+                  // off+lim rows → no tie cut, keep everything past the
+                  // offset). Reference grammar parses `LIMIT o,n WITH
+                  // TIES` freely (/root/reference/src/parser/mod.rs:503-544).
+                  val rn = fresh("irn")
+                  val rk = fresh("irk")
+                  val thr = fresh("ithr")
+                  df = df.withColumn(rn, row_number().over(w))
+                    .withColumn(rk, rank().over(w))
+                    .withColumn(thr,
+                      max(when(col(rn) === off + lim, col(rk)))
+                        .over(Window.partitionBy(keyNames.map(col): _*)))
+                    .filter(col(rn) > off &&
+                      (col(thr).isNull || col(rk) <= col(thr)))
+                    .drop(rn, rk, thr)
+                } else {
+                  val rn = fresh("irn")
+                  // WITH TIES keeps every row tying with the lim-th on
+                  // the sort key — rank() (not row_number) is that cut
+                  val rnCol =
+                    if (lc.withTies) rank() else row_number()
+                  df = df.withColumn(rn, rnCol.over(w))
+                    .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
+                }
               }
               df.select((keyNames.map(col) :+ col(n)): _*)
             }
@@ -2552,6 +2569,266 @@ final class Binder(
         }.toMap, hidden = s.hidden)
     }
     (renamed, rScopes)
+  }
+
+  /** Number of value-range bands for the theta-correlation pre-thin. */
+  private val thetaBands = 64
+
+  /** Lossless band-bucketed pre-thin for theta-correlation joins
+    * (VERDICT r7 #3). When the correlated conjuncts contain a MONOTONE
+    * inequality `e_inner cmp e_outer` (either orientation, both sides
+    * numeric), the inner side is bucketed into [[thetaBands]]
+    * fixed-width ranges of e_inner and each outer row joins ONLY the
+    * bands that can satisfy the inequality — an EQUI-join on the band
+    * id with the full original correlation kept as the residual
+    * predicate. Candidate volume drops from |outer|·|inner| (the
+    * BroadcastNestedLoopJoin a bare theta join degrades to) to
+    * |outer|·(matching fraction) plus one boundary band — the same
+    * lossless pre-thin trick domainCap uses (SCALE.md).
+    *
+    * Losslessness: double() is monotone and BOTH sides band through the
+    * same clipped floor((x-min)/width), so `iv cmp ov` (exact) implies
+    * band(iv) lies inside the generated band range; boundary-band false
+    * positives are removed by the residual predicate. NULLs can never
+    * satisfy the inequality: an inner NULL gets a NULL band (equi-join
+    * drops it), an outer NULL gets an empty band array. Each matching
+    * (outer, inner) pair survives EXACTLY once (an inner row has one
+    * band; the outer band sequence is duplicate-free), so downstream
+    * count/sum multiplicities are preserved.
+    *
+    * The min/max stats are ONE driver-side action over the locally
+    * filtered inner side collecting two doubles — bounded, not
+    * data-sized (the kmeans-centroid stance, SCALE.md). Returns None —
+    * caller falls back to the direct theta join — when no conjunct has
+    * the shape, a side is non-numeric, or the inner side is empty. */
+  /** A resolved band pre-thin: inner band id, the per-outer-row band
+    * array (boundary + fully-matching bands) for the candidate join,
+    * the per-outer-row BOUNDARY band alone (NULL when no band can
+    * match), and the oriented operator (`inner op outer`) — the last
+    * two drive the band-split grouped aggregation. */
+  private case class BandPlan(innerBand: Column, outerBands: Column,
+      outerBoundary: Column, op: String)
+
+  private def thetaBandPlan(renamed: DataFrame, rScopes: Seq[Scope],
+      correlated: Seq[Expr], ctx: Ctx): Option[BandPlan] = {
+    val innerRel = Rel(renamed, rScopes)
+    val mirror = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=")
+    val oriented = correlated.iterator.flatMap {
+      case Binary(op, a, b) if mirror.contains(op) =>
+        if (resolvesWithin(a, innerRel) && resolvesWithin(b, ctx.rel))
+          Iterator((op, a, b))
+        else if (resolvesWithin(b, innerRel) && resolvesWithin(a, ctx.rel))
+          Iterator((mirror(op), b, a))
+        else Iterator.empty
+      case _ => Iterator.empty
+    }
+    if (!oriented.hasNext) return None
+    val (op, innerE, outerE) = oriented.next()
+    val iv = bindExpr(innerE, new Ctx(innerRel, None, ctx.ctes))
+    val ov = bindExpr(outerE, ctx)
+    def numeric(df: DataFrame, c: Column): Boolean =
+      Try(df.select(c.as("x")).schema.head.dataType).toOption
+        .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (!numeric(renamed, iv) || !numeric(ctx.rel.df, ov)) return None
+    val row = renamed.agg(
+      min(iv.cast("double")).as("mn"), max(iv.cast("double")).as("mx")).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) return None
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val b = thetaBands
+    val width = if (mx > mn) (mx - mn) / b else 1.0
+    def bandOf(c: Column): Column =
+      least(greatest(floor((c - lit(mn)) / lit(width)), lit(0L)),
+        lit((b - 1).toLong))
+    val od = ov.cast("double")
+    val pos = bandOf(od)
+    // no band can match: for `>`/`>=` an outer value above the inner
+    // max; for `<`/`<=` one below the inner min (boundary-equality
+    // corners stay in range — the residual settles them exactly)
+    val noMatch = op match {
+      case ">" | ">=" => od.isNull || od > lit(mx)
+      case _          => od.isNull || od < lit(mn)
+    }
+    val emptyBands = array().cast("array<bigint>")
+    val outerBands = op match {
+      case ">" | ">=" =>
+        when(noMatch, emptyBands).otherwise(sequence(pos, lit((b - 1).toLong)))
+      case _ => // "<" | "<="
+        when(noMatch, emptyBands).otherwise(sequence(lit(0L), pos))
+    }
+    val outerBoundary = when(noMatch, lit(null).cast("long")).otherwise(pos)
+    Some(BandPlan(bandOf(iv.cast("double")), outerBands, outerBoundary, op))
+  }
+
+  /** The inner theta-correlation join shared by the per-outer-row
+    * lowerings (scalar top-1, grouped scalar / IN / EXISTS, LIMIT-IN):
+    * binds the correlated conjuncts with inner-first-then-outer
+    * scoping and joins the rid-tagged outer frame to the fresh-renamed
+    * inner side — band-bucket-pre-thinned via [[thetaBandPlan]] when a
+    * monotone inequality conjunct allows it, otherwise the direct
+    * theta join over a round-robin-repartitioned inner side (a
+    * single-split parquet input would serialize the join predicate and
+    * every downstream per-rid pass on one core). */
+  private def thetaInnerJoin(outerDf: DataFrame, renamed: DataFrame,
+      rScopes: Seq[Scope], correlated: Seq[Expr], ctx: Ctx,
+      what: String): DataFrame = {
+    try {
+      val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+      val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+      thetaBandPlan(renamed, rScopes, correlated, ctx) match {
+        case Some(BandPlan(innerBand, outerBands, _, _)) =>
+          val bi = fresh("tband")
+          val bo = fresh("tbando")
+          // the exploded outer frame is ≤ thetaBands× the rid frame;
+          // counting it costs nothing extra (the rid frame is persisted
+          // and materializes for the join anyway) and picks the join
+          // strategy the way AQE would: small outer → BROADCAST HASH
+          // join on the band id (each inner row residual-tests only the
+          // outer rows whose band range covers it — no shuffle, full
+          // scan parallelism, strictly less work than the BNLJ this
+          // replaces); big outer → shuffle both sides by band id (the
+          // only non-quadratic option once broadcasting is off the
+          // table). The inner repartition keeps a single-split parquet
+          // side parallel in the broadcast case.
+          val nPart = renamed.sparkSession.sessionState.conf.numShufflePartitions
+          val outerX = outerDf.withColumn(bo, explode(outerBands))
+          val innerB = renamed.repartition(nPart).withColumn(bi, innerBand)
+          val smallOuter = outerDf.count() <= 32768
+          val left = if (smallOuter) outerX.hint("broadcast") else outerX
+          left.join(innerB, col(bo) === col(bi) && cond, "inner")
+            .drop(bo, bi)
+        case None =>
+          outerDf.join(renamed.repartition(
+            renamed.sparkSession.sessionState.conf.numShufflePartitions),
+            cond, "inner")
+      }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        err(s"$what here may only reference columns of the current " +
+          "(left) relation — move it to WHERE or rewrite the join")
+    }
+  }
+
+  /** Band-split grouped aggregation for monotone theta correlations —
+    * the scale path for `agg(…) … GROUP BY gk` bodies correlated
+    * through one monotone inequality (VERDICT r7 #3). The generic
+    * lowering materializes the candidate PAIR frame — |outer|·(matching
+    * fraction) rows, 75–127M at sf0.1 for the qe146/qe147 family — and
+    * the aggregation over it dominates the cost at any scale. For
+    * decomposable aggregates (count/sum/min/max) the pair frame is
+    * never built:
+    *
+    *   1. partial-aggregate the inner side ONCE per (band, gk):
+    *      |inner| rows in, ≤ bands·|gk| rows out;
+    *   2. explode those partials into a SUFFIX table: for each boundary
+    *      position p, the merged partials of every band that FULLY
+    *      satisfies the inequality for any outer value landing in band
+    *      p (strictly-above bands for `>`, strictly-below for `<` —
+    *      exact by double monotonicity, see [[thetaBandPlan]]);
+    *   3. equi-join outer rows to the suffix table on their boundary
+    *      band — |outer|·|gk| rows, the size of the RESULT — and
+    *      residual-join them to the boundary band's raw rows only —
+    *      |outer|·|inner|/bands pairs instead of the full matching set;
+    *   4. merge 2+3 per (rid, gk): counts and sums merge by sum,
+    *      min/max by min/max.
+    *
+    * Equivalence with the generic lowering: unmatched rids are absent
+    * from the output (inner-join semantics), inner rows with a NULL
+    * band value can never satisfy the inequality and are filtered, and
+    * each matching (outer, inner) pair lands in exactly one of the
+    * full-band / boundary branches. Returns None — caller falls back
+    * to the pair-frame lowering — when no band plan exists, an
+    * aggregate is not decomposable, or a group key / aggregate
+    * argument does not resolve within the inner relation. */
+  private def thetaBandedGroupedAgg(outer: DataFrame, rid: String,
+      renamed: DataFrame, rScopes: Seq[Scope], correlated: Seq[Expr],
+      ctx: Ctx, groupPairs: Seq[(Expr, String)],
+      aggPairs0: Seq[(FnCall, String)], bodyCtes: Map[String, DataFrame],
+      what: String): Option[DataFrame] = {
+    val innerRel = Rel(renamed, rScopes)
+    val plan = thetaBandPlan(renamed, rScopes, correlated, ctx)
+      .getOrElse(return None)
+    if (!groupPairs.forall { case (e, _) => resolvesWithin(e, innerRel) })
+      return None
+    val aggPairs =
+      if (aggPairs0.nonEmpty) aggPairs0
+      else Seq((FnCall("count", Seq(IntLit(BigInt(1)))), fresh("tbc0")))
+    def isStar(fc: FnCall) = fc.args.isEmpty ||
+      fc.args.exists(_.isInstanceOf[Wildcard])
+    def decomposable(fc: FnCall): Boolean = fc.name.toLowerCase match {
+      case "count" => isStar(fc) ||
+        (fc.args.size == 1 && resolvesWithin(fc.args.head, innerRel))
+      case "sum" | "min" | "max" =>
+        fc.args.size == 1 && resolvesWithin(fc.args.head, innerRel)
+      case _ => false
+    }
+    if (!aggPairs.forall { case (fc, _) => decomposable(fc) }) return None
+
+    val iCtx = new Ctx(innerRel, None, bodyCtes)
+    // (output name, partial aggregate over raw rows, merge of partials)
+    val partials: Seq[(String, Column, Column => Column)] =
+      aggPairs.map { case (fc, nm) =>
+        fc.name.toLowerCase match {
+          case "count" if isStar(fc) =>
+            (nm, count(lit(1)), (c: Column) => sum(c))
+          case "count" =>
+            (nm, count(bindExpr(fc.args.head, iCtx)), (c: Column) => sum(c))
+          case "sum" =>
+            (nm, sum(bindExpr(fc.args.head, iCtx)), (c: Column) => sum(c))
+          case "min" =>
+            (nm, min(bindExpr(fc.args.head, iCtx)), (c: Column) => min(c))
+          case _ =>
+            (nm, max(bindExpr(fc.args.head, iCtx)), (c: Column) => max(c))
+        }
+      }
+    val gkNames = groupPairs.map(_._2)
+    val bandN = fresh("tbb")
+    val innerG = groupPairs.foldLeft(
+      renamed.filter(plan.innerBand.isNotNull).withColumn(bandN, plan.innerBand)) {
+        case (df, (e, nm)) => df.withColumn(nm, bindExpr(e, iCtx))
+      }
+    val partialCols = partials.map { case (nm, p, _) => p.as(nm) }
+    val mergeCols = partials.map { case (nm, _, m) => m(col(nm)).as(nm) }
+    val bandAgg = innerG.groupBy((col(bandN) +: gkNames.map(col)): _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+    // suffix table: band b's partials contribute to every boundary
+    // position its rows FULLY match — p < b for `>`, p > b for `<`
+    val pN = fresh("tbp")
+    val emptyBands = array().cast("array<bigint>")
+    val contrib = plan.op match {
+      case ">" | ">=" =>
+        when(col(bandN) === 0, emptyBands)
+          .otherwise(sequence(lit(0L), col(bandN) - 1))
+      case _ =>
+        when(col(bandN) === (thetaBands - 1), emptyBands)
+          .otherwise(sequence(col(bandN) + 1, lit((thetaBands - 1).toLong)))
+    }
+    val suffix = bandAgg.withColumn(pN, explode(contrib))
+      .groupBy((col(pN) +: gkNames.map(col)): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+    val bN = fresh("tbon")
+    val outerB = outer.withColumn(bN, plan.outerBoundary)
+    val outCols = (col(rid) +: gkNames.map(col)) ++ partials.map(p => col(p._1))
+    val fullPart = outerB.join(suffix, col(bN) === col(pN), "inner")
+      .select(outCols: _*)
+    // boundary band: the only raw-row join left — band-equal pairs
+    // with the exact predicate as residual
+    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
+    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+    val smallOuter = outer.count() <= 32768
+    val bLeft = if (smallOuter) outerB.hint("broadcast") else outerB
+    val boundaryPart =
+      try bLeft.join(innerG, col(bN) === col(bandN) && cond, "inner")
+        .groupBy((col(rid) +: gkNames.map(col)): _*)
+        .agg(partialCols.head, partialCols.tail: _*)
+        .select(outCols: _*)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what here may only reference columns of the current " +
+            "(left) relation — move it to WHERE or rewrite the join")
+      }
+    Some(fullPart.unionByName(boundaryPart)
+      .groupBy((col(rid) +: gkNames.map(col)): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*))
   }
 
   /** Per-outer-row ("theta") decorrelation core, for correlation shapes
@@ -2979,13 +3256,24 @@ final class Binder(
     if (qb.groupBy.nonEmpty || qb.having.isDefined ||
         collectAggs(qb.selectList.head.expr).nonEmpty)
       err(s"$what takes a plain body (no GROUP BY/HAVING/aggregates)")
-    if (qb.distinct.isDefined)
-      err(s"$what takes a plain body (no DISTINCT)")
+    if (qb.distinct.exists(_.nonEmpty))
+      err(s"$what supports plain DISTINCT bodies only (no DISTINCT ON)")
     if (qb.orderBy.isEmpty)
       err(s"$what needs an ORDER BY (LIMIT 1 without one picks an " +
         "arbitrary row)")
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     val valueExpr = qb.selectList.head.expr
+    // SELECT DISTINCT … ORDER BY … LIMIT 1: dedup per rid before the
+    // rank — mirrors the equality path (qe141); standard SQL restricts
+    // the sort keys of a DISTINCT body to the selected value.
+    // Reference: /root/reference/src/parser/mod.rs:1229-1245,293-297.
+    val isDistinct = qb.distinct.contains(Nil)
+    if (isDistinct)
+      qb.orderBy.foreach { ok =>
+        if (substituteAliases(ok.expr, qb.selectList) != valueExpr)
+          err(s"$what with DISTINCT: ORDER BY expressions must appear " +
+            "in the select list")
+      }
     val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
     val rid = fresh("tsrid")
@@ -2993,26 +3281,19 @@ final class Binder(
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
-    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
-    val renamed = renamed0.repartition(
-      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
-    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
-    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
-    val joined =
-      try outer.join(renamed, cond, "inner")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          err(s"$what here may only reference columns of the current " +
-            "(left) relation — move it to WHERE or rewrite the join")
-      }
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val joined = thetaInnerJoin(outer, renamed, rScopes, correlated, ctx, what)
     val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
     val vName = fresh("tsv")
     val ordNames = qb.orderBy.indices.map(_ => fresh("tsord"))
-    val base = joined.select(
+    val base0 = joined.select(
       (Seq(col(rid)) ++
         qb.orderBy.zip(ordNames).map { case (ok, on) =>
           bindExpr(ok.expr, jCtx).as(on) } :+
         bindExpr(valueExpr, jCtx).as(vName)): _*)
+    // DISTINCT dedups the per-rid value set before the rank (the sort
+    // keys equal the value, so (rid, ords, value) dedup is exact)
+    val base = if (isDistinct) base0.distinct() else base0
     val w = Window.partitionBy(col(rid))
       .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
         if (ok.desc) col(on).desc else col(on).asc }: _*)
@@ -3069,36 +3350,27 @@ final class Binder(
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
-    // parallelize the streamed side of the theta join (single-split
-    // parquet inputs would otherwise serialize the join predicate and
-    // the partial aggregation pass on one core — see thetaLimitIn)
-    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
-    val renamed = renamed0.repartition(
-      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
-    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
-    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
-    val joined =
-      try outer.join(renamed, cond, "inner")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          err(s"$what here may only reference columns of the current " +
-            "(left) relation — move it to WHERE or rewrite the join")
-      }
-    val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("tgg")))
     val aggCalls = (collectAggs(valueExpr) ++
       havingExpr.toSeq.flatMap(collectAggs) ++
       (if (top1Off.isDefined) ordExprs.flatMap(collectAggs) else Nil)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("tga")))
-    val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, jCtx).as(n) } match {
-      case Nil => Seq(count(lit(1)).as(fresh("tgc")))
-      case cs => cs
-    }
-    val groupCols = col(rid) +: groupPairs.map { case (e, nm) =>
-      bindExpr(e, jCtx).as(nm)
-    }
-    val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val grouped = thetaBandedGroupedAgg(outer, rid, renamed, rScopes,
+        correlated, ctx, groupPairs, aggPairs, bodyCtes, what)
+      .getOrElse {
+        val joined = thetaInnerJoin(outer, renamed, rScopes, correlated, ctx, what)
+        val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
+        val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, jCtx).as(n) } match {
+          case Nil => Seq(count(lit(1)).as(fresh("tgc")))
+          case cs => cs
+        }
+        val groupCols = col(rid) +: groupPairs.map { case (e, nm) =>
+          bindExpr(e, jCtx).as(nm)
+        }
+        joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
     val gCtx = new Ctx(
       Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
       None, bodyCtes,
@@ -3172,23 +3444,11 @@ final class Binder(
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
-    // parallelize the streamed side of the theta join (single-split
-    // parquet inputs would otherwise serialize the join predicate and
-    // the partial aggregation pass on one core — see thetaLimitIn)
-    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
-    val renamed = renamed0.repartition(
-      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
-    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
-    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
     // lhs is an outer-row expression — constant within a rid; stamp it
     // on the frame before the join so the group-level match can use it
-    val joined =
-      try outer.withColumn(lhsName, lhs).join(renamed, cond, "inner")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          err(s"$what here may only reference columns of the current " +
-            "(left) relation — move it to WHERE or rewrite the join")
-      }
+    val joined = thetaInnerJoin(outer.withColumn(lhsName, lhs), renamed,
+      rScopes, correlated, ctx, what)
     val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("tig")))
@@ -3259,25 +3519,9 @@ final class Binder(
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
-    // the theta join broadcasts the (small) outer frame and STREAMS the
-    // inner side — whose parquet file is often a single split, which
-    // would serialize the join predicate AND the per-rid window's
-    // partial sort pass on one core. A round-robin repartition of the
-    // (pre-join, narrow) inner rows is one cheap shuffle that
-    // parallelizes everything downstream; the window's own rid exchange
-    // then only moves the pruned survivors.
-    val (renamed0, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
-    val renamed = renamed0.repartition(
-      renamed0.sparkSession.sessionState.conf.numShufflePartitions)
-    val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
-    val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
-    val joined =
-      try outer.withColumn(lhsName, lhs).join(renamed, cond, "inner")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          err(s"$what here may only reference columns of the current " +
-            "(left) relation — move it to WHERE or rewrite the join")
-      }
+    val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+    val joined = thetaInnerJoin(outer.withColumn(lhsName, lhs), renamed,
+      rScopes, correlated, ctx, what)
     val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
     val vName = fresh("tlv")
     val onNames = onKeys.indices.map(_ => fresh("tlon"))
@@ -3302,14 +3546,27 @@ final class Binder(
     qb.limit.foreach { lc =>
       val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
       val lim = evalLimitInt(lc.limit, "LIMIT")
-      if (lc.withTies && off > 0)
-        err(s"$what: LIMIT … WITH TIES does not combine with OFFSET")
-      val rn = fresh("tlrn")
-      // WITH TIES = rank() cut (every row tying with the lim-th kept)
-      val rnCol = if (lc.withTies) rank() else row_number()
-      df = df.withColumn(rn, rnCol.over(
-          Window.partitionBy(col(rid)).orderBy(ordCols: _*)))
-        .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
+      val w = Window.partitionBy(col(rid)).orderBy(ordCols: _*)
+      if (lc.withTies && off > 0) {
+        // OFFSET + WITH TIES: same per-rid threshold-rank form as the
+        // equality IN path (drop `off` by position, keep through the
+        // rank of the (off+lim)-th row; fewer rows → no tie cut)
+        val rn = fresh("tlrn")
+        val rk = fresh("tlrk")
+        val thr = fresh("tlthr")
+        df = df.withColumn(rn, row_number().over(w))
+          .withColumn(rk, rank().over(w))
+          .withColumn(thr, max(when(col(rn) === off + lim, col(rk)))
+            .over(Window.partitionBy(col(rid))))
+          .filter(col(rn) > off && (col(thr).isNull || col(rk) <= col(thr)))
+          .drop(rn, rk, thr)
+      } else {
+        val rn = fresh("tlrn")
+        // WITH TIES = rank() cut (every row tying with the lim-th kept)
+        val rnCol = if (lc.withTies) rank() else row_number()
+        df = df.withColumn(rn, rnCol.over(w))
+          .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
+      }
     }
     val matchN = fresh("tlmatch")
     val cntN = fresh("tlcnt")

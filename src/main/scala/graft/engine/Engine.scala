@@ -28,9 +28,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     * call. Call after the consuming action completes — long-lived sessions
     * otherwise pin one cached copy per multi-ref CTE per statement
     * (ADVICE r2). Safe to call while a returned-but-unconsumed DataFrame
-    * is still around: Spark recomputes unpersisted plans. */
-  def releaseCaches(): Unit = synchronized {
-    liveBinders.foreach(_.persistedFrames.foreach(_.unpersist(false)))
+    * is still around: Spark recomputes unpersisted plans.
+    *
+    * `blocking = true` waits until the blocks are actually dropped — the
+    * bench harness uses it so one entry's leftover blocks can never sit
+    * in the unified memory region while the NEXT entry is being timed
+    * (VERDICT r7 #2: non-blocking release let cached rid-frames from
+    * earlier entries inflate later entries by up to 8×). */
+  def releaseCaches(blocking: Boolean = false): Unit = synchronized {
+    liveBinders.foreach(_.persistedFrames.foreach(_.unpersist(blocking)))
     liveBinders.clear()
   }
 

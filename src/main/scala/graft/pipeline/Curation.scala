@@ -407,8 +407,11 @@ object Curation {
     val nWords = when(length(trim(col(textCol))) === 0, lit(0L))
       .otherwise(size(toks).cast("long"))
     val nChars = length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+    // integer division end to end (`div`, not `/`): Spark's `/` on
+    // longs is double division, and the documented bit-stable contract
+    // should not lean on double precision (ADVICE r7)
     val meanX10 = when(nWords === 0, lit(0L))
-      .otherwise(floor((nChars * 10L) / nWords).cast("long"))
+      .otherwise(call_function("div", nChars * 10L, nWords).cast("long"))
     val stopHits = TextOps.stopwordHits(toks, "en").cast("long")
     docs.select(col(idCol), nWords.as("n_words"), meanX10.as("mean_len_x10"),
         stopHits.as("stop_hits"))

@@ -461,4 +461,65 @@ object Similarity {
       (dotD(col("q"), col("v")) / (col("qn") * col("norm"))).as("score"))
     topK(scored, k)
   }
+
+  /** Integer plane components for the quantized LSH tier: the same
+    * seeded PRNG as [[planeLit]], milli-quantized, exported so an
+    * external oracle can replay the exact candidate generation. */
+  def lshPlanesInt(tables: Int, nbits: Int, dim: Int): Seq[(Int, Int, Seq[Long])] =
+    for { t <- 0 until tables; b <- 0 until nbits } yield {
+      val rnd = new scala.util.Random(t.toLong * 1000003L + b * 7919L + 42L)
+      (t, b, (0 until dim).map(_ =>
+        math.floor((rnd.nextDouble() - 0.5d) * 1000d).toLong))
+    }
+
+  private def planeLitInt(table: Int, bit: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(table.toLong * 1000003L + bit * 7919L + 42L)
+    array((0 until dim).map(_ =>
+      lit(math.floor((rnd.nextDouble() - 0.5d) * 1000d))): _*)
+  }
+
+  private def signBucketInt(v: Column, table: Int, nbits: Int, dim: Int): Column =
+    (0 until nbits).map { b =>
+      when(dotD(v, planeLitInt(table, b, dim)) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hyperplane-LSH cosine top-k, integer-exact end to end: vectors AND
+    * planes are milli-quantized, so every bucket sign is an exact
+    * integer dot comparison and every score an IEEE correctly-rounded
+    * divide/sqrt over exact integers — bit-identical in any engine.
+    * This is the qp53 trick (quantizedCosineTopK) extended through the
+    * BUCKETING step, which upgrades the LSH tier from a rows-only
+    * check to a full external oracle: the plane set is inlined in the
+    * plan and exported via [[lshPlanesInt]] so the oracle replays the
+    * exact candidate generation, cap included. Same scale shape as
+    * [[lshCosineTopK]]: bucket equijoin, capped buckets, broadcast
+    * queries, salted two-phase top-k. */
+  def lshCosineTopKQuantized(embeddings: DataFrame, nQueries: Int, k: Int,
+      nbits: Int = 4, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
+    val dim = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
+    val qz = graft.functions.VectorOps.quantizeMilli(col("embedding"))
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), qz.as("v"))
+      .withColumn("n2", dotD(col("v"), col("v")))
+      .filter(col("n2") > 0)
+    val withBuckets = Dedup.cappedBuckets(
+      e.select(col("vec_id"), col("v"), col("n2"),
+        posexplode(array((0 until tables).map(t =>
+          signBucketInt(col("v"), t, nbits, dim)): _*)))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket")),
+      Seq(col("tbl"), col("bucket")), maxBucket)
+    val queries = withBuckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("n2").as("qn2"), col("tbl"), col("bucket"))
+    val candidatePairs = withBuckets
+      .join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("q"), col("qn2"), col("v"), col("n2"))
+      .dropDuplicates("q_id", "vec_id") // union across tables
+    val scored = candidatePairs.select(col("q_id"), col("vec_id"),
+      (dotD(col("q"), col("v")) / sqrt(col("qn2") * col("n2"))).as("score"))
+    topK(scored, k)
+  }
 }

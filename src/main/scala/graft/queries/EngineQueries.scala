@@ -14,8 +14,8 @@ object Engines {
   /** Unpersist CTE caches of every live engine — Verify/Bench call this
     * after each query's action so caches don't accumulate for the life of
     * the session (ADVICE r2). */
-  def releaseAll(): Unit = synchronized {
-    cache.values.foreach(_.releaseCaches())
+  def releaseAll(blocking: Boolean = false): Unit = synchronized {
+    cache.values.foreach(_.releaseCaches(blocking))
   }
 }
 

@@ -14,6 +14,50 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
   */
 object PipelineQueries {
 
+  /** DuckDB oracle for the quantized LSH tier (qp54): replays the exact
+    * candidate generation — milli-quantized vectors, the SAME integer
+    * plane constants (one UNION ALL branch per hash table), per-(table,
+    * bucket) cap, cross-table pair dedup — then scores and ranks with
+    * the identical integer-exact cosine and (score DESC, vec_id)
+    * tie-break. Every sign test and every score is exact integer
+    * arithmetic + one correctly-rounded double op on identical inputs,
+    * so the compare is bit-stable. */
+  private def lshQuantizedOracle(nQueries: Int, k: Int, nbits: Int,
+      tables: Int, maxBucket: Int, dim: Int): String = {
+    val planes = graft.pipeline.Similarity.lshPlanesInt(tables, nbits, dim)
+      .map { case (t, b, cs) => (t, b) -> cs }.toMap
+    val branches = (0 until tables).map { t =>
+      val bucket = (0 until nbits).map { b =>
+        val plane = planes((t, b)).mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(list_zip(v, $plane), p -> p[1] * p[2])) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM nz"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        nz AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) n2 FROM e
+               WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        b AS ($branches),
+        capped AS (SELECT vec_id, tbl, bucket FROM (
+            SELECT b.*, count(*) OVER (PARTITION BY tbl, bucket) bsz FROM b)
+          WHERE bsz <= $maxBucket),
+        pairs AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+          FROM capped c JOIN capped q
+            ON c.tbl = q.tbl AND c.bucket = q.bucket
+          WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+        sc AS (SELECT p.q_id, p.vec_id,
+            list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+              / sqrt(a.n2 * b.n2) AS score
+          FROM pairs p JOIN nz a ON a.vec_id = p.q_id
+                       JOIN nz b ON b.vec_id = p.vec_id),
+        r AS (SELECT q_id, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+          FROM sc)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score
+        FROM r WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup stats (hash groupBy — one shuffle) -----------------
@@ -123,12 +167,24 @@ object PipelineQueries {
         .select(col("q_id"), col("rank").cast("int").as("rank"),
           col("vec_id"), col("score"))),
 
-    // ---- ANN: hyperplane-LSH bucketed (approximate — rows-only + spec) --
+    // ---- ANN: hyperplane-LSH bucketed, integer-exact (FULL oracle) ------
+    // r8 (VERDICT r7 #7): vectors AND planes milli-quantized, so bucket
+    // signs and scores are exact integer arithmetic + one correctly-
+    // rounded divide — the qp53 trick extended through the bucketing
+    // step. The oracle replays the exact candidate generation (same
+    // plane constants via Similarity.lshPlanesInt, same bucket cap,
+    // same cross-table union) and ranks with the same tie-break. The
+    // true-float tier (lshCosineTopK) keeps its recall/planted-pair
+    // spec coverage.
     QueryDef(
       "qp54_ann_lsh_topk",
-      None,
-      (s, dir) => Similarity.lshCosineTopK(
-        Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3, nbits = 4, tables = 8)),
+      Some(lshQuantizedOracle(nQueries = 5, k = 3, nbits = 4, tables = 8,
+        maxBucket = 4096, dim = 64)),
+      (s, dir) => Similarity.lshCosineTopKQuantized(
+          Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3,
+          nbits = 4, tables = 8, maxBucket = 4096)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("score"))),
 
     // ---- ANN: IVF (k-means coarse quantizer, nprobe search — rows-only) -
     QueryDef(
@@ -224,16 +280,38 @@ object PipelineQueries {
           .orderBy(col("doc_id"))
       }),
 
-    // ---- multimodal binary-column metadata (decode stub mirrored in SQL) -
+    // ---- multimodal: REAL binary PPM decode (r8, VERDICT r7 #8) ---------
+    // each document becomes a genuine P6 PPM payload (deterministic
+    // fixture — dimensions from the text's byte length, pixels the text
+    // bytes cycled); the Spark side PARSES the binary header per
+    // partition (Multimodal.PpmDecoder), while the oracle PREDICTS the
+    // same fields from the fixture construction and md5s the payload it
+    // rebuilds byte-for-byte (pure-ASCII text, so VARCHAR == bytes).
+    // A width/height mismatch between parse and prediction — or one
+    // byte of payload drift — is a hash-fail.
     QueryDef(
       "qp58_multimodal_meta",
-      Some("""SELECT doc_id, 'txtimg' AS format,
-          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-          CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width,
-          CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS INTEGER) AS height,
-          md5(text) AS checksum
-        FROM documents ORDER BY doc_id"""),
+      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text
+                FROM documents),
+          g AS (SELECT doc_id, len,
+                CAST(8 + len % 32 AS INTEGER) AS w,
+                CAST(8 + (len * 3) % 32 AS INTEGER) AS h,
+                CASE WHEN len = 0 THEN ' ' ELSE text END AS src,
+                CASE WHEN len = 0 THEN 1 ELSE len END AS srclen FROM d),
+          p AS (SELECT doc_id, w, h,
+                'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) ||
+                  substring(repeat(src, CAST((w * h * 3 + srclen - 1) // srclen AS INTEGER)),
+                            1, w * h * 3) AS payload
+                FROM g)
+          SELECT doc_id, 'ppm' AS format,
+              CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS n_bytes,
+              w AS width, h AS height, md5(payload) AS checksum
+          FROM p ORDER BY doc_id"""),
       (s, dir) =>
-        Multimodal.metaViaSql(Tables.load(s, dir, "documents"), "text")
+        Multimodal.decodePpm(Multimodal.encodePpm(
+            Tables.load(s, dir, "documents"), "doc_id", "text"))
+          .toDF()
+          .select(col("doc_id"), col("format"), col("n_bytes"),
+            col("width"), col("height"), col("checksum"))
           .orderBy(col("doc_id"))))
 }

@@ -156,6 +156,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typed.collect().toSeq == viaSql.collect().toSeq)
   }
 
+  test("PPM decoder parses a handcrafted header (comments, multi-digit dims)") {
+    val px = Array.fill(7 * 3 * 3)(42.toByte)
+    val payload = "P6\n# a comment line\n 7\t3 \n# another\n255\n".getBytes("US-ASCII") ++ px
+    val dec = new Multimodal.PpmDecoder
+    val meta = dec.decode(Multimodal.MediaItem(1L, "ppm", payload))
+    assert(meta.width == 7 && meta.height == 3)
+    assert(meta.n_bytes == payload.length.toLong)
+    intercept[IllegalArgumentException] {
+      dec.decode(Multimodal.MediaItem(2L, "ppm", "P5\n1 1\n255\n ".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] { // truncated pixel plane
+      dec.decode(Multimodal.MediaItem(3L, "ppm", "P6\n4 4\n255\n".getBytes("US-ASCII")))
+    }
+  }
+
+  test("PPM encode -> real decode roundtrip: parsed dims equal the fixture arithmetic") {
+    val docs = graft.Tables.load(spark, dir, "documents").limit(50)
+    val decoded = Multimodal.decodePpm(
+        Multimodal.encodePpm(docs, "doc_id", "text"))
+      .toDF().orderBy("doc_id")
+      .select("doc_id", "width", "height", "n_bytes").collect()
+    val lens = docs.selectExpr("doc_id", "octet_length(cast(text as binary)) as len")
+      .orderBy("doc_id").collect()
+    decoded.zip(lens).foreach { case (d, l) =>
+      val len = l.getInt(1)
+      val (w, h) = (8 + len % 32, 8 + (len * 3) % 32)
+      assert(d.getInt(1) == w && d.getInt(2) == h)
+      // header bytes + pixel plane, nothing more
+      val header = s"P6\n$w $h\n255\n".length
+      assert(d.getLong(3) == header + w * h * 3L)
+    }
+  }
+
   test("word-level MinHash (shingleN = 1) still runs") {
     val pairs = Dedup.nearDuplicatePairs(plantedDocs(), "doc_id", "text",
         shingleN = 1, thresholdNum = 1, thresholdDen = 2)
