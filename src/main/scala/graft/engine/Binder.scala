@@ -310,6 +310,39 @@ final class Binder(
     if (off > 0) kept.offset(off) else kept
   }
 
+  /** Per-bucket LIMIT/OFFSET [WITH TIES]: keep window rows (off, off+lim]
+    * of each `partCols` bucket in `ordCols` order — the shared slice of
+    * every correlated-body LIMIT lowering (buckets are correlation-key-
+    * or rid-sized, never a global sort). WITH TIES keeps every row tying
+    * with the (off+lim)-th on the sort key (rank cut); OFFSET + WITH
+    * TIES drops the first `off` rows by POSITION, then keeps through the
+    * RANK of the (off+lim)-th row — fewer than off+lim rows → no tie
+    * cut, keep everything past the offset (the per-key window form of
+    * the top-level withTies threshold semantics; reference grammar
+    * parses `LIMIT o,n WITH TIES` freely,
+    * /root/reference/src/parser/mod.rs:503-544). */
+  private def slicePerKey(df0: DataFrame, partCols: Seq[Column],
+      ordCols: Seq[Column], lim: Int, off: Int, ties: Boolean): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(ordCols: _*)
+    if (ties && off > 0) {
+      val rn = fresh("srn")
+      val rk = fresh("srk")
+      val thr = fresh("sthr")
+      df0.withColumn(rn, row_number().over(w))
+        .withColumn(rk, rank().over(w))
+        .withColumn(thr,
+          max(when(col(rn) === off + lim, col(rk)))
+            .over(Window.partitionBy(partCols: _*)))
+        .filter(col(rn) > off && (col(thr).isNull || col(rk) <= col(thr)))
+        .drop(rn, rk, thr)
+    } else {
+      val rn = fresh("srn")
+      val rnCol = if (ties) rank() else row_number()
+      df0.withColumn(rn, rnCol.over(w))
+        .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
+    }
+  }
+
   // ================== sources and joins ==================
 
   private def bindSource(src: DataSource, ctes: Map[String, DataFrame]): Rel = src match {
@@ -1285,9 +1318,13 @@ final class Binder(
     * three-valued NOT IN. For positive IN (semi) the plain equality is
     * right: IN is TRUE iff a true match exists, and NULL/UNKNOWN rows
     * simply fail the semi condition. */
-  private def joinNestedBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
+  private def joinNestedBody(nqb0: QueryBody, lhsOpt: Option[Expr], rel: Rel,
       ctes: Map[String, DataFrame], anti: Boolean): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
+    // LIMIT n>=1 / plain DISTINCT over a one-row aggregate body are
+    // no-ops here exactly as at depth 1 (the routing below would
+    // otherwise reject the aggregate with the plain-body LIMIT error)
+    val nqb = stripNoopLimit(nqb0)
     // plain DISTINCT is membership/existence-blind — ignore it. DISTINCT
     // ON keeps one row per ON-key, which cannot change EXISTENCE either
     // (≥1 row stays ≥1 row), so the EXISTS form drops it too; only the
@@ -1306,18 +1343,21 @@ final class Binder(
     // LIMIT 0 makes it constant, OFFSET o needs MORE THAN o pre-limit
     // rows (plain body → HAVING count(1) > o; ungrouped HAVING → at most
     // one row, constant-false; GROUP BY → more than o surviving groups).
-    // An IN-form body's membership SET depends on row order under LIMIT —
-    // rejected.
+    // An IN-form body's membership SET is the ordered slice the LIMIT
+    // keeps, per candidate pair — the per-rid window lowering below
+    // ([[limitInNestedBody]], the depth-1 qe130 machinery lifted one
+    // level).
     var body = nqb
     var existsOff = 0
     body.limit match {
       case Some(lc) =>
-        if (lhsOpt.isDefined)
-          err(s"a grandparent-correlated IN subquery must not use LIMIT " +
-            "(the membership set would depend on row order)")
         val constFalse =
           if (anti) rel else Rel(rel.df.filter(lit(false)), rel.scopes)
+        // LIMIT 0: the membership/existence set is empty — IN false,
+        // NOT IN true — for both forms
         if (evalLimitInt(lc.limit, "LIMIT") == 0) return constFalse
+        if (lhsOpt.isDefined)
+          return limitInNestedBody(body, lc, lhsOpt.get, rel, ctes, anti)
         val o = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
         body = body.copy(limit = None)
         if (o > 0) {
@@ -1561,6 +1601,107 @@ final class Binder(
       Rel(joinedBack.filter(keep).drop(g.columns.toSeq: _*)
         .drop(prid, lhsName), rel.scopes)
     }
+  }
+
+  /** IN-form nested body with LIMIT [OFFSET] [WITH TIES] pruning the
+    * candidate pair frame — the depth-1 correlated-IN LIMIT machinery
+    * (qe130–qe132) lifted one level. The membership set is the ordered
+    * slice PER candidate pair (its parent and grandparent refs select
+    * the body's rows), so: rid-tag the pairs, inner-join the body's
+    * source on the correlated conjuncts (any shape — equality or
+    * theta — since both scopes are plain columns of the pair frame),
+    * slice rows (off, off+lim] per rid in the body's ORDER BY
+    * ([[slicePerKey]] — rid-sized buckets, never a global sort), and
+    * decide membership over the kept slice:
+    *   - IN: some slice row's value equals lhs → semi join back by rid;
+    *   - NOT IN: prune a rid when any slice row makes membership TRUE
+    *     or UNKNOWN (value = lhs, lhs NULL, or value NULL) — an empty
+    *     slice (no joined rows, or all past the offset) yields no hit,
+    *     so the pair survives: three-valued NOT IN in WHERE position.
+    * Each pair row is kept at most once (the hit set is a DISTINCT rid
+    * set joined back by rid — hash joins), preserving the multiplicity
+    * the aggregated-EXISTS caller groups afterwards. Reference grammar
+    * composes IN bodies with LIMIT/OFFSET at any depth
+    * (/root/reference/src/parser/mod.rs:503-544,1404,1439-1440). */
+  private def limitInNestedBody(nqb: QueryBody, lc: LimitClause, lhs: Expr,
+      rel: Rel, ctes: Map[String, DataFrame], anti: Boolean): Rel = {
+    val what = if (anti) "negated nested subquery" else "nested subquery"
+    val selExpr = nqb.selectList match {
+      case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => e
+      case _ => err("IN subquery must produce exactly 1 column")
+    }
+    if (nqb.groupBy.nonEmpty || nqb.having.isDefined ||
+        collectAggs(selExpr).nonEmpty)
+      err(s"a $what under IN with LIMIT takes a plain body " +
+        "(no GROUP BY/HAVING/aggregates)")
+    if (nqb.distinct.contains(Nil))
+      err(s"a $what under IN with LIMIT does not combine with DISTINCT")
+    if (nqb.orderBy.isEmpty)
+      err(s"a $what under IN with LIMIT needs an ORDER BY " +
+        "(the kept rows are arbitrary without one)")
+    val lim = evalLimitInt(lc.limit, "LIMIT") // caller rewrote LIMIT 0
+    val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+    val bodyCtes = bindBodyCtes(nqb, ctes)
+
+    val prid = fresh("nlrid")
+    val prid2 = fresh("nlrid2")
+    val lhsName = fresh("nllhs")
+    val pairs0 = rel.df.withColumn(prid, monotonically_increasing_id())
+    val pairCtx = new Ctx(Rel(pairs0, rel.scopes), None, ctes)
+    // persist: the rid feeds both the slice and the join-back;
+    // monotonically_increasing_id is not stable across recomputations
+    val pairs = pairs0.withColumn(lhsName, bindExpr(lhs, pairCtx))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += pairs
+
+    val base = nqb.from.map(bindSource(_, bodyCtes))
+      .getOrElse(err(s"$what needs a FROM"))
+    val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, bodyCtes))
+    val nConj = nqb.where.map(splitAnd).getOrElse(Nil)
+    val (nLocal, nCorr) = nConj.partition(resolvesWithin(_, nestedRel))
+    val nCtx = new Ctx(nestedRel, None, bodyCtes)
+    applyLocal(nLocal, nCtx, what)
+    val (renamed, rScopes) = freshRenamed(nCtx.rel.df, nCtx.rel.scopes, what)
+    val quals = rel.scopes.filterNot(_.hidden)
+      .flatMap(_.qualifier.map(_.toLowerCase)).toSet
+    rScopes.filterNot(_.hidden).flatMap(_.qualifier)
+      .find(q => quals(q.toLowerCase)).foreach { q =>
+        err(s"$what: relation '$q' is named on more than one level — " +
+          "alias one of them differently")
+      }
+    val bCtx = new Ctx(Rel(pairs, rel.scopes ++ rScopes), None, bodyCtes)
+    val corrCond = nCorr.map(bindExpr(_, bCtx)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val joined =
+      try pairs.join(renamed, corrCond, "inner")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          err(s"$what correlation here may only reference columns of the " +
+            "enclosing scopes — rewrite the correlated conjuncts")
+      }
+    val jCtx = new Ctx(Rel(joined, rel.scopes ++ rScopes), None, bodyCtes)
+    // ORDER BY and the select value bind over the joined frame, so both
+    // may reference enclosing scopes (constant per rid) freely
+    val ordNames = nqb.orderBy.map(_ => fresh("nlo"))
+    val vName = fresh("nlv")
+    val proj = joined.select(
+      (Seq(col(prid), col(lhsName)) ++
+        nqb.orderBy.zip(ordNames).map { case (ok, on) =>
+          bindExpr(substituteAliases(ok.expr, nqb.selectList), jCtx).as(on) } :+
+        bindExpr(selExpr, jCtx).as(vName)): _*)
+    val ordCols = nqb.orderBy.zip(ordNames).map { case (ok, on) =>
+      if (ok.desc) col(on).desc else col(on).asc }
+    val sliced = slicePerKey(proj, Seq(col(prid)), ordCols, lim, off,
+      lc.withTies)
+    val hit =
+      if (!anti) col(lhsName) === col(vName)
+      else col(lhsName) === col(vName) || col(lhsName).isNull ||
+        col(vName).isNull
+    val hits = sliced.filter(hit)
+      .select(col(prid)).distinct().withColumnRenamed(prid, prid2)
+    val how = if (anti) "left_anti" else "left_semi"
+    Rel(pairs.join(hits, col(prid) === col(prid2), how)
+      .drop(prid, lhsName), rel.scopes)
   }
 
   /** One grandparent-correlated nested-subquery conjunct → join its
@@ -2375,36 +2516,8 @@ final class Binder(
                 val lc = qb.limit.get
                 val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
                 val lim = evalLimitInt(lc.limit, "LIMIT")
-                val w = Window.partitionBy(keyNames.map(col): _*)
-                  .orderBy(ordCols: _*)
-                if (lc.withTies && off > 0) {
-                  // OFFSET + WITH TIES: drop the first `off` rows by
-                  // position, then keep through the RANK of the
-                  // (off+lim)-th row — the per-key window form of the
-                  // top-level withTies threshold semantics (fewer than
-                  // off+lim rows → no tie cut, keep everything past the
-                  // offset). Reference grammar parses `LIMIT o,n WITH
-                  // TIES` freely (/root/reference/src/parser/mod.rs:503-544).
-                  val rn = fresh("irn")
-                  val rk = fresh("irk")
-                  val thr = fresh("ithr")
-                  df = df.withColumn(rn, row_number().over(w))
-                    .withColumn(rk, rank().over(w))
-                    .withColumn(thr,
-                      max(when(col(rn) === off + lim, col(rk)))
-                        .over(Window.partitionBy(keyNames.map(col): _*)))
-                    .filter(col(rn) > off &&
-                      (col(thr).isNull || col(rk) <= col(thr)))
-                    .drop(rn, rk, thr)
-                } else {
-                  val rn = fresh("irn")
-                  // WITH TIES keeps every row tying with the lim-th on
-                  // the sort key — rank() (not row_number) is that cut
-                  val rnCol =
-                    if (lc.withTies) rank() else row_number()
-                  df = df.withColumn(rn, rnCol.over(w))
-                    .filter(col(rn) > off && col(rn) <= off + lim).drop(rn)
-                }
+                df = slicePerKey(df, keyNames.map(col), ordCols, lim, off,
+                  lc.withTies)
               }
               df.select((keyNames.map(col) :+ col(n)): _*)
             }

@@ -134,6 +134,90 @@ object Round8Queries {
            select count(1) from lineitem
            where l_extendedprice > o_totalprice / 4
            having count(1) > 100 limit 1)
-         order by o_orderkey""")
+         order by o_orderkey"""),
+
+    // ---- nested IN body with LIMIT under grandparent correlation --------
+    // (VERDICT r7 missing #3 / task #6.) The nested body references BOTH
+    // the parent (o_orderkey) and the grandparent (c_acctbal), so the
+    // membership set is the per-(customer, order)-pair top-2 slice —
+    // the rid-window lowering. 1 is in the top-2-by-desc linenumber iff
+    // the pair's qualifying lineitem count is <= 2. Order keys are
+    // unique per pair (l_linenumber), so the kept set is deterministic
+    // in both engines.
+    engineSql("qe154_nested_in_limit",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND 1 IN (
+               SELECT l_linenumber FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_extendedprice > c_acctbal / 10
+                ORDER BY l_linenumber DESC LIMIT 2))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 in (
+               select l_linenumber from lineitem
+                where l_orderkey = o_orderkey
+                  and l_extendedprice > c_acctbal / 10
+                order by l_linenumber desc limit 2))
+         order by c_custkey"""),
+
+    // ---- nested NOT IN + LIMIT/OFFSET NULL corners ----------------------
+    // Three-valued membership against the per-pair second-smallest
+    // slice: a NULL lhs (custkey % 7 = 0) against a NON-EMPTY slice is
+    // UNKNOWN → the pair is pruned; an EMPTY slice (fewer than 2
+    // qualifying rows) keeps the pair even under a NULL lhs; and a NULL
+    // slice VALUE (linenumber 2 maps to NULL) poisons every remaining
+    // lhs. ORDER BY stays on the raw linenumber so the kept slice is
+    // deterministic while its VALUE can be NULL.
+    engineSql("qe155_nested_notin_null_corners",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND (CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE 3 END) NOT IN (
+               SELECT CASE WHEN l_linenumber = 2 THEN NULL ELSE l_linenumber END
+                 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_extendedprice > c_acctbal / 10
+                ORDER BY l_linenumber LIMIT 1 OFFSET 1))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and (case when c_custkey % 7 = 0 then null else 3 end) not in (
+               select case when l_linenumber = 2 then null else l_linenumber end
+                 from lineitem
+                where l_orderkey = o_orderkey
+                  and l_extendedprice > c_acctbal / 10
+                order by l_linenumber limit 1 offset 1))
+         order by c_custkey"""),
+
+    // ---- nested IN + LIMIT WITH TIES under grandparent correlation ------
+    // The slice orders by a NON-unique key (l_suppkey % 10) so WITH
+    // TIES genuinely extends past the LIMIT boundary; the select value
+    // equals the order key, so every tie shares the value and the
+    // membership set is deterministic in both engines. DuckDB has no
+    // WITH TIES syntax; since value = sort key, `0 IN top-1-with-ties`
+    // ⟺ `min(value) = 0` (empty set → NULL → UNKNOWN on both sides).
+    engineSql("qe156_nested_in_ties",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND 0 = (
+               SELECT min(l_suppkey % 10) FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_extendedprice > c_acctbal / 10))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 0 in (
+               select l_suppkey % 10 from lineitem
+                where l_orderkey = o_orderkey
+                  and l_extendedprice > c_acctbal / 10
+                order by l_suppkey % 10 limit 1 with ties))
+         order by c_custkey""")
   )
 }

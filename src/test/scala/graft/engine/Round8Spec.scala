@@ -1,0 +1,199 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Round-8 binder paths: nested IN bodies with LIMIT/OFFSET [WITH TIES]
+  * under grandparent correlation — the per-rid window-slice lowering
+  * (Binder.limitInNestedBody). Each test forces the nested route with a
+  * grandparent-referencing tautology, so the oracle is the identical
+  * query without it, which the engine computes through the proven
+  * depth-1 correlated-IN LIMIT machinery (qe130–qe132/qe151). */
+class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var engine: Engine = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .appName("round8-spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine.forTestdata(spark, dir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sql(s: String): DataFrame = engine.execute(s)
+  private def rows(s: String): Seq[Row] = sql(s).collect().toSeq
+  private def keys(s: String): Seq[Long] = rows(s).map(_.getLong(0))
+
+  // ---- nested IN + LIMIT ----------------------------------------------
+
+  test("nested IN with LIMIT matches the depth-1 oracle under a tautology") {
+    // the tautology (c_custkey >= 0) forces the per-rid nested route;
+    // without it the same body rides the proven depth-1 LIMIT window
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 in (
+               select l_linenumber from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                order by l_linenumber desc limit 2))
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 in (
+               select l_linenumber from lineitem
+                where l_orderkey = o_orderkey
+                order by l_linenumber desc limit 2))
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("nested IN with LIMIT genuinely slices (differs from no-limit)") {
+    def q(limit: String): Seq[Long] = keys(
+      s"""select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 in (
+               select l_linenumber from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                order by l_linenumber desc $limit))
+         order by c_custkey""")
+    val sliced = q("limit 2")
+    val full = q("limit 1000000")
+    // top-2-by-desc contains 1 only for orders with <= 2 lineitems;
+    // the full set always contains 1 — the slice must be a strict subset
+    assert(sliced.toSet.subsetOf(full.toSet))
+    assert(sliced.size < full.size, "LIMIT slice did not restrict membership")
+  }
+
+  test("nested NOT IN with LIMIT/OFFSET keeps three-valued NULL semantics") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and (case when c_custkey % 7 = 0 then null else 3 end) not in (
+               select case when l_linenumber = 2 then null else l_linenumber end
+                 from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                order by l_linenumber limit 1 offset 1))
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and (case when c_custkey % 7 = 0 then null else 3 end) not in (
+               select case when l_linenumber = 2 then null else l_linenumber end
+                 from lineitem
+                where l_orderkey = o_orderkey
+                order by l_linenumber limit 1 offset 1))
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("nested IN with LIMIT WITH TIES extends the boundary rank") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 0 in (
+               select l_suppkey % 10 from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                order by l_suppkey % 10 limit 1 with ties))
+         order by c_custkey""")
+    // value = sort key, so 0 ∈ top-1-with-ties ⟺ the per-pair minimum
+    // of (l_suppkey % 10) is 0 — an independent scalar-subquery oracle
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 0 = (select min(l_suppkey % 10) from lineitem
+                      where l_orderkey = o_orderkey))
+         order by c_custkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("nested IN LIMIT 0 is constant-false; NOT IN LIMIT 0 constant-true") {
+    val in0 = keys(
+      """select c_custkey from customer
+         where c_custkey < 50 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 in (
+               select l_linenumber from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                order by l_linenumber limit 0))
+         order by c_custkey""")
+    assert(in0.isEmpty)
+    val notIn0 = keys(
+      """select c_custkey from customer
+         where c_custkey < 50 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 not in (
+               select l_linenumber from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                order by l_linenumber limit 0))
+         order by c_custkey""")
+    val withOrders = keys(
+      """select c_custkey from customer
+         where c_custkey < 50 and exists (
+           select 1 from orders where o_custkey = c_custkey)
+         order by c_custkey""")
+    assert(notIn0 == withOrders)
+  }
+
+  test("nested LIMIT 1 over a one-row aggregate body strips as a no-op") {
+    val got = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 6 in (
+               select max(l_linenumber) from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                limit 1))
+         order by c_custkey""")
+    val want = keys(
+      """select c_custkey from customer
+         where c_custkey < 150 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 6 in (
+               select max(l_linenumber) from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0))
+         order by c_custkey""")
+    assert(got == want)
+  }
+
+  test("nested IN LIMIT error paths stay clean") {
+    val noOrder = intercept[GraftException](sql(
+      """select c_custkey from customer
+         where exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 in (
+               select l_linenumber from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                limit 2))"""))
+    assert(noOrder.msg.contains("ORDER BY"))
+    val withDistinct = intercept[GraftException](sql(
+      """select c_custkey from customer
+         where exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 in (
+               select distinct l_linenumber from lineitem
+                where l_orderkey = o_orderkey and c_custkey >= 0
+                order by l_linenumber limit 2))"""))
+    assert(withDistinct.msg.contains("DISTINCT"))
+  }
+}
