@@ -802,9 +802,21 @@ final class Binder(
         val selectAggs = qb.selectList.exists(si =>
           !si.expr.isInstanceOf[Wildcard] && collectAggs(si.expr).nonEmpty)
         if (qb.groupBy.isEmpty && qb.having.isEmpty && !selectAggs) {
-          lowerExists(qb.copy(limit = None, having = Some(
-            Binary(">", FnCall("count", Seq(IntLit(BigInt(1)))),
-              IntLit(BigInt(o))))), negated, ctx)
+          // post-DISTINCT-ON the body yields one row per ON-key tuple
+          // and post-DISTINCT one row per select-value tuple, so the
+          // "more than o rows" count is over DISTINCT tuples; a plain
+          // body counts raw rows
+          val onKeys = qb.distinct.toSeq.flatten
+          val cntFn =
+            if (onKeys.nonEmpty) FnCall("countUnique", onKeys)
+            else if (qb.distinct.contains(Nil)) {
+              val sels = qb.selectList.map(_.expr)
+              if (sels.exists(_.isInstanceOf[Wildcard]))
+                err("EXISTS body: DISTINCT * with OFFSET needs named columns")
+              FnCall("countUnique", sels)
+            } else FnCall("count", Seq(IntLit(BigInt(1))))
+          lowerExists(qb.copy(limit = None, distinct = None, having = Some(
+            Binary(">", cntFn, IntLit(BigInt(o))))), negated, ctx)
           return
         }
         if (qb.groupBy.isEmpty) {
@@ -890,6 +902,10 @@ final class Binder(
     def aggNestedBody(c: Expr): Boolean = positiveNested(c).exists {
       case (nqb, lhsOpt) =>
         nqb.groupBy.nonEmpty || nqb.having.isDefined || nqb.limit.isDefined ||
+          // IN-form DISTINCT ON: membership depends on WHICH row
+          // survives per ON key — no flattening; the pair-frame route
+          // lowers it per rid ([[sliceInNestedBody]])
+          (lhsOpt.isDefined && nqb.distinct.exists(_.nonEmpty)) ||
           (lhsOpt.isDefined && (nqb.selectList match {
             case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] =>
               collectAggs(e).nonEmpty
@@ -1326,18 +1342,24 @@ final class Binder(
     // otherwise reject the aggregate with the plain-body LIMIT error)
     val nqb = stripNoopLimit(nqb0)
     // plain DISTINCT is membership/existence-blind — ignore it. DISTINCT
-    // ON keeps one row per ON-key, which cannot change EXISTENCE either
-    // (≥1 row stays ≥1 row), so the EXISTS form drops it too; only the
-    // IN form depends on WHICH row survives (the membership set is the
-    // kept rows' select values, order-dependent) and is rejected
-    // (droppable only for plain bodies: under LIMIT OFFSET the count
-    // rewrite below would count pre-distinct rows, and with GROUP BY the
-    // ON keys apply post-aggregation — both keep the clean error)
-    nqb.distinct.foreach(on => if (on.nonEmpty &&
-        (lhsOpt.isDefined || nqb.limit.isDefined || nqb.groupBy.nonEmpty ||
-          nqb.having.isDefined))
-      err(s"a grandparent-correlated $what supports DISTINCT ON only on a " +
-        "plain EXISTS body (drop the ON keys, LIMIT, or grouping)"))
+    // ON keeps one row per ON-key: EXISTENCE is unchanged (≥1 row stays
+    // ≥1 row) so the EXISTS form drops it, and under OFFSET the count
+    // rewrite below counts DISTINCT ON-key tuples (= post-DISTINCT-ON
+    // rows) instead of raw rows. The IN form depends on WHICH row
+    // survives per key (the membership set is the kept rows' select
+    // values in the body's ORDER BY) — it routes to the per-pair slice
+    // lowering ([[sliceInNestedBody]], the depth-1 qe132 machinery
+    // lifted one level). Only GROUP BY/HAVING keeps the clean error:
+    // the ON keys would apply post-aggregation, same as depth 1.
+    val nestOnKeys = nqb.distinct.toSeq.flatten
+    if (nestOnKeys.nonEmpty && (nqb.groupBy.nonEmpty || nqb.having.isDefined))
+      err(s"a grandparent-correlated $what supports DISTINCT ON only on " +
+        "plain bodies (no GROUP BY/HAVING)")
+    if (nestOnKeys.nonEmpty && lhsOpt.isDefined) {
+      if (nqb.limit.exists(lc => evalLimitInt(lc.limit, "LIMIT") == 0))
+        return (if (anti) rel else Rel(rel.df.filter(lit(false)), rel.scopes))
+      return sliceInNestedBody(nqb, nqb.limit, lhsOpt.get, rel, ctes, anti)
+    }
     // LIMIT/OFFSET on an EXISTS-form body lowers by COUNTING (the same
     // rewrites as lowerExists): LIMIT k>0 never changes existence,
     // LIMIT 0 makes it constant, OFFSET o needs MORE THAN o pre-limit
@@ -1345,7 +1367,7 @@ final class Binder(
     // one row, constant-false; GROUP BY → more than o surviving groups).
     // An IN-form body's membership SET is the ordered slice the LIMIT
     // keeps, per candidate pair — the per-rid window lowering below
-    // ([[limitInNestedBody]], the depth-1 qe130 machinery lifted one
+    // ([[sliceInNestedBody]], the depth-1 qe130 machinery lifted one
     // level).
     var body = nqb
     var existsOff = 0
@@ -1357,14 +1379,26 @@ final class Binder(
         // NOT IN true — for both forms
         if (evalLimitInt(lc.limit, "LIMIT") == 0) return constFalse
         if (lhsOpt.isDefined)
-          return limitInNestedBody(body, lc, lhsOpt.get, rel, ctes, anti)
+          return sliceInNestedBody(body, Some(lc), lhsOpt.get, rel, ctes, anti)
         val o = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
         body = body.copy(limit = None)
         if (o > 0) {
-          if (body.groupBy.isEmpty && body.having.isEmpty)
-            body = body.copy(having = Some(
-              Binary(">", FnCall("count", Seq(IntLit(BigInt(1)))),
-                IntLit(BigInt(o)))))
+          if (body.groupBy.isEmpty && body.having.isEmpty) {
+            // post-DISTINCT-ON the body has one row per ON-key tuple and
+            // post-DISTINCT one row per select-value tuple, so "more
+            // than o rows survive the offset" counts DISTINCT tuples;
+            // a plain body counts raw rows
+            val cntFn =
+              if (nestOnKeys.nonEmpty) FnCall("countUnique", nestOnKeys)
+              else if (body.distinct.contains(Nil)) {
+                val sels = body.selectList.map(_.expr)
+                if (sels.exists(_.isInstanceOf[Wildcard]))
+                  err(s"$what: DISTINCT * with OFFSET needs named columns")
+                FnCall("countUnique", sels)
+              } else FnCall("count", Seq(IntLit(BigInt(1))))
+            body = body.copy(having = Some(Binary(">", cntFn,
+              IntLit(BigInt(o)))), distinct = None)
+          }
           else if (body.groupBy.isEmpty) return constFalse
           else existsOff = o
         }
@@ -1610,8 +1644,9 @@ final class Binder(
     * the body's rows), so: rid-tag the pairs, inner-join the body's
     * source on the correlated conjuncts (any shape — equality or
     * theta — since both scopes are plain columns of the pair frame),
-    * slice rows (off, off+lim] per rid in the body's ORDER BY
-    * ([[slicePerKey]] — rid-sized buckets, never a global sort), and
+    * apply DISTINCT ON as keep-first per (rid ∪ ON keys), slice rows
+    * (off, off+lim] per rid in the body's ORDER BY ([[slicePerKey]] —
+    * rid-sized buckets, never a global sort), and
     * decide membership over the kept slice:
     *   - IN: some slice row's value equals lhs → semi join back by rid;
     *   - NOT IN: prune a rid when any slice row makes membership TRUE
@@ -1623,24 +1658,25 @@ final class Binder(
     * the aggregated-EXISTS caller groups afterwards. Reference grammar
     * composes IN bodies with LIMIT/OFFSET at any depth
     * (/root/reference/src/parser/mod.rs:503-544,1404,1439-1440). */
-  private def limitInNestedBody(nqb: QueryBody, lc: LimitClause, lhs: Expr,
-      rel: Rel, ctes: Map[String, DataFrame], anti: Boolean): Rel = {
+  private def sliceInNestedBody(nqb: QueryBody, lcOpt: Option[LimitClause],
+      lhs: Expr, rel: Rel, ctes: Map[String, DataFrame], anti: Boolean): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
     val selExpr = nqb.selectList match {
       case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => e
       case _ => err("IN subquery must produce exactly 1 column")
     }
+    val onKeys = nqb.distinct.toSeq.flatten
     if (nqb.groupBy.nonEmpty || nqb.having.isDefined ||
         collectAggs(selExpr).nonEmpty)
-      err(s"a $what under IN with LIMIT takes a plain body " +
+      err(s"a $what under IN with LIMIT/DISTINCT ON takes a plain body " +
         "(no GROUP BY/HAVING/aggregates)")
-    if (nqb.distinct.contains(Nil))
+    if (lcOpt.isDefined && nqb.distinct.contains(Nil))
       err(s"a $what under IN with LIMIT does not combine with DISTINCT")
     if (nqb.orderBy.isEmpty)
-      err(s"a $what under IN with LIMIT needs an ORDER BY " +
+      err(s"a $what under IN with LIMIT/DISTINCT ON needs an ORDER BY " +
         "(the kept rows are arbitrary without one)")
-    val lim = evalLimitInt(lc.limit, "LIMIT") // caller rewrote LIMIT 0
-    val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+    val lim = lcOpt.map(lc => evalLimitInt(lc.limit, "LIMIT")).getOrElse(-1)
+    val off = lcOpt.flatMap(_.offset).map(evalLimitInt(_, "OFFSET")).getOrElse(0)
     val bodyCtes = bindBodyCtes(nqb, ctes)
 
     val prid = fresh("nlrid")
@@ -1683,16 +1719,33 @@ final class Binder(
     // ORDER BY and the select value bind over the joined frame, so both
     // may reference enclosing scopes (constant per rid) freely
     val ordNames = nqb.orderBy.map(_ => fresh("nlo"))
+    val onNames = onKeys.indices.map(_ => fresh("nlon"))
     val vName = fresh("nlv")
     val proj = joined.select(
       (Seq(col(prid), col(lhsName)) ++
+        onKeys.zip(onNames).map { case (oe, on) =>
+          bindExpr(oe, jCtx).as(on) } ++
         nqb.orderBy.zip(ordNames).map { case (ok, on) =>
           bindExpr(substituteAliases(ok.expr, nqb.selectList), jCtx).as(on) } :+
         bindExpr(selExpr, jCtx).as(vName)): _*)
     val ordCols = nqb.orderBy.zip(ordNames).map { case (ok, on) =>
       if (ok.desc) col(on).desc else col(on).asc }
-    val sliced = slicePerKey(proj, Seq(col(prid)), ordCols, lim, off,
-      lc.withTies)
+    // DISTINCT ON: keep-first per (pair rid ∪ ON keys) in the body's
+    // ORDER BY — DuckDB semantics scoped to each pair's result set —
+    // then any LIMIT slices the kept rows (rid-sized buckets throughout)
+    val kept =
+      if (onKeys.isEmpty) proj
+      else {
+        val rn = fresh("nlrn")
+        proj.withColumn(rn, row_number().over(
+            Window.partitionBy((prid +: onNames).map(col): _*)
+              .orderBy(ordCols: _*)))
+          .filter(col(rn) === 1).drop(rn)
+      }
+    val sliced =
+      if (lim < 0) kept
+      else slicePerKey(kept, Seq(col(prid)), ordCols, lim, off,
+        lcOpt.get.withTies)
     val hit =
       if (!anti) col(lhsName) === col(vName)
       else col(lhsName) === col(vName) || col(lhsName).isNull ||

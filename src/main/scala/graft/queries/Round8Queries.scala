@@ -218,6 +218,112 @@ object Round8Queries {
                 where l_orderkey = o_orderkey
                   and l_extendedprice > c_acctbal / 10
                 order by l_suppkey % 10 limit 1 with ties))
-         order by c_custkey""")
+         order by c_custkey"""),
+
+    // ---- DISTINCT ON in a nested IN body (VERDICT r7 missing #4) --------
+    // keep-first per (candidate pair, ON key) in the body's ORDER BY —
+    // the depth-1 qe132 lowering lifted one level. The membership set
+    // per (customer, order) pair is {first even, first odd} qualifying
+    // linenumber; 1 is a member iff linenumber 1 qualifies (it is the
+    // smallest odd). Order keys are unique per pair, so the kept rows
+    // are deterministic in both engines. Reference composes DISTINCT ON
+    // at any depth (/root/reference/src/parser/mod.rs:349-360,1404).
+    engineSql("qe157_nested_in_distinct_on",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND 1 IN (
+               SELECT DISTINCT ON (l_linenumber % 2) l_linenumber
+                 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_extendedprice > c_acctbal / 10
+                ORDER BY l_linenumber % 2, l_linenumber))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 1 in (
+               select distinct on (l_linenumber % 2) l_linenumber
+                 from lineitem
+                where l_orderkey = o_orderkey
+                  and l_extendedprice > c_acctbal / 10
+                order by l_linenumber % 2, l_linenumber))
+         order by c_custkey"""),
+
+    // ---- DISTINCT ON + LIMIT/OFFSET in a nested IN body -----------------
+    // the slice applies AFTER the keep-first: of {first even, first odd}
+    // in (parity, linenumber) order, skip 1 keep 1 — membership is the
+    // first odd qualifying linenumber when an even one also qualifies.
+    engineSql("qe158_nested_in_distinct_on_limit",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND 3 IN (
+               SELECT DISTINCT ON (l_linenumber % 2) l_linenumber
+                 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_extendedprice > c_acctbal / 10
+                ORDER BY l_linenumber % 2, l_linenumber
+                LIMIT 1 OFFSET 1))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and 3 in (
+               select distinct on (l_linenumber % 2) l_linenumber
+                 from lineitem
+                where l_orderkey = o_orderkey
+                  and l_extendedprice > c_acctbal / 10
+                order by l_linenumber % 2, l_linenumber
+                limit 1 offset 1))
+         order by c_custkey"""),
+
+    // ---- EXISTS over a DISTINCT ON body with OFFSET ---------------------
+    // existence ⟺ MORE THAN 2 post-DISTINCT-ON rows ⟺ more than 2
+    // distinct ON-key tuples — the counting rewrite must count DISTINCT
+    // keys, not raw rows (an order with many lineitems but ≤ 2 distinct
+    // suppkey buckets must NOT match).
+    engineSql("qe159_nested_exists_distinct_on_offset",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 300 AND EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND EXISTS (
+               SELECT DISTINCT ON (l_suppkey % 5) l_suppkey
+                 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_extendedprice > c_acctbal / 10
+                ORDER BY l_suppkey % 5, l_suppkey
+                LIMIT 100 OFFSET 2))
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 300 and exists (
+           select 1 from orders where o_custkey = c_custkey
+             and exists (
+               select distinct on (l_suppkey % 5) l_suppkey
+                 from lineitem
+                where l_orderkey = o_orderkey
+                  and l_extendedprice > c_acctbal / 10
+                order by l_suppkey % 5, l_suppkey
+                limit 100 offset 2))
+         order by c_custkey"""),
+
+    // ---- depth-1 EXISTS over a plain-DISTINCT body with OFFSET ----------
+    // same counting contract one level up: more than 3 DISTINCT
+    // l_suppkey % 7 values per order (raw-row counting would also match
+    // orders with ≥ 4 lineitems in ≤ 3 buckets — silently wrong before
+    // round 8).
+    engineSql("qe160_exists_distinct_offset",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 3000 AND EXISTS (
+           SELECT DISTINCT l_suppkey % 7 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+            LIMIT 100 OFFSET 3)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 3000 and exists (
+           select distinct l_suppkey % 7 from lineitem
+            where l_orderkey = o_orderkey
+            limit 100 offset 3)
+         order by o_orderkey""")
   )
 }
