@@ -543,23 +543,28 @@ final class Binder(
             // its subquery bodies' correlation resolves within — the
             // lowered value/flag columns ride that side through the join
             // as ordinary columns, and null-extension behaves like any
-            // other column of that side.
+            // other column of that side. A conjunct whose subquery
+            // correlates with BOTH sides cannot bind pre-join — those
+            // take the candidate-pair route ([[outerJoinPairSubqueries]]).
             val (subq, plain) = splitAnd(condExpr).partition(containsSubquery)
-            val lCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
-            val rCtx = new Ctx(Rel(right.df, bothScopes), None, ctes)
-            val boundSubq = subq.map { c =>
-              if (subqueryBodiesResolveWithin(c, Rel(left.df, left.scopes), ctes))
-                bindExpr(c, lCtx)
-              else if (subqueryBodiesResolveWithin(c, Rel(right.df, right.scopes), ctes))
-                bindExpr(c, rCtx)
-              else err("a subquery in an OUTER JOIN ON condition must " +
-                "correlate entirely with one side of the join")
+            if (!subq.forall(c =>
+                subqueryBodiesResolveWithin(c, Rel(left.df, left.scopes), ctes) ||
+                subqueryBodiesResolveWithin(c, Rel(right.df, right.scopes), ctes)))
+              outerJoinPairSubqueries(left, right, plain, subq, how, ctes)
+            else {
+              val lCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
+              val rCtx = new Ctx(Rel(right.df, bothScopes), None, ctes)
+              val boundSubq = subq.map { c =>
+                if (subqueryBodiesResolveWithin(c, Rel(left.df, left.scopes), ctes))
+                  bindExpr(c, lCtx)
+                else bindExpr(c, rCtx)
+              }
+              val plainCond = plain.map(bindExpr(
+                _, new Ctx(Rel(left.df, bothScopes), None, ctes)))
+              val cond = (plainCond ++ boundSubq).reduceOption(_ && _)
+                .getOrElse(lit(true))
+              Rel(lCtx.rel.df.join(rCtx.rel.df, cond, how), bothScopes)
             }
-            val plainCond = plain.map(bindExpr(
-              _, new Ctx(Rel(left.df, bothScopes), None, ctes)))
-            val cond = (plainCond ++ boundSubq).reduceOption(_ && _)
-              .getOrElse(lit(true))
-            Rel(lCtx.rel.df.join(rCtx.rel.df, cond, how), bothScopes)
           case how @ ("inner" | "left" | "right" | "full") =>
             val condCtx = new Ctx(Rel(left.df, bothScopes), None, ctes)
             val cond = bindExpr(condExpr, condCtx)
@@ -593,6 +598,80 @@ final class Binder(
     * Fallback (no equality key, or a conjunct that straddles both sides):
     * join on all conjuncts, then keep the right row closest to the bound
     * per left row via a row_number window on a synthetic left row id. */
+  /** OUTER JOIN whose ON condition carries a subquery-bearing conjunct
+    * correlating with BOTH sides (e.g. `LEFT JOIN r ON l.k = r.k AND
+    * EXISTS (SELECT 1 FROM t WHERE t.a = l.a AND t.b = r.b)`). Neither
+    * side can host the lowered flag pre-join, so the lowering works on
+    * the CANDIDATE PAIR frame:
+    *   1. flatten both sides to unique internal names (they may share
+    *      user-visible names) and rid-tag each side (persisted —
+    *      monotonically_increasing_id is not stable on recompute);
+    *   2. join the pair candidates on the PLAIN conjuncts only (an
+    *      equi-shaped plain condition keeps this a hash join);
+    *   3. prune the pairs through the full WHERE machinery — on the
+    *      pair frame every referenced scope is an ordinary column, so
+    *      any subquery shape the engine lowers in WHERE position works
+    *      in ON position too;
+    *   4. null-extend: outer-side rows whose rid survives in no matched
+    *      pair union back with NULL columns for the inner side (left /
+    *      right / both per join type). Rid anti-joins are hash joins;
+    *      each matched pair appears exactly once, preserving OUTER JOIN
+    *      multiplicity.
+    * Reference grammar allows any expression in ON
+    * (/root/reference/src/parser/mod.rs:419-429). */
+  private def outerJoinPairSubqueries(left: Rel, right: Rel,
+      plain: Seq[Expr], subq: Seq[Expr], how: String,
+      ctes: Map[String, DataFrame]): Rel = {
+    val leftCols = left.scopes.flatMap(s => s.cols.map(c => (s, c, fresh("ojl"))))
+    val rightCols = right.scopes.flatMap(s => s.cols.map(c => (s, c, fresh("ojr"))))
+    val lrid = fresh("ojlrid")
+    val rrid = fresh("ojrrid")
+    val lFlat = left.df.select(leftCols.map { case (s, c, u) => s.column(c).as(u) }: _*)
+      .withColumn(lrid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rFlat = right.df.select(rightCols.map { case (s, c, u) => s.column(c).as(u) }: _*)
+      .withColumn(rrid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += lFlat
+    persistedFrames += rFlat
+    def rescope(scopes: Seq[Scope], flat: Seq[(Scope, String, String)],
+        df: DataFrame): Seq[Scope] =
+      scopes.map { s =>
+        val ren = flat.collect { case (s2, c, u) if s2 eq s => c.toLowerCase -> u }.toMap
+        Scope(s.qualifier, df, s.cols, ren, hidden = s.hidden)
+      }
+    val pairScopes = rescope(left.scopes, leftCols, lFlat) ++
+      rescope(right.scopes, rightCols, rFlat)
+    val plainCond = plain.map(bindExpr(_, new Ctx(Rel(lFlat, pairScopes), None, ctes)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val pairs = lFlat.join(rFlat, plainCond, "inner")
+    val pCtx = new Ctx(Rel(pairs, pairScopes), None, ctes)
+    subq.foreach(applyWhere(_, pCtx))
+    // canonical positional order for the union: left cols, lrid, right
+    // cols, rrid (the WHERE machinery returns the frame's own columns)
+    val allNames = (leftCols.map(_._3) :+ lrid) ++ (rightCols.map(_._3) :+ rrid)
+    val matched = pCtx.rel.df.select(allNames.map(col): _*)
+    def nullsFor(cols: Seq[(Scope, String, String)], df: DataFrame): Seq[Column] =
+      cols.map { case (_, _, u) => lit(null).cast(df.schema(u).dataType).as(u) }
+    val mk = fresh("ojmk")
+    lazy val unmatchedL = lFlat
+      .join(matched.select(col(lrid).as(mk)).distinct(), col(lrid) === col(mk), "left_anti")
+      .select((leftCols.map(t => col(t._3)) :+ col(lrid)) ++
+        (nullsFor(rightCols, rFlat) :+ lit(null).cast("long").as(rrid)): _*)
+    lazy val unmatchedR = rFlat
+      .join(matched.select(col(rrid).as(mk)).distinct(), col(rrid) === col(mk), "left_anti")
+      .select((nullsFor(leftCols, lFlat) :+ lit(null).cast("long").as(lrid)) ++
+        (rightCols.map(t => col(t._3)) :+ col(rrid)): _*)
+    val out0 = how match {
+      case "left" => matched.union(unmatchedL)
+      case "right" => matched.union(unmatchedR)
+      case _ => matched.union(unmatchedL).union(unmatchedR)
+    }
+    val out = out0.drop(lrid, rrid)
+    Rel(out, rescope(left.scopes, leftCols, out) ++
+      rescope(right.scopes, rightCols, out))
+  }
+
   private def bindAsOf(left: Rel, right: Rel, condExpr: Expr,
       ctes: Map[String, DataFrame], leftOuter: Boolean): Rel = {
     val conjuncts = splitAnd(condExpr)

@@ -536,4 +536,135 @@ object Curation {
         (max(col(tsNanosCol)) - min(col(tsNanosCol))).as("span_nanos"))
       .orderBy(col(userCol), col("session_seq"))
   }
+
+  // ---- token-budget selection (quality-greedy corpus subsetting) --------
+
+  /** Greedy token-budget subset: rank documents by an integer quality
+    * score (distinct-stopword hits — the langid signal, integer-exact
+    * across engines) descending with doc-id tie-break, and keep each
+    * document whose INCLUSIVE cumulative whitespace-token count stays
+    * within `budgetTokens` — "take the best documents until the token
+    * budget is spent", the standard way a pretraining run pins its
+    * corpus size.
+    *
+    * The global cumulative sum never uses a single-partition window:
+    * the rank order (score DESC, id) is monotone in the score classes,
+    * so per-SCORE token totals (one small aggregate) come to the driver,
+    * turn into per-class cumulative offsets, broadcast back, and the
+    * inclusive cumsum is offset + within-class running sum — every
+    * window partition holds one score class. The driver collect is one
+    * row per DISTINCT score value, bounded by the largest per-document
+    * distinct-token count (the stopword-hit ceiling), not by corpus
+    * size — the k-means-centroid budget class. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, lang: String = "en"): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val spark = docs.sparkSession
+    val nTokens = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(TextOps.tokens(col(textCol))).cast("long"))
+    val score = TextOps.stopwordHits(
+      array_distinct(split(trim(lower(col(textCol))), "\\s+")), lang)
+      .cast("long")
+    val base = docs.select(col(idCol), nTokens.as("n_tokens"),
+      score.as("score"))
+    val perScore = base.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(-_._1)
+    // tokens consumed by all STRICTLY higher score classes
+    val offsets = perScore.scanLeft((Long.MaxValue, 0L)) {
+      case ((_, acc), (s, t)) => (s, acc + t)
+    }.sliding(2).collect { case Array((_, before), (s, _)) => (s, before) }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("__score2", "__off")
+    val w = Window.partitionBy(col("score")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offDf), col("score") === col("__score2"))
+      .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("n_tokens"), col("score"), col("cum_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  // ---- deterministic per-source hash sampling ---------------------------
+
+  /** Reproducible weighted downsampling: keep a document iff its id-hash
+    * permille falls under its source's rate. The mix is a fixed LCG over
+    * the id (independent of [[assignSplit]]'s multiplier so the two
+    * decisions don't correlate), every operand stays far from 2^63 so
+    * the arithmetic is bit-identical in any engine, and the rate table
+    * broadcasts — small BY CONSTRUCTION (one row per source). A pure
+    * projection + filter otherwise: no shuffle at any scale, and rates
+    * hold exactly in expectation under corpus growth because the mix
+    * depends only on the id. */
+  def hashSample(docs: DataFrame, idCol: String, sourceCol: String,
+      ratePermille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    require(defaultPermille >= 0 && defaultPermille <= 1000 &&
+      ratePermille.values.forall(r => r >= 0 && r <= 1000),
+      "rates must be permille in [0, 1000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mix = pmod(pmod(col(idCol) * lit(1000003L) + lit(12345L),
+      lit(999983L)) * lit(2654435761L), lit(1000L))
+    val rates = ratePermille.toSeq.toDF("__src", "__rate")
+    docs.select(col(idCol), col(sourceCol), mix.as("mix"))
+      .join(broadcast(rates), col(sourceCol) === col("__src"), "left")
+      .filter(col("mix") < coalesce(col("__rate"), lit(defaultPermille)))
+      .select(col(idCol), col(sourceCol), col("mix"))
+      .orderBy(col(idCol))
+  }
+
+  // ---- length-bucketed batch construction -------------------------------
+
+  /** Sequence-length bucketing for training batches: documents bucket by
+    * token count (`n_tokens DIV bucketWidth` — batches then pad to the
+    * bucket ceiling, not the corpus max), and within each bucket take a
+    * deterministic id-ordered rank that splits into (batch_index,
+    * batch_pos) by `batchSize`.
+    *
+    * The within-bucket rank avoids bucket-sized window partitions (a
+    * popular length bucket holds a constant fraction of any corpus):
+    * ids sub-bucket by fixed-width ranges of the id domain (monotone in
+    * id, so per-(bucket, sub) counts prefix into exact offsets), counts
+    * come to the driver once (≤ #length-buckets × `idSubBuckets` longs,
+    * bounded by the longest document, not the corpus), and the rank is
+    * offset + rank-within-sub — the [[shufflePositions]] pattern scoped
+    * per bucket. */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int = 64, batchSize: Int = 32,
+      idSubBuckets: Int = 64): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1 && idSubBuckets >= 1,
+      "bucketWidth, batchSize and idSubBuckets must be >= 1")
+    val spark = docs.sparkSession
+    val mxRow = docs.agg(max(col(idCol))).head()
+    val maxId = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    val nTokens = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(TextOps.tokens(col(textCol))).cast("long"))
+    val base = docs.select(col(idCol), nTokens.as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens DIV $bucketWidth"))
+      .withColumn("__sub",
+        expr(s"($idCol * ${idSubBuckets}L) DIV ${maxId + 1}L").cast("int"))
+    val counts = base.groupBy(col("bucket"), col("__sub"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // offset(b, s) = Σ counts(b, s') for s' < s — exact because the sub
+    // bucketing is monotone in the id
+    val offsets = counts.keys.map(_._1).toSeq.distinct.sorted.flatMap { b =>
+      var acc = 0L
+      (0 until idSubBuckets).map { s =>
+        val o = (b, s, acc); acc += counts.getOrElse((b, s), 0L); o
+      }
+    }
+    import spark.implicits._
+    val offDf = offsets.toDF("__b2", "__s2", "__off")
+    val w = Window.partitionBy(col("bucket"), col("__sub")).orderBy(col(idCol))
+    base.join(broadcast(offDf),
+        col("bucket") === col("__b2") && col("__sub") === col("__s2"))
+      .withColumn("__rk",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("n_tokens"), col("bucket"),
+        expr(s"__rk DIV $batchSize").as("batch_index"),
+        pmod(col("__rk"), lit(batchSize.toLong)).as("batch_pos"))
+      .orderBy(col(idCol))
+  }
 }

@@ -324,6 +324,147 @@ object Round8Queries {
            select distinct l_suppkey % 7 from lineitem
             where l_orderkey = o_orderkey
             limit 100 offset 3)
-         order by o_orderkey""")
+         order by o_orderkey"""),
+
+    // ---- OUTER JOIN ON subqueries correlating with BOTH sides -----------
+    // (VERDICT r7 missing #5.) The EXISTS references o_orderkey (right)
+    // AND c_acctbal (left), so neither side can host the lowered flag
+    // pre-join — the candidate-pair route decides each pair, then
+    // null-extends customers with no surviving order. DuckDB 1.0 cannot
+    // run subqueries in a non-inner ON ("Cannot perform non-inner join
+    // on subquery!"), so the oracle states the equivalent aggregate
+    // form: EXISTS(price > T) ⟺ max(price) > T (empty set → NULL → no
+    // match). Reference allows any ON expression (mod.rs:419-429).
+    engineSql("qe161_left_on_exists_both_sides",
+      """select c.c_custkey, o.o_orderkey from customer c
+         left join (select o_orderkey, o_custkey,
+                           (select max(l_extendedprice) from lineitem
+                             where l_orderkey = o_orderkey) as mx
+                      from orders) o
+           on o.o_custkey = c.c_custkey and o.mx > c.c_acctbal / 2
+         where c.c_custkey < 300
+         order by c.c_custkey, o.o_orderkey""",
+      """SELECT c_custkey, o_orderkey FROM customer
+         LEFT JOIN orders ON o_custkey = c_custkey
+           AND EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey
+                          AND l_extendedprice > c_acctbal / 2)
+         WHERE c_custkey < 300
+         ORDER BY c_custkey, o_orderkey"""),
+
+    // ---- FULL JOIN ON both-sides IN subquery ----------------------------
+    // membership needs the pair: the body filters lineitem by the RIGHT
+    // side's suppkey and the LEFT side's custkey bucket. The oracle
+    // reconstructs the FULL join from the matched pair set (all keys
+    // non-null, so NOT IN is safe there).
+    engineSql("qe162_full_on_in_both_sides",
+      """with pairs as (
+           select c.c_custkey, s.s_suppkey from customer c
+           join supplier s on c.c_nationkey = s.s_nationkey
+          where exists (select 1 from lineitem l
+                         where l.l_suppkey = s.s_suppkey
+                           and l.l_partkey % 3 = c.c_custkey % 3
+                           and l.l_linenumber = c.c_custkey % 10))
+         select c_custkey, s_suppkey from pairs
+         union all
+         select c_custkey, cast(null as bigint) from customer
+          where c_custkey not in (select c_custkey from pairs)
+         union all
+         select cast(null as bigint), s_suppkey from supplier
+          where s_suppkey not in (select s_suppkey from pairs)
+         order by c_custkey, s_suppkey""",
+      """SELECT c_custkey, s_suppkey FROM customer
+         FULL JOIN supplier ON c_nationkey = s_nationkey
+           AND c_custkey % 10 IN (SELECT l_linenumber FROM lineitem
+                                   WHERE l_suppkey = s_suppkey
+                                     AND l_partkey % 3 = c_custkey % 3)
+         ORDER BY c_custkey, s_suppkey"""),
+
+    // ---- RIGHT JOIN ON both-sides correlated scalar ---------------------
+    // the scalar count filters lineitem by the LEFT side's orderkey and
+    // compares against the RIGHT side's suppkey — suppliers keeping no
+    // order null-extend.
+    engineSql("qe163_right_on_scalar_both_sides",
+      """with pairs as (
+           select o.o_orderkey, s.s_suppkey from orders o
+           join supplier s on o.o_orderkey % 100 = s.s_suppkey
+          where (select count(1) from lineitem l
+                  where l.l_orderkey = o.o_orderkey
+                    and l.l_suppkey > s.s_suppkey) > 2)
+         select o_orderkey, s_suppkey from pairs
+         union all
+         select cast(null as bigint), s_suppkey from supplier
+          where s_suppkey not in (select s_suppkey from pairs)
+         order by o_orderkey, s_suppkey""",
+      """SELECT o_orderkey, s_suppkey FROM orders
+         RIGHT JOIN supplier ON o_orderkey % 100 = s_suppkey
+           AND (SELECT count(1) FROM lineitem
+                 WHERE l_orderkey = o_orderkey
+                   AND l_suppkey > s_suppkey) > 2
+         ORDER BY o_orderkey, s_suppkey"""),
+
+    // ---- token-budget corpus selection (qp86) ---------------------------
+    // greedy by integer quality score (distinct en-stopword hits, the
+    // qp56 signal) desc with id tie-break; keep documents while the
+    // INCLUSIVE cumulative whitespace-token count fits the budget. All
+    // compared quantities are BIGINT (the window sum CASTs — the qp76
+    // lesson), so the cut is bit-identical across engines.
+    QueryDef("qp86_token_budget",
+      Some("""WITH t AS (SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                     ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+                CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                     ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS score
+              FROM documents),
+             c AS (SELECT doc_id, n_tokens, score,
+                CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+             SELECT doc_id, n_tokens, score, cum_tokens FROM c
+             WHERE cum_tokens <= 12000 ORDER BY doc_id"""),
+      (s, dir) => graft.pipeline.Curation.tokenBudgetSelect(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 12000L)),
+
+    // ---- deterministic per-source hash sampling (qp87) ------------------
+    // reproducible weighted downsampling: a fixed LCG permille on the id
+    // against a per-source rate table (broadcast; default for unlisted
+    // sources). Pure projection + filter — zero shuffle at any scale.
+    QueryDef("qp87_hash_sample",
+      Some("""WITH t AS (SELECT doc_id, source,
+                ((doc_id * 1000003 + 12345) % 999983) * 2654435761 % 1000 AS mix
+              FROM documents)
+             SELECT doc_id, source, mix FROM t
+             WHERE mix < CASE WHEN source = 'src0' THEN 900
+                              WHEN source = 'src1' THEN 500
+                              WHEN source = 'src2' THEN 250
+                              WHEN source = 'src3' THEN 100
+                              ELSE 400 END
+             ORDER BY doc_id"""),
+      (s, dir) => graft.pipeline.Curation.hashSample(
+        Tables.load(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 900, "src1" -> 500, "src2" -> 250, "src3" -> 100),
+        defaultPermille = 400)),
+
+    // ---- length-bucketed batch construction (qp88) ----------------------
+    // sequence-length bucketing: bucket by n_tokens DIV 16, then a
+    // deterministic id-ordered rank within the bucket splits into
+    // (batch_index, batch_pos) by batch size 8 — batches pad to the
+    // bucket ceiling instead of the corpus max. The rank uses the
+    // sub-bucketed offset pattern (shufflePositions scoped per bucket),
+    // never a bucket-sized window partition.
+    QueryDef("qp88_length_batches",
+      Some("""WITH t AS (SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                     ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+              FROM documents),
+             r AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+                row_number() OVER (PARTITION BY n_tokens // 16 ORDER BY doc_id) - 1 AS rk
+              FROM t)
+             SELECT doc_id, n_tokens, bucket, rk // 8 AS batch_index,
+                    rk % 8 AS batch_pos
+             FROM r ORDER BY doc_id"""),
+      (s, dir) => graft.pipeline.Curation.lengthBatches(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        bucketWidth = 16, batchSize = 8))
   )
 }

@@ -631,16 +631,37 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got == want)
   }
 
-  test("nested IN body with DISTINCT ON fails cleanly") {
-    val e = intercept[Exception](rows(
+  test("nested IN body with DISTINCT ON keeps the first row per ON key") {
+    // supported since round 8 ([[Binder.sliceInNestedBody]]): the
+    // membership set per (customer, order) pair is the first
+    // (linenumber, orderkey)-ordered qualifying lineitem of each
+    // suppkey. Oracle computed in Scala from the raw tables (the extra
+    // orderkey sort key makes the kept row deterministic).
+    val got = keys(
       """select c_custkey from customer
          where c_custkey < 150 and exists (
            select 1 from orders where o_custkey = c_custkey
              and o_orderkey in (
                select distinct on (l_suppkey) l_orderkey from lineitem
                 where l_extendedprice > c_acctbal
-                order by l_suppkey, l_linenumber))"""))
-    assert(e.getMessage.contains("DISTINCT ON"))
+                order by l_suppkey, l_linenumber, l_orderkey))
+         order by c_custkey""")
+    val li = rows(
+      "select l_suppkey, l_linenumber, l_orderkey, l_extendedprice from lineitem")
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getDouble(3)))
+    val ords = rows("select o_orderkey, o_custkey from orders")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = rows(
+      "select c_custkey, c_acctbal from customer where c_custkey < 150 order by c_custkey")
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter { case (ck, ab) =>
+        val kept = li.filter(_._4 > ab).groupBy(_._1).values
+          .map(_.minBy(t => (t._2, t._3))._3).toSet
+        ords.exists(o => o._2 == ck && kept(o._1))
+      }.map(_._1)
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
   }
 
   // ---- DISTINCT bodies in correlated scalar lookups -------------------

@@ -280,6 +280,59 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(raw != want, "fixture cannot distinguish distinct- from raw-counting")
   }
 
+  // ---- OUTER JOIN ON subqueries correlating with both sides -----------
+
+  test("LEFT JOIN ON both-sides EXISTS matches the scalar-max pre-join form") {
+    // pair route (EXISTS references o_orderkey AND c_acctbal) vs the
+    // equivalent right-side-correlated scalar that binds pre-join:
+    // EXISTS(price > T) ⟺ max(price) > T
+    val got = rows(
+      """select c_custkey, o_orderkey from customer
+         left join orders on o_custkey = c_custkey
+           and exists (select 1 from lineitem
+                        where l_orderkey = o_orderkey
+                          and l_extendedprice > c_acctbal / 2)
+         where c_custkey < 100
+         order by c_custkey, o_orderkey""")
+    val want = rows(
+      """select c_custkey, o_orderkey from customer
+         left join orders on o_custkey = c_custkey
+           and (select max(l_extendedprice) from lineitem
+                 where l_orderkey = o_orderkey) > c_acctbal / 2
+         where c_custkey < 100
+         order by c_custkey, o_orderkey""")
+    assert(want.nonEmpty, "vacuous fixture")
+    assert(got == want)
+  }
+
+  test("RIGHT JOIN ON both-sides NOT EXISTS null-extends non-matching keepers") {
+    val got = rows(
+      """select o_orderkey, s_suppkey from orders
+         right join supplier on o_orderkey % 100 = s_suppkey
+           and not exists (select 1 from lineitem
+                            where l_orderkey = o_orderkey
+                              and l_suppkey > s_suppkey)
+         order by o_orderkey, s_suppkey""")
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+    // reconstruct from the INNER form (subquery conjuncts on inner ON
+    // defer to the proven WHERE machinery): matched pairs + suppliers
+    // appearing in none, null-extended
+    val pairs = rows(
+      """select o_orderkey, s_suppkey from orders
+         join supplier on o_orderkey % 100 = s_suppkey
+           and not exists (select 1 from lineitem
+                            where l_orderkey = o_orderkey
+                              and l_suppkey > s_suppkey)""")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val matchedSupp = pairs.map(_._2).toSet
+    val allSupp = rows("select s_suppkey from supplier").map(_.getLong(0))
+    val want = (pairs.map { case (o, s) => (Some(o), s) } ++
+        allSupp.filterNot(matchedSupp).map(s => (None: Option[Long], s)))
+      .sortBy { case (o, s) => (o.getOrElse(Long.MaxValue), s) }
+    assert(pairs.nonEmpty && matchedSupp.size < allSupp.size, "vacuous fixture")
+    assert(got.sortBy { case (o, s) => (o.getOrElse(Long.MaxValue), s) } == want)
+  }
+
   test("nested EXISTS over DISTINCT ON body with OFFSET counts ON-key tuples") {
     val got = keys(
       """select c_custkey from customer

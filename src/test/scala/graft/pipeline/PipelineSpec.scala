@@ -265,6 +265,72 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps(0) == fps(1))
   }
 
+  test("tokenBudgetSelect is a greedy prefix of the score-desc order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat and the dog is in a house of it now"), // high score
+      (1L, "zzz qqq www rrr"),                             // score 0
+      (2L, "the quick fox is in a barn"),                  // mid score
+      (3L, "to be or not to be that is the question here"),
+      (4L, "")) // empty → 0 tokens
+      .toDF("doc_id", "text")
+    val kept = Curation.tokenBudgetSelect(docs, "doc_id", "text", 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // kept set = longest prefix of (score desc, id) whose cumsum <= 25
+    val all = Curation.tokenBudgetSelect(docs, "doc_id", "text", Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val order = all.sortBy(t => (-t._3, t._1))
+    var acc = 0L
+    val expect = order.takeWhile { t => acc += t._2; acc <= 25L }
+      .map(_._1).toSet
+    assert(kept.map(_._1).toSet == expect)
+    assert(kept.forall(_._4 <= 25L))
+    // budget 0 keeps only zero-token docs (cum stays 0)
+    val zero = Curation.tokenBudgetSelect(docs, "doc_id", "text", 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(zero.forall(id => all.find(_._1 == id).get._2 == 0L))
+  }
+
+  test("hashSample keeps exactly the ids under their source's permille") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1000, "src1" -> 0, "src2" -> 500)
+    val kept = Curation.hashSample(docs, "doc_id", "source", rates, defaultPermille = 250)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def mix(id: Long): Long = ((id * 1000003L + 12345L) % 999983L) * 2654435761L % 1000L
+    kept.foreach { case (id, src, m) =>
+      assert(m == mix(id), s"mix mismatch for $id")
+      assert(m < rates.getOrElse(src, 250), s"kept $id over rate")
+    }
+    // rate-1000 source keeps everything, rate-0 source keeps nothing
+    assert(kept.count(_._2 == "src0") == 100)
+    assert(!kept.exists(_._2 == "src1"))
+    val expected = (0L until 400L).count(i =>
+      mix(i) < rates.getOrElse(s"src${i % 4}", 250))
+    assert(kept.length == expected)
+  }
+
+  test("lengthBatches ranks densely per bucket and fills batches in order") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 37).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.lengthBatches(docs, "doc_id", "text",
+      bucketWidth = 8, batchSize = 4, idSubBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // per bucket: ranks are dense 0..n-1 in id order
+    got.groupBy(_._3).foreach { case (_, rowsB) =>
+      val byId = rowsB.sortBy(_._1)
+      byId.zipWithIndex.foreach { case ((_, _, _, bi, bp), rk) =>
+        assert(bi == rk / 4 && bp == rk % 4,
+          s"rank decomposition broken at $rk: ($bi, $bp)")
+      }
+    }
+    // bucket is the token count DIV 8
+    got.foreach { case (_, n, b, _, _) => assert(b == n / 8) }
+  }
+
   test("language guess picks the language with most stopword hits") {
     import spark.implicits._
     val df = Seq(
