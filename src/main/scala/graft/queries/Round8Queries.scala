@@ -465,6 +465,31 @@ object Round8Queries {
              FROM r ORDER BY doc_id"""),
       (s, dir) => graft.pipeline.Curation.lengthBatches(
         Tables.load(s, dir, "documents"), "doc_id", "text",
-        bucketWidth = 16, batchSize = 8))
+        bucketWidth = 16, batchSize = 8)),
+
+    // ---- streaming stream-static enrichment join (qp89) -----------------
+    // ingest-time dimension enrichment: the event stream broadcast-joins
+    // a static dim table per micro-batch — stateless (no watermark, no
+    // state store), so a bounded replay's output is row-identical to the
+    // batch join, which is exactly what gives this streaming path a
+    // DuckDB oracle. At scale the static side re-broadcasts per batch
+    // and the stream side never shuffles.
+    QueryDef("qp89_stream_enrich",
+      Some("""SELECT e.event_id, e.user_id, s.s_name
+              FROM events e
+              JOIN supplier s ON e.user_id % 100 + 1 = s.s_suppkey
+              ORDER BY e.event_id"""),
+      (s, dir) => {
+        val dim = Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        StreamRunner.replayParquet(s, s"$dir/events.parquet",
+            s"qp89_sink_${streamRuns.incrementAndGet()}", "append")(raw =>
+          raw.join(broadcast(dim),
+              pmod(col("user_id"), lit(100L)) + lit(1L) === col("s_suppkey"))
+            .select(col("event_id"), col("user_id"), col("s_name")))
+          .orderBy(col("event_id"))
+      })
   )
+
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }
