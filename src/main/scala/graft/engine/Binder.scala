@@ -607,7 +607,15 @@ final class Binder(
     *      user-visible names) and rid-tag each side (persisted —
     *      monotonically_increasing_id is not stable on recompute);
     *   2. join the pair candidates on the PLAIN conjuncts only (an
-    *      equi-shaped plain condition keeps this a hash join);
+    *      equi-shaped plain condition keeps this a hash join).
+    *      DEGENERATE CASE (ADVICE r8 #5): when EVERY ON conjunct
+    *      carries a subquery, `plain` is empty and the candidate frame
+    *      is the full cross product — the lowering stays correct but
+    *      the two-hash-joins cost bound does not apply; the subquery
+    *      prunes only AFTER pairing. Bounded-use stance, same as
+    *      null-aware NOT IN (SCALE.md): an ON condition that is ONLY
+    *      subqueries gives the optimizer nothing equi-shaped to join
+    *      on in any engine;
     *   3. prune the pairs through the full WHERE machinery — on the
     *      pair frame every referenced scope is an ordinary column, so
     *      any subquery shape the engine lowers in WHERE position works
@@ -883,16 +891,22 @@ final class Binder(
         if (qb.groupBy.isEmpty && qb.having.isEmpty && !selectAggs) {
           // post-DISTINCT-ON the body yields one row per ON-key tuple
           // and post-DISTINCT one row per select-value tuple, so the
-          // "more than o rows" count is over DISTINCT tuples; a plain
-          // body counts raw rows
+          // "more than o rows" count is over DISTINCT tuples — counted
+          // NULL-safe (countUniqueRows: DISTINCT keeps a NULL-keyed
+          // row, bare count_distinct would drop it — ADVICE r8 #1); a
+          // plain body counts raw rows. Soundness under the theta
+          // path's unmatched-row placeholder: a no-match outer row
+          // computes count 1 (the all-NULL placeholder tuple) where the
+          // truth is 0, but this rewrite only ever compares `> o` with
+          // o ≥ 1, which 0 and 1 fail alike.
           val onKeys = qb.distinct.toSeq.flatten
           val cntFn =
-            if (onKeys.nonEmpty) FnCall("countUnique", onKeys)
+            if (onKeys.nonEmpty) FnCall("countUniqueRows", onKeys)
             else if (qb.distinct.contains(Nil)) {
               val sels = qb.selectList.map(_.expr)
               if (sels.exists(_.isInstanceOf[Wildcard]))
                 err("EXISTS body: DISTINCT * with OFFSET needs named columns")
-              FnCall("countUnique", sels)
+              FnCall("countUniqueRows", sels)
             } else FnCall("count", Seq(IntLit(BigInt(1))))
           lowerExists(qb.copy(limit = None, distinct = None, having = Some(
             Binary(">", cntFn, IntLit(BigInt(o))))), negated, ctx)
@@ -1465,15 +1479,17 @@ final class Binder(
           if (body.groupBy.isEmpty && body.having.isEmpty) {
             // post-DISTINCT-ON the body has one row per ON-key tuple and
             // post-DISTINCT one row per select-value tuple, so "more
-            // than o rows survive the offset" counts DISTINCT tuples;
+            // than o rows survive the offset" counts DISTINCT tuples —
+            // NULL-safe via countUniqueRows (DISTINCT keeps NULL-keyed
+            // rows, bare count_distinct drops them — ADVICE r8 #1);
             // a plain body counts raw rows
             val cntFn =
-              if (nestOnKeys.nonEmpty) FnCall("countUnique", nestOnKeys)
+              if (nestOnKeys.nonEmpty) FnCall("countUniqueRows", nestOnKeys)
               else if (body.distinct.contains(Nil)) {
                 val sels = body.selectList.map(_.expr)
                 if (sels.exists(_.isInstanceOf[Wildcard]))
                   err(s"$what: DISTINCT * with OFFSET needs named columns")
-                FnCall("countUnique", sels)
+                FnCall("countUniqueRows", sels)
               } else FnCall("count", Seq(IntLit(BigInt(1))))
             body = body.copy(having = Some(Binary(">", cntFn,
               IntLit(BigInt(o)))), distinct = None)
@@ -2819,11 +2835,30 @@ final class Binder(
   /** Number of value-range bands for the theta-correlation pre-thin. */
   private val thetaBands = 64
 
+  /** Outer-row-count threshold under which the theta lowerings skip the
+    * band machinery entirely (VERDICT r8 #4): a literal-capped outer of
+    * a few hundred rows bounds the direct-join candidate volume at
+    * |outer|·|inner| ≤ threshold·|inner| — cheaper than paying the band
+    * plan's quantile action plus the explode/suffix passes. */
+  private val thetaSmallOuterRows = 1024L
+
+  /** Per-bind memo of eager `count()` actions on persisted frames — the
+    * band machinery needs the outer row count at up to three decision
+    * points (small-outer skip, broadcast hint, banded-agg boundary
+    * join); counting the same persisted frame once keeps those
+    * decisions from stacking driver actions (VERDICT r8 #4: the
+    * repeated counts were ~35 % of qe136/qe139). Keyed by reference —
+    * DataFrame has identity equality — so only frames this binder
+    * itself persisted ever hit the memo. */
+  private val frameCounts = scala.collection.mutable.Map.empty[DataFrame, Long]
+  private def cachedCount(df: DataFrame): Long =
+    frameCounts.getOrElseUpdate(df, df.count())
+
   /** Lossless band-bucketed pre-thin for theta-correlation joins
     * (VERDICT r7 #3). When the correlated conjuncts contain a MONOTONE
     * inequality `e_inner cmp e_outer` (either orientation, both sides
-    * numeric), the inner side is bucketed into [[thetaBands]]
-    * fixed-width ranges of e_inner and each outer row joins ONLY the
+    * numeric), the inner side is bucketed into at most [[thetaBands]]
+    * EQUI-DEPTH ranges of e_inner and each outer row joins ONLY the
     * bands that can satisfy the inequality — an EQUI-join on the band
     * id with the full original correlation kept as the residual
     * predicate. Candidate volume drops from |outer|·|inner| (the
@@ -2831,31 +2866,50 @@ final class Binder(
     * |outer|·(matching fraction) plus one boundary band — the same
     * lossless pre-thin trick domainCap uses (SCALE.md).
     *
-    * Losslessness: double() is monotone and BOTH sides band through the
-    * same clipped floor((x-min)/width), so `iv cmp ov` (exact) implies
-    * band(iv) lies inside the generated band range; boundary-band false
-    * positives are removed by the residual predicate. NULLs can never
-    * satisfy the inequality: an inner NULL gets a NULL band (equi-join
-    * drops it), an outer NULL gets an empty band array. Each matching
-    * (outer, inner) pair survives EXACTLY once (an inner row has one
-    * band; the outer band sequence is duplicate-free), so downstream
-    * count/sum multiplicities are preserved.
+    * Band edges are percentiles of e_inner, not fixed-width slices of
+    * [min,max] (VERDICT r8 #5): a clustered inner distribution — most
+    * values inside 1 % of the range, routine for prices/timestamps at
+    * scale — would collapse fixed-width bands into one hot band and the
+    * boundary residual would lose its |inner|/bands bound. Equi-depth
+    * edges keep every band near |inner|/bands rows regardless of the
+    * value distribution (ties at a single hot VALUE are the only
+    * residual skew — irreducible at band granularity). band(x) = number
+    * of edges ≤ x, evaluated as a balanced comparison tree (depth
+    * log₂ bands, plain when/otherwise — codegen-friendly, no
+    * interpreted lambda on the hot path).
     *
-    * The min/max stats are ONE driver-side action over the locally
-    * filtered inner side collecting two doubles — bounded, not
-    * data-sized (the kmeans-centroid stance, SCALE.md). Returns None —
+    * Losslessness: double() is monotone and BOTH sides band through the
+    * same edge-count function (monotone non-decreasing in x), so
+    * `iv cmp ov` (exact) implies band(iv) lies inside the generated
+    * band range; boundary-band false positives are removed by the
+    * residual predicate. NULLs can never satisfy the inequality: an
+    * inner NULL gets a NULL band (equi-join drops it), an outer NULL
+    * gets an empty band array. Each matching (outer, inner) pair
+    * survives EXACTLY once (an inner row has one band; the outer band
+    * sequence is duplicate-free), so downstream count/sum
+    * multiplicities are preserved.
+    *
+    * The stats are ONE driver-side action over the locally filtered
+    * inner side collecting min, max and ≤ 63 approximate percentiles —
+    * bounded, not data-sized (the kmeans-centroid stance, SCALE.md).
+    * Approximation is safe: edges only steer the pre-thin; the residual
+    * predicate keeps exactness whatever the edges are. Returns None —
     * caller falls back to the direct theta join — when no conjunct has
-    * the shape, a side is non-numeric, or the inner side is empty. */
+    * the shape, a side is non-numeric, the inner side is empty, or the
+    * distribution degenerates to a single value (one band ≡ the direct
+    * join, minus the overhead). */
   /** A resolved band pre-thin: inner band id, the per-outer-row band
     * array (boundary + fully-matching bands) for the candidate join,
     * the per-outer-row BOUNDARY band alone (NULL when no band can
-    * match), and the oriented operator (`inner op outer`) — the last
-    * two drive the band-split grouped aggregation. */
+    * match), the oriented operator (`inner op outer`), and the actual
+    * band count (≤ [[thetaBands]]; duplicate percentile edges merge) —
+    * the last three drive the band-split grouped aggregation. */
   private case class BandPlan(innerBand: Column, outerBands: Column,
-      outerBoundary: Column, op: String)
+      outerBoundary: Column, op: String, bands: Int)
 
   private def thetaBandPlan(renamed: DataFrame, rScopes: Seq[Scope],
-      correlated: Seq[Expr], ctx: Ctx): Option[BandPlan] = {
+      correlated: Seq[Expr], ctx: Ctx,
+      skipSmallInner: Boolean = false): Option[BandPlan] = {
     val innerRel = Rel(renamed, rScopes)
     val mirror = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=")
     val oriented = correlated.iterator.flatMap {
@@ -2875,15 +2929,24 @@ final class Binder(
       Try(df.select(c.as("x")).schema.head.dataType).toOption
         .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
     if (!numeric(renamed, iv) || !numeric(ctx.rel.df, ov)) return None
+    val probes = (1 until thetaBands).map(_.toDouble / thetaBands)
     val row = renamed.agg(
-      min(iv.cast("double")).as("mn"), max(iv.cast("double")).as("mx")).head()
+      min(iv.cast("double")).as("mn"), max(iv.cast("double")).as("mx"),
+      percentile_approx(iv.cast("double"),
+        array(probes.map(lit(_)): _*), lit(10000)).as("qs"),
+      count(lit(1)).as("cnt")).head()
     if (row.isNullAt(0) || row.isNullAt(1)) return None
+    // a small inner side makes the pair-frame JOIN cheap by itself
+    // (bounded BNLJ volume; at scale an inner this small is a broadcast
+    // dim) — the callers that only change join mechanics opt out here,
+    // the banded-aggregation caller never does (VERDICT r8 #4: qe136's
+    // 1 000-row supplier inner paid band overhead for nothing)
+    if (skipSmallInner && row.getLong(3) <= 32768L) return None
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
-    val b = thetaBands
-    val width = if (mx > mn) (mx - mn) / b else 1.0
-    def bandOf(c: Column): Column =
-      least(greatest(floor((c - lit(mn)) / lit(width)), lit(0L)),
-        lit((b - 1).toLong))
+    val edges = ThetaBanding.edges(row.getSeq[Double](2), mn)
+    if (edges.isEmpty) return None // single-valued inner: banding is a no-op
+    val b = edges.length + 1
+    def bandOf(c: Column): Column = ThetaBanding.bandOf(c, edges)
     val od = ov.cast("double")
     val pos = bandOf(od)
     // no band can match: for `>`/`>=` an outer value above the inner
@@ -2901,7 +2964,7 @@ final class Binder(
         when(noMatch, emptyBands).otherwise(sequence(lit(0L), pos))
     }
     val outerBoundary = when(noMatch, lit(null).cast("long")).otherwise(pos)
-    Some(BandPlan(bandOf(iv.cast("double")), outerBands, outerBoundary, op))
+    Some(BandPlan(bandOf(iv.cast("double")), outerBands, outerBoundary, op, b))
   }
 
   /** The inner theta-correlation join shared by the per-outer-row
@@ -2909,8 +2972,10 @@ final class Binder(
     * binds the correlated conjuncts with inner-first-then-outer
     * scoping and joins the rid-tagged outer frame to the fresh-renamed
     * inner side — band-bucket-pre-thinned via [[thetaBandPlan]] when a
-    * monotone inequality conjunct allows it, otherwise the direct
-    * theta join over a round-robin-repartitioned inner side (a
+    * monotone inequality conjunct allows it AND both sides are big
+    * enough for the pre-thin to pay (tiny outer / tiny inner bound the
+    * direct-join volume by themselves — VERDICT r8 #4), otherwise the
+    * direct theta join over a round-robin-repartitioned inner side (a
     * single-split parquet input would serialize the join predicate and
     * every downstream per-rid pass on one core). */
   private def thetaInnerJoin(outerDf: DataFrame, renamed: DataFrame,
@@ -2919,8 +2984,15 @@ final class Binder(
     try {
       val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
       val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
-      thetaBandPlan(renamed, rScopes, correlated, ctx) match {
-        case Some(BandPlan(innerBand, outerBands, _, _)) =>
+      // a tiny (literal-capped) outer bounds the direct-join candidate
+      // volume by itself — the band plan's quantile action plus the
+      // explode pass would cost more than it saves (VERDICT r8 #4)
+      val nOuter = cachedCount(outerDf)
+      val plan = if (nOuter <= thetaSmallOuterRows) None
+                 else thetaBandPlan(renamed, rScopes, correlated, ctx,
+                   skipSmallInner = true)
+      plan match {
+        case Some(BandPlan(innerBand, outerBands, _, _, _)) =>
           val bi = fresh("tband")
           val bo = fresh("tbando")
           // the exploded outer frame is ≤ thetaBands× the rid frame;
@@ -2937,7 +3009,7 @@ final class Binder(
           val nPart = renamed.sparkSession.sessionState.conf.numShufflePartitions
           val outerX = outerDf.withColumn(bo, explode(outerBands))
           val innerB = renamed.repartition(nPart).withColumn(bi, innerBand)
-          val smallOuter = outerDf.count() <= 32768
+          val smallOuter = nOuter <= 32768
           val left = if (smallOuter) outerX.hint("broadcast") else outerX
           left.join(innerB, col(bo) === col(bi) && cond, "inner")
             .drop(bo, bi)
@@ -2990,6 +3062,12 @@ final class Binder(
       aggPairs0: Seq[(FnCall, String)], bodyCtes: Map[String, DataFrame],
       what: String): Option[DataFrame] = {
     val innerRel = Rel(renamed, rScopes)
+    // NO size-based skip here, unlike [[thetaInnerJoin]]: the banded
+    // aggregation changes the ALGORITHM (the pair frame never
+    // materializes — aggregate input is result-sized plus one boundary
+    // band), so it dominates the pair-frame fallback at every outer and
+    // inner size; qe146's 75-row outer was its 5× win, not a reason to
+    // skip (VERDICT r8 #4 applies only to the join-mechanics path).
     val plan = thetaBandPlan(renamed, rScopes, correlated, ctx)
       .getOrElse(return None)
     if (!groupPairs.forall { case (e, _) => resolvesWithin(e, innerRel) })
@@ -3044,8 +3122,8 @@ final class Binder(
         when(col(bandN) === 0, emptyBands)
           .otherwise(sequence(lit(0L), col(bandN) - 1))
       case _ =>
-        when(col(bandN) === (thetaBands - 1), emptyBands)
-          .otherwise(sequence(col(bandN) + 1, lit((thetaBands - 1).toLong)))
+        when(col(bandN) === (plan.bands - 1), emptyBands)
+          .otherwise(sequence(col(bandN) + 1, lit((plan.bands - 1).toLong)))
     }
     val suffix = bandAgg.withColumn(pN, explode(contrib))
       .groupBy((col(pN) +: gkNames.map(col)): _*)
@@ -3059,7 +3137,7 @@ final class Binder(
     // with the exact predicate as residual
     val corrCtx = new Ctx(Rel(renamed, rScopes), Some(ctx.rel), ctx.ctes)
     val cond = correlated.map(bindExpr(_, corrCtx)).reduce(_ && _)
-    val smallOuter = outer.count() <= 32768
+    val smallOuter = cachedCount(outer) <= 32768
     val bLeft = if (smallOuter) outerB.hint("broadcast") else outerB
     val boundaryPart =
       try bLeft.join(innerG, col(bN) === col(bandN) && cond, "inner")
@@ -3501,13 +3579,18 @@ final class Binder(
     if (qb.groupBy.nonEmpty || qb.having.isDefined ||
         collectAggs(qb.selectList.head.expr).nonEmpty)
       err(s"$what takes a plain body (no GROUP BY/HAVING/aggregates)")
-    if (qb.distinct.exists(_.nonEmpty))
-      err(s"$what supports plain DISTINCT bodies only (no DISTINCT ON)")
     if (qb.orderBy.isEmpty)
       err(s"$what needs an ORDER BY (LIMIT 1 without one picks an " +
         "arbitrary row)")
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     val valueExpr = qb.selectList.head.expr
+    // DISTINCT ON (k) v … ORDER BY … LIMIT 1 [OFFSET o]: per outer row,
+    // keep-first per ON-key tuple in the body's ORDER BY, then the rank
+    // picks the (o+1)-th SURVIVOR — the equality path's qe144 shape
+    // (distinctOnScalar) lifted onto the rid frame (VERDICT r8 #5).
+    // Reference grammar composes DISTINCT ON with scalar position
+    // freely: /root/reference/src/parser/mod.rs:349-360,1229-1245.
+    val onKeys = qb.distinct.toSeq.flatten
     // SELECT DISTINCT … ORDER BY … LIMIT 1: dedup per rid before the
     // rank — mirrors the equality path (qe141); standard SQL restricts
     // the sort keys of a DISTINCT body to the selected value.
@@ -3531,17 +3614,31 @@ final class Binder(
     val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
     val vName = fresh("tsv")
     val ordNames = qb.orderBy.indices.map(_ => fresh("tsord"))
+    val onNames = onKeys.indices.map(_ => fresh("tson"))
     val base0 = joined.select(
       (Seq(col(rid)) ++
+        onKeys.zip(onNames).map { case (oe, on) =>
+          bindExpr(oe, jCtx).as(on) } ++
         qb.orderBy.zip(ordNames).map { case (ok, on) =>
           bindExpr(ok.expr, jCtx).as(on) } :+
         bindExpr(valueExpr, jCtx).as(vName)): _*)
+    val ordCols = qb.orderBy.zip(ordNames).map { case (ok, on) =>
+      if (ok.desc) col(on).desc else col(on).asc }
     // DISTINCT dedups the per-rid value set before the rank (the sort
-    // keys equal the value, so (rid, ords, value) dedup is exact)
-    val base = if (isDistinct) base0.distinct() else base0
-    val w = Window.partitionBy(col(rid))
-      .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
-        if (ok.desc) col(on).desc else col(on).asc }: _*)
+    // keys equal the value, so (rid, ords, value) dedup is exact);
+    // DISTINCT ON keeps the FIRST row per (rid, ON-key) in the body's
+    // ORDER BY — window buckets are per-outer-row match groups, never
+    // global
+    val base =
+      if (isDistinct) base0.distinct()
+      else if (onKeys.nonEmpty) {
+        val rn0 = fresh("tsdorn")
+        base0.withColumn(rn0, row_number().over(
+            Window.partitionBy((col(rid) +: onNames.map(col)): _*)
+              .orderBy(ordCols: _*)))
+          .filter(col(rn0) === 1).drop(rn0)
+      } else base0
+    val w = Window.partitionBy(col(rid)).orderBy(ordCols: _*)
     val rn = fresh("tsrn")
     val proj = base.withColumn(rn, row_number().over(w))
       .filter(col(rn) === (off + 1))

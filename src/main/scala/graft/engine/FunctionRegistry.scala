@@ -21,9 +21,9 @@ object FunctionRegistry {
     * trailing predicate argument, ClickHouse style. */
   val aggNames: Set[String] = Set(
     "count", "sum", "avg", "min", "max", "countunique", "uniqexact",
-    "countuniqueapprox", "uniq", "any", "stddevpop", "stddevsamp",
-    "varpop", "varsamp", "median", "quantile", "countif", "sumif",
-    "avgif", "minif", "maxif", "grouparray", "maxby", "minby")
+    "countuniquerows", "countuniqueapprox", "uniq", "any", "stddevpop",
+    "stddevsamp", "varpop", "varsamp", "median", "quantile", "countif",
+    "sumif", "avgif", "minif", "maxif", "grouparray", "maxby", "minby")
 
   def isAgg(name: String): Boolean = aggNames.contains(name.toLowerCase)
 
@@ -40,6 +40,14 @@ object FunctionRegistry {
       case "countunique" | "uniqexact" =>
         if (args.isEmpty) throw GraftException(s"$n expects at least 1 argument")
         count_distinct(args.head, args.tail: _*)
+      case "countuniquerows" =>
+        // DISTINCT-row counting: unlike count_distinct over bare
+        // columns (which skips any tuple containing a NULL), SELECT
+        // DISTINCT / DISTINCT ON keep a NULL-keyed row — wrapping the
+        // keys in a struct (never NULL itself) makes every tuple,
+        // NULL-keyed included, count exactly once (ADVICE r8 #1)
+        if (args.isEmpty) throw GraftException(s"$n expects at least 1 argument")
+        count_distinct(struct(args: _*))
       case "countuniqueapprox" | "uniq" => approx_count_distinct(one(n, args))
       case "any" => first(one(n, args), ignoreNulls = true)
       case "stddevpop" => stddev_pop(one(n, args))

@@ -547,39 +547,61 @@ object Curation {
     * budget is spent", the standard way a pretraining run pins its
     * corpus size.
     *
-    * The global cumulative sum never uses a single-partition window:
-    * the rank order (score DESC, id) is monotone in the score classes,
-    * so per-SCORE token totals (one small aggregate) come to the driver,
-    * turn into per-class cumulative offsets, broadcast back, and the
-    * inclusive cumsum is offset + within-class running sum — every
-    * window partition holds one score class. The driver collect is one
-    * row per DISTINCT score value, bounded by the largest per-document
-    * distinct-token count (the stopword-hit ceiling), not by corpus
-    * size — the k-means-centroid budget class. */
+    * The global cumulative sum never uses a single-partition window —
+    * and no window partition is ever a whole SCORE CLASS either
+    * (ADVICE r8 #2: the score domain is bounded by the stopword list,
+    * so one class is a constant fraction of any corpus — partitioning
+    * by score alone re-creates the bucket-sized-partition skew this
+    * design exists to avoid). The rank order (score DESC, id) is
+    * monotone in (score class, id sub-bucket): ids sub-bucket by
+    * fixed-width ranges of the id domain (the [[lengthBatches]]
+    * pattern), per-(score, sub) token totals come to the driver, prefix
+    * into exact offsets in (score DESC, sub ASC) order, broadcast back,
+    * and the inclusive cumsum is offset + within-(score, sub) running
+    * sum — every window partition holds one sub-bucket of one score
+    * class, bounded however popular the class. The driver collect is
+    * ≤ #score-values × [[subBuckets]] longs (the stopword-hit ceiling
+    * times a constant), not corpus-sized — the k-means-centroid budget
+    * class. Ids must be non-negative (checked): the sub-bucket formula
+    * maps [0, maxId] onto fixed-width ranges division-first, so it
+    * never overflows. */
   def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long, lang: String = "en"): DataFrame = {
+      budgetTokens: Long, lang: String = "en", subBuckets: Int = 64): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    require(subBuckets >= 1, "subBuckets must be >= 1")
     val spark = docs.sparkSession
     val nTokens = when(length(trim(col(textCol))) === 0, lit(0L))
       .otherwise(size(TextOps.tokens(col(textCol))).cast("long"))
     val score = TextOps.stopwordHits(
       array_distinct(split(trim(lower(col(textCol))), "\\s+")), lang)
       .cast("long")
+    val idStats = docs.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
+    val minId = if (idStats.isNullAt(0)) 0L else idStats.getLong(0)
+    val maxId = if (idStats.isNullAt(1)) 0L else idStats.getLong(1)
+    require(minId >= 0L, s"tokenBudgetSelect: $idCol must be non-negative " +
+      "(the id sub-bucketing maps [0, max] onto fixed-width ranges)")
+    // division-first: sub = id DIV (maxId/S + 1) ∈ [0, S-1], no multiply
+    // that could overflow (ADVICE r8 #3's formula, applied here too)
+    val subWidth = maxId / subBuckets + 1L
     val base = docs.select(col(idCol), nTokens.as("n_tokens"),
-      score.as("score"))
-    val perScore = base.groupBy(col("score"))
+        score.as("score"))
+      .withColumn("__sub", expr(s"$idCol DIV ${subWidth}L"))
+    val perClass = base.groupBy(col("score"), col("__sub"))
       .agg(sum(col("n_tokens")).as("t")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .sortBy(-_._1)
-    // tokens consumed by all STRICTLY higher score classes
-    val offsets = perScore.scanLeft((Long.MaxValue, 0L)) {
-      case ((_, acc), (s, t)) => (s, acc + t)
-    }.sliding(2).collect { case Array((_, before), (s, _)) => (s, before) }.toSeq
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .sortBy { case ((s, b), _) => (-s, b) }
+    // tokens consumed by all strictly-earlier (score DESC, sub ASC)
+    // blocks — exact because ids ascend across sub-buckets of a class
+    var acc = 0L
+    val offsets = perClass.map { case ((s, b), t) =>
+      val o = (s, b, acc); acc += t; o
+    }.toSeq
     import spark.implicits._
-    val offDf = offsets.toDF("__score2", "__off")
-    val w = Window.partitionBy(col("score")).orderBy(col(idCol))
+    val offDf = offsets.toDF("__score2", "__sub2", "__off")
+    val w = Window.partitionBy(col("score"), col("__sub")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offDf), col("score") === col("__score2"))
+    base.join(broadcast(offDf),
+        col("score") === col("__score2") && col("__sub") === col("__sub2"))
       .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col("n_tokens"), col("score"), col("cum_tokens"))
@@ -591,12 +613,17 @@ object Curation {
   /** Reproducible weighted downsampling: keep a document iff its id-hash
     * permille falls under its source's rate. The mix is a fixed LCG over
     * the id (independent of [[assignSplit]]'s multiplier so the two
-    * decisions don't correlate), every operand stays far from 2^63 so
-    * the arithmetic is bit-identical in any engine, and the rate table
-    * broadcasts — small BY CONSTRUCTION (one row per source). A pure
-    * projection + filter otherwise: no shuffle at any scale, and rates
-    * hold exactly in expectation under corpus growth because the mix
-    * depends only on the id. */
+    * decisions don't correlate); the id REDUCES mod the prime FIRST
+    * (ADVICE r8 #4: `id * 1000003` silently wraps in Spark past ~9.2e12
+    * while DuckDB raises — reducing first keeps every product below
+    * 2^52, so the arithmetic is exact int64 in any engine at any id
+    * magnitude), and the rate table broadcasts — small BY CONSTRUCTION
+    * (one row per source). Ids must be non-negative (enforced row-wise:
+    * Spark pmod and standard `%` disagree on negatives, which would
+    * silently diverge from any oracle). A pure projection + filter
+    * otherwise: no shuffle at any scale, and rates hold exactly in
+    * expectation under corpus growth because the mix depends only on
+    * the id. */
   def hashSample(docs: DataFrame, idCol: String, sourceCol: String,
       ratePermille: Map[String, Int], defaultPermille: Int): DataFrame = {
     require(defaultPermille >= 0 && defaultPermille <= 1000 &&
@@ -604,8 +631,10 @@ object Curation {
       "rates must be permille in [0, 1000]")
     val spark = docs.sparkSession
     import spark.implicits._
-    val mix = pmod(pmod(col(idCol) * lit(1000003L) + lit(12345L),
-      lit(999983L)) * lit(2654435761L), lit(1000L))
+    val mix0 = pmod(pmod(pmod(col(idCol), lit(999983L)) * lit(1000003L)
+      + lit(12345L), lit(999983L)) * lit(2654435761L), lit(1000L))
+    val mix = when(col(idCol) < 0, raise_error(lit(
+      s"hashSample: $idCol must be non-negative"))).otherwise(mix0)
     val rates = ratePermille.toSeq.toDF("__src", "__rate")
     docs.select(col(idCol), col(sourceCol), mix.as("mix"))
       .join(broadcast(rates), col(sourceCol) === col("__src"), "left")
@@ -636,14 +665,22 @@ object Curation {
     require(bucketWidth >= 1 && batchSize >= 1 && idSubBuckets >= 1,
       "bucketWidth, batchSize and idSubBuckets must be >= 1")
     val spark = docs.sparkSession
-    val mxRow = docs.agg(max(col(idCol))).head()
-    val maxId = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    val mxRow = docs.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
+    val minId = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    val maxId = if (mxRow.isNullAt(1)) 0L else mxRow.getLong(1)
+    // ADVICE r8 #3: a negative id's sub-bucket would be negative —
+    // absent from the driver-built offsets table, silently dropped by
+    // the inner join — and the old multiply-first formula overflowed
+    // for ids > Long.MaxValue/idSubBuckets. Division-first never
+    // overflows and [0, maxId] lands in [0, idSubBuckets-1] exactly.
+    require(minId >= 0L, s"lengthBatches: $idCol must be non-negative " +
+      "(the id sub-bucketing maps [0, max] onto fixed-width ranges)")
+    val subWidth = maxId / idSubBuckets + 1L
     val nTokens = when(length(trim(col(textCol))) === 0, lit(0L))
       .otherwise(size(TextOps.tokens(col(textCol))).cast("long"))
     val base = docs.select(col(idCol), nTokens.as("n_tokens"))
       .withColumn("bucket", expr(s"n_tokens DIV $bucketWidth"))
-      .withColumn("__sub",
-        expr(s"($idCol * ${idSubBuckets}L) DIV ${maxId + 1}L").cast("int"))
+      .withColumn("__sub", expr(s"$idCol DIV ${subWidth}L").cast("int"))
     val counts = base.groupBy(col("bucket"), col("__sub"))
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap

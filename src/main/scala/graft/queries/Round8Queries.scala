@@ -431,7 +431,7 @@ object Round8Queries {
     // sources). Pure projection + filter — zero shuffle at any scale.
     QueryDef("qp87_hash_sample",
       Some("""WITH t AS (SELECT doc_id, source,
-                ((doc_id * 1000003 + 12345) % 999983) * 2654435761 % 1000 AS mix
+                ((doc_id % 999983) * 1000003 + 12345) % 999983 * 2654435761 % 1000 AS mix
               FROM documents)
              SELECT doc_id, source, mix FROM t
              WHERE mix < CASE WHEN source = 'src0' THEN 900
