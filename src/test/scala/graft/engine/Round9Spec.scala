@@ -1,0 +1,235 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 semantics: equi-depth theta banding under adversarial
+  * (clustered) distributions, theta scalar DISTINCT ON, the NULL-tuple
+  * EXISTS-over-DISTINCT-with-OFFSET corners, and the curation guards
+  * (negative ids, overflow-safe mixes). */
+class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var engine: Engine = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .appName("round9-spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine.forTestdata(spark, dir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sql(s: String): DataFrame = engine.execute(s)
+  private def rows(s: String): Seq[Row] = sql(s).collect().toSeq
+
+  // ---- equi-depth banding math (VERDICT r8 #1) --------------------------
+
+  test("equi-depth bands stay balanced on a 90%-in-1%-of-range cluster") {
+    val sp = spark; import sp.implicits._
+    // 90 % of values packed into [1000, 1010] (1 % of the range), the
+    // rest spread over [0, 1_000_000] — the shape that collapses
+    // fixed-width bands into one hot band
+    val n = 20000
+    val vals = (0 until n).map { i =>
+      if (i % 10 < 9) 1000.0 + (i % 997) / 100.0
+      else (i.toLong * 104729L % 1000000L).toDouble
+    }
+    val df = vals.toDF("v")
+    val bands = 64
+    val probes = (1 until bands).map(_.toDouble / bands)
+    val qs = df.agg(percentile_approx(col("v"),
+      array(probes.map(lit(_)): _*), lit(10000))).head().getSeq[Double](0)
+    val edges = ThetaBanding.edges(qs, vals.min)
+    assert(edges.nonEmpty)
+    val pops = df.select(ThetaBanding.bandOf(col("v"), edges).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    val uniform = n.toDouble / (edges.length + 1)
+    // every band within ~2x of uniform (VERDICT r8 #1's done bar); ties
+    // at a single hot VALUE are the only irreducible excess and this
+    // fixture spreads the cluster over ~1000 distinct values
+    assert(pops.max <= 2.0 * uniform + 1,
+      s"hot band ${pops.max} vs uniform $uniform (bands=${edges.length + 1})")
+    // and the fixed-width split on the same data would be pathological:
+    // the cluster occupies ~1% of the range, i.e. one fixed band would
+    // hold >= 90% of all rows — the failure mode this fix removes
+    val (mn, mx) = (vals.min, vals.max)
+    val width = (mx - mn) / bands
+    val hotFixed = vals.groupBy(v => math.min(bands - 1,
+      math.floor((v - mn) / width).toInt)).values.map(_.size).max
+    assert(hotFixed >= (0.9 * n).toInt)
+  }
+
+  test("bandOf is monotone and NULL-safe") {
+    val sp = spark; import sp.implicits._
+    val edges = IndexedSeq(10.0, 20.0, 30.0)
+    val df = Seq[Option[Double]](Some(5), Some(10), Some(15), Some(25),
+      Some(30), Some(99), None).toDF("v")
+    val got = df.select(ThetaBanding.bandOf(col("v"), edges).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L, 1L, 2L, 3L, 3L, null))
+  }
+
+  test("theta banded grouped agg is exact over a clustered inner") {
+    // clustered inner (80 % of v in [1001, 1051]) driven end-to-end
+    // through the engine's EXISTS + GROUP BY + HAVING theta path — the
+    // banded-aggregation plan must agree with a brute-force cross join
+    sql("drop table if exists r9bt")
+    sql("create table r9bt (k Int64, v Float64)")
+    sql("""insert into r9bt select l_orderkey % 20,
+           case when l_linenumber < 5 then 1000 + l_quantity
+                else l_extendedprice * 10 end
+           from lineitem""")
+    val got = rows("""select c_custkey from customer
+        where c_custkey < 500 and exists (
+          select 1 from r9bt where v > c_acctbal group by k having count(1) >= 3)
+        order by c_custkey""").map(_.getLong(0))
+    // brute force in plain Spark over the same data
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_orderkey") % 20).as("k"),
+        when(col("l_linenumber") < 5, lit(1000) + col("l_quantity"))
+          .otherwise(col("l_extendedprice") * 10).cast("double").as("v"))
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val expect = cust.join(li, col("v") > col("c_acctbal"))
+      .groupBy("c_custkey", "k").count()
+      .filter(col("count") >= 3)
+      .select("c_custkey").distinct()
+      .orderBy("c_custkey").collect().map(_.getLong(0))
+    assert(got == expect.toSeq)
+    sql("drop table if exists r9bt")
+  }
+
+  // ---- theta scalar DISTINCT ON (VERDICT r8 #5) -------------------------
+
+  test("theta scalar DISTINCT ON picks the offset-th surviving key group") {
+    val got = rows("""select o_orderkey,
+        (select distinct on (l_returnflag) l_suppkey from lineitem
+         where l_extendedprice > o_totalprice / 2
+         order by l_returnflag, l_extendedprice desc, l_suppkey
+         limit 1 offset 1) as v
+        from orders where o_orderkey < 50 order by o_orderkey""")
+    // window-computed expectation in plain Spark
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val ords = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") < 50)
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ords.join(li,
+        col("l_extendedprice") > col("o_totalprice") / 2, "left")
+    val w1 = Window.partitionBy("o_orderkey", "l_returnflag")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_suppkey"))
+    val w2 = Window.partitionBy("o_orderkey")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_suppkey"))
+    val kept = pairs.filter(col("l_orderkey").isNotNull)
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") === 1)
+      .withColumn("rn2", row_number().over(w2)).filter(col("rn2") === 2)
+      .select(col("o_orderkey").as("ok2"), col("l_suppkey").as("ev"))
+    val expect = ords.join(kept, col("o_orderkey") === col("ok2"), "left")
+      .select(col("o_orderkey"), col("ev"))
+      .orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    val gotPairs = got.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(gotPairs == expect.toSeq)
+  }
+
+  test("theta scalar DISTINCT ON still rejects WITH TIES and missing ORDER BY") {
+    assertThrows[Exception](rows("""select o_orderkey,
+        (select distinct on (l_returnflag) l_suppkey from lineitem
+         where l_extendedprice > o_totalprice / 2 limit 1) as v
+        from orders where o_orderkey < 10"""))
+  }
+
+  // ---- NULL-tuple DISTINCT counting (ADVICE r8 #1) ----------------------
+
+  test("EXISTS over DISTINCT with OFFSET counts NULL tuples") {
+    sql("drop table if exists r9nt")
+    sql("create table r9nt (k Int64, x Int64)")
+    sql("insert into r9nt values (1, null), (1, 5), (2, 3), (3, null), (3, null)")
+    sql("drop table if exists r9no")
+    sql("create table r9no (ok Int64)")
+    sql("insert into r9no values (1), (2), (3), (4)")
+    // equality correlation: {NULL,5} is TWO distinct rows -> survives
+    assert(rows("""select ok from r9no where exists (
+        select distinct x from r9nt where k = ok limit 100 offset 1)
+        order by ok""").map(_.getLong(0)) == Seq(1L))
+    // DISTINCT ON (x): NULL is one group; two NULLs collapse
+    assert(rows("""select ok from r9no where exists (
+        select distinct on (x) x from r9nt where k = ok
+        order by x limit 100 offset 1)
+        order by ok""").map(_.getLong(0)) == Seq(1L))
+    // theta correlation (k > ok-1 and k < ok+1 == equality for ints):
+    // the per-row placeholder must not flip any verdict
+    assert(rows("""select ok from r9no where exists (
+        select distinct x from r9nt where k > ok - 1 and k < ok + 1
+        limit 100 offset 1)
+        order by ok""").map(_.getLong(0)) == Seq(1L))
+    sql("drop table if exists r9nt")
+    sql("drop table if exists r9no")
+  }
+
+  // ---- curation guards (ADVICE r8 #2/#3/#4) -----------------------------
+
+  test("lengthBatches and tokenBudgetSelect reject negative ids") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((-1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException](
+      graft.pipeline.Curation.lengthBatches(docs, "doc_id", "text"))
+    assertThrows[IllegalArgumentException](
+      graft.pipeline.Curation.tokenBudgetSelect(docs, "doc_id", "text", 100L))
+  }
+
+  test("hashSample fail-fasts on negative ids and is huge-id exact") {
+    val sp = spark; import sp.implicits._
+    val bad = Seq((-5L, "s")).toDF("doc_id", "source")
+    assertThrows[Exception](
+      graft.pipeline.Curation.hashSample(bad, "doc_id", "source",
+        Map("s" -> 1000), 1000).collect())
+    // ids far past the old formula's wrap point: mix must equal the
+    // reduce-first reference computed on the driver
+    val big = Seq(9300000000000L, 9223372036854L).map((_, "s"))
+      .toDF("doc_id", "source")
+    val got = graft.pipeline.Curation.hashSample(big, "doc_id", "source",
+        Map("s" -> 1000), 1000)
+      .select("doc_id", "mix").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(id: Long) = ((id % 999983L) * 1000003L + 12345L) % 999983L * 2654435761L % 1000L
+    assert(got.forall { case (id, m) => m == ref(id) })
+  }
+
+  test("tokenBudgetSelect sub-bucketing preserves the greedy cut exactly") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, Seq.fill((i % 7).toInt + 1)(if (i % 3 == 0) "the" else s"w$i")
+        .mkString(" "))).toDF("doc_id", "text")
+    val got = graft.pipeline.Curation
+      .tokenBudgetSelect(docs, "doc_id", "text", 400L, subBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // single-window reference: rank (score desc, id), inclusive cumsum
+    val base = docs.select(col("doc_id"),
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_tokens"),
+      graft.pipeline.TextOps.stopwordHits(
+        array_distinct(split(trim(lower(col("text"))), "\\s+")), "en")
+        .cast("long").as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = base.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= 400L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq == expect.toSeq)
+  }
+}
