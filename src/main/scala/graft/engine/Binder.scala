@@ -852,6 +852,34 @@ final class Binder(
     }
   }
 
+  /** Post-aggregation DISTINCT [ON] tuple of a GROUPED body under
+    * EXISTS-with-OFFSET: the ON keys, or for plain DISTINCT the select
+    * tuple (alias-substituted). DISTINCT [ON] over grouped rows is
+    * existence-neutral, but under OFFSET o "more than o rows survive"
+    * counts post-DISTINCT tuples, NOT surviving groups — `SELECT
+    * DISTINCT 1 FROM t GROUP BY k OFFSET 1` has ONE post-DISTINCT row
+    * however many groups k makes. None ⇒ no DISTINCT clause (count the
+    * surviving groups). Counting is NULL-safe (struct wrap — DISTINCT
+    * keeps NULL-keyed tuples, the countUniqueRows rule). */
+  private def groupedDistinctExprs(qb: QueryBody, what: String): Option[Seq[Expr]] =
+    qb.distinct.map {
+      case Nil =>
+        val sels = qb.selectList.map(_.expr)
+        if (sels.exists(_.isInstanceOf[Wildcard]))
+          err(s"$what: DISTINCT * with OFFSET needs named columns")
+        sels.map(substituteAliases(_, qb.selectList))
+      case ks => ks.map(substituteAliases(_, qb.selectList))
+    }
+
+  /** The per-key "more than OFFSET rows survive" count column: distinct
+    * post-aggregation tuples when the body has DISTINCT [ON], raw
+    * surviving-group count otherwise. */
+  private def existsOffCount(distinctExprs: Option[Seq[Expr]], gCtx: Ctx,
+      name: String): Column = distinctExprs match {
+    case Some(es) => count_distinct(struct(es.map(bindExpr(_, gCtx)): _*)).as(name)
+    case None => count(lit(1)).as(name)
+  }
+
   /** EXISTS / NOT EXISTS → left-semi / left-anti join with AST-level
     * decorrelation: inner WHERE conjuncts that reference outer columns
     * become the join condition, the rest filter the inner side first
@@ -1039,19 +1067,26 @@ final class Binder(
         ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
         return
       }
-      val (filtered0, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, innerCtx.ctes)
+      // a DISTINCT [ON] clause over the grouped body matters only under
+      // OFFSET, where it changes WHAT is counted (post-DISTINCT tuples,
+      // not groups); without OFFSET it is existence-neutral and ignored
+      val distinctExprs =
+        if (existsOff == 0) None else groupedDistinctExprs(qb, "aggregated EXISTS")
+      val gs = groupedCorrelated(qb, innerCtx, keyPairs,
+        distinctExprs.toSeq.flatten.flatMap(collectAggs).distinct, innerCtx.ctes)
+      val (filtered0, keyNames) = (gs.filtered, gs.keyNames)
       // OFFSET o over a GROUP BY body: existence needs MORE THAN o
-      // surviving groups per correlation key — one more (tiny, post-
-      // HAVING) aggregate over the group keys. Uncorrelated: a global
-      // count whose 0-or-1-row result drives the semi join.
+      // surviving post-DISTINCT rows per correlation key — one more
+      // (tiny, post-HAVING) aggregate over the group keys. Uncorrelated:
+      // a global count whose 0-or-1-row result drives the semi join.
       val filtered =
         if (existsOff == 0) filtered0
         else {
           val cnt = fresh("goff")
+          val cntAgg = existsOffCount(distinctExprs, gs.gCtx, cnt)
           val counted =
-            if (keyNames.isEmpty) filtered0.agg(count(lit(1)).as(cnt))
-            else filtered0.groupBy(keyNames.map(filtered0(_)): _*)
-              .agg(count(lit(1)).as(cnt))
+            if (keyNames.isEmpty) filtered0.agg(cntAgg)
+            else filtered0.groupBy(keyNames.map(filtered0(_)): _*).agg(cntAgg)
           counted.filter(col(cnt) > existsOff).drop(cnt)
         }
       val cond =
@@ -1096,8 +1131,11 @@ final class Binder(
       correlated: Seq[Expr], ctx: Ctx, negated: Boolean,
       existsOff: Int): Unit = {
     val what = "aggregated EXISTS (theta path)"
-    if (qb.distinct.exists(_.nonEmpty))
-      err(s"$what takes a grouped/aggregate body (no DISTINCT ON)")
+    // DISTINCT [ON] over the grouped body: existence-neutral without
+    // OFFSET; under OFFSET it switches the count to post-DISTINCT
+    // tuples (see groupedDistinctExprs)
+    val distinctExprs =
+      if (existsOff == 0) None else groupedDistinctExprs(qb, what)
     // LIMIT n (n >= 1; the caller rewrote LIMIT 0 to constant
     // existence) never changes "more than existsOff rows exist" — the
     // OFFSET part already arrived via existsOff, so the clause is
@@ -1124,7 +1162,8 @@ final class Binder(
     val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("teg")))
-    val aggCalls = havingExpr.toSeq.flatMap(collectAggs).distinct
+    val aggCalls = (havingExpr.toSeq.flatMap(collectAggs) ++
+      distinctExprs.toSeq.flatten.flatMap(collectAggs)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("tea")))
     val grouped = thetaBandedGroupedAgg(outer, rid, renamed, rScopes,
         correlated, ctx, groupPairs, aggPairs, innerCtx.ctes, what)
@@ -1147,12 +1186,11 @@ final class Binder(
         groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
     val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
       .getOrElse(grouped)
-    val survivors0 = filtered.select(col(rid))
     val survivors =
-      if (existsOff == 0) survivors0.distinct()
+      if (existsOff == 0) filtered.select(col(rid)).distinct()
       else {
         val cnt = fresh("teoff")
-        survivors0.groupBy(col(rid)).agg(count(lit(1)).as(cnt))
+        filtered.groupBy(col(rid)).agg(existsOffCount(distinctExprs, gCtx, cnt))
           .filter(col(cnt) > existsOff).drop(cnt)
       }
     val how = if (negated) "left_anti" else "left_semi"
@@ -1292,7 +1330,12 @@ final class Binder(
       bindExpr(e, candCtx).as(nm)
     }
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
-    val aggPairs = havingExpr.toSeq.flatMap(collectAggs).distinct
+    // DISTINCT [ON] over the grouped body: only the OFFSET count cares
+    // (post-DISTINCT tuples, not groups — see groupedDistinctExprs)
+    val distinctExprs =
+      if (existsOff == 0) None else groupedDistinctExprs(qb, what)
+    val aggPairs = (havingExpr.toSeq.flatMap(collectAggs) ++
+      distinctExprs.toSeq.flatten.flatMap(collectAggs)).distinct
       .map(fc => (fc, fresh("gagg")))
     val aggCols = aggPairs.map { case (fc, n) => bindAggCall(fc, candCtx).as(n) } match {
       case Nil => Seq(count(lit(1)).as(fresh("gcnt")))
@@ -1323,12 +1366,14 @@ final class Binder(
       val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
         .getOrElse(grouped)
       // OFFSET o over the GROUP BY body: existence needs MORE THAN o
-      // surviving groups for the rid (same counting as lowerExists)
+      // surviving post-DISTINCT rows for the rid (same counting as
+      // lowerExists)
       val survivors =
         (if (existsOff == 0) filtered.select(col(rid)).distinct()
          else {
            val cnt = fresh("goff")
-           filtered.groupBy(col(rid)).agg(count(lit(1)).as(cnt))
+           filtered.groupBy(col(rid))
+             .agg(existsOffCount(distinctExprs, gCtx, cnt))
              .filter(col(cnt) > existsOff).select(col(rid))
          }).withColumnRenamed(rid, rid2)
       val how = if (negated) "left_anti" else "left_semi"
@@ -1445,9 +1490,16 @@ final class Binder(
     // lifted one level). Only GROUP BY/HAVING keeps the clean error:
     // the ON keys would apply post-aggregation, same as depth 1.
     val nestOnKeys = nqb.distinct.toSeq.flatten
-    if (nestOnKeys.nonEmpty && (nqb.groupBy.nonEmpty || nqb.having.isDefined))
-      err(s"a grandparent-correlated $what supports DISTINCT ON only on " +
-        "plain bodies (no GROUP BY/HAVING)")
+    // grouped DISTINCT ON under the IN form: membership is the kept row
+    // PER ON-KEY of the grouped result in the body's ORDER BY — a
+    // per-pair slice over an aggregated frame, which the slice lowering
+    // does not model; EXISTS-form grouped DISTINCT [ON] lowers below
+    // (existence-neutral; under OFFSET the count switches to distinct
+    // post-aggregation tuples)
+    if (nestOnKeys.nonEmpty && lhsOpt.isDefined &&
+        (nqb.groupBy.nonEmpty || nqb.having.isDefined))
+      err(s"a grandparent-correlated $what under IN supports DISTINCT ON " +
+        "only on plain bodies (no GROUP BY/HAVING)")
     if (nestOnKeys.nonEmpty && lhsOpt.isDefined) {
       if (nqb.limit.exists(lc => evalLimitInt(lc.limit, "LIMIT") == 0))
         return (if (anti) rel else Rel(rel.df.filter(lit(false)), rel.scopes))
@@ -1508,8 +1560,15 @@ final class Binder(
     })
     // the body's own WITH list binds first (uncorrelated)
     val bodyCtes = bindBodyCtes(body, ctes)
-    if (body.groupBy.nonEmpty || body.having.isDefined || selAggs.nonEmpty)
-      return joinNestedAggBody(body, lhsOpt, rel, bodyCtes, anti, existsOff)
+    if (body.groupBy.nonEmpty || body.having.isDefined || selAggs.nonEmpty) {
+      // EXISTS-form DISTINCT [ON] over the grouped body: counted under
+      // OFFSET (post-DISTINCT tuples), existence-neutral otherwise
+      val distinctExprs =
+        if (existsOff == 0 || lhsOpt.isDefined) None
+        else groupedDistinctExprs(body, what)
+      return joinNestedAggBody(body, lhsOpt, rel, bodyCtes, anti, existsOff,
+        distinctExprs)
+    }
     val base = body.from.map(bindSource(_, bodyCtes))
       .getOrElse(err(s"$what needs a FROM"))
     val nestedRel = body.joins.foldLeft(base)((r, j) => bindJoin(r, j, bodyCtes))
@@ -1592,7 +1651,8 @@ final class Binder(
     * nested-loop — and each pair row is kept at most once, preserving
     * the multiplicity the aggregated-EXISTS caller groups afterwards. */
   private def joinNestedAggBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
-      ctes: Map[String, DataFrame], anti: Boolean, existsOff: Int = 0): Rel = {
+      ctes: Map[String, DataFrame], anti: Boolean, existsOff: Int = 0,
+      distinctExprs: Option[Seq[Expr]] = None): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
     val prid = fresh("ngrid")
     val prid2 = fresh("ngrid2")
@@ -1644,7 +1704,8 @@ final class Binder(
       }
     }
     val aggCalls = (havingExpr.toSeq.flatMap(collectAggs) ++
-      selExpr.toSeq.flatMap(collectAggs)).distinct
+      selExpr.toSeq.flatMap(collectAggs) ++
+      distinctExprs.toSeq.flatten.flatMap(collectAggs)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("nga")))
     // HAVING / select-item identifiers OUTSIDE aggregate arguments that
     // belong to the ENCLOSING scopes (aggregate args bind over the
@@ -1662,7 +1723,8 @@ final class Binder(
       case InList(a, items, _) => (a +: items).flatMap(nonAggIdents)
       case _ => Nil
     }
-    val outerRiders = (havingExpr.toSeq ++ selExpr.toSeq).flatMap(nonAggIdents)
+    val outerRiders = (havingExpr.toSeq ++ selExpr.toSeq ++
+      distinctExprs.toSeq.flatten).flatMap(nonAggIdents)
       .distinct
       .filterNot(i => resolvesWithin(i, nCtx.rel)) // body-side → group key
       .filter(i => resolvesWithin(i, rel))
@@ -1689,11 +1751,14 @@ final class Binder(
       val hits = (selExpr match {
         case None =>
           // OFFSET o over the GROUP BY body: existence needs MORE THAN
-          // o surviving groups for the rid (same counting as lowerExists)
+          // o surviving post-DISTINCT rows for the rid (same counting
+          // as lowerExists — distinct tuples when the body has
+          // DISTINCT [ON], surviving groups otherwise)
           if (existsOff == 0) filtered
           else {
             val cnt = fresh("ngoff")
-            filtered.groupBy(col(prid)).agg(count(lit(1)).as(cnt))
+            filtered.groupBy(col(prid))
+              .agg(existsOffCount(distinctExprs, gCtx, cnt))
               .filter(col(cnt) > existsOff)
           }
         case Some(se) =>
@@ -1938,13 +2003,6 @@ final class Binder(
     * correlation-key columns — shared by the WHERE-conjunct semi/anti
     * lowering (lowerExists) and the expression-position mark-join flag
     * (bindExistsExpr). */
-  private def aggExistsGroups(qb: QueryBody, innerCtx: Ctx,
-      keyPairs: Seq[(Expr, Expr)],
-      ctes: Map[String, DataFrame]): (DataFrame, Seq[String]) = {
-    val gs = groupedCorrelated(qb, innerCtx, keyPairs, Nil, ctes)
-    (gs.filtered, gs.keyNames)
-  }
-
   /** Result of [[groupedCorrelated]]: the grouped frame before and after
     * the HAVING filter, the fresh correlation-key column names, the
     * aggregate-call → column-name pairs, the binding context whose
@@ -2398,10 +2456,22 @@ final class Binder(
       if (evalLimitInt(lc.limit, "LIMIT") == 0)
         return lit(negated) // EXISTS(LIMIT 0) = false; NOT EXISTS = true
       if (o > 0) {
-        if (qb.groupBy.isEmpty && qb.having.isEmpty)
-          return bindExistsExpr(qb.copy(limit = None, having = Some(
-            Binary(">", FnCall("count", Seq(IntLit(BigInt(1)))),
-              IntLit(BigInt(o))))), negated, ctx)
+        if (qb.groupBy.isEmpty && qb.having.isEmpty) {
+          // post-DISTINCT [ON] the body has one row per ON-key/select
+          // tuple, so "more than o rows" counts DISTINCT tuples —
+          // NULL-safe (countUniqueRows), same as the conjunct path
+          val onKeys = qb.distinct.toSeq.flatten
+          val cntFn =
+            if (onKeys.nonEmpty) FnCall("countUniqueRows", onKeys)
+            else if (qb.distinct.contains(Nil)) {
+              val sels = qb.selectList.map(_.expr)
+              if (sels.exists(_.isInstanceOf[Wildcard]))
+                err("EXISTS body: DISTINCT * with OFFSET needs named columns")
+              FnCall("countUniqueRows", sels)
+            } else FnCall("count", Seq(IntLit(BigInt(1))))
+          return bindExistsExpr(qb.copy(limit = None, distinct = None,
+            having = Some(Binary(">", cntFn, IntLit(BigInt(o))))), negated, ctx)
+        }
         if (qb.groupBy.isEmpty) return lit(negated)
         existsOff = o
       }
@@ -2433,17 +2503,22 @@ final class Binder(
         val out = coalesce(h, lit(false))
         return if (negated) !out else out
       }
-      val (filtered0, keyNames) = aggExistsGroups(qb, innerCtx, keyPairs, ctx.ctes)
-      // OFFSET over GROUP BY: more than existsOff surviving groups per
-      // key (same post-HAVING count as the conjunct path)
+      val distinctExprs =
+        if (existsOff == 0) None
+        else groupedDistinctExprs(qb, "aggregated EXISTS in expression position")
+      val gs = groupedCorrelated(qb, innerCtx, keyPairs,
+        distinctExprs.toSeq.flatten.flatMap(collectAggs).distinct, ctx.ctes)
+      val (filtered0, keyNames) = (gs.filtered, gs.keyNames)
+      // OFFSET over GROUP BY: more than existsOff surviving post-DISTINCT
+      // rows per key (same post-HAVING count as the conjunct path)
       val filtered =
         if (existsOff == 0) filtered0
         else {
           val cnt = fresh("goff")
+          val cntAgg = existsOffCount(distinctExprs, gs.gCtx, cnt)
           val counted =
-            if (keyNames.isEmpty) filtered0.agg(count(lit(1)).as(cnt))
-            else filtered0.groupBy(keyNames.map(filtered0(_)): _*)
-              .agg(count(lit(1)).as(cnt))
+            if (keyNames.isEmpty) filtered0.agg(cntAgg)
+            else filtered0.groupBy(keyNames.map(filtered0(_)): _*).agg(cntAgg)
           counted.filter(col(cnt) > existsOff).drop(cnt)
         }
       val out: Column =

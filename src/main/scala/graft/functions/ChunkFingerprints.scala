@@ -63,6 +63,51 @@ object Cdc {
     if (chunkStart < n || n == 0) out.add(fnv) // trailing partial chunk
     new GenericArrayData(out.toArray)
   }
+
+  /** PORTABLE content-defined chunking (the qp54/qp51 recipe applied to
+    * CDC): the window hash is a base-257 polynomial of the LAST
+    * min(i, window) bytes mod 1e9+7 — strictly content-local (it does
+    * NOT reset at boundaries, unlike the Buzhash variant above, and
+    * there is no minSize), so every boundary decision and every chunk
+    * hash is a function of nearby bytes alone, in bounded int64
+    * arithmetic an external engine can replay exactly (DuckDB: two
+    * recursive CTEs — byte-prefix hashes and 257-powers — plus window
+    * algebra hash(a..b] = P_b − P_a·257^(b−a) mod p). A position ends a
+    * chunk when the window hash ≡ 0 (mod 2^maskBits); each chunk's
+    * content is hashed with the same polynomial. The Buzhash+FNV path
+    * stays the production default (faster, minSize-guarded); this
+    * parameterization exists so the shared-chunk operator carries a
+    * full external oracle (VERDICT r8 #8). */
+  def chunkHashesPortable(text: UTF8String, window: Int, maskBits: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val p = 1000000007L
+    val mod = 1L << maskBits
+    var powW = 1L // 257^window mod p, built incrementally below
+    val out = new java.util.ArrayList[Any]()
+    var wh = 0L   // polynomial of the window's bytes
+    var ch = 0L   // polynomial of the current chunk's bytes
+    var chunkStart = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      wh = (wh * 257L + b) % p
+      ch = (ch * 257L + b) % p
+      if (i < window) powW = powW * 257L % p
+      if (i >= window) {
+        // drop the byte leaving the window: its weight is 257^window
+        wh = ((wh - (bytes(i - window) & 0xFF) * powW) % p + p) % p
+      }
+      if (wh % mod == 0L) {
+        out.add(ch)
+        ch = 0L
+        chunkStart = i + 1
+      }
+      i += 1
+    }
+    if (chunkStart < n || n == 0) out.add(ch) // trailing partial chunk
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Native expression wrapper over [[Cdc.chunkHashes]] — one static call
@@ -106,4 +151,41 @@ object ChunkFingerprints {
   def apply(text: Column, window: Int, maskBits: Int, minSize: Int): Column =
     GraftSqlBridge.column(new ChunkFingerprints(
       GraftSqlBridge.expression(text), window, maskBits, minSize))
+}
+
+/** Native wrapper over [[Cdc.chunkHashesPortable]] — same codegen shape
+  * as [[ChunkFingerprints]], oracle-replayable hash arithmetic. */
+case class ChunkFingerprintsPortable(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression {
+
+  require(window >= 1 && window <= 4096, s"window must be in [1, 4096], got $window")
+  require(maskBits >= 1 && maskBits <= 62, s"maskBits must be in [1, 62], got $maskBits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chunk_fingerprints_portable expects a string, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "chunk_fingerprints_portable"
+
+  override def nullSafeEval(input: Any): Any =
+    Cdc.chunkHashesPortable(input.asInstanceOf[UTF8String], window, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Cdc.chunkHashesPortable($c, $window, $maskBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkFingerprintsPortable =
+    copy(child = newChild)
+}
+
+object ChunkFingerprintsPortable {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  def apply(text: Column, window: Int, maskBits: Int): Column =
+    GraftSqlBridge.column(new ChunkFingerprintsPortable(
+      GraftSqlBridge.expression(text), window, maskBits))
 }

@@ -276,10 +276,14 @@ object Dedup {
     * elsewhere in the document — insertions re-synchronize within one
     * window. Distinct per doc (shared-passage detection is set-based). */
   def chunkStream(docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 32, maskBits: Int = 6, minSize: Int = 16): DataFrame =
+      window: Int = 32, maskBits: Int = 6, minSize: Int = 16,
+      portable: Boolean = false): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(graft.functions.ChunkFingerprints(
-          col(textCol), window, maskBits, minSize)).as("chunk"))
+        explode(
+          if (portable) graft.functions.ChunkFingerprintsPortable(
+            col(textCol), window, maskBits)
+          else graft.functions.ChunkFingerprints(
+            col(textCol), window, maskBits, minSize)).as("chunk"))
       .distinct()
 
   /** Document pairs sharing at least `minShared` content-defined chunks —
@@ -292,10 +296,11 @@ object Dedup {
     * dropped before the join. */
   def sharedChunkPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 32, maskBits: Int = 6, minSize: Int = 16,
-      minShared: Int = 2, maxBucket: Int = 4096): DataFrame = {
+      minShared: Int = 2, maxBucket: Int = 4096,
+      portable: Boolean = false): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     val chunks = cappedBuckets(
-      chunkStream(docs, idCol, textCol, window, maskBits, minSize),
+      chunkStream(docs, idCol, textCol, window, maskBits, minSize, portable),
       Seq(col("chunk")), maxBucket)
     val left = chunks.select(col("id").as("id_a"), col("chunk"))
     val right = chunks.select(col("id").as("id_b"), col("chunk"))
@@ -589,15 +594,34 @@ object Dedup {
     cosPairs(cands, thresholdNum, thresholdDen)
   }
 
+  /** Per-bit mixing constants (multiplier, addend) for spreading the
+    * 30-bit portable shingle hash into 64 sign tests — canonical copy
+    * lives beside the native expression, exported so the oracle inlines
+    * the SAME constants (the lshPlanesInt pattern). */
+  private[graft] def simhashPlanes: Seq[(Long, Long)] =
+    graft.functions.SimhashPortable.planes
+
   /** 64-bit SimHash per doc via explode + 64 codegen'd conditional-sum
     * aggregates (same no-lambda design as minhashWide), packed into one
     * long by a projection. Features are 3-word shingles, not single
     * tokens — bag-of-words features make every same-domain doc hash
     * near-identical (giant buckets); shingles are order-sensitive and
-    * separate non-duplicates. */
-  def simhashWide(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = shingleStream(docs, idCol, textCol, 3)
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    * separate non-duplicates.
+    *
+    * `portable = true` swaps xxhash64 for [[portableShingleHash64]] so
+    * the whole pipeline is external-oracle replayable (qp51). */
+  def simhashWide(docs: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val shingles = shingleStream(docs, idCol, textCol, 3)
+    val tok =
+      if (!portable) shingles.select(col("id"), xxhash64(col("s")).as("h"))
+      else
+        // one native codegen'd expression per shingle (char hash + the
+        // 64 sign tests in a static call) — both a functions.aggregate
+        // lambda (interpreted per char, the SCALE.md hot-array rule)
+        // and a 64-term Column tree (deep codegen; benched 3×) lose
+        shingles.select(col("id"),
+          graft.functions.SimhashFingerprint(col("s")).as("h"))
     // Pack the 64 per-bit counters into 32 lane-packed sums (2 lanes of
     // 31 bits per long) plus one row count, instead of 64 independent
     // sum(±1) aggregates: the 64-state HashAggregate generated a
@@ -629,8 +653,9 @@ object Dedup {
     * chunk exactly, and noisier pairs are still caught with high
     * probability; candidates verified by exact hamming distance. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7, maxBucket: Int = 4096): DataFrame = {
-    val hashed = simhashWide(docs, idCol, textCol)
+      maxHamming: Int = 7, maxBucket: Int = 4096,
+      portable: Boolean = false): DataFrame = {
+    val hashed = simhashWide(docs, idCol, textCol, portable)
     val chunkCols = (0 until 8).map(i =>
       shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL))
     val chunked = cappedBuckets(

@@ -58,6 +58,50 @@ object PipelineQueries {
         FROM r WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
+  /** DuckDB oracle for the portable SimHash tier (qp51 — the qp54
+    * recipe applied to SimHash): replays 3-word shingling, the base-257
+    * polynomial char hash mod 1e9+7, the 64 sign tests with the SAME
+    * (K, L) constants ([[graft.pipeline.Dedup.simhashPlanes]]), per-bit
+    * majority, 8-bit chunk banding with the same bucket cap, and the
+    * exact hamming verify — every step bounded int64 arithmetic, so
+    * the compare is bit-stable. The `>> then & 255` chunk extraction is
+    * shift-fill agnostic (the mask keeps only genuine data bits), so
+    * Spark's arithmetic shiftright and DuckDB's shift agree. */
+  private def simhashPortableOracle(maxHamming: Int, maxBucket: Int): String = {
+    val planes = graft.pipeline.Dedup.simhashPlanes
+    val ks = planes.map(_._1).mkString("[", ", ", "]")
+    val ls = planes.map(_._2).mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-2, 1) + 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) s FROM t),
+      h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(s) + 1), i -> CAST(unicode(s[i]) AS BIGINT))),
+               (a, b) -> (a * 257 + b) % 1000000007) h FROM sh),
+      bits AS (SELECT doc_id, j, CASE WHEN ((h * ($ks)[j+1] + ($ls)[j+1]) % 1000000007) * 2
+                    >= 1000000007 THEN 1 ELSE 0 END bv
+               FROM h, (SELECT unnest(range(0, 64)) AS j) jj),
+      maj AS (SELECT doc_id, j,
+                CASE WHEN 2 * sum(bv) >= count(*) THEN 1 ELSE 0 END b
+              FROM bits GROUP BY doc_id, j),
+      sim AS (SELECT doc_id, CAST(sum(CASE WHEN b = 1 THEN
+                CASE WHEN j = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                     ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END
+                ELSE CAST(0 AS BIGINT) END) AS BIGINT) sh64
+              FROM maj GROUP BY doc_id),
+      chunks AS (SELECT doc_id, sh64, i AS chunk,
+                   (sh64 >> (CAST(i AS INTEGER) * 8)) & 255 AS cv
+                 FROM sim, (SELECT unnest(range(0, 8)) AS i) ii),
+      capped AS (SELECT doc_id, sh64, chunk, cv FROM (
+                   SELECT c.*, count(*) OVER (PARTITION BY chunk, cv) bsz FROM chunks c)
+                 WHERE bsz <= $maxBucket),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.sh64, b.sh64)) AS INTEGER) AS hamming
+                FROM capped a JOIN capped b ON a.chunk = b.chunk AND a.cv = b.cv
+                WHERE a.doc_id < b.doc_id
+                  AND bit_count(xor(a.sh64, b.sh64)) <= $maxHamming)
+      SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup stats (hash groupBy — one shuffle) -----------------
@@ -110,12 +154,15 @@ object PipelineQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, k = 64, bands = 16, thresholdNum = 1, thresholdDen = 2)),
 
-    // ---- SimHash near-dup (engine-native hash — rows-only + spec) -------
+    // ---- SimHash near-dup — portable-hash tier with a FULL integer-
+    // exact DuckDB oracle (VERDICT r8 #2; the xxhash64 production path
+    // keeps its planted-pair spec coverage in PipelineSpec) ------------
     QueryDef(
       "qp51_simhash_neardup",
-      None,
+      Some(simhashPortableOracle(3, 4096)),
       (s, dir) => Dedup.simhashNearDuplicates(
-        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+        portable = true)),
 
     // ---- ANN: quantized-dot top-k (exact integer math, oracle-checked) --
     QueryDef(
@@ -313,5 +360,43 @@ object PipelineQueries {
           .toDF()
           .select(col("doc_id"), col("format"), col("n_bytes"),
             col("width"), col("height"), col("checksum"))
+          .orderBy(col("doc_id"))),
+
+    // ---- multimodal: REAL nearest-neighbor PPM resample (VERDICT r8
+    // #7) — the Spark side PARSES each P6 payload, resamples the pixel
+    // plane to (max(w/2,1), max(h/2,1)) by floor-scaled source lookup,
+    // RE-ENCODES a valid P6, and reports the new dims plus an integer
+    // plane checksum; the oracle predicts every output byte from the
+    // fixture construction (output pixel (x,y,c) reads source byte
+    // ((⌊y·h/oh⌋·w + ⌊x·w/ow⌋)·3 + c) mod len of the cycled text) and
+    // folds the same base-131 mod-1e9+7 checksum. One wrong pixel —
+    // offset, channel order, rounding — is a hash-fail. --------------
+    QueryDef(
+      "qp90_ppm_resize",
+      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text
+                FROM documents),
+          g AS (SELECT doc_id, len, text,
+                8 + len % 32 AS w, 8 + (len * 3) % 32 AS h FROM d),
+          o AS (SELECT doc_id, len, text, w, h,
+                greatest(w // 2, 1) AS ow, greatest(h // 2, 1) AS oh FROM g),
+          p AS (SELECT doc_id, ow, oh,
+                CAST(9 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR))
+                     + ow * oh * 3 AS BIGINT) AS n_bytes,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, ow * oh * 3), i ->
+                    CAST(CASE WHEN len = 0 THEN 32 ELSE
+                      unicode(text[CAST(((((i // 3 // ow) * h // oh) * w
+                        + ((i // 3) % ow) * w // ow) * 3 + i % 3)
+                        % len AS INTEGER) + 1])
+                    END AS BIGINT))),
+                  (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash
+                FROM o)
+          SELECT doc_id, CAST(ow AS INTEGER) AS width,
+              CAST(oh AS INTEGER) AS height, n_bytes, plane_hash
+          FROM p ORDER BY doc_id"""),
+      (s, dir) =>
+        Multimodal.ppmPlaneMeta(Multimodal.resizePpm(Multimodal.encodePpm(
+            Tables.load(s, dir, "documents"), "doc_id", "text"), 1, 2))
+          .toDF()
           .orderBy(col("doc_id"))))
 }

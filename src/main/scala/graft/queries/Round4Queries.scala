@@ -209,14 +209,62 @@ object Round4Queries {
         "select k, v from qe84_v order by k")),
 
     // ---- content-defined chunking: shared-passage pairs -----------------
-    // rows-only (the rolling/FNV chunk hashes are engine-native, like
-    // SimHash's xxhash64) — shift-resilience and planted-passage recall
-    // are spec-proven in CdcSpec
+    // FULL DuckDB oracle (VERDICT r8 #8, the qp54/qp51 integer-replay
+    // recipe): the PORTABLE chunker's window hash is a base-257
+    // polynomial of the last min(i, 32) bytes mod 1e9+7 — content-local
+    // and minSize-free — so the oracle rebuilds it from byte-prefix
+    // hashes (one recursive CTE walking each doc's bytes, one building
+    // 257-powers; hash(a..b] = P_b − P_a·257^(b−a) mod p), cuts where
+    // the window hash ≡ 0 mod 2^6, hashes each segment with the same
+    // algebra, and replays the capped bucket join + pair count. The
+    // Buzhash+FNV production path keeps its CdcSpec shift-resilience
+    // and planted-passage proofs. Powers capped at 4096 ≡ the chunker's
+    // max window; docs are ≤ ~600 bytes (TESTDATA), well under it.
     QueryDef("qp61_cdc_shared_chunks",
-      None,
+      Some("""WITH RECURSIVE
+          d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
+                FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+          pre AS (
+            SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS ph, len, text FROM d
+            UNION ALL
+            SELECT doc_id, i + 1, (ph * 257 + unicode(text[i + 1])) % 1000000007,
+                   len, text
+            FROM pre WHERE i < len),
+          pw AS (
+            SELECT 0 AS e, CAST(1 AS BIGINT) AS v
+            UNION ALL SELECT e + 1, (v * 257) % 1000000007 FROM pw WHERE e < 4096),
+          wh AS (SELECT a.doc_id, a.i,
+                   ((a.ph - b.ph * pw.v) % 1000000007 + 1000000007) % 1000000007 AS wh
+                 FROM pre a
+                 JOIN pre b ON b.doc_id = a.doc_id AND b.i = a.i - least(a.i, 32)
+                 JOIN pw ON pw.e = least(a.i, 32)
+                 WHERE a.i >= 1),
+          cut AS (SELECT doc_id, i FROM wh WHERE wh % 64 = 0
+                  UNION SELECT doc_id, len FROM d),
+          seg AS (SELECT doc_id,
+                    lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS a,
+                    i AS b
+                  FROM cut),
+          ch AS (SELECT DISTINCT s.doc_id,
+                   ((pb.ph - pa.ph * pw.v) % 1000000007 + 1000000007) % 1000000007 AS chunk
+                 FROM seg s
+                 JOIN pre pa ON pa.doc_id = s.doc_id AND pa.i = s.a
+                 JOIN pre pb ON pb.doc_id = s.doc_id AND pb.i = s.b
+                 JOIN pw ON pw.e = s.b - s.a),
+          capped AS (SELECT doc_id, chunk FROM (
+                       SELECT c.*, count(*) OVER (PARTITION BY chunk) bsz FROM ch c)
+                     WHERE bsz <= 4096),
+          p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_chunks
+                 FROM capped a JOIN capped b ON a.chunk = b.chunk
+                 WHERE a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+          SELECT id_a, id_b, shared_chunks FROM p2
+          WHERE shared_chunks >= 2 ORDER BY id_a, id_b"""),
       (s, dir) => graft.pipeline.Dedup.sharedChunkPairs(
         graft.Tables.load(s, dir, "documents"), "doc_id", "text",
-        window = 32, maskBits = 6, minSize = 16, minShared = 2)),
+        window = 32, maskBits = 6, minSize = 16, minShared = 2,
+        portable = true)),
 
     // ---- quality ratios: punctuation / digits / stopwords ---------------
     // integer counts + a 1e4-scaled integer ratio keep the comparison

@@ -39,19 +39,23 @@ object Round9Queries {
     // key and tie-breaks to the selected value, so equal sort keys
     // imply equal values. Rides the equi-depth band pre-thin at real
     // scale (lineitem inner > the small-inner cutoff at sf0.01+).
+    // outer capped at < 300 like the rest of the theta scalar family
+    // (qe150): the candidate frame is outer × matching-fraction ×
+    // inner, and a 10000-key cap benched 172 s at sf0.1 — the lowering
+    // was the intended banded plan, the ENTRY was 33× oversized
     engineSql("qe164_scalar_theta_distinct_on",
       """SELECT o_orderkey,
            (SELECT DISTINCT ON (l_returnflag) l_suppkey FROM lineitem
             WHERE l_extendedprice > o_totalprice / 2
             ORDER BY l_returnflag, l_extendedprice DESC, l_suppkey
             LIMIT 1 OFFSET 1) AS v
-         FROM orders WHERE o_orderkey < 10000 ORDER BY o_orderkey""",
+         FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""",
       """select o_orderkey,
            (select distinct on (l_returnflag) l_suppkey from lineitem
             where l_extendedprice > o_totalprice / 2
             order by l_returnflag, l_extendedprice desc, l_suppkey
             limit 1 offset 1) as v
-         from orders where o_orderkey < 10000 order by o_orderkey"""),
+         from orders where o_orderkey < 300 order by o_orderkey"""),
 
     // ---- EXISTS over DISTINCT with OFFSET: NULL-tuple corner ------------
     // x values per key — 1:{NULL,5} (2 DISTINCT rows: the NULL row
@@ -111,6 +115,137 @@ object Round9Queries {
              select 1 from qe167_m
              where g = ok
                and exists (select distinct x from qe167_t where k = ok limit 100 offset 1))
+           order by ok""")),
+
+    // ---- grouped DISTINCT [ON] under EXISTS-with-OFFSET (r8 missing #2
+    // lifted, plus a SILENT-WRONG fix: the old lowering counted
+    // surviving GROUPS, but post-DISTINCT the body has one row per
+    // ON-key/select tuple — `DISTINCT ON (s) … GROUP BY s, p OFFSET 1`
+    // is about distinct s values, however many (s, p) groups exist) ----
+    engineSql("qe168_exists_grouped_distinct_on_offset",
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT DISTINCT ON (o_orderstatus) o_orderstatus
+                       FROM orders WHERE o_custkey = c_custkey
+                       GROUP BY o_orderstatus, o_orderpriority
+                       LIMIT 100 OFFSET 1)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where exists (select distinct on (o_orderstatus) o_orderstatus
+                       from orders where o_custkey = c_custkey
+                       group by o_orderstatus, o_orderpriority
+                       limit 100 offset 1)
+         order by c_custkey"""),
+
+    // the THETA-correlated form of the same corner: non-equality
+    // correlation routes the banded grouped aggregation; the OFFSET
+    // count is distinct l_returnflag values with matching rows, not
+    // (returnflag, linestatus) group count
+    engineSql("qe169_exists_theta_grouped_distinct_on_offset",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 2000 AND EXISTS (
+           SELECT DISTINCT ON (l_returnflag) l_returnflag FROM lineitem
+           WHERE l_extendedprice > o_totalprice / 50
+           GROUP BY l_returnflag, l_linestatus
+           LIMIT 100 OFFSET 2)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 2000 and exists (
+           select distinct on (l_returnflag) l_returnflag from lineitem
+           where l_extendedprice > o_totalprice / 50
+           group by l_returnflag, l_linestatus
+           limit 100 offset 2)
+         order by o_orderkey"""),
+
+    // grandparent-correlated grouped DISTINCT ON + OFFSET, with BOTH
+    // discriminators in one fixture: k=4 has 2 groups but 1 distinct
+    // ON-tuple (group counting wrongly keeps it) and k=3's distinct
+    // tuples are {NULL, 7} (NULL-dropping counting wrongly drops it)
+    script("qe170_nested_grouped_distinct_on_offset",
+      Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))) AS t(ok)"),
+      _ => Seq(
+        "drop table if exists qe170_o",
+        "drop table if exists qe170_m",
+        "drop table if exists qe170_t",
+        "create table qe170_t (k Int64, x Int64, y Int64)",
+        """insert into qe170_t values
+           (1, 1, 7), (1, 2, 7), (1, 3, 8),
+           (2, 1, 7), (2, 2, 8), (2, 3, 9),
+           (3, 1, null), (3, 2, null), (3, 3, 7),
+           (4, 1, 7), (4, 2, 7)""",
+        "create table qe170_m (g Int64)",
+        "insert into qe170_m values (1), (2), (3), (4), (5)",
+        "create table qe170_o (ok Int64)",
+        "insert into qe170_o values (1), (2), (3), (4), (5)",
+        """select ok from qe170_o
+           where exists (
+             select 1 from qe170_m
+             where g = ok
+               and exists (select distinct on (y) 1 from qe170_t
+                           where k = ok group by x, y limit 100 offset 1))
+           order by ok""")),
+
+    // depth-1 equality, plain DISTINCT over a GROUPED body + OFFSET:
+    // same two discriminators (k=4 collapses to one distinct select
+    // tuple; k=3's tuples include a NULL row)
+    script("qe171_exists_grouped_distinct_offset",
+      Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))) AS t(ok)"),
+      _ => Seq(
+        "drop table if exists qe171_o",
+        "drop table if exists qe171_t",
+        "create table qe171_t (k Int64, x Int64, y Int64)",
+        """insert into qe171_t values
+           (1, 1, 7), (1, 2, 7), (1, 3, 8),
+           (2, 1, 7), (2, 2, 8), (2, 3, 9),
+           (3, 1, null), (3, 2, null), (3, 3, 7),
+           (4, 1, 7), (4, 2, 7)""",
+        "create table qe171_o (ok Int64)",
+        "insert into qe171_o values (1), (2), (3), (4), (5)",
+        """select ok from qe171_o
+           where exists (select distinct y from qe171_t
+                         where k = ok group by x, y limit 100 offset 1)
+           order by ok""")),
+
+    // EXPRESSION-position EXISTS (under OR) + DISTINCT + OFFSET over a
+    // PLAIN body: the mark-join path counted raw rows where the
+    // conjunct path already counted distinct tuples (the ADVICE r8 fix
+    // had not reached bindExistsExpr) — k=4's rows are two copies of
+    // y=7 (raw 2 > 1 wrongly true), k=3 needs the NULL tuple counted
+    script("qe172_exists_expr_distinct_offset",
+      Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))) AS t(ok)"),
+      _ => Seq(
+        "drop table if exists qe172_o",
+        "drop table if exists qe172_t",
+        "create table qe172_t (k Int64, x Int64, y Int64)",
+        """insert into qe172_t values
+           (1, 1, 7), (1, 2, 7), (1, 3, 8),
+           (2, 1, 7), (2, 2, 8), (2, 3, 9),
+           (3, 1, null), (3, 2, null), (3, 3, 7),
+           (4, 1, 7), (4, 2, 7)""",
+        "create table qe172_o (ok Int64)",
+        "insert into qe172_o values (1), (2), (3), (4), (5)",
+        """select ok from qe172_o
+           where ok > 100 or exists (select distinct y from qe172_t
+                                     where k = ok limit 100 offset 1)
+           order by ok""")),
+
+    // the GROUPED expression-position form (bindExistsExpr's aggregated
+    // branch): DISTINCT ON over (x, y) groups under OR
+    script("qe173_exists_expr_grouped_distinct_on_offset",
+      Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))) AS t(ok)"),
+      _ => Seq(
+        "drop table if exists qe173_o",
+        "drop table if exists qe173_t",
+        "create table qe173_t (k Int64, x Int64, y Int64)",
+        """insert into qe173_t values
+           (1, 1, 7), (1, 2, 7), (1, 3, 8),
+           (2, 1, 7), (2, 2, 8), (2, 3, 9),
+           (3, 1, null), (3, 2, null), (3, 3, 7),
+           (4, 1, 7), (4, 2, 7)""",
+        "create table qe173_o (ok Int64)",
+        "insert into qe173_o values (1), (2), (3), (4), (5)",
+        """select ok from qe173_o
+           where ok > 100 or exists (select distinct on (y) 1 from qe173_t
+                                     where k = ok group by x, y limit 100 offset 1)
            order by ok"""))
   )
 }

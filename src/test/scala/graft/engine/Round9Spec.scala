@@ -178,6 +178,111 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     sql("drop table if exists r9no")
   }
 
+  // ---- grouped DISTINCT [ON] under EXISTS-with-OFFSET -------------------
+  // post-DISTINCT the body has one row per tuple, NOT one per group:
+  // k=4 has two (x,y) groups but ONE distinct y (group counting keeps
+  // it wrongly); k=3's distinct tuples are {NULL, 7} (NULL-dropping
+  // counting drops it wrongly)
+
+  test("EXISTS over grouped DISTINCT [ON] with OFFSET counts distinct tuples") {
+    sql("drop table if exists r9gt")
+    sql("create table r9gt (k Int64, x Int64, y Int64)")
+    sql("""insert into r9gt values
+           (1, 1, 7), (1, 2, 7), (1, 3, 8),
+           (2, 1, 7), (2, 2, 8), (2, 3, 9),
+           (3, 1, null), (3, 2, null), (3, 3, 7),
+           (4, 1, 7), (4, 2, 7)""")
+    sql("drop table if exists r9go")
+    sql("create table r9go (ok Int64)")
+    sql("insert into r9go values (1), (2), (3), (4), (5)")
+    // depth-1 equality, DISTINCT ON over (x, y) groups
+    assert(rows("""select ok from r9go where exists (
+        select distinct on (y) 1 from r9gt where k = ok
+        group by x, y limit 100 offset 1) order by ok""")
+      .map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    // depth-1 equality, plain DISTINCT over the grouped select tuple
+    assert(rows("""select ok from r9go where exists (
+        select distinct y from r9gt where k = ok
+        group by x, y limit 100 offset 1) order by ok""")
+      .map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    // theta correlation (ok-adjacent window == equality for ints)
+    assert(rows("""select ok from r9go where exists (
+        select distinct on (y) 1 from r9gt
+        where k > ok - 1 and k < ok + 1
+        group by x, y limit 100 offset 1) order by ok""")
+      .map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    // expression position (under OR): both the plain and grouped forms
+    assert(rows("""select ok from r9go where ok > 100 or exists (
+        select distinct y from r9gt where k = ok limit 100 offset 1)
+        order by ok""").map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    assert(rows("""select ok from r9go where ok > 100 or exists (
+        select distinct on (y) 1 from r9gt where k = ok
+        group by x, y limit 100 offset 1) order by ok""")
+      .map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    // without OFFSET the DISTINCT ON is existence-neutral
+    assert(rows("""select ok from r9go where exists (
+        select distinct on (y) 1 from r9gt where k = ok group by x, y)
+        order by ok""").map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L))
+    sql("drop table if exists r9gt")
+    sql("drop table if exists r9go")
+  }
+
+  // ---- real PPM nearest-neighbor resample -------------------------------
+
+  test("resizePpm picks floor-scaled source pixels and re-encodes valid P6") {
+    val sp = spark; import sp.implicits._
+    // 4x2 image, pixel (x, y) has RGB (10x+y, 100+x, 200+y)
+    val w = 4; val h = 2
+    val plane = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      (i % 3 match {
+        case 0 => 10 * x + y
+        case 1 => 100 + x
+        case 2 => 200 + y
+      }).toByte
+    }
+    val payload = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ plane
+    val media = Seq(graft.pipeline.Multimodal.MediaItem(1L, "ppm", payload)).toDS()
+    val out = graft.pipeline.Multimodal.resizePpm(media, 1, 2).collect().head
+    val (ow, oh, off) = graft.pipeline.Multimodal.parsePpmHeader(out.data, 1L)
+    assert((ow, oh) == (2, 1))
+    // output (x=0) <- source (0,0); output (x=1) <- source (2,0)
+    val got = out.data.drop(off).map(_ & 0xFF).toSeq
+    assert(got == Seq(0, 100, 200, 20, 102, 200))
+    // and the plane checksum matches the hand fold
+    val meta = graft.pipeline.Multimodal.ppmPlaneMeta(
+      graft.pipeline.Multimodal.resizePpm(media, 1, 2)).collect().head
+    val expect = Seq(0, 100, 200, 20, 102, 200)
+      .foldLeft(0L)((a, b) => (a * 131 + b) % 1000000007L)
+    assert(meta.plane_hash == expect && meta.width == 2 && meta.height == 1)
+  }
+
+  // ---- portable SimHash (qp51 oracle flip) ------------------------------
+
+  test("portable SimHash matches a driver-side replay on a tiny corpus") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup
+      .simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // identical docs: identical fingerprints, hamming 0
+    assert(got.contains((1L, 2L, 0)))
+    // replay doc 1's fingerprint on the driver with plain Scala ints
+    val P = 1000000007L
+    def hashOf(s: String) = s.foldLeft(0L)((a, c) => (a * 257 + c.toInt) % P)
+    val shingles = { val ws = "aa bb cc dd".split("\\s+"); (0 until 2).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}") }
+    val planes = graft.pipeline.Dedup.simhashPlanes
+    val fp = (0 until 64).map { j =>
+      val (k, l) = planes(j)
+      val ones = shingles.count(s => ((hashOf(s) * k + l) % P) * 2 >= P)
+      if (2 * ones >= shingles.size) 1L << j else 0L
+    }.reduce(_ + _)
+    val wide = graft.pipeline.Dedup.simhashWide(docs.filter(col("doc_id") === 1), "doc_id", "text", portable = true)
+      .collect().head.getLong(1)
+    assert(wide == fp)
+  }
+
   // ---- curation guards (ADVICE r8 #2/#3/#4) -----------------------------
 
   test("lengthBatches and tokenBudgetSelect reject negative ids") {

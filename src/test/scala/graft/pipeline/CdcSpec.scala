@@ -85,4 +85,39 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"all-pairs join in CDC plan:\n$plan")
   }
+
+  // ---- portable (oracle-replayable) chunker -----------------------------
+
+  test("portable chunker keeps the shift-resilience property") {
+    val shifted = "COMPLETELY NEW PREFIX INSERTED HERE >> " + passage
+    val d = df(0L -> passage, 1L -> shifted)
+    val chunks = Dedup.chunkStream(d, "doc_id", "text", portable = true)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val shared = chunks(0L).intersect(chunks(1L)).size
+    assert(chunks(0L).size >= 3, s"passage produced only ${chunks(0L).size} chunks")
+    assert(shared * 2 >= chunks(0L).size,
+      s"only $shared of ${chunks(0L).size} chunks survived the shift")
+  }
+
+  test("portable chunker matches a driver-side prefix-hash replay") {
+    // the exact algebra the DuckDB oracle uses: prefix hashes P_i,
+    // powers of 257, window hash P_i - P_{i-min(i,W)}*257^min(i,W),
+    // cuts where it's 0 mod 2^6, chunk hash P_b - P_a*257^(b-a)
+    val P = 1000000007L
+    val text = passage.take(200)
+    val bytes = text.getBytes("UTF-8").map(_ & 0xFF)
+    val pre = bytes.scanLeft(0L)((a, b) => (a * 257 + b) % P)
+    val pow = Iterator.iterate(1L)(v => v * 257 % P).take(bytes.length + 1).toArray
+    def seg(a: Int, b: Int) = ((pre(b) - pre(a) * pow(b - a)) % P + P) % P
+    val cuts = (1 to bytes.length).filter { i =>
+      val w = math.min(i, 32)
+      seg(i - w, i) % 64 == 0
+    }
+    val edges = 0 +: (cuts ++ (if (cuts.lastOption.contains(bytes.length)) Nil
+                               else Seq(bytes.length)))
+    val expect = edges.sliding(2).map { case Seq(a, b) => seg(a, b) }.toSeq.distinct.sorted
+    val got = Dedup.chunkStream(df(0L -> text), "doc_id", "text", portable = true)
+      .collect().map(_.getLong(1)).toSeq.sorted
+    assert(got == expect)
+  }
 }
