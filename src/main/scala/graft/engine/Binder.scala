@@ -2621,7 +2621,18 @@ final class Binder(
         // per-outer-row theta path: non-equality correlation, or HAVING
         // over an ungrouped aggregate (the per-key grouped lowering
         // cannot distinguish that HAVING from a group filter)
-        val qb = stripNoopLimit(qb0)
+        val qb1 = stripNoopLimit(qb0)
+        // ≤1-row ungrouped-aggregate body: DISTINCT ON is a no-op and a
+        // surviving LIMIT clause (post-strip: LIMIT 0 / OFFSET ≥ 1)
+        // empties the membership set — IN FALSE for any lhs
+        val thetaUngroupedAggBody = qb1.groupBy.isEmpty && (qb1.selectList match {
+          case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] =>
+            collectAggs(e).nonEmpty
+          case _ => false
+        })
+        if (thetaUngroupedAggBody && qb1.limit.isDefined)
+          return if (negated) lit(true) else lit(false)
+        val qb = if (thetaUngroupedAggBody) qb1.copy(distinct = None) else qb1
         if (qb.limit.isDefined || qb.distinct.exists(_.nonEmpty)) {
           val r = thetaLimitIn(qb, innerRel, local, correlated, ctx, lhs, bodyCtes)
           return if (negated) !r else r
@@ -2680,21 +2691,26 @@ final class Binder(
         val selectExpr = qb.selectList.head.expr
         val aggInSelect = collectAggs(selectExpr).distinct
         val isGrouped = qb.groupBy.nonEmpty || qb.having.isDefined || aggInSelect.nonEmpty
-        val onKeys = qb.distinct.toSeq.flatten
-        val hasLimit = qb.limit.isDefined
-        if ((hasLimit || onKeys.nonEmpty) && isGrouped)
-          err("correlated IN with LIMIT/DISTINCT ON takes a plain body " +
-            "(no GROUP BY/HAVING/aggregates)")
-        if (hasLimit && qb.distinct.contains(Nil))
-          err("correlated IN with LIMIT does not combine with DISTINCT")
-        if ((hasLimit || onKeys.nonEmpty) && qb.orderBy.isEmpty)
-          err("correlated IN with LIMIT/DISTINCT ON needs an ORDER BY " +
-            "(the kept rows are arbitrary without one)")
+        val onKeys0 = qb.distinct.toSeq.flatten
+        val hasLimit0 = qb.limit.isDefined
         // UNGROUPED aggregate body: SQL yields exactly ONE value per outer
         // key even when the key's inner set is empty (count-family → 0,
         // others → NULL) — the empty-group branch below must not read as
         // "empty value set" (VERDICT r4 review)
         val ungroupedAgg = qb.groupBy.isEmpty && aggInSelect.nonEmpty
+        // over that ≤1-row set, DISTINCT ON is a no-op and any LIMIT
+        // clause stripNoopLimit kept (LIMIT 0 / OFFSET ≥ 1) EMPTIES the
+        // membership set — IN FALSE for any lhs (NOT IN true via the
+        // caller's negation); neither needs an ORDER BY, so this
+        // shortcut precedes the requirement below
+        if (ungroupedAgg && hasLimit0) return if (negated) lit(true) else lit(false)
+        val onKeys = if (ungroupedAgg) Nil else onKeys0
+        val hasLimit = hasLimit0
+        if (hasLimit && qb.distinct.contains(Nil))
+          err("correlated IN with LIMIT does not combine with DISTINCT")
+        if ((hasLimit || onKeys.nonEmpty) && qb.orderBy.isEmpty)
+          err("correlated IN with LIMIT/DISTINCT ON needs an ORDER BY " +
+            "(the kept rows are arbitrary without one)")
         // plain body: the (key, value) pair stream is a projection; a
         // grouped body (GROUP BY/HAVING/aggregate select — the common
         // value-set shape `x IN (SELECT sum(..) .. GROUP BY ..)`) groups
@@ -2745,12 +2761,54 @@ final class Binder(
               df.select((keyNames.map(col) :+ col(n)): _*)
             }
           } else {
-            val gs = groupedCorrelated(qb, innerCtx, keyPairs, aggInSelect, bodyCtes)
+            // GROUPED body: the membership candidates are the HAVING-
+            // surviving groups' select values; DISTINCT ON / LIMIT then
+            // shape that per-outer-row GROUP set with the same windows
+            // as the plain branch (keep-first per correlation+ON keys,
+            // ordered slice per correlation key) — ON keys and ORDER BY
+            // bind POST-aggregation (group keys / aggregates), so their
+            // aggregate calls ride groupedCorrelated's select-agg set.
+            // Reference grammar composes DISTINCT ON / LIMIT with
+            // grouped bodies freely (mod.rs:349-360,503-544).
+            val ordExprs = qb.orderBy.map(ok => substituteAliases(ok.expr, qb.selectList))
+            val onExprs = onKeys.map(substituteAliases(_, qb.selectList))
+            val extraAggs = (aggInSelect ++ ordExprs.flatMap(collectAggs) ++
+              onExprs.flatMap(collectAggs)).distinct
+            val gs = groupedCorrelated(qb, innerCtx, keyPairs, extraAggs, bodyCtes)
             // re-alias the helper's key names to this lowering's own so
             // the stats/vals machinery below stays branch-agnostic
-            gs.filtered.select(
-              (gs.keyNames.zip(keyNames).map { case (gk, ik) => gs.grouped(gk).as(ik) } :+
-                bindExpr(selectExpr, gs.gCtx).as(n)): _*)
+            if (!hasLimit && onKeys.isEmpty)
+              gs.filtered.select(
+                (gs.keyNames.zip(keyNames).map { case (gk, ik) => gs.grouped(gk).as(ik) } :+
+                  bindExpr(selectExpr, gs.gCtx).as(n)): _*)
+            else {
+              val onNames = onExprs.indices.map(_ => fresh("ion"))
+              val ordNames = ordExprs.indices.map(_ => fresh("iord"))
+              var df = gs.filtered.select(
+                (gs.keyNames.zip(keyNames).map { case (gk, ik) => gs.grouped(gk).as(ik) } ++
+                  onExprs.zip(onNames).map { case (oe, on) =>
+                    bindExpr(oe, gs.gCtx).as(on) } ++
+                  ordExprs.zip(ordNames).map { case (oe, on) =>
+                    bindExpr(oe, gs.gCtx).as(on) } :+
+                  bindExpr(selectExpr, gs.gCtx).as(n)): _*)
+              val ordCols = qb.orderBy.zip(ordNames).map { case (ok, on) =>
+                if (ok.desc) col(on).desc else col(on).asc }
+              if (onKeys.nonEmpty) {
+                val rn = fresh("irn")
+                df = df.withColumn(rn, row_number().over(
+                    Window.partitionBy((keyNames ++ onNames).map(col): _*)
+                      .orderBy(ordCols: _*)))
+                  .filter(col(rn) === 1).drop(rn)
+              }
+              if (hasLimit) {
+                val lc = qb.limit.get
+                val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+                val lim = evalLimitInt(lc.limit, "LIMIT")
+                df = slicePerKey(df, keyNames.map(col), ordCols, lim, off,
+                  lc.withTies)
+              }
+              df.select((keyNames.map(col) :+ col(n)): _*)
+            }
           }
         // stats and vals share pairDf's lineage — re-alias the key columns
         // per frame so the two joins don't carry ambiguous attributes
@@ -3918,16 +3976,15 @@ final class Binder(
       correlated: Seq[Expr], ctx: Ctx, lhs: Column,
       bodyCtes: Map[String, DataFrame]): Column = {
     val what = "correlated IN subquery (theta path, LIMIT/DISTINCT ON body)"
-    if (qb.groupBy.nonEmpty || qb.having.isDefined ||
-        collectAggs(qb.selectList.head.expr).nonEmpty)
-      err(s"$what takes a plain body (no GROUP BY/HAVING/aggregates)")
     if (qb.limit.isDefined && qb.distinct.contains(Nil))
       err("correlated IN with LIMIT does not combine with DISTINCT")
     if (qb.orderBy.isEmpty)
       err(s"$what needs an ORDER BY (the kept rows are arbitrary without one)")
     if (qb.selectList.size != 1) err("IN subquery must produce exactly 1 column")
-    val selectExpr = qb.selectList.head.expr
+    val selectExpr0 = qb.selectList.head.expr
     val onKeys = qb.distinct.toSeq.flatten
+    val isGrouped = qb.groupBy.nonEmpty || qb.having.isDefined ||
+      collectAggs(selectExpr0).nonEmpty
     val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
     val rid = fresh("tlrid")
@@ -3943,12 +4000,49 @@ final class Binder(
     val vName = fresh("tlv")
     val onNames = onKeys.indices.map(_ => fresh("tlon"))
     val ordNames = qb.orderBy.indices.map(_ => fresh("tlord"))
-    var df = joined.select(
+    // GROUPED body: the windowed candidates are the HAVING-surviving
+    // groups of (rid ∪ explicit keys) — thetaGroupedIn's grouping with
+    // thetaLimitIn's windows over it (ON keys / ORDER BY / select bind
+    // POST-aggregation). Plain body: a projection of the joined frame.
+    var df = if (!isGrouped) joined.select(
       (Seq(col(rid), col(lhsName)) ++
         onKeys.zip(onNames).map { case (oe, on) => bindExpr(oe, jCtx).as(on) } ++
         qb.orderBy.zip(ordNames).map { case (ok, on) =>
           bindExpr(ok.expr, jCtx).as(on) } :+
-        bindExpr(selectExpr, jCtx).as(vName)): _*)
+        bindExpr(selectExpr0, jCtx).as(vName)): _*)
+    else {
+      val selectExpr = substituteAliases(selectExpr0, qb.selectList)
+      val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
+      val ordExprs = qb.orderBy.map(ok => substituteAliases(ok.expr, qb.selectList))
+      val onExprs = onKeys.map(substituteAliases(_, qb.selectList))
+      val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+        .map(e => (e, fresh("tlg")))
+      val aggCalls = (collectAggs(selectExpr) ++
+        havingExpr.toSeq.flatMap(collectAggs) ++
+        ordExprs.flatMap(collectAggs) ++ onExprs.flatMap(collectAggs)).distinct
+      val aggPairs = aggCalls.map(fc => (fc, fresh("tla")))
+      val aggCols = aggPairs.map { case (fc, nm) => bindAggCall(fc, jCtx).as(nm) } match {
+        case Nil => Seq(count(lit(1)).as(fresh("tlc0")))
+        case cs => cs
+      }
+      val groupCols = Seq(col(rid), col(lhsName)) ++ groupPairs.map { case (e, nm) =>
+        bindExpr(e, jCtx).as(nm)
+      }
+      val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      val gCtx = new Ctx(
+        Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
+        None, bodyCtes,
+        subst = aggPairs.map { case (fc, nm) => (fc: Expr) -> grouped(nm) }.toMap ++
+          groupPairs.map { case (e, nm) => e -> grouped(nm) }.toMap)
+      val filtered = havingExpr.map(h => grouped.filter(bindExpr(h, gCtx)))
+        .getOrElse(grouped)
+      filtered.select(
+        (Seq(col(rid), col(lhsName)) ++
+          onExprs.zip(onNames).map { case (oe, on) => bindExpr(oe, gCtx).as(on) } ++
+          ordExprs.zip(ordNames).map { case (oe, on) =>
+            bindExpr(oe, gCtx).as(on) } :+
+          bindExpr(selectExpr, gCtx).as(vName)): _*)
+    }
     val ordCols = qb.orderBy.zip(ordNames).map { case (ok, on) =>
       if (ok.desc) col(on).desc else col(on).asc }
     if (onKeys.nonEmpty) {

@@ -246,6 +246,72 @@ object Round9Queries {
         """select ok from qe173_o
            where ok > 100 or exists (select distinct on (y) 1 from qe173_t
                                      where k = ok group by x, y limit 100 offset 1)
+           order by ok""")),
+
+    // ---- IN-form GROUPED bodies with DISTINCT ON / LIMIT (the last
+    // guarded composition: membership = the window-kept slice of the
+    // HAVING-surviving GROUPS' select values, per outer row; previously
+    // a clean error at every depth while the reference grammar composes
+    // freely — mod.rs:349-360,503-544,1404) --------------------------
+    // equality correlation: per customer, group orders by (status,
+    // priority), keep the max-count row per status (kept VALUE is
+    // deterministic under count ties), slice statuses (1, 3] by
+    // (status, count DESC), membership of count%7 == 2
+    engineSql("qe174_in_grouped_distinct_on_limit",
+      """SELECT c_custkey FROM customer
+         WHERE 2 IN (SELECT DISTINCT ON (o_orderstatus) count(1) % 7
+                     FROM orders WHERE o_custkey = c_custkey
+                     GROUP BY o_orderstatus, o_orderpriority
+                     ORDER BY o_orderstatus, count(1) DESC
+                     LIMIT 2 OFFSET 1)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where 2 in (select distinct on (o_orderstatus) count(*) % 7
+                     from orders where o_custkey = c_custkey
+                     group by o_orderstatus, o_orderpriority
+                     order by o_orderstatus, count(*) desc
+                     limit 2 offset 1)
+         order by c_custkey"""),
+
+    // the THETA form: non-equality correlation routes the rid-frame
+    // grouped windows (thetaLimitIn's grouped branch)
+    engineSql("qe175_in_theta_grouped_distinct_on_limit",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND
+           3 IN (SELECT DISTINCT ON (l_returnflag) count(1) % 7
+                 FROM lineitem WHERE l_extendedprice > o_totalprice / 5
+                 GROUP BY l_returnflag, l_linestatus
+                 ORDER BY l_returnflag, count(1) DESC
+                 LIMIT 2 OFFSET 1)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and
+           3 in (select distinct on (l_returnflag) count(*) % 7
+                 from lineitem where l_extendedprice > o_totalprice / 5
+                 group by l_returnflag, l_linestatus
+                 order by l_returnflag, count(*) desc
+                 limit 2 offset 1)
+         order by o_orderkey"""),
+
+    // three-valued NOT IN over the grouped DISTINCT ON set: a NULL
+    // aggregate among the kept values makes membership UNKNOWN (row
+    // dropped), the empty set keeps the row
+    script("qe176_notin_grouped_distinct_on_nulls",
+      Some("SELECT * FROM (VALUES (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT))) AS t(ok)"),
+      _ => Seq(
+        "drop table if exists qe176_o",
+        "drop table if exists qe176_t",
+        "create table qe176_t (k Int64, x Int64, y Int64, z Int64)",
+        """insert into qe176_t values
+           (1, 1, 7, 1), (1, 2, 8, null),
+           (2, 1, 7, 5),
+           (3, 1, 7, null)""",
+        "create table qe176_o (ok Int64)",
+        "insert into qe176_o values (1), (2), (3), (4)",
+        """select ok from qe176_o
+           where ok not in (select distinct on (y) max(z) from qe176_t
+                            where k = ok group by x, y
+                            order by y, max(z) limit 100)
            order by ok"""))
   )
 }

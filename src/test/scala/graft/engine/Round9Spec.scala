@@ -227,6 +227,49 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     sql("drop table if exists r9go")
   }
 
+  // ---- IN over grouped DISTINCT ON / LIMIT bodies -----------------------
+
+  test("IN over a grouped DISTINCT ON body keeps the sliced group values") {
+    sql("drop table if exists r9it")
+    sql("create table r9it (k Int64, x Int64, y Int64, z Int64)")
+    // per k, groups (x, y) with count z-rows; DISTINCT ON (y) keeps the
+    // max-count row per y (ORDER BY y, count desc)
+    sql("""insert into r9it values
+           (1, 1, 7, 0), (1, 1, 7, 0), (1, 2, 7, 0), (1, 1, 8, 0),
+           (2, 1, 7, 0), (2, 2, 8, 0), (2, 3, 9, 0)""")
+    sql("drop table if exists r9io")
+    sql("create table r9io (ok Int64)")
+    sql("insert into r9io values (1), (2), (3)")
+    // k=1: groups (1,7):2 (2,7):1 (1,8):1 -> per y kept counts {7->2, 8->1};
+    //   slice (0,2] by (y, count desc) -> values {2, 1}
+    // k=2: per-y kept counts all 1 -> values {1, 1} sliced to y=7,8 -> {1}
+    // k=3: empty -> IN false
+    assert(rows("""select ok from r9io where 2 in (
+        select distinct on (y) count(1) from r9it where k = ok
+        group by x, y order by y, count(1) desc limit 2)
+        order by ok""").map(_.getLong(0)) == Seq(1L))
+    assert(rows("""select ok from r9io where 1 in (
+        select distinct on (y) count(1) from r9it where k = ok
+        group by x, y order by y, count(1) desc limit 2)
+        order by ok""").map(_.getLong(0)) == Seq(1L, 2L))
+    // theta correlation routes the rid-frame grouped windows
+    assert(rows("""select ok from r9io where 2 in (
+        select distinct on (y) count(1) from r9it
+        where k > ok - 1 and k < ok + 1
+        group by x, y order by y, count(1) desc limit 2)
+        order by ok""").map(_.getLong(0)) == Seq(1L))
+    // ungrouped aggregate + surviving OFFSET: the <=1-row set empties ->
+    // IN constant false, NOT IN constant true
+    assert(rows("""select ok from r9io where 1 in (
+        select count(1) from r9it where k = ok limit 100 offset 1)
+        order by ok""").isEmpty)
+    assert(rows("""select ok from r9io where ok not in (
+        select count(1) from r9it where k = ok limit 100 offset 1)
+        order by ok""").map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    sql("drop table if exists r9it")
+    sql("drop table if exists r9io")
+  }
+
   // ---- real PPM nearest-neighbor resample -------------------------------
 
   test("resizePpm picks floor-scaled source pixels and re-encodes valid P6") {
