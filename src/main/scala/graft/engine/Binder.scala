@@ -1490,20 +1490,42 @@ final class Binder(
     // lifted one level). Only GROUP BY/HAVING keeps the clean error:
     // the ON keys would apply post-aggregation, same as depth 1.
     val nestOnKeys = nqb.distinct.toSeq.flatten
-    // grouped DISTINCT ON under the IN form: membership is the kept row
-    // PER ON-KEY of the grouped result in the body's ORDER BY — a
-    // per-pair slice over an aggregated frame, which the slice lowering
-    // does not model; EXISTS-form grouped DISTINCT [ON] lowers below
-    // (existence-neutral; under OFFSET the count switches to distinct
-    // post-aggregation tuples)
-    if (nestOnKeys.nonEmpty && lhsOpt.isDefined &&
-        (nqb.groupBy.nonEmpty || nqb.having.isDefined))
-      err(s"a grandparent-correlated $what under IN supports DISTINCT ON " +
-        "only on plain bodies (no GROUP BY/HAVING)")
-    if (nestOnKeys.nonEmpty && lhsOpt.isDefined) {
+    // IN-form DISTINCT ON / LIMIT: membership is the kept slice of the
+    // per-pair set — plain bodies go through [[sliceInNestedBody]] (the
+    // depth-1 qe132 machinery lifted one level); GROUPED bodies slice
+    // the per-pair GROUPS instead ([[joinNestedAggBody]]'s window
+    // branch, round 9 — the same lift as depth-1 qe174/qe175).
+    // Ungrouped-AGGREGATE bodies (≤1 pre-limit row) shortcut: DISTINCT
+    // ON is a no-op, a post-strip-surviving LIMIT empties the set.
+    val inSelAggs = lhsOpt.toSeq.flatMap(_ => nqb.selectList match {
+      case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => collectAggs(e)
+      case _ => Nil
+    })
+    val inGrouped = lhsOpt.isDefined &&
+      (nqb.groupBy.nonEmpty || nqb.having.isDefined || inSelAggs.nonEmpty)
+    if (lhsOpt.isDefined && (nestOnKeys.nonEmpty || nqb.limit.isDefined)) {
+      val constFalse =
+        if (anti) rel else Rel(rel.df.filter(lit(false)), rel.scopes)
       if (nqb.limit.exists(lc => evalLimitInt(lc.limit, "LIMIT") == 0))
-        return (if (anti) rel else Rel(rel.df.filter(lit(false)), rel.scopes))
-      return sliceInNestedBody(nqb, nqb.limit, lhsOpt.get, rel, ctes, anti)
+        return constFalse
+      if (inGrouped && nqb.groupBy.isEmpty) {
+        // ≤1-row body: any surviving LIMIT (OFFSET ≥ 1 post-strip)
+        // empties the membership set; bare DISTINCT ON is a no-op
+        if (nqb.limit.isDefined) return constFalse
+        return joinNestedBody(nqb.copy(distinct = None), lhsOpt, rel, ctes, anti)
+      }
+      if (!inGrouped)
+        return sliceInNestedBody(nqb, nqb.limit, lhsOpt.get, rel, ctes, anti)
+      if (nqb.limit.isDefined && nqb.distinct.contains(Nil))
+        err(s"a $what under IN with LIMIT does not combine with DISTINCT")
+      if (nqb.orderBy.isEmpty)
+        err(s"a $what under IN with LIMIT/DISTINCT ON needs an ORDER BY " +
+          "(the kept rows are arbitrary without one)")
+      return joinNestedAggBody(nqb.copy(distinct = None, limit = None), lhsOpt,
+        rel, bindBodyCtes(nqb, ctes), anti,
+        inOnKeys = nestOnKeys.map(substituteAliases(_, nqb.selectList)),
+        inLimit = nqb.limit,
+        inOrderBy = nqb.orderBy)
     }
     // LIMIT/OFFSET on an EXISTS-form body lowers by COUNTING (the same
     // rewrites as lowerExists): LIMIT k>0 never changes existence,
@@ -1652,7 +1674,9 @@ final class Binder(
     * the multiplicity the aggregated-EXISTS caller groups afterwards. */
   private def joinNestedAggBody(nqb: QueryBody, lhsOpt: Option[Expr], rel: Rel,
       ctes: Map[String, DataFrame], anti: Boolean, existsOff: Int = 0,
-      distinctExprs: Option[Seq[Expr]] = None): Rel = {
+      distinctExprs: Option[Seq[Expr]] = None,
+      inOnKeys: Seq[Expr] = Nil, inLimit: Option[LimitClause] = None,
+      inOrderBy: Seq[OrderKey] = Nil): Rel = {
     val what = if (anti) "negated nested subquery" else "nested subquery"
     val prid = fresh("ngrid")
     val prid2 = fresh("ngrid2")
@@ -1703,9 +1727,13 @@ final class Binder(
         case _ => err("IN subquery must produce exactly 1 column")
       }
     }
+    // ON keys / ORDER BY of an IN-form grouped slice bind
+    // POST-aggregation — their aggregate calls ride the agg set
+    val inOrdExprs = inOrderBy.map(ok => substituteAliases(ok.expr, nqb.selectList))
     val aggCalls = (havingExpr.toSeq.flatMap(collectAggs) ++
       selExpr.toSeq.flatMap(collectAggs) ++
-      distinctExprs.toSeq.flatten.flatMap(collectAggs)).distinct
+      distinctExprs.toSeq.flatten.flatMap(collectAggs) ++
+      inOnKeys.flatMap(collectAggs) ++ inOrdExprs.flatMap(collectAggs)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("nga")))
     // HAVING / select-item identifiers OUTSIDE aggregate arguments that
     // belong to the ENCLOSING scopes (aggregate args bind over the
@@ -1724,7 +1752,7 @@ final class Binder(
       case _ => Nil
     }
     val outerRiders = (havingExpr.toSeq ++ selExpr.toSeq ++
-      distinctExprs.toSeq.flatten).flatMap(nonAggIdents)
+      distinctExprs.toSeq.flatten ++ inOnKeys ++ inOrdExprs).flatMap(nonAggIdents)
       .distinct
       .filterNot(i => resolvesWithin(i, nCtx.rel)) // body-side → group key
       .filter(i => resolvesWithin(i, rel))
@@ -1763,10 +1791,46 @@ final class Binder(
           }
         case Some(se) =>
           val v = bindExpr(se, gCtx)
-          if (!anti) filtered.filter(col(lhsName) === v)
+          // IN-form grouped slice (round 9): DISTINCT ON keeps the
+          // first group per (pair rid, ON keys) in the body's ORDER BY,
+          // LIMIT/OFFSET slices the surviving groups per rid — the
+          // depth-1 qe174/qe175 windows on the pair frame's groups
+          val cand =
+            if (inOnKeys.isEmpty && inLimit.isEmpty) filtered
+              .select(col(prid), col(lhsName), v.as(fresh("ngv")))
+            else {
+              val vN = fresh("ngv")
+              val onNames = inOnKeys.indices.map(_ => fresh("ngon"))
+              val ordNames = inOrdExprs.indices.map(_ => fresh("ngord"))
+              var df = filtered.select(
+                (Seq(col(prid), col(lhsName)) ++
+                  inOnKeys.zip(onNames).map { case (oe, on) =>
+                    bindExpr(oe, gCtx).as(on) } ++
+                  inOrdExprs.zip(ordNames).map { case (oe, on) =>
+                    bindExpr(oe, gCtx).as(on) } :+
+                  v.as(vN)): _*)
+              val ordCols = inOrderBy.zip(ordNames).map { case (ok, on) =>
+                if (ok.desc) col(on).desc else col(on).asc }
+              if (inOnKeys.nonEmpty) {
+                val rn = fresh("ngrn")
+                df = df.withColumn(rn, row_number().over(
+                    Window.partitionBy((col(prid) +: onNames.map(col)): _*)
+                      .orderBy(ordCols: _*)))
+                  .filter(col(rn) === 1).drop(rn)
+              }
+              inLimit.foreach { lc =>
+                val off = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+                val lim = evalLimitInt(lc.limit, "LIMIT")
+                df = slicePerKey(df, Seq(col(prid)), ordCols, lim, off,
+                  lc.withTies)
+              }
+              df
+            }
+          val vCol = col(cand.columns.last)
+          if (!anti) cand.filter(col(lhsName) === vCol)
           // NOT IN: TRUE or UNKNOWN membership prunes the rid
-          else filtered.filter(col(lhsName) === v ||
-            col(lhsName).isNull || v.isNull)
+          else cand.filter(col(lhsName) === vCol ||
+            col(lhsName).isNull || vCol.isNull)
       }).select(col(prid)).distinct().withColumnRenamed(prid, prid2)
       Rel(pairs.join(hits, col(prid) === col(prid2), how)
         .drop(prid, lhsName), rel.scopes)
@@ -3438,8 +3502,13 @@ final class Binder(
     if (lc.withTies)
       err(s"$what: LIMIT … WITH TIES is not scalar (ties can yield " +
         "several rows)")
-    if (qb.distinct.exists(_.nonEmpty))
-      err(s"$what supports plain DISTINCT bodies only (no DISTINCT ON)")
+    // DISTINCT ON (k) v … ORDER BY … LIMIT 1 [OFFSET o]: keep-first
+    // per (correlation ∪ ON keys) in the body's ORDER BY, then the rank
+    // picks the (o+1)-th SURVIVOR — equality parity with the theta
+    // path's qe164 shape (round 9); composes with GROUP BY (the groups
+    // are the rows the ON keys dedup)
+    val onKeys = qb.distinct.toSeq.flatten
+      .map(substituteAliases(_, qb.selectList))
     val isDistinct = qb.distinct.contains(Nil)
     if (qb.selectList.size != 1) err("scalar subquery must produce 1 column")
     if (qb.orderBy.isEmpty)
@@ -3467,18 +3536,30 @@ final class Binder(
     applyLocal(local, innerCtx, what)
     if (qb.groupBy.nonEmpty)
       return groupedScalarTop1(qb, innerCtx, keyPairs, valueAggs, ctx, off,
-        bodyCtes)
+        bodyCtes, onKeys)
     val keyNames = keyPairs.indices.map(_ => fresh("lk"))
     val valName = fresh("lval")
     val ordNames = qb.orderBy.indices.map(_ => fresh("lord"))
+    val onNames = onKeys.indices.map(_ => fresh("lon"))
     val base0 = innerCtx.rel.df.select(
       (keyPairs.zip(keyNames).map { case ((ie, _), kn) => bindExpr(ie, innerCtx).as(kn) } ++
         Seq(bindExpr(valueExpr, innerCtx).as(valName)) ++
+        onKeys.zip(onNames).map { case (oe, on) => bindExpr(oe, innerCtx).as(on) } ++
         qb.orderBy.zip(ordNames).map { case (ok, on) => bindExpr(ok.expr, innerCtx).as(on) }): _*)
-    val base = if (isDistinct) base0.distinct() else base0
+    val ordColsAll = qb.orderBy.zip(ordNames).map { case (ok, on) =>
+      if (ok.desc) col(on).desc else col(on).asc }
+    val base1 = if (isDistinct) base0.distinct() else base0
+    val base =
+      if (onKeys.isEmpty) base1
+      else {
+        val rn0 = fresh("ldorn")
+        base1.withColumn(rn0, row_number().over(
+            Window.partitionBy((keyNames ++ onNames).map(col): _*)
+              .orderBy(ordColsAll: _*)))
+          .filter(col(rn0) === 1).drop(rn0)
+      }
     val w = Window.partitionBy(keyNames.map(col): _*)
-      .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
-        if (ok.desc) col(on).desc else col(on).asc }: _*)
+      .orderBy(ordColsAll: _*)
     val rn = fresh("lrn")
     val proj = base.withColumn(rn, row_number().over(w))
       .filter(col(rn) === (off + 1))
@@ -3511,25 +3592,41 @@ final class Binder(
     * LIMIT freely (/root/reference/src/parser/mod.rs:447-544,1229-1245). */
   private def groupedScalarTop1(qb: QueryBody, innerCtx: Ctx,
       keyPairs: Seq[(Expr, Expr)], valueAggs: Seq[FnCall], ctx: Ctx,
-      off: Int, bodyCtes: Map[String, DataFrame]): Column = {
+      off: Int, bodyCtes: Map[String, DataFrame],
+      onKeys: Seq[Expr] = Nil): Column = {
     val what = "correlated scalar subquery with GROUP BY and LIMIT"
     val valueExpr = qb.selectList.head.expr
     // ORDER BY terms may be aggregates (ranking groups by their
-    // aggregate) — fold them into the grouped aggregate set
+    // aggregate) — fold them into the grouped aggregate set, as may
+    // DISTINCT ON keys (round 9: keep-first per ON key among the
+    // surviving GROUPS before the rank)
     val ordExprs = qb.orderBy.map(ok => substituteAliases(ok.expr, qb.selectList))
     val ordAggs = ordExprs.flatMap(collectAggs)
     val gs = groupedCorrelated(qb, innerCtx, keyPairs,
-      (valueAggs ++ ordAggs).distinct, bodyCtes)
+      (valueAggs ++ ordAggs ++ onKeys.flatMap(collectAggs)).distinct, bodyCtes)
     val valName = fresh("gtval")
     val ordNames = ordExprs.indices.map(_ => fresh("gtord"))
-    val base = gs.filtered.select(
+    val onNames = onKeys.indices.map(_ => fresh("gton"))
+    val base0 = gs.filtered.select(
       (gs.keyNames.map(gs.grouped(_)) ++
         Seq(bindExpr(valueExpr, gs.gCtx).as(valName)) ++
+        onKeys.zip(onNames).map { case (oe, on) =>
+          bindExpr(oe, gs.gCtx).as(on) } ++
         ordExprs.zip(ordNames).map { case (oe, on) =>
           bindExpr(oe, gs.gCtx).as(on) }): _*)
+    val ordColsAll = qb.orderBy.zip(ordNames).map { case (ok, on) =>
+      if (ok.desc) col(on).desc else col(on).asc }
+    val base =
+      if (onKeys.isEmpty) base0
+      else {
+        val rn0 = fresh("gtdorn")
+        base0.withColumn(rn0, row_number().over(
+            Window.partitionBy((gs.keyNames ++ onNames).map(col): _*)
+              .orderBy(ordColsAll: _*)))
+          .filter(col(rn0) === 1).drop(rn0)
+      }
     val w = Window.partitionBy(gs.keyNames.map(col): _*)
-      .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
-        if (ok.desc) col(on).desc else col(on).asc }: _*)
+      .orderBy(ordColsAll: _*)
     val rn = fresh("gtrn")
     val proj = base.withColumn(rn, row_number().over(w))
       .filter(col(rn) === (off + 1))
@@ -3793,9 +3890,20 @@ final class Binder(
   private def thetaGroupedAgg(qb: QueryBody, innerRel: Rel, local: Seq[Expr],
       correlated: Seq[Expr], ctx: Ctx, what: String,
       bodyCtes: Map[String, DataFrame]): Column = {
-    if (qb.distinct.isDefined)
+    // DISTINCT ON over the grouped body: keep-first per (rid ∪ ON
+    // keys) among the surviving groups before the rank (round 9, the
+    // groupedScalarTop1 lift under theta); requires the top-1 form —
+    // without LIMIT the scalar contract over ON-deduped groups is the
+    // plain per-rid count guard below, which plain DISTINCT already
+    // gets (a GROUP BY body dedupes per group)
+    val onKeys = qb.distinct.toSeq.flatten
+      .map(substituteAliases(_, qb.selectList))
+    if (qb.distinct.contains(Nil))
       err(s"$what with GROUP BY takes an aggregate body with optional " +
-        "HAVING (no DISTINCT)")
+        "HAVING (no plain DISTINCT — groups are already distinct)")
+    if (onKeys.nonEmpty && qb.limit.isEmpty)
+      err(s"$what: DISTINCT ON over a GROUP BY body needs ORDER BY … " +
+        "LIMIT 1 (the kept group per ON key is arbitrary without one)")
     // GROUP BY … ORDER BY … LIMIT 1 [OFFSET k]: rank the surviving
     // groups per rid (the theta analog of groupedScalarTop1) instead of
     // enforcing the one-group scalar contract
@@ -3830,6 +3938,7 @@ final class Binder(
       .map(e => (e, fresh("tgg")))
     val aggCalls = (collectAggs(valueExpr) ++
       havingExpr.toSeq.flatMap(collectAggs) ++
+      onKeys.flatMap(collectAggs) ++
       (if (top1Off.isDefined) ordExprs.flatMap(collectAggs) else Nil)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("tga")))
     val grouped = thetaBandedGroupedAgg(outer, rid, renamed, rScopes,
@@ -3860,13 +3969,25 @@ final class Binder(
         // sets, never a global sort; fewer than off+1 surviving groups
         // → NULL through the left join-back
         val ordNames = ordExprs.indices.map(_ => fresh("tgord"))
-        val base = filtered.select(
+        val onNames = onKeys.indices.map(_ => fresh("tgon"))
+        val base0 = filtered.select(
           (Seq(col(rid), bindExpr(valueExpr, gCtx).as(valName)) ++
+            onKeys.zip(onNames).map { case (oe, on) =>
+              bindExpr(oe, gCtx).as(on) } ++
             ordExprs.zip(ordNames).map { case (oe, on) =>
               bindExpr(oe, gCtx).as(on) }): _*)
-        val w = Window.partitionBy(col(rid))
-          .orderBy(qb.orderBy.zip(ordNames).map { case (ok, on) =>
-            if (ok.desc) col(on).desc else col(on).asc }: _*)
+        val ordColsAll = qb.orderBy.zip(ordNames).map { case (ok, on) =>
+          if (ok.desc) col(on).desc else col(on).asc }
+        val base =
+          if (onKeys.isEmpty) base0
+          else {
+            val rn0 = fresh("tgdorn")
+            base0.withColumn(rn0, row_number().over(
+                Window.partitionBy((col(rid) +: onNames.map(col)): _*)
+                  .orderBy(ordColsAll: _*)))
+              .filter(col(rn0) === 1).drop(rn0)
+          }
+        val w = Window.partitionBy(col(rid)).orderBy(ordColsAll: _*)
         val rn = fresh("tgrn")
         val proj = base.withColumn(rn, row_number().over(w))
           .filter(col(rn) === (off + 1))

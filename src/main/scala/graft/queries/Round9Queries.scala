@@ -312,6 +312,110 @@ object Round9Queries {
            where ok not in (select distinct on (y) max(z) from qe176_t
                             where k = ok group by x, y
                             order by y, max(z) limit 100)
-           order by ok"""))
+           order by ok""")),
+
+    // the GRANDPARENT-correlated form: the grouped slice runs on the
+    // (outer × middle) pair frame (joinNestedAggBody's window branch)
+    script("qe177_nested_in_grouped_distinct_on_limit",
+      Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT))) AS t(ok)"),
+      _ => Seq(
+        "drop table if exists qe177_o",
+        "drop table if exists qe177_m",
+        "drop table if exists qe177_t",
+        "create table qe177_t (k Int64, x Int64, y Int64)",
+        """insert into qe177_t values
+           (1, 1, 7), (1, 1, 7), (1, 2, 7), (1, 1, 8),
+           (2, 1, 7), (2, 2, 8), (2, 3, 9)""",
+        "create table qe177_m (g Int64)",
+        "insert into qe177_m values (1), (2), (3)",
+        "create table qe177_o (ok Int64)",
+        "insert into qe177_o values (1), (2), (3)",
+        """select ok from qe177_o
+           where exists (
+             select 1 from qe177_m
+             where g = ok
+               and 2 in (select distinct on (y) count(1) from qe177_t
+                         where k = ok group by x, y
+                         order by y, count(1) desc limit 2))
+           order by ok""")),
+
+    // …and its three-valued NOT IN corner (NULL aggregate among the
+    // kept values ⇒ UNKNOWN membership prunes; empty set keeps)
+    script("qe178_nested_notin_grouped_distinct_on_nulls",
+      Some("SELECT * FROM (VALUES (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT))) AS t(ok)"),
+      _ => Seq(
+        "drop table if exists qe178_o",
+        "drop table if exists qe178_m",
+        "drop table if exists qe178_t",
+        "create table qe178_t (k Int64, x Int64, y Int64, z Int64)",
+        """insert into qe178_t values
+           (1, 1, 7, 1), (1, 2, 8, null),
+           (2, 1, 7, 5),
+           (3, 1, 7, null)""",
+        "create table qe178_m (g Int64)",
+        "insert into qe178_m values (1), (2), (3), (4)",
+        "create table qe178_o (ok Int64)",
+        "insert into qe178_o values (1), (2), (3), (4)",
+        """select ok from qe178_o
+           where exists (
+             select 1 from qe178_m
+             where g = ok
+               and ok not in (select distinct on (y) max(z) from qe178_t
+                              where k = ok group by x, y
+                              order by y, max(z) limit 100))
+           order by ok""")),
+
+    // ---- scalar-family DISTINCT ON lifts (round 9 parity sweep) --------
+    // equality scalar DISTINCT ON top-1: the qe164 theta shape on the
+    // equality path (was "plain DISTINCT bodies only")
+    engineSql("qe179_scalar_distinct_on_offset",
+      """SELECT o_orderkey,
+           (SELECT DISTINCT ON (l_returnflag) l_suppkey FROM lineitem
+            WHERE l_orderkey = o_orderkey
+            ORDER BY l_returnflag, l_extendedprice DESC, l_suppkey
+            LIMIT 1 OFFSET 1) AS v
+         FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
+      """select o_orderkey,
+           (select distinct on (l_returnflag) l_suppkey from lineitem
+            where l_orderkey = o_orderkey
+            order by l_returnflag, l_extendedprice desc, l_suppkey
+            limit 1 offset 1) as v
+         from orders where o_orderkey < 3000 order by o_orderkey"""),
+
+    // equality GROUPED scalar DISTINCT ON top-1: keep the max-count
+    // group per status (count ties broken by priority keep an EQUAL
+    // count — the value stays deterministic), rank picks the 2nd status
+    engineSql("qe180_scalar_grouped_distinct_on_top1",
+      """SELECT c_custkey,
+           (SELECT DISTINCT ON (o_orderstatus) count(1) FROM orders
+            WHERE o_custkey = c_custkey
+            GROUP BY o_orderstatus, o_orderpriority
+            ORDER BY o_orderstatus DESC, count(1) DESC, o_orderpriority
+            LIMIT 1 OFFSET 1) AS v
+         FROM customer ORDER BY c_custkey""",
+      """select c_custkey,
+           (select distinct on (o_orderstatus) count(*) from orders
+            where o_custkey = c_custkey
+            group by o_orderstatus, o_orderpriority
+            order by o_orderstatus desc, count(*) desc, o_orderpriority
+            limit 1 offset 1) as v
+         from customer order by c_custkey"""),
+
+    // the THETA grouped form (thetaGroupedAgg's ON keep-first)
+    engineSql("qe181_scalar_theta_grouped_distinct_on_top1",
+      """SELECT o_orderkey,
+           (SELECT DISTINCT ON (l_returnflag) count(1) FROM lineitem
+            WHERE l_extendedprice > o_totalprice / 5
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, count(1) DESC, l_linestatus
+            LIMIT 1 OFFSET 1) AS v
+         FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""",
+      """select o_orderkey,
+           (select distinct on (l_returnflag) count(*) from lineitem
+            where l_extendedprice > o_totalprice / 5
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, count(*) desc, l_linestatus
+            limit 1 offset 1) as v
+         from orders where o_orderkey < 300 order by o_orderkey""")
   )
 }
