@@ -70,6 +70,38 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** Cross-source contamination matrix: for every source pair
+    * (a < b), the number of DISTINCT word n-grams the two sources
+    * share — the corpus-curation view of leakage ACROSS ingestion
+    * sources (crawl snapshots duplicating each other, a books source
+    * quoting a web source), where [[contaminatedIds]] is the
+    * train-vs-benchmark view.
+    *
+    * Scale shape: shingle per DOCUMENT (never a per-source window —
+    * a source's whole token stream in one window partition is the
+    * bucket-skew anti-pattern), dedup to distinct (source, gram),
+    * drop over-cap grams BEFORE the self-equijoin (a gram present in
+    * thousands of sources is boilerplate — a stop-gram — and would
+    * contribute O(sources²) pairs alone), then count per pair. The
+    * output is at most |sources|² rows — tiny at any corpus scale;
+    * the join volume is Σ_gram (sources-with-gram)², cap-bounded. */
+  def contaminationMatrix(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, ngram: Int = 5, maxBucket: Int = 4096): DataFrame = {
+    val grams = Dedup.shingleStream(docs, idCol, textCol, ngram)
+    val bySrc = grams
+      .join(docs.select(col(idCol).as("id"), col(sourceCol).as("source")),
+        Seq("id"))
+      .select(col("source"), col("s")).distinct()
+    val capped = Dedup.cappedBuckets(bySrc, Seq(col("s")), maxBucket)
+    val left = capped.select(col("source").as("src_a"), col("s"))
+    val right = capped.select(col("source").as("src_b"), col("s"))
+    left.join(right, Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---- PII detection / redaction ---------------------------------------
 
   /** Conservative PII patterns: RFC-ish emails, international/US phone

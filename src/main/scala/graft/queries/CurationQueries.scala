@@ -193,5 +193,30 @@ object CurationQueries {
               .followWithin(_, "click", "purchase", within = "2 hours"))
           .groupBy(col("a_user").as("user_id"))
           .agg(count(lit(1)).as("pairs"))
-          .orderBy(col("user_id"))))
+          .orderBy(col("user_id"))),
+
+    // ---- cross-source contamination matrix (round 9) --------------------
+    // distinct shared 5-grams per source pair — the source×source
+    // leakage view beside qp66's train-vs-benchmark check; oracle
+    // replays shingling, the distinct (source, gram) set, the gram
+    // bucket cap, and the pair count exactly
+    QueryDef(
+      "qp91_contamination_matrix",
+      Some("""WITH t AS (SELECT doc_id, source,
+                string_split_regex(trim(text), '\s+') w FROM documents),
+          g AS (SELECT DISTINCT source,
+                unnest(list_transform(range(1, greatest(len(w)-4, 1) + 1),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) s
+                FROM t),
+          capped AS (SELECT source, s FROM (
+                SELECT g.*, count(*) OVER (PARTITION BY s) bsz FROM g)
+              WHERE bsz <= 4096),
+          p AS (SELECT a.source AS src_a, b.source AS src_b,
+                CAST(count(*) AS BIGINT) AS shared_ngrams
+                FROM capped a JOIN capped b ON a.s = b.s
+                WHERE a.source < b.source GROUP BY 1, 2)
+          SELECT src_a, src_b, shared_ngrams FROM p ORDER BY src_a, src_b"""),
+      (s, dir) => graft.pipeline.Curation.contaminationMatrix(
+        graft.Tables.load(s, dir, "documents"), "doc_id", "source", "text",
+        ngram = 5)))
 }

@@ -416,6 +416,58 @@ object Round9Queries {
             group by l_returnflag, l_linestatus
             order by l_returnflag, count(*) desc, l_linestatus
             limit 1 offset 1) as v
-         from orders where o_orderkey < 300 order by o_orderkey""")
-  )
+         from orders where o_orderkey < 300 order by o_orderkey"""),
+
+    // HAVING composed under the theta grouped DISTINCT ON top-1 (the
+    // groups the ON keys dedup are the HAVING survivors)
+    engineSql("qe182_scalar_theta_grouped_distinct_on_having",
+      """SELECT o_orderkey,
+           (SELECT DISTINCT ON (l_returnflag) count(1) FROM lineitem
+            WHERE l_extendedprice > o_totalprice / 5
+            GROUP BY l_returnflag, l_linestatus
+            HAVING count(1) > 50
+            ORDER BY l_returnflag, count(1) DESC, l_linestatus
+            LIMIT 1 OFFSET 1) AS v
+         FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""",
+      """select o_orderkey,
+           (select distinct on (l_returnflag) count(*) from lineitem
+            where l_extendedprice > o_totalprice / 5
+            group by l_returnflag, l_linestatus
+            having count(*) > 50
+            order by l_returnflag, count(*) desc, l_linestatus
+            limit 1 offset 1) as v
+         from orders where o_orderkey < 300 order by o_orderkey"""),
+
+    // WITH TIES slicing the GROUPED membership set in a nested IN (the
+    // rank() cut runs on the pair frame's groups)
+    script("qe183_nested_in_grouped_ties",
+      Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT))) AS t(ok)"),
+      _ => Seq(
+        "drop table if exists qe183_o",
+        "drop table if exists qe183_m",
+        "drop table if exists qe183_t",
+        "create table qe183_t (k Int64, x Int64, y Int64)",
+        """insert into qe183_t values
+           (1, 1, 7), (1, 1, 7), (1, 2, 8), (1, 2, 8), (1, 3, 9),
+           (2, 1, 7), (2, 1, 7), (2, 2, 8), (2, 3, 9)""",
+        "create table qe183_m (g Int64)",
+        "insert into qe183_m values (1), (2), (3)",
+        "create table qe183_o (ok Int64)",
+        "insert into qe183_o values (1), (2), (3)",
+        // per k, groups (x, y) with counts; ORDER BY count desc alone
+        // (no tiebreak — WITH TIES ties on the FULL sort key) keeps
+        // every tying top group:
+        //   k=1: counts {2, 2, 1} -> both 2-count groups -> y ∈ {7, 8}
+        //   k=2: counts {2, 1, 1} -> only y=7
+        // membership of y-value 8 distinguishes the tie cut; the kept
+        // SET is order-free, so the missing tiebreak stays deterministic
+        """select ok from qe183_o
+           where exists (
+             select 1 from qe183_m
+             where g = ok
+               and 8 in (select y from qe183_t
+                         where k = ok group by x, y
+                         order by count(1) desc limit 1 with ties))
+           order by ok""")
+  ))
 }

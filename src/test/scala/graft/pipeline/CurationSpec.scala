@@ -458,4 +458,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keeps == Map(1L -> true, 2L -> false, 3L -> false,
       4L -> false, 5L -> false, 6L -> false))
   }
+
+  test("contaminationMatrix counts distinct shared n-grams per source pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "one two three four five six"),
+      (2L, "b", "one two three four five seven"),
+      (3L, "b", "one two three four five six"), // dup passage, same pair
+      (4L, "c", "totally different words here now then"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.contaminationMatrix(d, "doc_id", "source", "text", ngram = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // a's 5-grams: {one..five, two..six}; b's: {one..five, two..seven,
+    // two..six}; c shares nothing. DISTINCT grams per source, so doc 3's
+    // repeat of doc 1's passage adds set-wise, not count-wise
+    assert(got == Seq(("a", "b", 2L)))
+  }
 }
