@@ -3265,6 +3265,18 @@ final class Binder(
     // band), so it dominates the pair-frame fallback at every outer and
     // inner size; qe146's 75-row outer was its 5× win, not a reason to
     // skip (VERDICT r8 #4 applies only to the join-mechanics path).
+    //
+    // The decomposition is only sound when the banded comparison IS the
+    // ENTIRE correlation: fullPart credits whole bands by position
+    // alone, so ANY additional conjunct (an equality, a second range)
+    // would be honored in the boundary band but silently ignored in
+    // the fully-matching bands — wrong aggregates, not just a slow
+    // plan. (Found by the round-9 differential fuzzer on
+    // `k > ok-2 AND k < ok+2` bodies; every shipped entry was
+    // single-conjunct.) Multi-conjunct correlation falls back to the
+    // pair-frame path, where [[thetaInnerJoin]] applies the FULL
+    // condition as the join predicate.
+    if (correlated.size != 1) return None
     val plan = thetaBandPlan(renamed, rScopes, correlated, ctx)
       .getOrElse(return None)
     if (!groupPairs.forall { case (e, _) => resolvesWithin(e, innerRel) })

@@ -1,0 +1,94 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.Sessions
+
+/** Differential-fuzz runner: executes `tools/fuzzgen.py` queries
+  * through the ENGINE text path on deterministic fixture tables and
+  * dumps results + oracle SQL in the exact layout `tools/check.py`
+  * consumes — so the DuckDB compare machinery is reused unchanged.
+  * Each oracle is the SAME query text prefixed with DuckDB DDL
+  * rebuilding the fixtures from the SAME literal rows (multi-statement
+  * oracles return the last result). An engine error is a SKIP, not a
+  * failure — the generator deliberately wanders to the dialect's
+  * edges; a result MISMATCH is the bug being hunted.
+  *
+  * Usage: runMain graft.tools.FuzzDump <queries.tsv> <sfDir> <outDir>
+  */
+object FuzzDump {
+
+  /** One literal row list shared by the engine INSERT and the oracle
+    * INSERT — generated, never hand-copied, so the two sides cannot
+    * drift. y is NULL every 5th row, z every 7th-ish: the NULL corners
+    * are the point. */
+  private val fixtureRows: String = (1 to 40).map { rid =>
+    val k = rid % 14
+    val x = rid % 3 + 1
+    val y = if (rid % 5 == 0) "null" else (7 + rid % 3).toString
+    val z = if (rid % 7 == 3) "null" else (rid % 5 + 1).toString
+    s"($rid, $k, $x, $y, $z)"
+  }.mkString(", ")
+
+  private val outerRows: String = (1 to 12).map(ok => s"($ok)").mkString(", ")
+
+  private val engineDdl = Seq(
+    "drop table if exists fz_a",
+    "drop table if exists fz_b",
+    "create table fz_a (ok Int64)",
+    s"insert into fz_a values $outerRows",
+    "create table fz_b (rid Int64, k Int64, x Int64, y Int64, z Int64)",
+    s"insert into fz_b values $fixtureRows")
+
+  private val oraclePrefix: String =
+    "CREATE OR REPLACE TABLE fz_a (ok BIGINT); " +
+      s"INSERT INTO fz_a VALUES $outerRows; " +
+      "CREATE OR REPLACE TABLE fz_b (rid BIGINT, k BIGINT, x BIGINT, y BIGINT, z BIGINT); " +
+      s"INSERT INTO fz_b VALUES $fixtureRows; "
+
+  def main(args: Array[String]): Unit = {
+    val (qfile, sfDir, outDir) = (args(0), args(1), args(2))
+    val spark = Sessions.build("graft-fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    val eng = graft.queries.Engines.get(spark, sfDir)
+    engineDdl.foreach(eng.execute(_))
+    val lines = new String(Files.readAllBytes(Paths.get(qfile)), "UTF-8")
+      .split('\n').toSeq.filter(_.contains('\t'))
+    val ok = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var skipped = 0
+    lines.foreach { l =>
+      val parts = l.split('\t')
+      val name = parts(0)
+      val sql = parts(1)
+      // optional third column: a DuckDB-dialect rewrite of the same
+      // query (e.g. LIMIT ... WITH TIES as a rank() QUALIFY)
+      val oracleSql = if (parts.length > 2) parts(2) else sql
+      try {
+        eng.execute(sql).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += name -> (oraclePrefix + oracleSql)
+      } catch {
+        case e: Throwable =>
+          skipped += 1
+          System.err.println(s"[fuzz] SKIP $name: " +
+            String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
+      }
+      graft.queries.Engines.releaseAll()
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = ok.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[fuzz] ran ${ok.size} ok, skipped $skipped")
+    spark.stop()
+  }
+}

@@ -227,6 +227,37 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     sql("drop table if exists r9go")
   }
 
+  // ---- banded grouped agg: multi-conjunct correlation must fall back ----
+  // (found by tools/fuzzgen.py: fullPart credits whole bands by the ONE
+  // banded comparison, so a second conjunct was honored only in the
+  // boundary band — wrong aggregates on `k > ok-2 AND k < ok+2` bodies)
+
+  test("theta grouped aggregation is exact under multi-conjunct correlation") {
+    sql("drop table if exists r9mo")
+    sql("create table r9mo (ok Int64)")
+    sql("insert into r9mo values " + (1 to 12).map(i => s"($i)").mkString(", "))
+    sql("drop table if exists r9mb")
+    sql("create table r9mb (rid Int64, k Int64, x Int64)")
+    sql("insert into r9mb values " + (1 to 40).map(r =>
+      s"($r, ${r % 14}, ${r % 3 + 1})").mkString(", "))
+    val got = rows("""select ok from r9mo where not exists (
+        select x from r9mb where k > ok - 2 and k < ok + 2
+        group by x having count(1) > 2) order by ok""").map(_.getLong(0))
+    // mirror with plain DataFrame ops
+    val sp = spark; import sp.implicits._
+    val o = (1 to 12).map(_.toLong).toDF("ok")
+    val b = (1 to 40).map(r => (r.toLong, (r % 14).toLong, (r % 3 + 1).toLong))
+      .toDF("rid", "k", "x")
+    val bad = o.join(b, col("k") > col("ok") - 2 && col("k") < col("ok") + 2)
+      .groupBy("ok", "x").count().filter(col("count") > 2)
+      .select("ok").distinct()
+    val expect = o.join(bad, Seq("ok"), "left_anti")
+      .orderBy("ok").collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+    sql("drop table if exists r9mo")
+    sql("drop table if exists r9mb")
+  }
+
   // ---- IN over grouped DISTINCT ON / LIMIT bodies -----------------------
 
   test("IN over a grouped DISTINCT ON body keeps the sliced group values") {

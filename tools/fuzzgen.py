@@ -1,0 +1,174 @@
+#!/usr/bin/env python3
+"""Differential-fuzz query generator for the correlated-subquery dialect.
+
+Emits `name<TAB>sql` lines (one query per line, whitespace-normalized)
+over two tiny fixture tables the runner (graft.tools.FuzzDump) creates
+through the ENGINE's own DDL path:
+
+    fz_a(ok)                       12 outer rows, unique
+    fz_b(rid, k, x, y, z)          ~40 inner rows; y and z carry NULLs
+
+Every generated query is valid in BOTH the engine dialect and DuckDB,
+and is RESULT-DETERMINISTIC and ENGINE-PORTABLE by construction:
+
+  - bodies that slice rows (LIMIT/OFFSET, DISTINCT ON + LIMIT, scalar
+    top-1) order by a TOTAL key ending in the unique `rid` (row-level)
+    or the full group-key list (grouped);
+  - nullable columns (y, z) never decide a cross-row slice unless the
+    body filters them non-null first — Spark sorts NULLS FIRST asc,
+    DuckDB NULLS LAST, so a NULL-ordered slice would diverge while both
+    engines are "right";
+  - WITH TIES uses a non-unique sort prefix alone (the kept SET is
+    closed under ties, hence deterministic) and never combines with
+    DISTINCT ON (the kept VALUE per ON key would be tie-arbitrary).
+
+Combinations the engine rejects with a clean error are fine — the
+runner records them as SKIP (an error is not a wrong answer) — but
+known-rejected shapes (plain DISTINCT+LIMIT under IN, grouped scalar
+without LIMIT 1, …) are avoided to keep the compare dense.
+
+Usage: python3 tools/fuzzgen.py [n] [seed] > /tmp/fuzz_queries.tsv
+"""
+import random
+import sys
+
+
+def norm(s):
+    return " ".join(s.split())
+
+
+def gen(rng):
+    oracle_body = None  # set when the engine body needs a DuckDB rewrite
+    corr = rng.choice([
+        "k = ok",
+        "k < ok + 2",
+        "k > ok - 3",
+        "k > ok - 2 and k < ok + 2",
+        "k = ok and x < ok + 2",
+    ])
+
+    shape = rng.choice(["plain", "plain", "grouped", "grouped", "ungrouped_agg"])
+    scalar_ok = False
+    if shape == "plain":
+        sel = rng.choice(["y", "z", "rid", "x + 1"])
+        distinct_on = rng.random() < 0.35
+        limit = rng.random() < 0.6
+        extra = []
+        order = None
+        body = "select "
+        if distinct_on:
+            body += f"distinct on (y) {sel}"
+            order = "order by y, rid"
+            if limit:
+                # a LIMIT across ON keys makes NULL y decide the slice
+                extra.append("y is not null")
+        else:
+            body += sel
+            if limit:
+                order = rng.choice(
+                    ["order by x desc, rid", "order by x, rid", "order by rid"])
+        body += f" from fz_b where {corr}"
+        if rng.random() < 0.4:
+            extra.append(rng.choice(["z > 1", "y is not null", "x < 3"]))
+        for e in dict.fromkeys(extra):
+            body += f" and {e}"
+        if order:
+            body += " " + order
+        if limit and order:
+            lim = rng.randint(1, 3)
+            off = rng.choice([0, 0, 1, 2])
+            body += f" limit {lim}"
+            if off:
+                body += f" offset {off}"
+            scalar_ok = lim == 1
+    elif shape == "grouped":
+        keys = rng.choice([["x"], ["x", "y"], ["y"]])
+        agg = rng.choice(["count(1)", "max(z)", "count(1) % 3", "min(rid)"])
+        sel = rng.choice([agg] + keys)
+        distinct_on = rng.random() < 0.35 and "y" in keys and sel != "y"
+        having = rng.random() < 0.4
+        limit = rng.random() < 0.6
+        ties = limit and not distinct_on and rng.random() < 0.3
+        extra = []
+        if (limit and not ties and "y" in keys) or (distinct_on and limit):
+            # NULL group keys must not decide a positional slice
+            extra.append("y is not null")
+        body = "select "
+        if distinct_on:
+            body += "distinct on (y) "
+        body += f"{sel} from fz_b where {corr}"
+        for e in dict.fromkeys(extra):
+            body += f" and {e}"
+        body += f" group by {', '.join(keys)}"
+        if having:
+            body += f" having count(1) > {rng.randint(1, 2)}"
+        order = None
+        if ties:
+            order = "order by count(1) desc"
+        elif limit or distinct_on:
+            lead = "y, " if distinct_on else ""
+            order = f"order by {lead}count(1) desc, " + ", ".join(keys)
+        prefix = body
+        if order:
+            body += " " + order
+        if limit:
+            lim = rng.randint(1, 3)
+            body += f" limit {lim}"
+            if ties:
+                body += " with ties"
+                # DuckDB has no LIMIT ... WITH TIES; rank() <= N is the
+                # exact equivalent (keep rows tying with the N-th row)
+                oracle_body = prefix + \
+                    f" qualify rank() over (order by count(1) desc) <= {lim}"
+            elif rng.random() < 0.4:
+                body += f" offset {rng.randint(1, 2)}"
+            scalar_ok = lim == 1 and not ties
+    else:
+        agg = rng.choice(["count(1)", "max(z)", "min(x)", "count(1) + 1"])
+        body = f"select {agg} from fz_b where {corr}"
+        if rng.random() < 0.3:
+            body += rng.choice([" and z > 1", " and y is not null"])
+        if rng.random() < 0.3:
+            body += f" having count(1) > {rng.randint(0, 2)}"
+        scalar_ok = True
+
+    form = rng.choice(
+        ["exists", "exists", "in", "in", "scalar" if scalar_ok else "exists"])
+
+    def wrap(b):
+        if form == "exists":
+            return f"{'not ' if neg else ''}exists ({b})"
+        if form == "in":
+            return f"{lhs} {'not in' if neg else 'in'} ({b})"
+        return f"ok {op} ({b})"
+
+    neg = rng.random() < 0.35
+    lhs = rng.choice(["ok", "ok % 4", "2"])
+    op = rng.choice(["=", "<", ">=", "<>"])
+    pred, opred = wrap(body), wrap(oracle_body) if oracle_body else None
+    if rng.random() < 0.25:
+        pred = f"ok > 100 or {pred}"
+        opred = f"ok > 100 or {opred}" if opred else None
+    q = norm(f"select ok from fz_a where {pred} order by ok")
+    oq = norm(f"select ok from fz_a where {opred} order by ok") if opred else None
+    return (q, oq)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 9
+    rng = random.Random(seed)
+    seen = set()
+    out = []
+    while len(out) < n:
+        q, oq = gen(rng)
+        if q in seen:
+            continue
+        seen.add(q)
+        out.append((q, oq))
+    for i, (q, oq) in enumerate(out):
+        print(f"fz{i:03d}\t{q}" + (f"\t{oq}" if oq else ""))
+
+
+if __name__ == "__main__":
+    main()
