@@ -1153,9 +1153,27 @@ final class Binder(
       ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
       return
     }
+    val rid2 = fresh("terid2")
+    val (outer, rid, survivors) =
+      thetaAggExistsSurvivors(qb, innerCtx, correlated, ctx, existsOff,
+        distinctExprs, what)
+    val how = if (negated) "left_anti" else "left_semi"
+    ctx.rel = Rel(
+      outer.join(survivors.withColumnRenamed(rid, rid2),
+        col(rid) === col(rid2), how).drop(rid),
+      ctx.rel.scopes)
+  }
+
+  /** The rid-tagged outer frame and the DISTINCT rid set whose GROUP BY
+    * body yields more than `existsOff` surviving post-DISTINCT rows —
+    * the core of [[thetaAggExists]], shared with the expression-position
+    * mark-join form ([[thetaExistsExprFlag]]). */
+  private def thetaAggExistsSurvivors(qb: QueryBody, innerCtx: Ctx,
+      correlated: Seq[Expr], ctx: Ctx, existsOff: Int,
+      distinctExprs: Option[Seq[Expr]],
+      what: String): (DataFrame, String, DataFrame) = {
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
     val rid = fresh("terid")
-    val rid2 = fresh("terid2")
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
@@ -1193,11 +1211,66 @@ final class Binder(
         filtered.groupBy(col(rid)).agg(existsOffCount(distinctExprs, gCtx, cnt))
           .filter(col(cnt) > existsOff).drop(cnt)
       }
-    val how = if (negated) "left_anti" else "left_semi"
-    ctx.rel = Rel(
-      outer.join(survivors.withColumnRenamed(rid, rid2),
-        col(rid) === col(rid2), how).drop(rid),
-      ctx.rel.scopes)
+    (outer, rid, survivors)
+  }
+
+  /** THETA-correlated EXISTS in EXPRESSION position (under OR/CASE):
+    * the conjunct path's rid machinery surfaced as a mark-join COLUMN.
+    * Plain bodies mark rids matched by the (banded) theta join; GROUP
+    * BY bodies mark rids with more than `existsOff` surviving
+    * post-DISTINCT rows; ungrouped-HAVING/aggregate bodies evaluate
+    * the HAVING flag per outer row directly (one aggregate row exists
+    * even over an empty match set). Closes the round-9 fuzzer's one
+    * systematic SKIP class. */
+  private def thetaExistsExprFlag(qb: QueryBody, innerCtx: Ctx,
+      correlated: Seq[Expr], ctx: Ctx, negated: Boolean,
+      existsOff: Int): Column = {
+    val what = "EXISTS in expression position (theta path)"
+    val selAggs = qb.selectList match {
+      case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => collectAggs(e)
+      case _ => Nil
+    }
+    val f: Column =
+      if (qb.groupBy.isEmpty && (qb.having.isDefined || selAggs.nonEmpty)) {
+        val qb2 = qb.copy(selectList =
+          Seq(SelectItem(FnCall("count", Seq(IntLit(BigInt(1)))), None)),
+          limit = None)
+        val (_, having) = thetaUngroupedAgg(qb2, innerCtx.rel, Nil, correlated,
+          ctx, what, innerCtx.ctes)
+        having.map(h => coalesce(h, lit(false))).getOrElse(lit(true))
+      } else if (qb.groupBy.nonEmpty) {
+        val distinctExprs =
+          if (existsOff == 0) None else groupedDistinctExprs(qb, what)
+        val rid2 = fresh("xtrid2")
+        val flagN = fresh("xtflag")
+        val (outer, rid, survivors) =
+          thetaAggExistsSurvivors(qb, innerCtx, correlated, ctx, existsOff,
+            distinctExprs, what)
+        val hits = survivors.withColumnRenamed(rid, rid2)
+          .withColumn(flagN, lit(true))
+        ctx.rel = Rel(
+          outer.join(hits, col(rid) === col(rid2), "left").drop(rid, rid2),
+          ctx.rel.scopes :+ hiddenScope(hits, Seq(flagN)))
+        coalesce(hits(flagN), lit(false))
+      } else {
+        // plain body: DISTINCT matched rids carry the flag
+        val rid = fresh("xtrid")
+        val rid2 = fresh("xtrid2")
+        val flagN = fresh("xtflag")
+        val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persistedFrames += outer
+        val (renamed, rScopes) =
+          freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+        val joined = thetaInnerJoin(outer, renamed, rScopes, correlated, ctx, what)
+        val hits = joined.select(col(rid)).distinct()
+          .withColumnRenamed(rid, rid2).withColumn(flagN, lit(true))
+        ctx.rel = Rel(
+          outer.join(hits, col(rid) === col(rid2), "left").drop(rid, rid2),
+          ctx.rel.scopes :+ hiddenScope(hits, Seq(flagN)))
+        coalesce(hits(flagN), lit(false))
+      }
+    if (negated) !f else f
   }
 
   /** Lower-cased visible relation qualifiers of a scope list. */
@@ -2558,6 +2631,9 @@ final class Binder(
     // Same grouped lowering as the conjunct path, surfaced as a mark-join
     // flag instead of a semi/anti join (VERDICT r3 ask #4)
     if (qb.groupBy.nonEmpty || qb.having.isDefined) {
+      if (correlated.nonEmpty && !equalityOrientable(correlated, innerRel, ctx.rel))
+        return thetaExistsExprFlag(qb, innerCtx, correlated, ctx, negated,
+          existsOff)
       val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel,
         "aggregated EXISTS in expression position")
       if (qb.groupBy.isEmpty && qb.having.isDefined && keyPairs.nonEmpty) {
@@ -2610,6 +2686,9 @@ final class Binder(
         ctx.rel = Rel(ctx.rel.df.crossJoin(broadcast(one)),
           ctx.rel.scopes :+ hiddenScope(one, Seq(flag)))
         one(flag)
+      } else if (!equalityOrientable(correlated, innerRel, ctx.rel)) {
+        return thetaExistsExprFlag(qb, innerCtx, correlated, ctx, negated,
+          existsOff = 0)
       } else {
         val keyPairs = orientCorrelated(correlated, innerRel, ctx.rel,
           "EXISTS in expression position")

@@ -438,6 +438,38 @@ object Round9Queries {
             limit 1 offset 1) as v
          from orders where o_orderkey < 300 order by o_orderkey"""),
 
+    // ---- THETA EXISTS in expression position (under OR) — the round-9
+    // fuzzer's one systematic skip class, now a rid mark join --------
+    engineSql("qe184_exists_theta_expr_position",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND (o_orderkey > 250 OR EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_extendedprice > o_totalprice / 2 AND l_quantity > 45))
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and (o_orderkey > 250 or exists (
+           select 1 from lineitem
+           where l_extendedprice > o_totalprice / 2 and l_quantity > 45))
+         order by o_orderkey"""),
+
+    // …and the AGGREGATED form (GROUP BY + HAVING + OFFSET counting,
+    // negated, under OR)
+    engineSql("qe185_not_exists_theta_grouped_expr_position",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND (o_orderkey > 10000 OR NOT EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_extendedprice > o_totalprice / 3
+           GROUP BY l_returnflag HAVING count(1) > 100
+           LIMIT 100 OFFSET 1))
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and (o_orderkey > 10000 or not exists (
+           select 1 from lineitem
+           where l_extendedprice > o_totalprice / 3
+           group by l_returnflag having count(*) > 100
+           limit 100 offset 1))
+         order by o_orderkey"""),
+
     // WITH TIES slicing the GROUPED membership set in a nested IN (the
     // rank() cut runs on the pair frame's groups)
     script("qe183_nested_in_grouped_ties",
