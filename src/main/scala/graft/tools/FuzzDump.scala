@@ -32,17 +32,27 @@ object FuzzDump {
 
   private val outerRows: String = (1 to 12).map(ok => s"($ok)").mkString(", ")
 
+  /** 1..12 plus duplicates — EXISTS over the middle must stay
+    * multiplicity-blind. */
+  private val middleRows: String =
+    ((1 to 12) ++ Seq(3, 3, 7, 7)).map(g => s"($g)").mkString(", ")
+
   private val engineDdl = Seq(
     "drop table if exists fz_a",
+    "drop table if exists fz_m",
     "drop table if exists fz_b",
     "create table fz_a (ok Int64)",
     s"insert into fz_a values $outerRows",
+    "create table fz_m (g Int64)",
+    s"insert into fz_m values $middleRows",
     "create table fz_b (rid Int64, k Int64, x Int64, y Int64, z Int64)",
     s"insert into fz_b values $fixtureRows")
 
   private val oraclePrefix: String =
     "CREATE OR REPLACE TABLE fz_a (ok BIGINT); " +
       s"INSERT INTO fz_a VALUES $outerRows; " +
+      "CREATE OR REPLACE TABLE fz_m (g BIGINT); " +
+      s"INSERT INTO fz_m VALUES $middleRows; " +
       "CREATE OR REPLACE TABLE fz_b (rid BIGINT, k BIGINT, x BIGINT, y BIGINT, z BIGINT); " +
       s"INSERT INTO fz_b VALUES $fixtureRows; "
 

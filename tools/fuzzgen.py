@@ -6,6 +6,7 @@ over two tiny fixture tables the runner (graft.tools.FuzzDump) creates
 through the ENGINE's own DDL path:
 
     fz_a(ok)                       12 outer rows, unique
+    fz_m(g)                        middle rows 1..12 plus duplicates
     fz_b(rid, k, x, y, z)          ~40 inner rows; y and z carry NULLs
 
 Every generated query is valid in BOTH the engine dialect and DuckDB,
@@ -146,7 +147,25 @@ def gen(rng):
     lhs = rng.choice(["ok", "ok % 4", "2"])
     op = rng.choice(["=", "<", ">=", "<>"])
     pred, opred = wrap(body), wrap(oracle_body) if oracle_body else None
-    if rng.random() < 0.25:
+
+    pos = rng.random()
+    if form == "scalar" and pos < 0.25:
+        # scalar subquery in SELECT position
+        q = norm(f"select ok, ({body}) as v from fz_a order by ok")
+        oq = norm(f"select ok, ({oracle_body}) as v from fz_a order by ok") \
+            if oracle_body else None
+        return (q, oq)
+    if pos < 0.3:
+        # NESTED: the predicate references ok from TWO scopes up (the
+        # grandparent machinery); the middle table carries duplicate g
+        # values so multiplicity-blindness is exercised too
+        mcorr = "g = ok" if rng.random() < 0.7 else "g < ok + 1"
+        mneg = "not " if rng.random() < 0.3 else ""
+
+        def nest(p):
+            return f"{mneg}exists (select 1 from fz_m where {mcorr} and {p})"
+        pred, opred = nest(pred), nest(opred) if opred else None
+    elif pos < 0.55:
         pred = f"ok > 100 or {pred}"
         opred = f"ok > 100 or {opred}" if opred else None
     q = norm(f"select ok from fz_a where {pred} order by ok")
