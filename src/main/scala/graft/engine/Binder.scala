@@ -837,11 +837,23 @@ final class Binder(
         subqueryConjuncts += e
       case e => plain += e
     }
-    // plain predicates filter first (best pushdown), then semi/anti joins
-    val plainSeq = plain.result()
-    if (plainSeq.nonEmpty) {
-      val cond = plainSeq.map(bindExpr(_, ctx)).reduce(_ && _)
+    // plain predicates filter first (best pushdown), then semi/anti joins.
+    // Within the plain set, SUBQUERY-FREE conjuncts filter BEFORE any
+    // subquery-bearing one binds: a mark join (e.g. EXISTS under OR)
+    // materializes per-outer-row machinery over whatever ctx.rel holds
+    // at bind time, so a literal cap like `o_orderkey < 300` must land
+    // first — binding them together ran qe184/qe185's theta mark joins
+    // over the FULL 150k-row outer at sf0.1 (71 s / 212 s) instead of
+    // the 75 capped rows (~2 s). Conjunct reordering in WHERE is
+    // semantics-free.
+    val (pure, withSub) = plain.result().partition(!containsSubquery(_))
+    if (pure.nonEmpty) {
+      val cond = pure.map(bindExpr(_, ctx)).reduce(_ && _)
       ctx.rel = Rel(ctx.rel.df.filter(cond), ctx.rel.scopes)
+    }
+    withSub.foreach { e =>
+      val c = bindExpr(e, ctx)
+      ctx.rel = Rel(ctx.rel.df.filter(c), ctx.rel.scopes)
     }
     subqueryConjuncts.result().foreach {
       case ExistsExpr(q, neg) => lowerExists(q, neg, ctx)
@@ -1027,11 +1039,17 @@ final class Binder(
           // survives per ON key — no flattening; the pair-frame route
           // lowers it per rid ([[sliceInNestedBody]])
           (lhsOpt.isDefined && nqb.distinct.exists(_.nonEmpty)) ||
-          (lhsOpt.isDefined && (nqb.selectList match {
+          // an AGGREGATE select cannot flatten in ANY form: the flatten
+          // join runs BELOW the body's own aggregation. The EXISTS form
+          // is an ungrouped aggregate body — one row ALWAYS exists, so
+          // flattening it as a plain source silently turned
+          // constant-true existence into match-dependent existence
+          // (round-9 fuzzer find, `exists (select max(z) …)` nested)
+          (nqb.selectList match {
             case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] =>
               collectAggs(e).nonEmpty
             case _ => false
-          }))
+          })
     }
     if (exprNested.nonEmpty || posTop.exists(aggNestedBody)) {
       lowerExistsExprNested(qb, flattenable, correlated0, innerCtx, ctx, negated)
@@ -1611,6 +1629,15 @@ final class Binder(
     // level).
     var body = nqb
     var existsOff = 0
+    // EXISTS-form ungrouped AGGREGATE select: exactly ONE row whatever
+    // the matches (SQL's empty-set aggregate row) — existence is
+    // constant (the depth-1 lowerExists branch, which the nested route
+    // was missing: round-9 fuzzer find)
+    val exSelAggs = lhsOpt.isEmpty && (nqb.selectList match {
+      case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] =>
+        collectAggs(e).nonEmpty
+      case _ => false
+    })
     body.limit match {
       case Some(lc) =>
         val constFalse =
@@ -1623,7 +1650,7 @@ final class Binder(
         val o = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
         body = body.copy(limit = None)
         if (o > 0) {
-          if (body.groupBy.isEmpty && body.having.isEmpty) {
+          if (body.groupBy.isEmpty && body.having.isEmpty && !exSelAggs) {
             // post-DISTINCT-ON the body has one row per ON-key tuple and
             // post-DISTINCT one row per select-value tuple, so "more
             // than o rows survive the offset" counts DISTINCT tuples —
@@ -1641,7 +1668,7 @@ final class Binder(
             body = body.copy(having = Some(Binary(">", cntFn,
               IntLit(BigInt(o)))), distinct = None)
           }
-          else if (body.groupBy.isEmpty) return constFalse
+          else if (body.groupBy.isEmpty) return constFalse // ≤1 row ever
           else existsOff = o
         }
       case None => ()
@@ -1649,6 +1676,8 @@ final class Binder(
     // an aggregated body (GROUP BY / HAVING / aggregate select item under
     // IN) cannot lower as a row-level semi/anti join — its membership set
     // is PER-GROUP values — so it takes the per-pair grouped lowering
+    if (exSelAggs && body.groupBy.isEmpty && body.having.isEmpty)
+      return (if (anti) Rel(rel.df.filter(lit(false)), rel.scopes) else rel)
     val selAggs = lhsOpt.toSeq.flatMap(_ => body.selectList match {
       case Seq(SelectItem(e, _)) if !e.isInstanceOf[Wildcard] => collectAggs(e)
       case _ => err("IN subquery must produce exactly 1 column")
@@ -2588,12 +2617,14 @@ final class Binder(
     // rewrite to HAVING count(1) > o, ungrouped-HAVING bodies (≤1 row)
     // become constant, GROUP BY bodies count surviving groups below.
     var existsOff = 0
+    val exprSelAggs = qb.selectList.exists(si =>
+      !si.expr.isInstanceOf[Wildcard] && collectAggs(si.expr).nonEmpty)
     qb.limit.foreach { lc =>
       val o = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
       if (evalLimitInt(lc.limit, "LIMIT") == 0)
         return lit(negated) // EXISTS(LIMIT 0) = false; NOT EXISTS = true
       if (o > 0) {
-        if (qb.groupBy.isEmpty && qb.having.isEmpty) {
+        if (qb.groupBy.isEmpty && qb.having.isEmpty && !exprSelAggs) {
           // post-DISTINCT [ON] the body has one row per ON-key/select
           // tuple, so "more than o rows" counts DISTINCT tuples —
           // NULL-safe (countUniqueRows), same as the conjunct path
@@ -2613,6 +2644,11 @@ final class Binder(
         existsOff = o
       }
     }
+    // ungrouped AGGREGATE select with no HAVING: exactly one row always
+    // exists — constant-true (the conjunct path's branch, which the
+    // expression-position form was missing: round-9 fuzzer find)
+    if (qb.groupBy.isEmpty && qb.having.isEmpty && exprSelAggs)
+      return lit(!negated)
     // the body's own WITH list binds first (uncorrelated), as in the
     // WHERE-conjunct EXISTS lowering
     val bodyCtes = bindBodyCtes(qb, ctx.ctes)

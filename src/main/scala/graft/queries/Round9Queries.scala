@@ -470,6 +470,40 @@ object Round9Queries {
            limit 100 offset 1))
          order by o_orderkey"""),
 
+    // ---- EXISTS over an ungrouped AGGREGATE select: one row ALWAYS
+    // exists (SQL's empty-set aggregate row), so existence is constant
+    // even when the body's WHERE matches nothing — the nested and
+    // expression-position forms silently flattened/counted instead
+    // (round-9 fuzzer find; the l_quantity > 60 filter matches NO
+    // lineitem of most orders, which is exactly the discriminator) ----
+    engineSql("qe186_nested_exists_agg_select",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND NOT EXISTS (
+           SELECT 1 FROM customer
+           WHERE c_custkey = o_custkey AND c_custkey > 100
+             AND EXISTS (SELECT max(l_quantity) FROM lineitem
+                         WHERE l_orderkey = o_orderkey AND l_quantity > 60))
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and not exists (
+           select 1 from customer
+           where c_custkey = o_custkey and c_custkey > 100
+             and exists (select max(l_quantity) from lineitem
+                         where l_orderkey = o_orderkey and l_quantity > 60))
+         order by o_orderkey"""),
+
+    engineSql("qe187_exists_agg_select_expr_position",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND (o_orderkey > 250 OR EXISTS (
+           SELECT max(l_quantity) FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_quantity > 60))
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and (o_orderkey > 250 or exists (
+           select max(l_quantity) from lineitem
+           where l_orderkey = o_orderkey and l_quantity > 60))
+         order by o_orderkey"""),
+
     // WITH TIES slicing the GROUPED membership set in a nested IN (the
     // rank() cut runs on the pair frame's groups)
     script("qe183_nested_in_grouped_ties",

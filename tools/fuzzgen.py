@@ -144,7 +144,8 @@ def gen(rng):
         return f"ok {op} ({b})"
 
     neg = rng.random() < 0.35
-    lhs = rng.choice(["ok", "ok % 4", "2"])
+    lhs = rng.choice(["ok", "ok % 4", "2",
+                      "case when ok % 5 = 0 then null else ok end"])
     op = rng.choice(["=", "<", ">=", "<>"])
     pred, opred = wrap(body), wrap(oracle_body) if oracle_body else None
 
