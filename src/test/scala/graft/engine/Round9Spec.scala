@@ -258,6 +258,49 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     sql("drop table if exists r9mb")
   }
 
+  // ---- EXISTS over ungrouped aggregate selects: constant-true ----------
+  // one aggregate row ALWAYS exists (SQL's empty-set aggregate row),
+  // even when the body's WHERE matches nothing — the nested form was
+  // flattening (match-dependent) and the expression-position form was
+  // count-rewriting (round-9 fuzzer finds)
+
+  test("EXISTS over an ungrouped aggregate select is constant-true everywhere") {
+    sql("drop table if exists r9co")
+    sql("create table r9co (ok Int64)")
+    sql("insert into r9co values (1), (2), (3)")
+    sql("drop table if exists r9cm")
+    sql("create table r9cm (g Int64)")
+    sql("insert into r9cm values (1), (2), (3)")
+    sql("drop table if exists r9ct")
+    sql("create table r9ct (k Int64, x Int64)")
+    sql("insert into r9ct values (1, 5)") // only k=1 has rows; x > 99 never
+    val all = Seq(1L, 2L, 3L)
+    // depth-1 conjunct (already-correct baseline)
+    assert(rows("""select ok from r9co where exists (
+        select max(x) from r9ct where k = ok and x > 99)
+        order by ok""").map(_.getLong(0)) == all)
+    // expression position (under OR)
+    assert(rows("""select ok from r9co where ok > 100 or exists (
+        select max(x) from r9ct where k = ok and x > 99)
+        order by ok""").map(_.getLong(0)) == all)
+    // nested (grandparent correlation), positive and under NOT EXISTS
+    assert(rows("""select ok from r9co where exists (
+        select 1 from r9cm where g = ok
+          and exists (select max(x) from r9ct where k = ok and x > 99))
+        order by ok""").map(_.getLong(0)) == all)
+    assert(rows("""select ok from r9co where not exists (
+        select 1 from r9cm where g = ok
+          and exists (select max(x) from r9ct where k = ok and x > 99))
+        order by ok""").isEmpty)
+    // …but OFFSET >= 1 over the one-row body empties it
+    assert(rows("""select ok from r9co where ok > 100 or exists (
+        select max(x) from r9ct where k = ok limit 100 offset 1)
+        order by ok""").isEmpty)
+    sql("drop table if exists r9co")
+    sql("drop table if exists r9cm")
+    sql("drop table if exists r9ct")
+  }
+
   // ---- IN over grouped DISTINCT ON / LIMIT bodies -----------------------
 
   test("IN over a grouped DISTINCT ON body keeps the sliced group values") {
