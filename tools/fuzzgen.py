@@ -70,7 +70,14 @@ def gen(rng):
                     ["order by x desc, rid", "order by x, rid", "order by rid"])
         body += f" from fz_b where {corr}"
         if rng.random() < 0.4:
-            extra.append(rng.choice(["z > 1", "y is not null", "x < 3"]))
+            extra.append(rng.choice([
+                "z > 1", "y is not null", "x < 3",
+                # depth-2: an uncorrelated scalar and a body-correlated
+                # EXISTS inside the body's own WHERE
+                "x <= (select count(1) from fz_m where g < 5)",
+                "exists (select 1 from fz_m where g = k)",
+                "not exists (select 1 from fz_m where g = k + 20)",
+            ]))
         for e in dict.fromkeys(extra):
             body += f" and {e}"
         if order:
@@ -98,6 +105,11 @@ def gen(rng):
         if distinct_on:
             body += "distinct on (y) "
         body += f"{sel} from fz_b where {corr}"
+        if rng.random() < 0.3:
+            extra.append(rng.choice([
+                "x <= (select count(1) from fz_m where g < 5)",
+                "exists (select 1 from fz_m where g = k)",
+            ]))
         for e in dict.fromkeys(extra):
             body += f" and {e}"
         body += f" group by {', '.join(keys)}"
