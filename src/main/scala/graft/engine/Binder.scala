@@ -3202,10 +3202,14 @@ final class Binder(
     * multiplicities are preserved.
     *
     * The stats are ONE driver-side action over the locally filtered
-    * inner side collecting min, max and ≤ 63 approximate percentiles —
-    * bounded, not data-sized (the kmeans-centroid stance, SCALE.md).
-    * Approximation is safe: edges only steer the pre-thin; the residual
-    * predicate keeps exactness whatever the edges are. Returns None —
+    * inner side collecting min, max, count and ≤ 63 approximate
+    * percentiles — bounded, not data-sized (the kmeans-centroid
+    * stance, SCALE.md). The percentile sketch runs over a 1/16 row
+    * sample at accuracy 1000, both sized to the 63 edges it feeds: the
+    * r9 full-scan accuracy-10000 sketch put an isolated-confirmed ~2×
+    * constant on every banded-agg entry for precision the pre-thin
+    * cannot use (VERDICT r9 #1 — the residual predicate keeps
+    * exactness whatever the edges are). Returns None —
     * caller falls back to the direct theta join — when no conjunct has
     * the shape, a side is non-numeric, the inner side is empty, or the
     * distribution degenerates to a single value (one band ≡ the direct
@@ -3242,20 +3246,36 @@ final class Binder(
         .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
     if (!numeric(renamed, iv) || !numeric(ctx.rel.df, ov)) return None
     val probes = (1 until thetaBands).map(_.toDouble / thetaBands)
+    val ivd = iv.cast("double")
+    // the sketch feeds ≤ 63 equi-depth edges that only STEER the
+    // pre-thin (the residual predicate keeps exactness whatever the
+    // edges are), so it runs over a 1/16 row sample inside the SAME
+    // action as min/max/count: the quantile summary's per-row update —
+    // not its accuracy knob — is what made the stats pass ~2× the
+    // min/max scan (VERDICT r9 #1, measured this round), and sampling
+    // removes 15/16 of those updates while a 63-edge split needs only
+    // band-level balance. The sample is a deterministic VALUE hash
+    // (Catalyst rejects nondeterministic rand() under an aggregate):
+    // each distinct value is fully in or out, which keeps multiplicity
+    // weights intact; a sampled-out hot value can only shift edges, and
+    // single-value ties are already the documented irreducible band
+    // skew. An all-but-empty sample (tiny inner) degrades to no edges →
+    // the caller's fallback, the right plan for a tiny inner anyway.
+    val sampled = when(pmod(xxhash64(lit(42), ivd), lit(16)) === 0, ivd)
     val row = renamed.agg(
-      min(iv.cast("double")).as("mn"), max(iv.cast("double")).as("mx"),
-      percentile_approx(iv.cast("double"),
-        array(probes.map(lit(_)): _*), lit(10000)).as("qs"),
-      count(lit(1)).as("cnt")).head()
+      min(ivd).as("mn"), max(ivd).as("mx"), count(lit(1)).as("cnt"),
+      percentile_approx(sampled,
+        array(probes.map(lit(_)): _*), lit(1000)).as("qs")).head()
     if (row.isNullAt(0) || row.isNullAt(1)) return None
     // a small inner side makes the pair-frame JOIN cheap by itself
     // (bounded BNLJ volume; at scale an inner this small is a broadcast
     // dim) — the callers that only change join mechanics opt out here,
     // the banded-aggregation caller never does (VERDICT r8 #4: qe136's
     // 1 000-row supplier inner paid band overhead for nothing)
-    if (skipSmallInner && row.getLong(3) <= 32768L) return None
+    if (skipSmallInner && row.getLong(2) <= 32768L) return None
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
-    val edges = ThetaBanding.edges(row.getSeq[Double](2), mn)
+    val qs = if (row.isNullAt(3)) Seq.empty[Double] else row.getSeq[Double](3)
+    val edges = ThetaBanding.edges(qs, mn)
     if (edges.isEmpty) return None // single-valued inner: banding is a no-op
     val b = edges.length + 1
     def bandOf(c: Column): Column = ThetaBanding.bandOf(c, edges)
@@ -3372,7 +3392,10 @@ final class Binder(
       renamed: DataFrame, rScopes: Seq[Scope], correlated: Seq[Expr],
       ctx: Ctx, groupPairs: Seq[(Expr, String)],
       aggPairs0: Seq[(FnCall, String)], bodyCtes: Map[String, DataFrame],
-      what: String): Option[DataFrame] = {
+      what: String, passThru: Seq[String] = Nil): Option[DataFrame] = {
+    // passThru: outer-frame columns functionally dependent on rid (the
+    // IN lhs, stamped per outer row) carried through both branches and
+    // the final merge — grouping by them alongside rid adds no groups.
     val innerRel = Rel(renamed, rScopes)
     // NO size-based skip here, unlike [[thetaInnerJoin]]: the banded
     // aggregation changes the ALGORITHM (the pair frame never
@@ -3392,8 +3415,6 @@ final class Binder(
     // pair-frame path, where [[thetaInnerJoin]] applies the FULL
     // condition as the join predicate.
     if (correlated.size != 1) return None
-    val plan = thetaBandPlan(renamed, rScopes, correlated, ctx)
-      .getOrElse(return None)
     if (!groupPairs.forall { case (e, _) => resolvesWithin(e, innerRel) })
       return None
     val aggPairs =
@@ -3408,7 +3429,12 @@ final class Binder(
         fc.args.size == 1 && resolvesWithin(fc.args.head, innerRel)
       case _ => false
     }
+    // all shape checks precede the band plan: thetaBandPlan runs a
+    // driver-side stats action, wasted if a non-decomposable aggregate
+    // sends the caller to the pair-frame fallback anyway
     if (!aggPairs.forall { case (fc, _) => decomposable(fc) }) return None
+    val plan = thetaBandPlan(renamed, rScopes, correlated, ctx)
+      .getOrElse(return None)
 
     val iCtx = new Ctx(innerRel, None, bodyCtes)
     // (output name, partial aggregate over raw rows, merge of partials)
@@ -3454,7 +3480,8 @@ final class Binder(
       .agg(mergeCols.head, mergeCols.tail: _*)
     val bN = fresh("tbon")
     val outerB = outer.withColumn(bN, plan.outerBoundary)
-    val outCols = (col(rid) +: gkNames.map(col)) ++ partials.map(p => col(p._1))
+    val keyCols = (col(rid) +: passThru.map(col)) ++ gkNames.map(col)
+    val outCols = keyCols ++ partials.map(p => col(p._1))
     val fullPart = outerB.join(suffix, col(bN) === col(pN), "inner")
       .select(outCols: _*)
     // boundary band: the only raw-row join left — band-equal pairs
@@ -3465,7 +3492,7 @@ final class Binder(
     val bLeft = if (smallOuter) outerB.hint("broadcast") else outerB
     val boundaryPart =
       try bLeft.join(innerG, col(bN) === col(bandN) && cond, "inner")
-        .groupBy((col(rid) +: gkNames.map(col)): _*)
+        .groupBy(keyCols: _*)
         .agg(partialCols.head, partialCols.tail: _*)
         .select(outCols: _*)
       catch {
@@ -3474,7 +3501,7 @@ final class Binder(
             "(left) relation — move it to WHERE or rewrite the join")
       }
     Some(fullPart.unionByName(boundaryPart)
-      .groupBy((col(rid) +: gkNames.map(col)): _*)
+      .groupBy(keyCols: _*)
       .agg(mergeCols.head, mergeCols.tail: _*))
   }
 
@@ -4170,22 +4197,35 @@ final class Binder(
     val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
     // lhs is an outer-row expression — constant within a rid; stamp it
     // on the frame before the join so the group-level match can use it
-    val joined = thetaInnerJoin(outer.withColumn(lhsName, lhs), renamed,
-      rScopes, correlated, ctx, what)
-    val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
+    val outerL = outer.withColumn(lhsName, lhs)
     val groupPairs = qb.groupBy.map(substituteAliases(_, qb.selectList))
       .map(e => (e, fresh("tig")))
     val aggCalls = (collectAggs(valueExpr) ++
       havingExpr.toSeq.flatMap(collectAggs)).distinct
     val aggPairs = aggCalls.map(fc => (fc, fresh("tia")))
-    val aggCols = aggPairs.map { case (fc, nm) => bindAggCall(fc, jCtx).as(nm) } match {
-      case Nil => Seq(count(lit(1)).as(fresh("tic0")))
-      case cs => cs
-    }
-    val groupCols = Seq(col(rid), col(lhsName)) ++ groupPairs.map { case (e, nm) =>
-      bindExpr(e, jCtx).as(nm)
-    }
-    val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    // decomposable aggregates over a monotone single-conjunct
+    // correlation never build the rid×inner pair frame: the banded
+    // grouped aggregation's input is result-sized plus one boundary
+    // band (VERDICT r9 #1/#3 — the pair frame is linear in the inner
+    // side PER OUTER ROW, the difference between result-sized and
+    // 18G-row intermediates at 100×)
+    val grouped = thetaBandedGroupedAgg(outerL, rid, renamed, rScopes,
+        correlated, ctx, groupPairs, aggPairs, bodyCtes, what,
+        passThru = Seq(lhsName))
+      .getOrElse {
+        val joined = thetaInnerJoin(outerL, renamed, rScopes, correlated,
+          ctx, what)
+        val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
+        val aggCols = aggPairs.map { case (fc, nm) =>
+          bindAggCall(fc, jCtx).as(nm) } match {
+          case Nil => Seq(count(lit(1)).as(fresh("tic0")))
+          case cs => cs
+        }
+        val groupCols = Seq(col(rid), col(lhsName)) ++ groupPairs.map {
+          case (e, nm) => bindExpr(e, jCtx).as(nm)
+        }
+        joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
     val gCtx = new Ctx(
       Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
       None, bodyCtes,
@@ -4242,9 +4282,13 @@ final class Binder(
       .persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames += outer
     val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
-    val joined = thetaInnerJoin(outer.withColumn(lhsName, lhs), renamed,
-      rScopes, correlated, ctx, what)
-    val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
+    val outerL = outer.withColumn(lhsName, lhs)
+    // lazy: the banded grouped path below never builds the pair frame,
+    // and thetaInnerJoin runs driver-side actions (outer count + band
+    // stats) the moment it is called
+    lazy val joined = thetaInnerJoin(outerL, renamed, rScopes, correlated,
+      ctx, what)
+    lazy val jCtx = new Ctx(Rel(joined, rScopes), None, bodyCtes)
     val vName = fresh("tlv")
     val onNames = onKeys.indices.map(_ => fresh("tlon"))
     val ordNames = qb.orderBy.indices.map(_ => fresh("tlord"))
@@ -4269,14 +4313,25 @@ final class Binder(
         havingExpr.toSeq.flatMap(collectAggs) ++
         ordExprs.flatMap(collectAggs) ++ onExprs.flatMap(collectAggs)).distinct
       val aggPairs = aggCalls.map(fc => (fc, fresh("tla")))
-      val aggCols = aggPairs.map { case (fc, nm) => bindAggCall(fc, jCtx).as(nm) } match {
-        case Nil => Seq(count(lit(1)).as(fresh("tlc0")))
-        case cs => cs
-      }
-      val groupCols = Seq(col(rid), col(lhsName)) ++ groupPairs.map { case (e, nm) =>
-        bindExpr(e, jCtx).as(nm)
-      }
-      val grouped = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // decomposable aggregates over a monotone single-conjunct
+      // correlation skip the rid×inner pair frame entirely — the banded
+      // grouped aggregation's input is result-sized plus one boundary
+      // band (VERDICT r9 #3: qe175's count-per-group body grouped a
+      // materialized pair frame linear in the inner side per outer row)
+      val grouped = thetaBandedGroupedAgg(outerL, rid, renamed, rScopes,
+          correlated, ctx, groupPairs, aggPairs, bodyCtes, what,
+          passThru = Seq(lhsName))
+        .getOrElse {
+          val aggCols = aggPairs.map { case (fc, nm) =>
+            bindAggCall(fc, jCtx).as(nm) } match {
+            case Nil => Seq(count(lit(1)).as(fresh("tlc0")))
+            case cs => cs
+          }
+          val groupCols = Seq(col(rid), col(lhsName)) ++ groupPairs.map {
+            case (e, nm) => bindExpr(e, jCtx).as(nm)
+          }
+          joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        }
       val gCtx = new Ctx(
         Rel(grouped, Seq(Scope(None, grouped, grouped.columns.toSeq))),
         None, bodyCtes,

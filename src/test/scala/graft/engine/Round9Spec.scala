@@ -48,7 +48,7 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     val bands = 64
     val probes = (1 until bands).map(_.toDouble / bands)
     val qs = df.agg(percentile_approx(col("v"),
-      array(probes.map(lit(_)): _*), lit(10000))).head().getSeq[Double](0)
+      array(probes.map(lit(_)): _*), lit(1000))).head().getSeq[Double](0)
     val edges = ThetaBanding.edges(qs, vals.min)
     assert(edges.nonEmpty)
     val pops = df.select(ThetaBanding.bandOf(col("v"), edges).as("b"))
