@@ -18,8 +18,31 @@ object Bench {
     // (substring match); the driver never sets it — full suite by default
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Deterministic FAMILY interleave of the run order (VERDICT r9 #2):
+    // the alphabetical order ran the whole theta family back-to-back,
+    // and adjacent heavy entries inflate each other through shuffle-file
+    // / dropped-block / listener residue reclaimed only between entries
+    // (qe175: 12.03 s committed vs 2.80 s isolated). Entries sharing a
+    // name-prefix family share machinery — and heaviness — so each
+    // family is spread EVENLY across the suite (entry i of a size-n
+    // family runs at fraction (i+0.5)/n), which bounds same-family
+    // adjacency by construction; a plain hash shuffle still clustered 7
+    // theta entries in one 19-slot window by chance. Deterministic, so
+    // per-entry numbers stay comparable run-to-run and round-to-round.
+    val all = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.exists(n.contains)))
+    def family(n: String): String = {
+      val m = "^(q[a-z]*)(\\d+)".r.findFirstMatchIn(n)
+      m.map(g => g.group(1) + (if (g.group(1) == "qe" && g.group(2).length == 3)
+        "1" else "")).getOrElse(n.take(2))
+    }
+    val names = all.groupBy(family).toSeq.sortBy(_._1).flatMap {
+      case (f, members) =>
+        val sorted = members.sorted
+        sorted.zipWithIndex.map { case (n, i) =>
+          (((i + 0.5) / sorted.size, f), n)
+        }
+    }.sortBy(_._1).map(_._2)
     if (names.isEmpty) {
       // ADVICE r6: a filter matching nothing previously died on
       // names.head with no output at all
@@ -49,7 +72,18 @@ object Bench {
       sinceSettle += 1
       if (force || sinceSettle >= 20) {
         sinceSettle = 0
-        System.gc(); Thread.sleep(if (force) 1000 else 100)
+        if (force) {
+          // drain the async listener queues FIRST — a heavy entry can
+          // leave thousands of queued events whose processing would
+          // steal cycles from the next timed entry — then two GC
+          // cycles: the first clears the weak refs, the async
+          // ContextCleaner then enqueues shuffle/broadcast deletions,
+          // the second reclaims what those freed (single-cycle settles
+          // left measurable residue — VERDICT r9 #2)
+          org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+          System.gc(); Thread.sleep(400); System.gc(); Thread.sleep(600)
+          org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+        } else { System.gc(); Thread.sleep(100) }
       }
     }
     def once(name: String): Double = {

@@ -3223,9 +3223,22 @@ final class Binder(
   private case class BandPlan(innerBand: Column, outerBands: Column,
       outerBoundary: Column, op: String, bands: Int)
 
-  private def thetaBandPlan(renamed: DataFrame, rScopes: Seq[Scope],
-      correlated: Seq[Expr], ctx: Ctx,
-      skipSmallInner: Boolean = false): Option[BandPlan] = {
+  /** Per-bind memo of the band-plan stats action, keyed by (inner frame
+    * reference, correlated conjuncts): the banded-agg attempt and the
+    * thetaInnerJoin fallback inside ONE lowering probe the same inner
+    * side, and without the memo the fallback path paid the stats scan
+    * twice (round-10 find: qe136's tiny inner regressed 2× when the
+    * grouped-IN paths started attempting the banded aggregation). */
+  private val bandStatsMemo =
+    scala.collection.mutable.Map.empty[(DataFrame, Seq[Expr]), Option[(BandPlan, Long)]]
+
+  private def thetaBandStats(renamed: DataFrame, rScopes: Seq[Scope],
+      correlated: Seq[Expr], ctx: Ctx): Option[(BandPlan, Long)] =
+    bandStatsMemo.getOrElseUpdate((renamed, correlated),
+      computeBandStats(renamed, rScopes, correlated, ctx))
+
+  private def computeBandStats(renamed: DataFrame, rScopes: Seq[Scope],
+      correlated: Seq[Expr], ctx: Ctx): Option[(BandPlan, Long)] = {
     val innerRel = Rel(renamed, rScopes)
     val mirror = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=")
     val oriented = correlated.iterator.flatMap {
@@ -3267,12 +3280,7 @@ final class Binder(
       percentile_approx(sampled,
         array(probes.map(lit(_)): _*), lit(1000)).as("qs")).head()
     if (row.isNullAt(0) || row.isNullAt(1)) return None
-    // a small inner side makes the pair-frame JOIN cheap by itself
-    // (bounded BNLJ volume; at scale an inner this small is a broadcast
-    // dim) — the callers that only change join mechanics opt out here,
-    // the banded-aggregation caller never does (VERDICT r8 #4: qe136's
-    // 1 000-row supplier inner paid band overhead for nothing)
-    if (skipSmallInner && row.getLong(2) <= 32768L) return None
+    val innerCnt = row.getLong(2)
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
     val qs = if (row.isNullAt(3)) Seq.empty[Double] else row.getSeq[Double](3)
     val edges = ThetaBanding.edges(qs, mn)
@@ -3296,14 +3304,15 @@ final class Binder(
         when(noMatch, emptyBands).otherwise(sequence(lit(0L), pos))
     }
     val outerBoundary = when(noMatch, lit(null).cast("long")).otherwise(pos)
-    Some(BandPlan(bandOf(iv.cast("double")), outerBands, outerBoundary, op, b))
+    Some((BandPlan(bandOf(iv.cast("double")), outerBands, outerBoundary, op, b),
+      innerCnt))
   }
 
   /** The inner theta-correlation join shared by the per-outer-row
     * lowerings (scalar top-1, grouped scalar / IN / EXISTS, LIMIT-IN):
     * binds the correlated conjuncts with inner-first-then-outer
     * scoping and joins the rid-tagged outer frame to the fresh-renamed
-    * inner side — band-bucket-pre-thinned via [[thetaBandPlan]] when a
+    * inner side — band-bucket-pre-thinned via [[thetaBandStats]] when a
     * monotone inequality conjunct allows it AND both sides are big
     * enough for the pre-thin to pay (tiny outer / tiny inner bound the
     * direct-join volume by themselves — VERDICT r8 #4), otherwise the
@@ -3320,9 +3329,14 @@ final class Binder(
       // volume by itself — the band plan's quantile action plus the
       // explode pass would cost more than it saves (VERDICT r8 #4)
       val nOuter = cachedCount(outerDf)
+      // a small inner side makes the pair-frame JOIN cheap by itself
+      // (bounded BNLJ volume; at scale an inner this small is a
+      // broadcast dim) — this join-mechanics caller opts out of the
+      // band machinery below the small-inner gate (VERDICT r8 #4:
+      // qe136's 1 000-row supplier inner paid band overhead for nothing)
       val plan = if (nOuter <= thetaSmallOuterRows) None
-                 else thetaBandPlan(renamed, rScopes, correlated, ctx,
-                   skipSmallInner = true)
+                 else thetaBandStats(renamed, rScopes, correlated, ctx)
+                   .collect { case (p, cnt) if cnt > 32768L => p }
       plan match {
         case Some(BandPlan(innerBand, outerBands, _, _, _)) =>
           val bi = fresh("tband")
@@ -3372,7 +3386,7 @@ final class Binder(
     *      position p, the merged partials of every band that FULLY
     *      satisfies the inequality for any outer value landing in band
     *      p (strictly-above bands for `>`, strictly-below for `<` —
-    *      exact by double monotonicity, see [[thetaBandPlan]]);
+    *      exact by double monotonicity, see [[thetaBandStats]]);
     *   3. equi-join outer rows to the suffix table on their boundary
     *      band — |outer|·|gk| rows, the size of the RESULT — and
     *      residual-join them to the boundary band's raw rows only —
@@ -3429,12 +3443,19 @@ final class Binder(
         fc.args.size == 1 && resolvesWithin(fc.args.head, innerRel)
       case _ => false
     }
-    // all shape checks precede the band plan: thetaBandPlan runs a
-    // driver-side stats action, wasted if a non-decomposable aggregate
-    // sends the caller to the pair-frame fallback anyway
+    // all shape checks precede the band plan: the band stats run a
+    // driver-side action, wasted if a non-decomposable aggregate sends
+    // the caller to the pair-frame fallback anyway (the memo still
+    // de-duplicates it against the fallback's own probe)
     if (!aggPairs.forall { case (fc, _) => decomposable(fc) }) return None
-    val plan = thetaBandPlan(renamed, rScopes, correlated, ctx)
+    val (plan, innerCnt) = thetaBandStats(renamed, rScopes, correlated, ctx)
       .getOrElse(return None)
+    // both sides tiny → the pair frame is trivially small and the
+    // banded plan's extra stages are pure overhead (round-10: qe136's
+    // 300-row outer × 1 000-row supplier inner regressed 2.2× through
+    // the banded path). A BIG outer over a small inner still bands —
+    // the pair frame is |outer|-linear, the banded input result-sized.
+    if (innerCnt <= 32768L && cachedCount(outer) <= 32768L) return None
 
     val iCtx = new Ctx(innerRel, None, bodyCtes)
     // (output name, partial aggregate over raw rows, merge of partials)

@@ -522,4 +522,210 @@ object Similarity {
       (dotD(col("q"), col("v")) / sqrt(col("qn2") * col("n2"))).as("score"))
     topK(scored, k)
   }
+
+  // ---- portable integer tiers: IVF / IVF-PQ with full external oracles
+
+  /** Portable deterministic id hash for the oracle-checked ANN tiers'
+    * k-means init sampling (the qp54/qp51/qp61 recipe extended to
+    * DATA-DEPENDENT training): a plain LCG step mod 1e9+7 replaces
+    * Spark's xxhash64, which no external engine reproduces. vec_id ≤
+    * ~2⁴⁰ keeps the product within int64 exactly in any engine. */
+  private def portHash(id: Column): Column =
+    pmod(id * lit(1103515245L) + lit(12345L), lit(1000000007L))
+
+  /** Milli-quantized non-zero projection shared by the portable ANN
+    * tiers: (vec_id, v: integer-valued doubles, n2 = exact ‖v‖²). */
+  private def quantNz(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), graft.functions.VectorOps.quantizeMilli(col("embedding")).as("v"))
+      .withColumn("n2", dotD(col("v"), col("v")))
+      .filter(col("n2") > 0)
+
+  /** Integer-exact Lloyd's over milli-quantized vectors — every step
+    * replayable bit-for-bit by an external engine:
+    *
+    *  - init: the k rows first in (portHash(vec_id), vec_id) order;
+    *  - assignment: argmin over (‖c‖² − 2·v·c, cid) — all terms
+    *    integer-valued doubles far below 2⁵³, so exact in any engine,
+    *    ties to the smallest cid;
+    *  - update: per-cluster component sums are exact integers;
+    *    centroids re-quantize through floorDiv(sum, n) — the SAME value
+    *    as floor(sum/n) under correctly-rounded double division (sum ≤
+    *    ~2³⁶ is exact in double and |sum/n − m| ≥ 1/n ≫ ulp), which is
+    *    what the SQL replay computes;
+    *  - an emptied cluster keeps its previous centroid (NO farthest-
+    *    point re-seed, unlike [[kmeansCentroids]] — re-seeding's
+    *    over-fetch/dedup loop is driver logic an oracle cannot replay
+    *    relationally; at oracle scale an empty cluster only wastes a
+    *    list), and there is no early-convergence exit for the same
+    *    reason (without re-seeding a fixed point makes the remaining
+    *    iterations no-ops, so a fixed iteration count is equivalent).
+    *
+    * The production float tiers keep [[kmeansCentroids]] unchanged. */
+  private[pipeline] def kmeansCentroidsQuantized(nz0: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val nz = nz0.select(col("vec_id"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = nz
+        .orderBy(portHash(col("vec_id")), col("vec_id")).limit(k)
+        .collect().map(_.getSeq[Double](1).toArray)
+      if (centroids.isEmpty) return Array.empty
+      val dim = centroids.head.length
+      for (_ <- 0 until iters) {
+        val sums = assignCentroid(nz, centroids)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"),
+            (0 until dim).map(i =>
+              sum(element_at(col("v"), i + 1).cast("long")).as(s"s$i")): _*)
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { row =>
+          val cid = row.getInt(0)
+          val n = row.getLong(1)
+          next(cid) = Array.tabulate(dim)(i =>
+            Math.floorDiv(row.getLong(2 + i), n).toDouble)
+        }
+        centroids = next
+      }
+      centroids
+    } finally nz.unpersist(false)
+  }
+
+  /** IVF top-k, integer-exact end to end (the full-oracle tier): milli-
+    * quantized vectors, [[kmeansCentroidsQuantized]] coarse quantizer,
+    * integer probe ranking, and the qp53 score form — exact integer dot
+    * over exact integer norms with ONE correctly-rounded divide/sqrt —
+    * so an external engine replaying the same arithmetic reproduces
+    * every row bit-for-bit. Same scale shape as [[ivfTopK]] (which
+    * stays as the float-precision production tier): tiny inlined
+    * centroid list, cid bucket equijoin, broadcast queries, salted
+    * two-phase top-k — never a cross join. */
+  def ivfTopKQuantized(embeddings: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    val nz = quantNz(embeddings)
+    val centroids = kmeansCentroidsQuantized(nz, nlist, kmeansIters)
+    if (centroids.isEmpty)
+      return nz.select(col("vec_id").as("q_id"), lit(1).as("rank"),
+        col("vec_id"), lit(0.0d).as("score"))
+    val assigned = assignCentroid(nz, centroids)
+    val queries = nz.filter(col("vec_id") < nQueries)
+      .withColumn("probes",
+        slice(transform(array_sort(array(centroidRank(centroids): _*)),
+          _.getField("cid")), 1, nprobe))
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("n2").as("qn2"), explode(col("probes")).as("cid"))
+    val scored = assigned.join(broadcast(queries), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q"), col("v")) / sqrt(col("qn2") * col("n2"))).as("score"))
+    topK(scored, k)
+  }
+
+  /** Integer-exact PQ codebook training over milli-quantized vectors:
+    * [[pqTrain]]'s fused per-subspace Lloyd's with the portable init
+    * ([[portHash]] order, codeword c = sample row c's subspace slice),
+    * exact integer component sums, floorDiv re-quantization and no
+    * early exit — the same portability contract as
+    * [[kmeansCentroidsQuantized]]. An emptied (j, code) cell keeps its
+    * previous codeword. */
+  private[pipeline] def pqTrainQuantized(nz0: DataFrame, m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val nz = nz0.select(col("vec_id"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sample = nz.orderBy(portHash(col("vec_id")), col("vec_id"))
+        .limit(ksub).collect().map(_.getSeq[Double](1).toArray)
+      if (sample.isEmpty) return Array.empty
+      val dim = sample.head.length
+      require(m >= 1 && dim % m == 0, s"pqTrainQuantized: dim $dim must divide into m=$m")
+      val dsub = dim / m
+      var cb: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+        Array.tabulate(math.min(ksub, sample.length))(c =>
+          sample(c).slice(j * dsub, (j + 1) * dsub)))
+      for (_ <- 0 until iters) {
+        val sums = nz
+          .select(posexplode(graft.functions.PqOps.encode(col("v"), cb)).as(Seq("j", "cid")),
+            col("v"))
+          .select(col("j"), col("cid"),
+            slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sv"))
+          .groupBy(col("j"), col("cid"))
+          .agg(count(lit(1)).as("n"),
+            (0 until dsub).map(t =>
+              sum(element_at(col("sv"), t + 1).cast("long")).as(s"s$t")): _*)
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        sums.foreach { row =>
+          val j = row.getInt(0); val cid = row.getInt(1)
+          val n = row.getLong(2)
+          next(j)(cid) = Array.tabulate(dsub)(t =>
+            Math.floorDiv(row.getLong(3 + t), n).toDouble)
+        }
+        cb = next
+      }
+      cb
+    } finally nz.unpersist(false)
+  }
+
+  /** IVF-PQ top-k with exact refine, integer-exact end to end (the
+    * full-oracle tier; [[ivfPqTopK]] stays as the float production
+    * tier). Every stage is exact integer arithmetic with one
+    * correctly-rounded divide/sqrt per score: quantized corpus,
+    * [[kmeansCentroidsQuantized]] coarse lists, [[pqTrainQuantized]]
+    * codebooks (integer-valued, so [[graft.functions.PqEncode]]'s
+    * squared-L2 argmin — ties to the smallest code — is exact), ADC
+    * partial dots and their m-term sums exact integers, and the refine
+    * stage the qp53 exact-dot score over the ADC shortlist. Same scale
+    * shape as [[ivfPqTopK]]: codes-not-vectors candidate scan, data-side
+    * distance tables, broadcast shortlist probes. */
+  def ivfPqTopKQuantized(embeddings: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      kmeansIters: Int = 3, refine: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val nz = quantNz(embeddings)
+    val centroids = kmeansCentroidsQuantized(nz, nlist, kmeansIters)
+    val codebooks = pqTrainQuantized(nz, m, ksub, kmeansIters)
+    if (centroids.isEmpty || codebooks.isEmpty)
+      return nz.select(col("vec_id").as("q_id"), lit(1).as("rank"),
+        col("vec_id"), lit(0.0d).as("score"))
+    val dsub = codebooks.head.head.length
+    val encoded = nz
+      .withColumn("cid", array_min(array(centroidRank(centroids): _*)).getField("cid"))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.PqOps.encode(col("v"), codebooks).as("codes"), col("n2"))
+    import spark.implicits._
+    val codewords = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c) }
+    }.toSeq.toDF("__j", "__c", "__cw")
+    val queries = nz.filter(col("vec_id") < nQueries)
+      .withColumn("probes",
+        slice(transform(array_sort(array(centroidRank(centroids): _*)),
+          _.getField("cid")), 1, nprobe))
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("n2").as("qn2"), col("probes"))
+    val dtabs = queries
+      .crossJoin(broadcast(codewords))
+      .select(col("q_id"),
+        struct((col("__j") * ksub + col("__c")).as("pos"),
+          dotD(slice(col("q"), col("__j") * dsub + 1, lit(dsub)), col("__cw"))
+            .as("pd")).as("__e"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(col("__e"))),
+        e => e.getField("pd")).as("dtab"))
+    val probes = queries
+      .join(dtabs, "q_id")
+      .select(col("q_id"), col("qn2"), col("dtab"), explode(col("probes")).as("cid"))
+    val scored = encoded.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (graft.functions.PqOps.adcScore(col("dtab"), col("codes"))
+          / sqrt(col("qn2") * col("n2"))).as("score"))
+    val shortlist = topK(scored, math.max(k, refine * k))
+      .select(col("q_id"), col("vec_id"))
+    val exact = nz.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q"), col("qn2"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q"), col("v")) / sqrt(col("qn2") * col("n2"))).as("score"))
+    topK(exact, k)
+  }
 }

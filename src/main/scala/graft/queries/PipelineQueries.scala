@@ -14,6 +14,165 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
   */
 object PipelineQueries {
 
+  /** Shared head CTEs of the quantized ANN oracles: milli-quantized
+    * vectors and exact integer norms (the qp53 projection). */
+  private val quantNzCtes: String =
+    """e AS (SELECT vec_id,
+            list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        nz AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) n2 FROM e
+               WHERE list_sum(list_transform(v, x -> x * x)) > 0)"""
+
+  /** Centroid-ranking distance used by every k-means replay step:
+    * ‖c‖² − 2·v·c over integer-valued doubles — exact, and identical to
+    * [[graft.pipeline.Similarity]]'s centroidRank/PqEncode argmin (the
+    * ‖v‖² term is constant per row, so the argmin agrees with squared
+    * L2; ties resolve to the smallest id in both engines). */
+  private def l2Rank(vExpr: String, cExpr: String): String =
+    s"""list_sum(list_transform($cExpr, x -> x * x))
+        - 2 * list_sum(list_transform(list_zip($vExpr, $cExpr), z -> z[1] * z[2]))"""
+
+  /** K-means replay CTEs (c0 … c$iters) for the portable IVF tiers:
+    * init = first `nlist` rows in (LCG-hash, vec_id) order, then
+    * `iters` unrolled Lloyd's steps — integer assignment argmin,
+    * per-component exact integer sums, floor(sum/n) re-quantization
+    * (≡ Scala's floorDiv on exact-in-double sums), emptied clusters
+    * carrying their previous centroid via the LEFT JOIN coalesce.
+    * Mirrors [[graft.pipeline.Similarity.kmeansCentroidsQuantized]]. */
+  private def kmeansReplayCtes(nlist: Int, iters: Int, dim: Int): String = {
+    val init =
+      s"""c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS c FROM (
+            SELECT row_number() OVER (ORDER BY
+              (vec_id * 1103515245 + 12345) % 1000000007, vec_id) rn, v
+            FROM nz) WHERE rn <= $nlist)"""
+    val steps = (1 to iters).map { t =>
+      s"""a$t AS (SELECT vec_id, v, cid FROM (
+            SELECT nz.vec_id, nz.v, c.cid,
+              row_number() OVER (PARTITION BY nz.vec_id
+                ORDER BY ${l2Rank("nz.v", "c.c")}, c.cid) rn
+            FROM nz, c${t - 1} c) WHERE rn = 1),
+        s$t AS (SELECT cid, i AS pos,
+              floor(CAST(sum(v[i]) AS DOUBLE) / count(*)) cv
+            FROM a$t, range(1, ${dim + 1}) t(i) GROUP BY cid, i),
+        c$t AS (SELECT p.cid, coalesce(n.c, p.c) AS c FROM c${t - 1} p
+            LEFT JOIN (SELECT cid, list(cv ORDER BY pos) c FROM s$t
+                       GROUP BY cid) n ON n.cid = p.cid)"""
+    }
+    (init +: steps).mkString(",\n        ")
+  }
+
+  /** Corpus assignment + query probes over the final replayed centroids
+    * (af: one cid per vector; pr: the `nprobe` nearest cids per query). */
+  private def ivfProbeCtes(nQueries: Int, nprobe: Int, iters: Int): String =
+    s"""af AS (SELECT vec_id, cid FROM (
+          SELECT nz.vec_id, c.cid, row_number() OVER (PARTITION BY nz.vec_id
+            ORDER BY ${l2Rank("nz.v", "c.c")}, c.cid) rn
+          FROM nz, c$iters c) WHERE rn = 1),
+        pr AS (SELECT q_id, cid FROM (
+          SELECT nz.vec_id AS q_id, c.cid, row_number() OVER (PARTITION BY nz.vec_id
+            ORDER BY ${l2Rank("nz.v", "c.c")}, c.cid) rn
+          FROM nz, c$iters c WHERE nz.vec_id < $nQueries) WHERE rn <= $nprobe)"""
+
+  /** DuckDB oracle for the portable IVF tier (qp59): replays k-means
+    * training on the DATA (not just fixed constants — the qp54/qp51/qp61
+    * recipe extended to data-dependent training), the cid bucket probe,
+    * and the qp53 integer-exact cosine with the same (score DESC,
+    * vec_id) tie-break. Every arithmetic step is exact-integer or one
+    * correctly-rounded double op on identical inputs — bit-stable. */
+  private def ivfQuantizedOracle(nQueries: Int, k: Int, nlist: Int,
+      nprobe: Int, iters: Int, dim: Int): String =
+    s"""WITH $quantNzCtes,
+        ${kmeansReplayCtes(nlist, iters, dim)},
+        ${ivfProbeCtes(nQueries, nprobe, iters)},
+        sc AS (SELECT p.q_id, a.vec_id,
+            list_sum(list_transform(list_zip(q.v, b.v), z -> z[1] * z[2]))
+              / sqrt(q.n2 * b.n2) AS score
+          FROM pr p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN nz q ON q.vec_id = p.q_id
+          JOIN nz b ON b.vec_id = a.vec_id),
+        r AS (SELECT q_id, vec_id, score,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+          FROM sc)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score
+        FROM r WHERE rank <= $k ORDER BY q_id, rank"""
+
+  /** DuckDB oracle for the portable IVF-PQ tier (qp70): the qp59 replay
+    * plus PQ codebook training (per-subspace Lloyd's over list slices,
+    * same init/update/carry rules), corpus encoding, per-query ADC
+    * tables, the ADC shortlist of refine·k, and the exact-dot refine
+    * ranking. ADC partial dots and their m-term sums are exact integers
+    * (order-independent), so the only rounding is the one divide/sqrt
+    * per score — identical IEEE ops both sides. */
+  private def ivfPqQuantizedOracle(nQueries: Int, k: Int, nlist: Int,
+      nprobe: Int, m: Int, ksub: Int, iters: Int, refine: Int,
+      dim: Int): String = {
+    val dsub = dim / m
+    val subv = s"list_slice(nz.v, p.j * $dsub + 1, p.j * $dsub + $dsub)"
+    val pqDist =
+      s"""list_sum(list_transform(p.cw, x -> x * x))
+          - 2 * list_sum(list_transform(list_zip($subv, p.cw), z -> z[1] * z[2]))"""
+    val init =
+      s"""smp AS (SELECT CAST(rn - 1 AS INTEGER) AS code, v FROM (
+            SELECT row_number() OVER (ORDER BY
+              (vec_id * 1103515245 + 12345) % 1000000007, vec_id) rn, v
+            FROM nz) WHERE rn <= $ksub),
+        p0 AS (SELECT jj.j, smp.code,
+            list_slice(smp.v, jj.j * $dsub + 1, jj.j * $dsub + $dsub) cw
+          FROM smp, (SELECT unnest(range(0, $m)) AS j) jj)"""
+    val steps = (1 to iters).map { t =>
+      s"""pa$t AS (SELECT vec_id, j, code FROM (
+            SELECT nz.vec_id, p.j, p.code,
+              row_number() OVER (PARTITION BY nz.vec_id, p.j
+                ORDER BY $pqDist, p.code) rn
+            FROM nz, p${t - 1} p) WHERE rn = 1),
+        ps$t AS (SELECT j, code, i AS pos,
+              floor(CAST(sum(sv) AS DOUBLE) / count(*)) cv FROM (
+            SELECT a.j, a.code, t.i, nz.v[a.j * $dsub + t.i] sv
+            FROM pa$t a, nz, range(1, ${dsub + 1}) t(i)
+            WHERE nz.vec_id = a.vec_id) GROUP BY j, code, i),
+        p$t AS (SELECT p.j, p.code, coalesce(n.cw, p.cw) cw FROM p${t - 1} p
+            LEFT JOIN (SELECT j, code, list(cv ORDER BY pos) cw FROM ps$t
+                       GROUP BY j, code) n
+            ON n.j = p.j AND n.code = p.code)"""
+    }
+    val shortK = math.max(k, refine * k)
+    s"""WITH $quantNzCtes,
+        ${kmeansReplayCtes(nlist, iters, dim)},
+        ${ivfProbeCtes(nQueries, nprobe, iters)},
+        ${(init +: steps).mkString(",\n        ")},
+        enc AS (SELECT vec_id, j, code FROM (
+            SELECT nz.vec_id, p.j, p.code,
+              row_number() OVER (PARTITION BY nz.vec_id, p.j
+                ORDER BY $pqDist, p.code) rn
+            FROM nz, p$iters p) WHERE rn = 1),
+        dt AS (SELECT nz.vec_id AS q_id, p.j, p.code,
+            list_sum(list_transform(list_zip($subv, p.cw), z -> z[1] * z[2])) pd
+          FROM nz, p$iters p WHERE nz.vec_id < $nQueries),
+        cand AS (SELECT p.q_id, a.vec_id
+          FROM pr p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+        adc AS (SELECT c.q_id, c.vec_id, sum(dt.pd) / sqrt(q.n2 * b.n2) score
+          FROM cand c
+          JOIN enc ec ON ec.vec_id = c.vec_id
+          JOIN dt ON dt.q_id = c.q_id AND dt.j = ec.j AND dt.code = ec.code
+          JOIN nz q ON q.vec_id = c.q_id
+          JOIN nz b ON b.vec_id = c.vec_id
+          GROUP BY c.q_id, c.vec_id, q.n2, b.n2),
+        sl AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) rn
+            FROM adc) WHERE rn <= $shortK),
+        ex AS (SELECT s.q_id, s.vec_id,
+            list_sum(list_transform(list_zip(q.v, b.v), z -> z[1] * z[2]))
+              / sqrt(q.n2 * b.n2) score
+          FROM sl s JOIN nz q ON q.vec_id = s.q_id
+                    JOIN nz b ON b.vec_id = s.vec_id),
+        r AS (SELECT q_id, vec_id, score,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+          FROM ex)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score
+        FROM r WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
   /** DuckDB oracle for the quantized LSH tier (qp54): replays the exact
     * candidate generation — milli-quantized vectors, the SAME integer
     * plane constants (one UNION ALL branch per hash table), per-(table,
@@ -233,22 +392,34 @@ object PipelineQueries {
         .select(col("q_id"), col("rank").cast("int").as("rank"),
           col("vec_id"), col("score"))),
 
-    // ---- ANN: IVF (k-means coarse quantizer, nprobe search — rows-only) -
+    // ---- ANN: IVF, integer-exact portable tier (FULL oracle — VERDICT
+    // r9 #4; the oracle replays the k-means TRAINING on the data, not
+    // just fixed constants). The float production tier (ivfTopK) keeps
+    // its recall/empty-reseed spec coverage in PipelineSpec/GateSpec. --
     QueryDef(
       "qp59_ann_ivf_topk",
-      None,
-      (s, dir) => Similarity.ivfTopK(
-        Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3,
-        nlist = 16, nprobe = 4)),
+      Some(ivfQuantizedOracle(nQueries = 5, k = 3, nlist = 16, nprobe = 4,
+        iters = 3, dim = 64)),
+      (s, dir) => Similarity.ivfTopKQuantized(
+          Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3,
+          nlist = 16, nprobe = 4, kmeansIters = 3)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("score"))),
 
-    // ---- ANN: IVF-PQ with exact refine (rows-only: approximate float
-    // scores; PqSpec carries recall/determinism/ADC-exactness) ----------
+    // ---- ANN: IVF-PQ with exact refine, integer-exact portable tier
+    // (FULL oracle — VERDICT r9 #5: codebook training, ADC tables and
+    // the refine ranking all replayed in SQL). The float production
+    // tier (ivfPqTopK) keeps recall/determinism/ADC-exactness in PqSpec.
     QueryDef(
       "qp70_ann_ivfpq_topk",
-      None,
-      (s, dir) => Similarity.ivfPqTopK(
-        Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3,
-        nlist = 16, nprobe = 4, m = 16, ksub = 16)),
+      Some(ivfPqQuantizedOracle(nQueries = 5, k = 3, nlist = 16,
+        nprobe = 4, m = 16, ksub = 16, iters = 3, refine = 4, dim = 64)),
+      (s, dir) => Similarity.ivfPqTopKQuantized(
+          Tables.load(s, dir, "embeddings"), nQueries = 5, k = 3,
+          nlist = 16, nprobe = 4, m = 16, ksub = 16, kmeansIters = 3,
+          refine = 4)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("score"))),
 
     // ---- text stats + portable fingerprint ------------------------------
     QueryDef(

@@ -96,4 +96,42 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(run() == run())
   }
+
+  // ---- portable integer tiers (round 10: qp59/qp70 oracle flips) ------
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.get(1).toString.toLong, r.getLong(2), r.getDouble(3))).toSeq
+
+  test("quantized IVF with a full probe equals the quantized brute force") {
+    // nprobe = nlist: every candidate survives the coarse filter, so
+    // the only difference from quantizedCosineTopK would be a scoring
+    // or tie-break divergence — there must be none, bit for bit
+    val emb = embeddings("/root/testdata/sf0.001")
+    val ivf = Similarity.ivfTopKQuantized(emb, nQueries = 5, k = 3,
+      nlist = 4, nprobe = 4)
+    val brute = Similarity.quantizedCosineTopK(emb, nQueries = 5, k = 3)
+    assert(rows(ivf) == rows(brute))
+  }
+
+  test("quantized IVF-PQ with full probe and corpus-wide refine equals brute force") {
+    // shortlist refine·k ≥ corpus: ADC only orders the shortlist, the
+    // exact refine re-scores every candidate — the result must equal
+    // the brute-force tier exactly whatever the codebooks learned
+    val emb = embeddings("/root/testdata/sf0.001") // 500 vectors
+    val pq = Similarity.ivfPqTopKQuantized(emb, nQueries = 5, k = 3,
+      nlist = 4, nprobe = 4, m = 16, ksub = 16, refine = 200)
+    val brute = Similarity.quantizedCosineTopK(emb, nQueries = 5, k = 3)
+    assert(rows(pq) == rows(brute))
+  }
+
+  test("quantized IVF / IVF-PQ are deterministic across runs") {
+    val emb = embeddings("/root/testdata/sf0.001")
+    def ivf() = rows(Similarity.ivfTopKQuantized(emb, nQueries = 5, k = 3,
+      nlist = 16, nprobe = 4))
+    def pq() = rows(Similarity.ivfPqTopKQuantized(emb, nQueries = 5, k = 3,
+      nlist = 16, nprobe = 4, m = 16, ksub = 16))
+    assert(ivf() == ivf())
+    assert(pq() == pq())
+  }
 }
