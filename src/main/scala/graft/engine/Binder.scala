@@ -992,8 +992,14 @@ final class Binder(
     // gets flattenNested's explanatory error.
     val (corrDeep, correlated0) = correlated1.partition(c =>
       (c match {
-        case InSubquery(_, _: QueryBody, _) => true
-        case Unary(op, InSubquery(_, _: QueryBody, _)) if op.equalsIgnoreCase("not") => true
+        // ANY body shape, not just QueryBody: a set-op-bodied IN with
+        // an outer-referencing lhs must also take the pair-frame route
+        // — as a plain correlation conjunct its (uncorrelated) body
+        // lowering would graft the membership flags onto the INNER
+        // frame where the lhs does not exist (round-10 fuzzer find —
+        // leaked a raw Spark MISSING_ATTRIBUTES)
+        case InSubquery(_, _, _) => true
+        case Unary(op, InSubquery(_, _, _)) if op.equalsIgnoreCase("not") => true
         case _ => false
       }) || (containsSubquery(c) && !subqueryBodiesResolveWithin(c, innerRel, bodyCtes)))
     // subquery-bearing "local" conjuncts whose bodies reference columns
@@ -2103,26 +2109,64 @@ final class Binder(
 
   private def flattenExistsBody(nqb: QueryBody, lhsOpt: Option[Expr],
       innerCtx: Ctx, what: String, enclosingQuals: Set[String]): Seq[Expr] = {
-    if (nqb.ctes.nonEmpty || nqb.groupBy.nonEmpty || nqb.having.isDefined ||
-        nqb.limit.isDefined)
+    if (nqb.groupBy.nonEmpty || nqb.having.isDefined || nqb.limit.isDefined)
       err(s"a grandparent-correlated nested subquery in a $what must be a " +
-        "plain body (no WITH/GROUP BY/HAVING/LIMIT)")
-    // plain DISTINCT is membership/existence-blind — drop it. DISTINCT ON
-    // keeps ≥1 row per ON-key so the EXISTS form (no lhs) drops it too;
-    // only the IN form depends on WHICH row survives (the membership set
-    // is the kept rows' select values, order-dependent) and is rejected
-    nqb.distinct.foreach(on => if (on.nonEmpty && lhsOpt.isDefined)
-      err(s"a grandparent-correlated nested IN subquery in a $what " +
-        "supports DISTINCT ON only in the EXISTS form (drop the ON keys)"))
-    val base = nqb.from.map(bindSource(_, innerCtx.ctes))
+        "plain body (no GROUP BY/HAVING/LIMIT)")
+    // the body's own WITH list binds UNCORRELATED first (round 10,
+    // VERDICT r9 task #8) — same rule as every other subquery-body
+    // position (bindBodyCtes raises normally if a CTE body reaches an
+    // enclosing scope)
+    val nCtes = bindBodyCtes(nqb, innerCtx.ctes)
+    val base = nqb.from.map(bindSource(_, nCtes))
       .getOrElse(err(s"nested subquery in a $what needs a FROM"))
-    val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, innerCtx.ctes))
+    val nestedRel = nqb.joins.foldLeft(base)((r, j) => bindJoin(r, j, nCtes))
     val nConj = nqb.where.map(splitAnd).getOrElse(Nil)
     val (nLocal0, nRest) = nConj.partition(resolvesWithin(_, nestedRel))
     val (nFlatten, nLocal) = nLocal0.partition(x =>
-      containsSubquery(x) && !resolvesWithinDeep(x, nestedRel, innerCtx.ctes))
-    val nestedCtx = new Ctx(nestedRel, None, innerCtx.ctes)
+      containsSubquery(x) && !resolvesWithinDeep(x, nestedRel, nCtes))
+    val nestedCtx = new Ctx(nestedRel, None, nCtes)
     applyLocal(nLocal, nestedCtx, what)
+    // plain DISTINCT is membership/existence-blind — drop it. DISTINCT ON
+    // keeps ≥1 row per ON-key so the EXISTS form (no lhs) drops it too.
+    // The IN form depends on WHICH row survives per ON key (the
+    // membership set is the kept rows' select values) — round 10
+    // (VERDICT r9 task #6) lowers it when the correlation is pure
+    // equality: the kept row within a (correlation-key, ON-key)
+    // partition is the SAME row for every binding that selects the
+    // partition, so one keep-first window over the nested frame —
+    // partitioned by the nested sides of the equalities plus the ON
+    // keys, in the body's ORDER BY — precomputes the kept rows and the
+    // flatten join proceeds over them unchanged. A non-equality
+    // conjunct would make the kept row binding-dependent (no single
+    // window expresses it) and keeps a clean error, as does a deeper
+    // nested chain (its flatten join multiplies rows BEFORE the window
+    // would run).
+    nqb.distinct.filter(_.nonEmpty && lhsOpt.isDefined).foreach { onKeys =>
+      if (nqb.orderBy.isEmpty)
+        err(s"a grandparent-correlated nested IN subquery with DISTINCT ON " +
+          s"in a $what needs an ORDER BY (the kept rows are arbitrary without one)")
+      if (nFlatten.nonEmpty)
+        err(s"a grandparent-correlated nested IN subquery with DISTINCT ON " +
+          s"in a $what does not compose with deeper nested subqueries")
+      val corrKeys = nRest.map {
+        case Binary("=", a, b) if resolvesWithin(a, nestedRel) &&
+            !resolvesWithin(b, nestedRel) => a
+        case Binary("=", a, b) if resolvesWithin(b, nestedRel) &&
+            !resolvesWithin(a, nestedRel) => b
+        case _ => err(s"a grandparent-correlated nested IN subquery with " +
+          s"DISTINCT ON in a $what supports equality correlation only")
+      }
+      val partCols = (corrKeys ++ onKeys.map(substituteAliases(_, nqb.selectList)))
+        .map(bindExpr(_, nestedCtx))
+      val ordCols = nqb.orderBy.map { ok =>
+        val c = bindExpr(substituteAliases(ok.expr, nqb.selectList), nestedCtx)
+        if (ok.desc) c.desc else c.asc
+      }
+      val rn = fresh("gfrn")
+      nestedCtx.rel = Rel(nestedCtx.rel.df.withColumn(rn,
+          row_number().over(Window.partitionBy(partCols: _*).orderBy(ordCols: _*)))
+        .filter(col(rn) === 1).drop(rn), nestedCtx.rel.scopes)
+    }
     // depth-3+ chains flatten level by level into the nested frame
     val nHoisted = nFlatten.flatMap(flattenNested(_, nestedCtx, what,
       enclosingQuals ++ scopeQuals(innerCtx.rel.scopes)))
@@ -2151,6 +2195,19 @@ final class Binder(
     val bCtx = new Ctx(Rel(innerCtx.rel.df, innerCtx.rel.scopes ++ rScopes),
       None, innerCtx.ctes)
     val (joinable, hoist) = pool.partition(resolvesWithin(_, bCtx.rel))
+    // a conjunct that must hoist PAST this level while itself carrying
+    // a subquery (e.g. an IN-with-LIMIT whose lhs and body both bind
+    // two scopes further up) has no lowering here: the enclosing
+    // level's correlation pool binds conjuncts as join conditions, and
+    // a subquery lowering inside a join condition would rid-tag the
+    // WRONG frame (round-10 fuzzer find — the old path leaked a raw
+    // Spark MISSING_ATTRIBUTES instead of a dialect error)
+    hoist.find(containsSubquery).foreach { _ =>
+      err(s"a nested subquery in a $what carries a subquery-bearing " +
+        "conjunct that references only scopes above the enclosing " +
+        "subquery — not supported; move the conjunct to the level it " +
+        "references")
+    }
     val condOpt = joinable.map(bindExpr(_, bCtx)).reduceOption(_ && _)
     // scalar subqueries among the join conjuncts cross their value onto
     // the left side while binding — join from the (possibly mutated) frame

@@ -1,0 +1,88 @@
+package graft.queries
+
+/** Round-10 additions: the two r9 missing-list lifts in the grandparent
+  * FLATTEN path (VERDICT r9 tasks #6/#8).
+  *
+  *  - WITH-bearing plain bodies now flatten (qe190): the body's CTE list
+  *    binds uncorrelated first, exactly as in every other subquery-body
+  *    position.
+  *  - Nested IN with DISTINCT ON flattens under pure EQUALITY
+  *    correlation (qe188/qe189): the kept row within a
+  *    (correlation-key, ON-key) partition is the same for every binding
+  *    selecting that partition, so one keep-first window precomputes the
+  *    kept rows before the flatten join. Theta correlation keeps a clean
+  *    error (the kept row would be binding-dependent).
+  *
+  * Reference grammar composes these freely:
+  * /root/reference/src/parser/mod.rs:349-360 (DISTINCT ON in any body),
+  * :81-105 (WITH in any body position).
+  */
+object Round10Queries {
+
+  private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
+    QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- depth-3: grandparent-correlated nested IN with DISTINCT ON ----
+    // the innermost IN body references o_orderkey THREE scopes up; the
+    // keep-first window partitions by (n_nationkey, n_regionkey) — the
+    // equality's nested side plus the ON key — in the body's ORDER BY
+    engineSql("qe188_nested3_in_distinct_on_grandparent",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               s_suppkey IN (SELECT DISTINCT ON (n_regionkey) n_nationkey
+                             FROM nation WHERE n_nationkey = o_orderkey % 8
+                             ORDER BY n_regionkey, n_name DESC)))
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and exists (
+           select 1 from customer where c_custkey = o_custkey and exists (
+             select 1 from supplier where s_nationkey = c_nationkey and
+               s_suppkey in (select distinct on (n_regionkey) n_nationkey
+                             from nation where n_nationkey = o_orderkey % 8
+                             order by n_regionkey, n_name desc)))
+         order by o_orderkey"""),
+
+    // ---- same shape, NULL-lhs corner: a NULL lhs can never match a
+    // kept value (non-negated IN is TRUE-only as a WHERE conjunct) -----
+    engineSql("qe189_nested3_in_distinct_on_null_lhs",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               IF(s_suppkey % 7 = 0, NULL, s_suppkey)
+                 IN (SELECT DISTINCT ON (n_regionkey) n_nationkey
+                     FROM nation WHERE n_nationkey = o_orderkey % 8
+                     ORDER BY n_regionkey, n_name DESC)))
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and exists (
+           select 1 from customer where c_custkey = o_custkey and exists (
+             select 1 from supplier where s_nationkey = c_nationkey and
+               (case when s_suppkey % 7 = 0 then null else s_suppkey end)
+                 in (select distinct on (n_regionkey) n_nationkey
+                     from nation where n_nationkey = o_orderkey % 8
+                     order by n_regionkey, n_name desc)))
+         order by o_orderkey"""),
+
+    // ---- WITH-bearing plain body with grandparent correlation ----------
+    // the nested EXISTS body carries its own (uncorrelated) CTE and its
+    // WHERE reaches o_orderkey two scopes up — flattens like a plain body
+    engineSql("qe190_nested_with_grandparent",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             WITH t AS (SELECT n_nationkey AS nk FROM nation WHERE n_regionkey < 3)
+             SELECT 1 FROM t WHERE t.nk = c_nationkey AND t.nk < o_orderkey % 30))
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and exists (
+           select 1 from customer where c_custkey = o_custkey and exists (
+             with t as (select n_nationkey as nk from nation where n_regionkey < 3)
+             select 1 from t where t.nk = c_nationkey and t.nk < o_orderkey % 30))
+         order by o_orderkey""")
+  )
+}

@@ -1,0 +1,157 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Round-10 semantics: the grandparent-flatten lifts (WITH-bearing
+  * bodies; nested IN with DISTINCT ON under equality correlation) and
+  * their guard rails, plus the banded grouped-IN routing corners. */
+class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var engine: Engine = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .appName("round10-spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine.forTestdata(spark, dir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sql(s: String): DataFrame = engine.execute(s)
+  private def rows(s: String): Seq[Row] = sql(s).collect().toSeq
+
+  // ---- grandparent flatten: WITH-bearing plain bodies (task #8) --------
+
+  test("WITH-bearing nested body with grandparent correlation flattens") {
+    val got = rows(
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 30 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             WITH t AS (SELECT n_nationkey AS nk FROM nation WHERE n_regionkey < 3)
+             SELECT 1 FROM t WHERE t.nk = c_nationkey AND t.nk < o_orderkey % 30))
+         ORDER BY o_orderkey""").map(_.getLong(0))
+    // equivalent without WITH — the CTE is just a named filter
+    val want = rows(
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 30 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM nation WHERE n_regionkey < 3
+               AND n_nationkey = c_nationkey AND n_nationkey < o_orderkey % 30))
+         ORDER BY o_orderkey""").map(_.getLong(0))
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("a CTE body reaching an enclosing scope still errors cleanly") {
+    val e = intercept[Exception](rows(
+      """SELECT o_orderkey FROM orders
+         WHERE EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             WITH t AS (SELECT n_nationkey AS nk FROM nation
+                        WHERE n_nationkey < o_orderkey)
+             SELECT 1 FROM t WHERE t.nk = c_nationkey))"""))
+    assert(e.getMessage != null)
+  }
+
+  // ---- grandparent flatten: nested IN with DISTINCT ON (task #6) -------
+
+  test("depth-3 nested IN DISTINCT ON keeps the per-key first row") {
+    // keep-first per (n_nationkey, n_regionkey): n_name DESC picks the
+    // LAST nation name per (key, region) — flipping the direction must
+    // change the membership set, proving the window is live
+    def q(dirn: String) = rows(
+      s"""SELECT o_orderkey FROM orders
+          WHERE o_orderkey < 300 AND EXISTS (
+            SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+              SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+                s_suppkey IN (SELECT DISTINCT ON (n_regionkey) n_nationkey
+                              FROM nation WHERE n_nationkey = o_orderkey % 8
+                              ORDER BY n_regionkey, n_name $dirn)))
+          ORDER BY o_orderkey""").map(_.getLong(0))
+    // the partition key here makes ASC/DESC agree only if each
+    // (key, region) group is single-row; with n_nationkey = ok % 8 the
+    // body has ≤1 row anyway, so instead assert against the windowless
+    // equivalent: a single-row-per-partition body's DISTINCT ON is the
+    // identity, and the result must equal the plain-IN form
+    val want = rows(
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               s_suppkey IN (SELECT n_nationkey FROM nation
+                             WHERE n_nationkey = o_orderkey % 8)))
+         ORDER BY o_orderkey""").map(_.getLong(0))
+    assert(q("ASC").nonEmpty && q("ASC") == want && q("DESC") == want)
+  }
+
+  test("nested IN DISTINCT ON keep-first window is live on multi-row partitions") {
+    // fixture where the kept row per (correlation key, ON key) differs
+    // by direction: two rows share (k, oc) with different values
+    sql("DROP TABLE IF EXISTS r10_o"); sql("DROP TABLE IF EXISTS r10_m")
+    sql("DROP TABLE IF EXISTS r10_t")
+    sql("CREATE TABLE r10_o (ok Int64)")
+    sql("INSERT INTO r10_o VALUES (1), (2), (3)")
+    sql("CREATE TABLE r10_m (g Int64)")
+    sql("INSERT INTO r10_m VALUES (1), (2), (3)")
+    sql("CREATE TABLE r10_t (k Int64, oc Int64, v Int64, ord Int64)")
+    sql("""INSERT INTO r10_t VALUES
+           (1, 10, 100, 1), (1, 10, 200, 2),
+           (2, 10, 200, 1), (2, 10, 100, 2), (3, 10, 300, 1)""")
+    def q(lhs: Int, dirn: String) = rows(
+      s"""SELECT ok FROM r10_o
+          WHERE EXISTS (
+            SELECT 1 FROM r10_m WHERE g = ok AND
+              $lhs IN (SELECT DISTINCT ON (oc) v FROM r10_t
+                       WHERE k = ok ORDER BY oc, ord $dirn))
+          ORDER BY ok""").map(_.getLong(0))
+    // ord ASC keeps v=100 for ok=1 and v=200 for ok=2; DESC flips both
+    assert(q(100, "ASC") == Seq(1L) && q(200, "ASC") == Seq(2L))
+    assert(q(100, "DESC") == Seq(2L) && q(200, "DESC") == Seq(1L))
+    assert(q(300, "ASC") == Seq(3L))
+    // the depth-2 form above rides the pair-frame route; the SAME
+    // semantics wrapped one level deeper ride the r10 flatten-path
+    // window (the IN body references ok THREE scopes up) — both
+    // lowerings must agree
+    // (columns qualified through the n alias: the flatten join merges
+    // the u and n scopes, so bare v/oc/ord would be ambiguous — the
+    // same pre-existing rule as every flattened nested body)
+    def q3(lhs: Int, dirn: String) = rows(
+      s"""SELECT ok FROM r10_o
+          WHERE EXISTS (
+            SELECT 1 FROM r10_m WHERE g = ok AND EXISTS (
+              SELECT 1 FROM r10_t AS u WHERE u.k = g AND
+                $lhs IN (SELECT DISTINCT ON (n.oc) n.v FROM r10_t AS n
+                         WHERE n.k = ok ORDER BY n.oc, n.ord $dirn)))
+          ORDER BY ok""").map(_.getLong(0))
+    assert(q3(100, "ASC") == Seq(1L) && q3(200, "ASC") == Seq(2L))
+    assert(q3(100, "DESC") == Seq(2L) && q3(200, "DESC") == Seq(1L))
+    assert(q3(300, "ASC") == Seq(3L))
+  }
+
+  test("nested IN DISTINCT ON guard rails: theta correlation and no ORDER BY") {
+    // depth-2 theta DISTINCT ON takes the pair-frame route (qe157/qe158
+    // machinery) — the flatten-path guards only apply at depth 3, where
+    // the innermost body references the great-grandparent
+    def depth3(body: String) =
+      s"""SELECT ok FROM r10_o
+          WHERE EXISTS (
+            SELECT 1 FROM r10_m WHERE g = ok AND EXISTS (
+              SELECT 1 FROM r10_t AS u WHERE u.k = g AND $body))"""
+    val theta = intercept[Exception](rows(depth3(
+      """u.v IN (SELECT DISTINCT ON (oc) v FROM r10_t
+                 WHERE k < ok ORDER BY oc, ord)""")))
+    assert(theta.getMessage.contains("equality correlation"))
+    val noOrder = intercept[Exception](rows(depth3(
+      """u.v IN (SELECT DISTINCT ON (oc) v FROM r10_t WHERE k = ok)""")))
+    assert(noOrder.getMessage.contains("ORDER BY"))
+  }
+}

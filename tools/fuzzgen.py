@@ -44,11 +44,13 @@ def gen(rng):
         "k = ok",
         "k < ok + 2",
         "k > ok - 3",
+        "k <= ok",
         "k > ok - 2 and k < ok + 2",
         "k = ok and x < ok + 2",
     ])
 
-    shape = rng.choice(["plain", "plain", "grouped", "grouped", "ungrouped_agg"])
+    shape = rng.choice(["plain", "plain", "grouped", "grouped",
+                        "ungrouped_agg", "setop"])
     scalar_ok = False
     if shape == "plain":
         sel = rng.choice(["y", "z", "rid", "x + 1"])
@@ -78,6 +80,11 @@ def gen(rng):
                 "exists (select 1 from fz_m where g = k)",
                 "not exists (select 1 from fz_m where g = k + 20)",
             ]))
+        if rng.random() < 0.15:
+            # r10 axis: a WITH-bearing body (the CTE binds uncorrelated;
+            # in nested positions this rides the flatten-path CTE lift)
+            body = "with fw as (select 2 as lo) " + body
+            extra.append("x >= (select lo from fw)")
         for e in dict.fromkeys(extra):
             body += f" and {e}"
         if order:
@@ -89,9 +96,20 @@ def gen(rng):
             if off:
                 body += f" offset {off}"
             scalar_ok = lim == 1
+    elif shape == "setop":
+        # uncorrelated set-op membership bodies (r10 axis): the engine
+        # supports set ops in subquery position uncorrelated only —
+        # correlated ones error cleanly and are not generated. NULLs are
+        # filtered on both branches so negated forms stay three-valued-
+        # safe; set contents are order-free, hence deterministic.
+        sop = rng.choice(["union all", "union distinct", "intersect", "except"])
+        body = (f"select y from fz_b where y is not null {sop} "
+                f"select g from fz_m where g < {rng.randint(3, 9)}")
+        scalar_ok = False
     elif shape == "grouped":
         keys = rng.choice([["x"], ["x", "y"], ["y"]])
-        agg = rng.choice(["count(1)", "max(z)", "count(1) % 3", "min(rid)"])
+        agg = rng.choice(["count(1)", "max(z)", "count(1) % 3", "min(rid)",
+                          "sum(x)", "sum(x) % 5"])
         sel = rng.choice([agg] + keys)
         distinct_on = rng.random() < 0.35 and "y" in keys and sel != "y"
         having = rng.random() < 0.4
@@ -175,8 +193,21 @@ def gen(rng):
         mcorr = "g = ok" if rng.random() < 0.7 else "g < ok + 1"
         mneg = "not " if rng.random() < 0.3 else ""
 
-        def nest(p):
-            return f"{mneg}exists (select 1 from fz_m where {mcorr} and {p})"
+        if rng.random() < 0.3:
+            # r10 axis — DEPTH 3: a second (aliased, qualified) middle
+            # level, so the predicate references ok THREE scopes up and
+            # exercises the flatten recursion (incl. the DISTINCT ON
+            # keep-first lift; theta-correlated DISTINCT ON keeps a
+            # clean error and records as SKIP)
+            m1corr = mcorr.replace("g ", "m1.g ", 1)
+
+            def nest(p):
+                return (f"{mneg}exists (select 1 from fz_m as m1 "
+                        f"where {m1corr} and exists (select 1 from fz_m as m2 "
+                        f"where m2.g <= m1.g and {p}))")
+        else:
+            def nest(p):
+                return f"{mneg}exists (select 1 from fz_m where {mcorr} and {p})"
         pred, opred = nest(pred), nest(opred) if opred else None
     elif pos < 0.55:
         pred = f"ok > 100 or {pred}"
