@@ -3685,6 +3685,37 @@ final class Binder(
           "scalar subquery returned more than one row"))), None)
     }
     val aggPairs = aggCalls.map(fc => (fc, fresh("tagg")))
+    // decomposable aggregates over a monotone single-conjunct
+    // correlation ride the banded aggregation with ZERO group keys
+    // (round 10): per-rid partials are result-sized plus one boundary
+    // band, where the generic path materializes the full rid×inner
+    // pair frame (qe153's 122×~300k candidate set). SQL's empty-set
+    // row comes from the left join-back: count-family aggregates
+    // coalesce to 0, the rest stay NULL — exactly the presence-marker
+    // semantics of the pair-frame path.
+    locally {
+      val rid = fresh("turid")
+      val rid2 = fresh("turid2")
+      val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persistedFrames += outer
+      val (renamed, rScopes) =
+        freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
+      thetaBandedGroupedAgg(outer, rid, renamed, rScopes, correlated, ctx,
+          Nil, aggPairs, bodyCtes, what).foreach { banded =>
+        val proj = banded.withColumnRenamed(rid, rid2)
+        ctx.rel = Rel(outer.join(proj, col(rid) === proj(rid2), "left"),
+          ctx.rel.scopes :+ hiddenScope(proj, aggPairs.map(_._2)))
+        val subst: Map[Expr, Column] = aggPairs.map { case (fc, n2) =>
+          (fc: Expr) -> (if (isCountFamily(fc.name)) coalesce(proj(n2), lit(0L))
+                         else proj(n2))
+        }.toMap
+        val vCtx = new Ctx(ctx.rel, None, ctx.ctes, subst = subst)
+        return (bindExpr(valueExpr, vCtx), havingExpr.map(bindExpr(_, vCtx)))
+      }
+      // fallback: the rid-tagged frame above was never acted on (persist
+      // is lazy) — the pair-frame path below tags its own
+    }
     val proj = thetaAggPerRow(innerCtx.rel.df, innerCtx.rel.scopes, correlated,
       ctx, what, (aggCtx, mkCol) =>
         aggPairs.map { case (fc, n2) =>
