@@ -905,7 +905,20 @@ final class Binder(
   private def lowerExists(sub: Query, negated: Boolean, ctx: Ctx): Unit = {
     val qb = sub match {
       case b: QueryBody => b
-      case _ => err("EXISTS subquery must be a plain query body")
+      case q =>
+        // set-op body (round 10): supported UNCORRELATED, the same rule
+        // as IN bodies — a correlated branch raises the normal
+        // unresolved-column error from bindQuery. Existence is a
+        // global 1-row broadcast flag; limit(1) keeps the probe from
+        // materializing the whole set-op result.
+        val inner = bindQuery(q, ctx.ctes)
+        val flagN = fresh("exsf")
+        val stats = inner.limit(1).agg((count(lit(1)) > 0).as(flagN))
+        val keep = if (negated) !col(flagN) else col(flagN)
+        ctx.rel = Rel(
+          ctx.rel.df.crossJoin(broadcast(stats)).filter(keep).drop(flagN),
+          ctx.rel.scopes)
+        return
     }
     // LIMIT k>0 never changes existence; LIMIT 0 makes it constant-false.
     // OFFSET o>0 changes existence to "the pre-limit body yields MORE
@@ -2666,7 +2679,15 @@ final class Binder(
   private def bindExistsExpr(sub: Query, negated: Boolean, ctx: Ctx): Column = {
     val qb = sub match {
       case b: QueryBody => b
-      case _ => err("EXISTS subquery must be a plain query body")
+      case q =>
+        // set-op body (round 10): uncorrelated only — same lowering as
+        // the conjunct form, surfaced as a mark-join flag column
+        val inner = bindQuery(q, ctx.ctes)
+        val flagN = fresh("exsf")
+        val stats = inner.limit(1).agg((count(lit(1)) > 0).as(flagN))
+        ctx.rel = Rel(ctx.rel.df.crossJoin(broadcast(stats)),
+          ctx.rel.scopes :+ hiddenScope(stats, Seq(flagN)))
+        return if (negated) !stats(flagN) else stats(flagN)
     }
     // same LIMIT/OFFSET semantics as the top-level conjunct path
     // (lowerExists): k>0 never changes existence, 0 is constant, and
@@ -3513,6 +3534,27 @@ final class Binder(
     // the banded path). A BIG outer over a small inner still bands —
     // the pair frame is |outer|-linear, the banded input result-sized.
     if (innerCnt <= 32768L && cachedCount(outer) <= 32768L) return None
+    // the band plan already knows each outer row's matching band count,
+    // so the candidate pair volume is estimable EXACTLY at band
+    // granularity: vol ≈ |outer| · avg(bands matched) · innerCnt/bands.
+    // A highly selective inequality (qe91: `o_custkey < c_custkey` with
+    // a 49-key outer — ~22k pairs against a 150k inner) makes the
+    // direct pair frame cheaper than the banded plan's fixed stages
+    // (band-scan + suffix + boundary ≈ a few × innerCnt); fall back
+    // when the estimated volume is within ~2 inner scans. Only probed
+    // for bounded outers — the one extra action is a scan of the tiny
+    // persisted outer frame.
+    locally {
+      val nOuter = cachedCount(outer)
+      if (nOuter > 0L && nOuter <= 32768L) {
+        val avgBands = outer.agg(
+          avg(size(plan.outerBands).cast("double"))).head()
+        val frac =
+          if (avgBands.isNullAt(0)) 0.0
+          else avgBands.getDouble(0) / plan.bands
+        if (nOuter.toDouble * frac * innerCnt <= 2.0 * innerCnt) return None
+      }
+    }
 
     val iCtx = new Ctx(innerRel, None, bodyCtes)
     // (output name, partial aggregate over raw rows, merge of partials)

@@ -83,6 +83,59 @@ object Round10Queries {
            select 1 from customer where c_custkey = o_custkey and exists (
              with t as (select n_nationkey as nk from nation where n_regionkey < 3)
              select 1 from t where t.nk = c_nationkey and t.nk < o_orderkey % 30))
-         order by o_orderkey""")
+         order by o_orderkey"""),
+
+    // ---- [NOT] EXISTS over SET-OP bodies (uncorrelated), both the
+    // WHERE-conjunct and expression positions (round-10 lift: the
+    // EXISTS lowering previously rejected non-plain bodies outright;
+    // IN and scalar subqueries already accepted them) ------------------
+    engineSql("qe191_exists_setop_body",
+      """SELECT n_name,
+           IF(EXISTS (SELECT r_regionkey FROM region WHERE r_regionkey > 3
+                      UNION ALL
+                      SELECT n_regionkey FROM nation WHERE n_regionkey > 99),
+              1, 0) AS f
+         FROM nation
+         WHERE NOT EXISTS (SELECT r_regionkey FROM region
+                           EXCEPT
+                           SELECT n_regionkey FROM nation)
+         ORDER BY n_name""",
+      """select n_name,
+           case when exists (select r_regionkey from region where r_regionkey > 3
+                             union all
+                             select n_regionkey from nation where n_regionkey > 99)
+                then 1 else 0 end as f
+         from nation
+         where not exists (select r_regionkey from region
+                           except
+                           select n_regionkey from nation)
+         order by n_name"""),
+
+    // ---- positive correlated IN with a NULLABLE lhs in WHERE position --
+    // (round-10 fuzz find fz198): standard 3-valued IN drops NULL-lhs
+    // rows (UNKNOWN), but DuckDB 1.0 plans the WHERE form as an
+    // IS-NOT-DISTINCT-FROM semi join and KEEPS them when the membership
+    // set contains a NULL — its own projected form disagrees and is
+    // standard. The engine implements the standard; the oracle pins the
+    // standard reading with coalesce(. , false). The body correlates on
+    // c_nationkey and selects a column that is NULL for some suppliers
+    // via the CASE, so both the NULL-lhs and NULL-member corners fire.
+    engineSql("qe192_in_null_lhs_where",
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey < 200 AND
+           coalesce((CASE WHEN c_custkey % 5 = 0 THEN NULL
+                          ELSE c_nationkey END)
+             IN (SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                             ELSE s_nationkey END
+                 FROM supplier WHERE s_nationkey = c_nationkey), false)
+         ORDER BY c_custkey""",
+      """select c_custkey from customer
+         where c_custkey < 200 and
+           (case when c_custkey % 5 = 0 then null
+                 else c_nationkey end)
+             in (select case when s_suppkey % 7 = 0 then null
+                             else s_nationkey end
+                 from supplier where s_nationkey = c_nationkey)
+         order by c_custkey""")
   )
 }

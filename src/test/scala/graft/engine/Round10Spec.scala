@@ -154,4 +154,34 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       """u.v IN (SELECT DISTINCT ON (oc) v FROM r10_t WHERE k = ok)""")))
     assert(noOrder.getMessage.contains("ORDER BY"))
   }
+
+  // ---- EXISTS over set-op bodies (round-10 lift) ------------------------
+
+  test("[NOT] EXISTS over uncorrelated set-op bodies, both positions") {
+    // region keys = nation regionkeys → EXCEPT is empty → NOT EXISTS true
+    val keep = rows(
+      """SELECT n_nationkey FROM nation
+         WHERE NOT EXISTS (SELECT r_regionkey FROM region
+                           EXCEPT SELECT n_regionkey FROM nation)
+         ORDER BY n_nationkey""")
+    assert(keep.size == rows("SELECT n_nationkey FROM nation").size)
+    // INTERSECT nonempty → EXISTS true everywhere; flipping to an
+    // impossible branch empties it
+    val f = rows(
+      """SELECT n_nationkey,
+           CASE WHEN EXISTS (SELECT r_regionkey FROM region WHERE r_regionkey > 3
+                             INTERSECT SELECT n_regionkey FROM nation)
+                THEN 1 ELSE 0 END AS a,
+           CASE WHEN EXISTS (SELECT r_regionkey FROM region WHERE r_regionkey > 99
+                             INTERSECT SELECT n_regionkey FROM nation)
+                THEN 1 ELSE 0 END AS b
+         FROM nation ORDER BY n_nationkey""")
+    assert(f.forall(r => r.get(1).toString == "1" && r.get(2).toString == "0"))
+    // a correlated set-op branch keeps a clean (unresolved-column) error
+    val e = intercept[Exception](rows(
+      """SELECT n_nationkey FROM nation
+         WHERE EXISTS (SELECT r_regionkey FROM region WHERE r_regionkey = n_regionkey
+                       UNION ALL SELECT 1)"""))
+    assert(e.getMessage != null)
+  }
 }
