@@ -3528,32 +3528,33 @@ final class Binder(
     if (!aggPairs.forall { case (fc, _) => decomposable(fc) }) return None
     val (plan, innerCnt) = thetaBandStats(renamed, rScopes, correlated, ctx)
       .getOrElse(return None)
+    // ONE action over the (persisted) outer frame collects its count —
+    // seeded into the per-bind memo so the boundary-broadcast decision
+    // and the fallback's thetaInnerJoin never re-count — together with
+    // the avg matched-band count, which estimates the candidate pair
+    // volume EXACTLY at band granularity:
+    // vol ≈ |outer| · avg(bands matched) · innerCnt/bands.
+    val oStats = outer.agg(count(lit(1)).as("c"),
+      avg(size(plan.outerBands).cast("double")).as("ab")).head()
+    val nOuter = oStats.getLong(0)
+    frameCounts.getOrElseUpdate(outer, nOuter)
     // both sides tiny → the pair frame is trivially small and the
     // banded plan's extra stages are pure overhead (round-10: qe136's
     // 300-row outer × 1 000-row supplier inner regressed 2.2× through
     // the banded path). A BIG outer over a small inner still bands —
     // the pair frame is |outer|-linear, the banded input result-sized.
-    if (innerCnt <= 32768L && cachedCount(outer) <= 32768L) return None
-    // the band plan already knows each outer row's matching band count,
-    // so the candidate pair volume is estimable EXACTLY at band
-    // granularity: vol ≈ |outer| · avg(bands matched) · innerCnt/bands.
-    // A highly selective inequality (qe91: `o_custkey < c_custkey` with
+    if (innerCnt <= 32768L && nOuter <= 32768L) return None
+    // a highly selective inequality (qe91: `o_custkey < c_custkey` with
     // a 49-key outer — ~22k pairs against a 150k inner) makes the
     // direct pair frame cheaper than the banded plan's fixed stages
     // (band-scan + suffix + boundary ≈ a few × innerCnt); fall back
-    // when the estimated volume is within ~2 inner scans. Only probed
-    // for bounded outers — the one extra action is a scan of the tiny
-    // persisted outer frame.
-    locally {
-      val nOuter = cachedCount(outer)
-      if (nOuter > 0L && nOuter <= 32768L) {
-        val avgBands = outer.agg(
-          avg(size(plan.outerBands).cast("double"))).head()
-        val frac =
-          if (avgBands.isNullAt(0)) 0.0
-          else avgBands.getDouble(0) / plan.bands
-        if (nOuter.toDouble * frac * innerCnt <= 2.0 * innerCnt) return None
-      }
+    // when the estimated volume is within ~2 inner scans. Only applied
+    // to bounded outers — an unbounded outer's pair frame grows
+    // |outer|-linear and the banded plan must engage regardless.
+    if (nOuter > 0L && nOuter <= 32768L) {
+      val frac = if (oStats.isNullAt(1)) 0.0
+                 else oStats.getDouble(1) / plan.bands
+      if (nOuter.toDouble * frac * innerCnt <= 2.0 * innerCnt) return None
     }
 
     val iCtx = new Ctx(innerRel, None, bodyCtes)
