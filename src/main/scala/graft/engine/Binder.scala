@@ -2125,6 +2125,20 @@ final class Binder(
     if (nqb.groupBy.nonEmpty || nqb.having.isDefined || nqb.limit.isDefined)
       err(s"a grandparent-correlated nested subquery in a $what must be a " +
         "plain body (no GROUP BY/HAVING/LIMIT)")
+    // an ungrouped AGGREGATE select (no GROUP BY/HAVING/LIMIT — just
+    // guarded) yields exactly one row whatever the WHERE matches, so the
+    // EXISTS form is constant-TRUE: the conjunct contributes nothing and
+    // flattening its source as a plain row stream would turn it
+    // match-dependent (the round-9 silent-wrong, resurfacing at depth 3
+    // through this recursion — round-10 fuzzer find fz203/seed 606). The
+    // IN form's membership is the aggregate VALUE — not flattenable here.
+    if (nqb.selectList.exists(si =>
+        !si.expr.isInstanceOf[Wildcard] && collectAggs(si.expr).nonEmpty)) {
+      if (lhsOpt.isEmpty) return Nil
+      err(s"a grandparent-correlated nested IN subquery in a $what with " +
+        "an aggregate select is not supported — rewrite the aggregate " +
+        "into the level it references")
+    }
     // the body's own WITH list binds UNCORRELATED first (round 10,
     // VERDICT r9 task #8) — same rule as every other subquery-body
     // position (bindBodyCtes raises normally if a CTE body reaches an

@@ -541,9 +541,33 @@ object Dedup {
     * buckets are dropped like every other bucketed operator here. */
   def embeddingNearDupPairsLsh(embeddings: DataFrame,
       thresholdNum: Int, thresholdDen: Int,
-      nbits: Int = 2, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
+      nbits: Int = 2, tables: Int = 8, maxBucket: Int = 4096,
+      directMaxFraction: Double = 0.5): DataFrame = {
     require(thresholdNum >= 0 && thresholdDen >= 1,
       "cosine threshold must be num >= 0, den >= 1 (the squared predicate loses the sign)")
+    // Planner gate: the fraction of ALL pairs the index makes candidates
+    // is 1−(1−2^−nbits)^tables in expectation. When that reaches
+    // `directMaxFraction` the index prunes (almost) nothing — every pair
+    // gets generated, joined and verified anyway, just ~tables/2^nbits
+    // times over — so the bucket machinery is strictly dominated by the
+    // direct all-pairs verify it was supposed to avoid (qp74's
+    // recall-1 setting nbits=1/tables=12 keeps 99.98 % of pairs: the
+    // bucket join materialized 6× the candidate rows of the direct
+    // join, measured ~2× the wall clock). The direct path also has
+    // recall exactly 1. At scale-sane settings (2^nbits ≫ tables) the
+    // fraction is ~tables/2^nbits ≪ ½ and the index engages as before;
+    // specs force the bucket path with directMaxFraction > 1.
+    val candidateFraction = 1.0 - math.pow(1.0 - 1.0 / (1L << nbits), tables)
+    if (candidateFraction >= directMaxFraction) {
+      val e = embeddings.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), quantizeD(col("embedding")).as("q"))
+        .withColumn("n2", dotQ(col("q"), col("q")))
+      return cosPairs(
+        e.select(col("vec_id").as("id_a"), col("q").as("__qa"), col("n2").as("__na"))
+          .join(e.select(col("vec_id").as("id_b"), col("q").as("__qb"), col("n2").as("__nb")),
+            col("id_a") < col("id_b")),
+        thresholdNum, thresholdDen)
+    }
     // dim probe tolerates empty input and null embeddings
     val nonNull = embeddings.filter(col("embedding").isNotNull)
     val dim = nonNull.select(size(col("embedding")).as("d"))
@@ -577,12 +601,52 @@ object Dedup {
             Similarity.signBucket(col("embedding"), t, nbits, dim)): _*)))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket")),
       Seq(col("tbl"), col("bucket")), maxBucket)
-    val candIds = bucketed.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
-      .join(bucketed.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Candidate dedup WITHOUT a candidate-sized shuffle: a pair that
+    // collides in several tables must be emitted once, and the candidate
+    // set (≫ corpus at low nbits) is the worst possible thing to
+    // dropDuplicates over. Instead each id carries its full bucket
+    // vector packed into one long (`nbits` bits per table) plus a
+    // survival bitmap (bit t set iff the id's table-t bucket survived
+    // the cap), both computed by a corpus-sized window; the join then
+    // keeps a pair only at its FIRST table where both sides survived
+    // and collided — a pure bitwise filter, exactly-once by
+    // construction, zero post-join shuffle. Cap interaction is exact:
+    // dropped buckets are skipped via the surv bits, so a pair whose
+    // earliest collision was in a dropped bucket still surfaces at its
+    // next surviving collision (what dropDuplicates over surviving rows
+    // computed). Falls back to the dropDuplicates shape only when the
+    // packing does not fit a long (tables·nbits > 62).
+    val candIds =
+      if (tables.toLong * nbits <= 62 && tables <= 62) {
+        val wId = Window.partitionBy(col("vec_id"))
+        val packed = bucketed
+          .withColumn("__mask",
+            sum(expr(s"shiftleft(bucket, cast(tbl * $nbits as int))")).over(wId))
+          .withColumn("__surv",
+            sum(expr("shiftleft(cast(1 as bigint), cast(tbl as int))")).over(wId))
+        def chunk(m: Column, t: Int): Column =
+          shiftright(m, t * nbits).bitwiseAND(lit((1L << nbits) - 1))
+        val firstCollision = (0 until tables - 1).map { t =>
+          (col("tbl") <= t) ||
+            shiftright(col("__sa"), t).bitwiseAND(shiftright(col("__sb"), t))
+              .bitwiseAND(lit(1L)) === 0 ||
+            chunk(col("__ma"), t) =!= chunk(col("__mb"), t)
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        packed.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"),
+            col("__mask").as("__ma"), col("__surv").as("__sa"))
+          .join(packed.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"),
+            col("__mask").as("__mb"), col("__surv").as("__sb")),
+            Seq("tbl", "bucket"))
+          .filter(col("id_a") < col("id_b") && firstCollision)
+          .select(col("id_a"), col("id_b"))
+      } else {
+        bucketed.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+          .join(bucketed.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      }
     val e = embeddings
       .select(col("vec_id"), quantizeD(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))

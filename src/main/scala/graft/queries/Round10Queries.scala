@@ -136,6 +136,27 @@ object Round10Queries {
              in (select case when s_suppkey % 7 = 0 then null
                              else s_nationkey end
                  from supplier where s_nationkey = c_nationkey)
-         order by c_custkey""")
+         order by c_custkey"""),
+
+    // ---- depth-3 constant-true aggregate EXISTS (round-10 fuzz find
+    // fz203, seed 606): the innermost EXISTS body is an ungrouped
+    // aggregate select — one row ALWAYS exists, whatever its WHERE
+    // matches (here: never) — so only the outer semi-join chain decides.
+    // The old flatten recursion turned it match-dependent at depth 3.
+    engineSql("qe193_nested3_agg_exists_constant_true",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND EXISTS (
+               SELECT count(1) FROM nation
+               WHERE n_nationkey = o_orderkey % 40 AND n_regionkey > 99)))
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and exists (
+           select 1 from customer where c_custkey = o_custkey and exists (
+             select 1 from supplier where s_nationkey = c_nationkey and exists (
+               select count(1) from nation
+               where n_nationkey = o_orderkey % 40 and n_regionkey > 99)))
+         order by o_orderkey""")
   )
 }

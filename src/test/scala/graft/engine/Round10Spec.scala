@@ -184,4 +184,44 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
                        UNION ALL SELECT 1)"""))
     assert(e.getMessage != null)
   }
+
+  // ---- depth-3 constant-true aggregate EXISTS (fuzz find fz203) --------
+
+  test("depth-3 EXISTS over an ungrouped aggregate select is constant-true") {
+    // the innermost EXISTS body is `select count(1) …` — one row ALWAYS
+    // (SQL's empty-set aggregate row), so it must not gate anything even
+    // though its WHERE (n_regionkey > 99) never matches. The old flatten
+    // recursion turned it match-dependent at depth 3 (seed-606 fz203).
+    def q(innermost: String) =
+      s"""SELECT o_orderkey FROM orders
+          WHERE o_orderkey < 300 AND EXISTS (
+            SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+              SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey$innermost))
+          ORDER BY o_orderkey"""
+    val got = rows(q(
+      """ AND EXISTS (
+             SELECT count(1) FROM nation
+             WHERE n_nationkey = o_orderkey % 40 AND n_regionkey > 99)"""))
+      .map(_.getLong(0))
+    val want = rows(q("")).map(_.getLong(0))
+    assert(got.nonEmpty && got == want)
+    // discrimination: the PLAIN-select form of the same body IS
+    // match-dependent, and this body never matches
+    val plain = rows(q(
+      """ AND EXISTS (
+             SELECT 1 FROM nation
+             WHERE n_nationkey = o_orderkey % 40 AND n_regionkey > 99)"""))
+    assert(plain.isEmpty)
+  }
+
+  test("depth-3 nested IN with an aggregate select keeps a clean error") {
+    val e = intercept[Exception](rows(
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               s_suppkey IN (SELECT max(n_nationkey) FROM nation
+                             WHERE n_regionkey = o_orderkey % 5)))"""))
+    assert(e.getMessage.contains("aggregate select"))
+  }
 }

@@ -54,9 +54,11 @@ class GateSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 500 vectors, maxBucket 10: nbits=1 expects 250 per bucket — the
     // cap would drop every bucket, so the gate must fire and name the
     // nbits that fits (500 >> 6 = 7 <= 10)
+    // directMaxFraction > 1 pins the BUCKET path: the nbits gate guards
+    // bucket capping, which the direct-verify path never reaches
     val e = intercept[IllegalArgumentException](
       Dedup.embeddingNearDupPairsLsh(emb, thresholdNum = 2, thresholdDen = 5,
-        nbits = 1, maxBucket = 10))
+        nbits = 1, maxBucket = 10, directMaxFraction = 2.0))
     assert(e.getMessage.contains("raise nbits") && e.getMessage.contains("6"),
       s"unexpected: ${e.getMessage}")
     // the suggested nbits passes the gate

@@ -248,13 +248,66 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // nbits=1, tables=8: per-pair miss probability (1-p)^8 with p >= 0.6
     // for cos >= 0.4 — deterministic planes, so this either always holds
-    // or never does
+    // or never does. directMaxFraction > 1 forces the BUCKET path (the
+    // default gate would pick the direct verify at these degenerate
+    // settings — 99.6 % of pairs are candidates)
     val lsh = Dedup.embeddingNearDupPairsLsh(emb, thresholdNum = 2, thresholdDen = 5,
-        nbits = 1, tables = 8)
+        nbits = 1, tables = 8, directMaxFraction = 2.0)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "exact tier found no pairs — threshold too high for fixture")
     assert(lsh.subsetOf(exact), s"LSH emitted unverified pairs: ${lsh -- exact}")
     assert(lsh.nonEmpty, "LSH tier found nothing")
+    // the default gate takes the direct path here — recall exactly 1
+    val direct = Dedup.embeddingNearDupPairsLsh(emb, thresholdNum = 2, thresholdDen = 5,
+        nbits = 1, tables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct == exact)
+  }
+
+  test("LSH first-collision dedup ≡ dropDuplicates shape, capping engaged") {
+    // the r10 first-collision candidate dedup (packed bucket mask +
+    // survival bitmap, bitwise filter) must emit EXACTLY the pairs the
+    // old candidate-sized dropDuplicates emitted — including when the
+    // skew cap drops buckets, where "first collision" must mean first
+    // SURVIVING collision. maxBucket = n/2 passes the expected-
+    // population gate (n >> nbits == maxBucket) while any per-table
+    // imbalance actually drops the larger bucket.
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+    val n = emb.count()
+    val nbits = 1; val tables = 8
+    val maxBucket = (n >> 1).toInt
+    val dim = emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    val exploded = emb.select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          Similarity.signBucket(col("embedding"), t, nbits, dim)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val droppedBuckets = exploded.groupBy(col("tbl"), col("bucket"))
+      .count().filter(col("count") > maxBucket).count()
+    assert(droppedBuckets > 0, "fixture never trips the cap — the test is vacuous")
+    val bucketed = Dedup.cappedBuckets(exploded, Seq(col("tbl"), col("bucket")), maxBucket)
+    val refCands = bucketed.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // apply the operator's threshold-0 verify (norms > 0, dot >= 0) to the
+    // reference candidates so both sides compare post-verify
+    val e = emb.select(col("vec_id"),
+        graft.functions.VectorOps.quantizeMilli(col("embedding")).as("q"))
+      .withColumn("n2", graft.functions.VectorOps.dot(col("q"), col("q")))
+    val refPairs = refCands
+      .join(e.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), Seq("id_b"))
+      .withColumn("d", graft.functions.VectorOps.dot(col("qa"), col("qb")))
+      .filter(col("na") > 0 && col("nb") > 0 && col("d") >= 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embeddingNearDupPairsLsh(emb, thresholdNum = 0, thresholdDen = 1,
+        nbits = nbits, tables = tables, maxBucket = maxBucket,
+        directMaxFraction = 2.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == refPairs,
+      s"first-collision path diverged: missing=${refPairs -- got} extra=${got -- refPairs}")
   }
 
   test("fingerprint is whitespace/case insensitive") {
