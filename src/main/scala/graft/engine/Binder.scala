@@ -4154,6 +4154,148 @@ final class Binder(
       }
     val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
+    // PREFIX-CLOSED DISTINCT ON fast path (round 10): with a single
+    // monotone theta conjunct `ce OP outer_expr` whose inner side `ce`
+    // is the first ORDER BY key after the ON keys, aligned with OP
+    // (DESC for >/>=, ASC for </<=), the filter keeps a PREFIX of every
+    // ON-group's sort order — so each group's kept row over the
+    // FILTERED rows IS its kept row over ALL (non-NULL-ce) rows,
+    // surviving iff that row's own ce passes the outer threshold.
+    // The per-group kept rows are computed ONCE (salted two-phase
+    // keep-first — a plain window would make one task per ON group),
+    // and the pair frame shrinks from outer × matching-rows to outer ×
+    // distinct-ON-groups, broadcast while that set is small (qe164:
+    // 5.6 s → ~1.3 s at sf0.1; at scale the group count, not the
+    // corpus, bounds the joined volume). NULL-ce rows are excluded up
+    // front: the filtered set never contains them, while Spark's
+    // NULLS-FIRST asc would otherwise let one be "kept" and veto its
+    // whole group through the NULL comparison.
+    val orientedTheta: Option[(String, Expr, Expr)] =
+      if (correlated.size != 1) None
+      else {
+        val mirror = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=")
+        correlated.head match {
+          case Binary(op0, a, b) if mirror.contains(op0) =>
+            if (resolvesWithin(a, innerRel) && resolvesWithin(b, ctx.rel))
+              Some((op0, a, b))
+            else if (resolvesWithin(b, innerRel) && resolvesWithin(a, ctx.rel))
+              Some((mirror(op0), b, a))
+            else None
+          case _ => None
+        }
+      }
+    // DISTINCT-body sibling of the prefix-closed path: the DISTINCT
+    // value IS the group key (ORDER BY is already restricted to the
+    // value), so per outer row a value is a member iff its group's BEST
+    // ce passes the threshold — one global groupBy(value).agg(max/min
+    // ce), no ordering constraint on ce at all (qe150: 2.8 s → ~1.2 s).
+    if (isDistinct) orientedTheta match {
+      case Some((op, ce, oe)) =>
+        val vNameF = fresh("pdv")
+        val bestN = fresh("pdbest")
+        val base = innerCtx.rel.df.select(
+          bindExpr(valueExpr, innerCtx).as(vNameF),
+          bindExpr(ce, innerCtx).as(bestN))
+        val bestAgg =
+          if (op == ">" || op == ">=") max(col(bestN)) else min(col(bestN))
+        val kept = base.groupBy(col(vNameF)).agg(bestAgg.as(bestN))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persistedFrames += kept
+        if (cachedCount(kept) <= 32768) {
+          val ridF = fresh("pdrid")
+          val ridF2 = fresh("pdrid2")
+          val outerF = ctx.rel.df
+            .withColumn(ridF, monotonically_increasing_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          persistedFrames += outerF
+          val ovB = bindExpr(oe, ctx)
+          val bCol = col(bestN)
+          val cond = op match {
+            case ">"  => bCol > ovB
+            case ">=" => bCol >= ovB
+            case "<"  => bCol < ovB
+            case _    => bCol <= ovB
+          }
+          val ordColsF = qb.orderBy.map(ok =>
+            if (ok.desc) col(vNameF).desc else col(vNameF).asc)
+          val joinedF = outerF.join(broadcast(kept), cond, "inner")
+          val rnF = fresh("pdrn")
+          val projF = joinedF.withColumn(rnF, row_number().over(
+              Window.partitionBy(col(ridF)).orderBy(ordColsF: _*)))
+            .filter(col(rnF) === (off + 1))
+            .select(col(ridF).as(ridF2), col(vNameF))
+          ctx.rel = Rel(outerF.join(projF, col(ridF) === col(ridF2), "left"),
+            ctx.rel.scopes :+ hiddenScope(projF, Seq(vNameF)))
+          return projF(vNameF)
+        }
+      // a large distinct-value set keeps the generic pair-frame plan
+      case None => ()
+    }
+    if (onKeys.nonEmpty && correlated.size == 1) {
+      orientedTheta match {
+        case Some((op, ce, oe)) =>
+          val onSet = onKeys.toSet
+          val idx = qb.orderBy.indexWhere(_.expr == ce)
+          val aligned = idx >= 0 &&
+            ((op == ">" || op == ">=") == qb.orderBy(idx).desc) &&
+            qb.orderBy.take(idx).forall(ok => onSet.contains(ok.expr))
+          if (aligned) {
+            val onNamesF = onKeys.indices.map(_ => fresh("pcon"))
+            val ordNamesF = qb.orderBy.indices.map(_ => fresh("pcord"))
+            val vNameF = fresh("pcv")
+            val ceB = bindExpr(ce, innerCtx)
+            val base = innerCtx.rel.df.filter(ceB.isNotNull).select(
+              (onKeys.zip(onNamesF).map { case (oe2, on) =>
+                bindExpr(oe2, innerCtx).as(on) } ++
+                qb.orderBy.zip(ordNamesF).map { case (ok, on) =>
+                  bindExpr(ok.expr, innerCtx).as(on) } :+
+                bindExpr(valueExpr, innerCtx).as(vNameF)): _*)
+            val ordColsF = qb.orderBy.zip(ordNamesF).map { case (ok, on) =>
+              if (ok.desc) col(on).desc else col(on).asc }
+            val saltN = fresh("pcsalt")
+            val rn1 = fresh("pcrn1")
+            val rn2 = fresh("pcrn2")
+            val phase1 = base.withColumn(saltN,
+                pmod(xxhash64((ordNamesF :+ vNameF).map(col): _*), lit(64)))
+              .withColumn(rn1, row_number().over(
+                Window.partitionBy((onNamesF :+ saltN).map(col): _*)
+                  .orderBy(ordColsF: _*)))
+              .filter(col(rn1) === 1).drop(rn1, saltN)
+            val kept = phase1.withColumn(rn2, row_number().over(
+                Window.partitionBy(onNamesF.map(col): _*).orderBy(ordColsF: _*)))
+              .filter(col(rn2) === 1).drop(rn2)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            persistedFrames += kept
+            if (cachedCount(kept) <= 32768) {
+              val ridF = fresh("pcrid")
+              val ridF2 = fresh("pcrid2")
+              val outerF = ctx.rel.df
+                .withColumn(ridF, monotonically_increasing_id())
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              persistedFrames += outerF
+              val ovB = bindExpr(oe, ctx)
+              val ceKept = col(ordNamesF(idx))
+              val cond = op match {
+                case ">"  => ceKept > ovB
+                case ">=" => ceKept >= ovB
+                case "<"  => ceKept < ovB
+                case _    => ceKept <= ovB
+              }
+              val joinedF = outerF.join(broadcast(kept), cond, "inner")
+              val rnF = fresh("pcrn")
+              val projF = joinedF.withColumn(rnF, row_number().over(
+                  Window.partitionBy(col(ridF)).orderBy(ordColsF: _*)))
+                .filter(col(rnF) === (off + 1))
+                .select(col(ridF).as(ridF2), col(vNameF))
+              ctx.rel = Rel(outerF.join(projF, col(ridF) === col(ridF2), "left"),
+                ctx.rel.scopes :+ hiddenScope(projF, Seq(vNameF)))
+              return projF(vNameF)
+            }
+            // a large kept-group set keeps the generic pair-frame plan
+          }
+        case None => ()
+      }
+    }
     val rid = fresh("tsrid")
     val rid2 = fresh("tsrid2")
     val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())

@@ -214,6 +214,72 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.isEmpty)
   }
 
+  // ---- prefix-closed theta DISTINCT [ON] fast paths --------------------
+
+  test("prefix-closed theta DISTINCT ON ≡ generic pair frame, NULL corners") {
+    sql("drop table if exists r10p_t"); sql("drop table if exists r10p_o")
+    sql("create table r10p_t (g Int64, c Int64, v Int64)")
+    sql("""insert into r10p_t values
+           (1, 10, 100), (1, 10, 90), (2, 5, 200), (2, null, 199),
+           (3, null, 300), (null, 8, 400), (4, 9, null)""")
+    sql("create table r10p_o (ok Int64, t Int64)")
+    sql("insert into r10p_o values (1, 4), (2, 7), (3, 9), (4, 12), (5, 8)")
+    // kept per g (order c desc, v asc; NULL-c rows can never match):
+    //   g1→(c10,v90) g2→(c5,v200) g3→none gNULL→(c8,v400) g4→(c9,vNULL)
+    // groups ranked by g asc = NULLS FIRST; OFFSET 1 → second survivor
+    val fast = rows(
+      """SELECT ok, (SELECT DISTINCT ON (g) v FROM r10p_t
+                     WHERE c > t ORDER BY g, c DESC, v LIMIT 1 OFFSET 1) AS r
+         FROM r10p_o ORDER BY ok""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(fast == Seq((1L, 90L), (2L, 90L), (3L, null), (4L, null), (5L, null)))
+    // the SAME query with a vacuous second correlated conjunct takes the
+    // generic pair-frame route (fast path requires a single conjunct) —
+    // the two lowerings must agree row for row
+    val generic = rows(
+      """SELECT ok, (SELECT DISTINCT ON (g) v FROM r10p_t
+                     WHERE c > t AND c < t + 1000
+                     ORDER BY g, c DESC, v LIMIT 1 OFFSET 1) AS r
+         FROM r10p_o ORDER BY ok""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(generic == fast)
+  }
+
+  test("theta DISTINCT membership-by-best ≡ generic, NULL value ranks last") {
+    // distinct values with best c: 100→10, 90→10, 200→5, 199/300→never
+    // (NULL c), 400→8, NULL→9; ORDER BY v DESC puts the NULL value LAST
+    val fast = rows(
+      """SELECT ok, (SELECT DISTINCT v FROM r10p_t
+                     WHERE c > t ORDER BY v DESC LIMIT 1 OFFSET 1) AS r
+         FROM r10p_o ORDER BY ok""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(fast == Seq((1L, 200L), (2L, 100L), (3L, 90L), (4L, null), (5L, 90L)))
+    val generic = rows(
+      """SELECT ok, (SELECT DISTINCT v FROM r10p_t
+                     WHERE c > t AND c < t + 1000
+                     ORDER BY v DESC LIMIT 1 OFFSET 1) AS r
+         FROM r10p_o ORDER BY ok""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(generic == fast)
+  }
+
+  test("misaligned ORDER BY keeps the generic plan and stays correct") {
+    // correlation column c is NOT the first post-ON sort key → the
+    // prefix-closure does not hold and the fast path must NOT engage;
+    // kept row per g is now min-v first, surviving iff ITS c passes —
+    // g1: kept (v90,c10); g2: kept (v199,cNULL) — dies under any t even
+    // though (v200,c5) would survive t=4: membership is row-dependent
+    val got = rows(
+      """SELECT ok, (SELECT DISTINCT ON (g) v FROM r10p_t
+                     WHERE c > t ORDER BY g, v LIMIT 1 OFFSET 1) AS r
+         FROM r10p_o WHERE ok = 1 ORDER BY ok""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    // t=4: per-group kept over FILTERED rows (c>4): g1→90 (ties → v asc
+    // 90), g2→200, gNULL→400, g4→NULL; rank by g NULLS FIRST:
+    // 400, 90, 200, NULL → OFFSET 1 → 90
+    assert(got == Seq((1L, 90L)))
+  }
+
   test("depth-3 nested IN with an aggregate select keeps a clean error") {
     val e = intercept[Exception](rows(
       """SELECT o_orderkey FROM orders
