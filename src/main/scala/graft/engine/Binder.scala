@@ -3258,6 +3258,27 @@ final class Binder(
   private def cachedCount(df: DataFrame): Long =
     frameCounts.getOrElseUpdate(df, df.count())
 
+  /** The single correlated conjunct as an inner-oriented monotone
+    * inequality `(op, innerExpr, outerExpr)` — None when there are
+    * several conjuncts, the operator is not a comparison, or the sides
+    * do not split inner/outer. Shared by the band planner and the
+    * prefix-closed DISTINCT [ON] / LIMIT fast paths. */
+  private def orientMonotoneSingle(correlated: Seq[Expr], innerRel: Rel,
+      ctx: Ctx): Option[(String, Expr, Expr)] =
+    if (correlated.size != 1) None
+    else {
+      val mirror = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=")
+      correlated.head match {
+        case Binary(op0, a, b) if mirror.contains(op0) =>
+          if (resolvesWithin(a, innerRel) && resolvesWithin(b, ctx.rel))
+            Some((op0, a, b))
+          else if (resolvesWithin(b, innerRel) && resolvesWithin(a, ctx.rel))
+            Some((mirror(op0), b, a))
+          else None
+        case _ => None
+      }
+    }
+
   /** Lossless band-bucketed pre-thin for theta-correlation joins
     * (VERDICT r7 #3). When the correlated conjuncts contain a MONOTONE
     * inequality `e_inner cmp e_outer` (either orientation, both sides
@@ -4170,20 +4191,7 @@ final class Binder(
     // front: the filtered set never contains them, while Spark's
     // NULLS-FIRST asc would otherwise let one be "kept" and veto its
     // whole group through the NULL comparison.
-    val orientedTheta: Option[(String, Expr, Expr)] =
-      if (correlated.size != 1) None
-      else {
-        val mirror = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=")
-        correlated.head match {
-          case Binary(op0, a, b) if mirror.contains(op0) =>
-            if (resolvesWithin(a, innerRel) && resolvesWithin(b, ctx.rel))
-              Some((op0, a, b))
-            else if (resolvesWithin(b, innerRel) && resolvesWithin(a, ctx.rel))
-              Some((mirror(op0), b, a))
-            else None
-          case _ => None
-        }
-      }
+    val orientedTheta = orientMonotoneSingle(correlated, innerRel, ctx)
     // DISTINCT-body sibling of the prefix-closed path: the DISTINCT
     // value IS the group key (ORDER BY is already restricted to the
     // value), so per outer row a value is a member iff its group's BEST
@@ -4591,6 +4599,70 @@ final class Binder(
     persistedFrames += outer
     val (renamed, rScopes) = freshRenamed(innerCtx.rel.df, innerCtx.rel.scopes, what)
     val outerL = outer.withColumn(lhsName, lhs)
+    // PREFIX-CLOSED plain-body LIMIT fast path (round 10): with a single
+    // monotone conjunct `ce OP outer_expr` and ce as the FIRST ORDER BY
+    // key in the OP-aligned direction, the passing rows per outer row
+    // are a PREFIX of the global sort order, so the per-row slice
+    // (off, off+lim] is exactly the GLOBAL ranks (off, off+lim]
+    // restricted to rows whose own ce passes — membership needs only
+    // the global top-(off+lim) rows, broadcast against the outer side
+    // (qe138: the per-rid window over the pair frame becomes a
+    // ≤lim-rows-per-outer broadcast join). WITH TIES keeps the generic
+    // plan (a boundary tie extends the kept set beyond any fixed K).
+    qb.limit match {
+      case Some(lc) if !lc.withTies && onKeys.isEmpty && !isGrouped &&
+          qb.distinct.isEmpty =>
+        val offF = lc.offset.map(evalLimitInt(_, "OFFSET")).getOrElse(0)
+        val limF = evalLimitInt(lc.limit, "LIMIT")
+        orientMonotoneSingle(correlated, innerRel, ctx) match {
+          case Some((op, ce, oe)) if offF.toLong + limF <= 4096 &&
+              qb.orderBy.head.expr == ce &&
+              ((op == ">" || op == ">=") == qb.orderBy.head.desc) =>
+            val kN = offF + limF
+            val ordNamesF = qb.orderBy.indices.map(_ => fresh("plord"))
+            val vNameF = fresh("plv")
+            val rnF = fresh("plrn")
+            val ceB = bindExpr(ce, innerCtx)
+            val base = innerCtx.rel.df.filter(ceB.isNotNull).select(
+              (qb.orderBy.zip(ordNamesF).map { case (ok, on) =>
+                bindExpr(ok.expr, innerCtx).as(on) } :+
+                bindExpr(selectExpr0, innerCtx).as(vNameF)): _*)
+            val ordColsF = qb.orderBy.zip(ordNamesF).map { case (ok, on) =>
+              if (ok.desc) col(on).desc else col(on).asc }
+            // distributed top-K, then a rank over those K rows only
+            val kept = base.orderBy(ordColsF: _*).limit(kN)
+              .withColumn(rnF, row_number().over(Window.orderBy(ordColsF: _*)))
+              .filter(col(rnF) > offF)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            persistedFrames += kept
+            val ovB = bindExpr(oe, ctx)
+            val ceKept = col(ordNamesF.head)
+            val passC = op match {
+              case ">"  => ceKept > ovB
+              case ">=" => ceKept >= ovB
+              case "<"  => ceKept < ovB
+              case _    => ceKept <= ovB
+            }
+            val matchN = fresh("plmatch")
+            val cntN = fresh("plcnt")
+            val nullN = fresh("plnull")
+            val proj = outerL.join(broadcast(kept), passC, "left")
+              .groupBy(col(rid)).agg(
+                max(when(col(vNameF) === col(lhsName), lit(1))).as(matchN),
+                count(col(rnF)).as(cntN),
+                (count(when(col(rnF).isNotNull && col(vNameF).isNull, 1)) > 0)
+                  .as(nullN))
+              .withColumnRenamed(rid, rid2)
+            ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
+              ctx.rel.scopes :+ hiddenScope(proj, Seq(matchN, cntN, nullN)))
+            return when(proj(matchN) === 1, lit(true))
+              .when(coalesce(proj(cntN), lit(0L)) === 0, lit(false))
+              .when(lhs.isNull || proj(nullN), lit(null).cast("boolean"))
+              .otherwise(lit(false))
+          case _ => ()
+        }
+      case _ => ()
+    }
     // lazy: the banded grouped path below never builds the pair frame,
     // and thetaInnerJoin runs driver-side actions (outer count + band
     // stats) the moment it is called

@@ -280,6 +280,34 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 90L)))
   }
 
+  test("prefix-closed theta LIMIT IN ≡ generic, 3-valued corners") {
+    sql("drop table if exists r10l_t"); sql("drop table if exists r10l_o")
+    sql("create table r10l_t (g Int64, c Int64, v Int64)")
+    sql("""insert into r10l_t values
+           (1, 10, 100), (1, 10, 90), (2, 5, 200), (2, null, 199),
+           (3, null, 300), (null, 8, 400), (4, 9, null)""")
+    sql("create table r10l_o (ok Int64, t Int64)")
+    sql("insert into r10l_o values (1, 4), (3, 9), (4, 12), (100, 4)")
+    // non-NULL-c rows by (c desc, v asc): (10,90) (10,100) (9,NULL)
+    // (8,400) (5,200); LIMIT 2 OFFSET 1 → global ranks 2..3 =
+    // {(c10,v100), (c9,vNULL)}, each kept per outer iff its c > t:
+    //   ok=1,t=4  → {100,NULL}: no match + NULL member → NULL
+    //   ok=3,t=9  → {100}: no match, no NULL → FALSE
+    //   ok=4,t=12 → {}: FALSE
+    //   ok=100,t=4→ {100,NULL}: match → TRUE
+    def q(extra: String) = s"""
+      SELECT ok, (ok IN (SELECT v FROM r10l_t WHERE c > t$extra
+                         ORDER BY c DESC, v LIMIT 2 OFFSET 1)) AS m
+      FROM r10l_o ORDER BY ok"""
+    val fast = rows(q(""))
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getBoolean(1)))
+    assert(fast == Seq((1L, null), (3L, false), (4L, false), (100L, true)))
+    // vacuous second conjunct → generic pair-frame plan; must agree
+    val generic = rows(q(" AND c < t + 1000"))
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getBoolean(1)))
+    assert(generic == fast)
+  }
+
   test("depth-3 nested IN with an aggregate select keeps a clean error") {
     val e = intercept[Exception](rows(
       """SELECT o_orderkey FROM orders

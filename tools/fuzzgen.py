@@ -61,15 +61,24 @@ def gen(rng):
         body = "select "
         if distinct_on:
             body += f"distinct on (y) {sel}"
-            order = "order by y, rid"
+            # r10 axis: ordering the post-ON keys by the CORRELATED
+            # column k (either direction) exercises the prefix-closed
+            # fast path when the correlation is a single aligned
+            # monotone conjunct — and the generic plan otherwise
+            order = rng.choice(
+                ["order by y, rid", "order by y, k desc, rid",
+                 "order by y, k, rid"])
             if limit:
                 # a LIMIT across ON keys makes NULL y decide the slice
                 extra.append("y is not null")
         else:
             body += sel
             if limit:
+                # r10 axis: k-leading orders hit the prefix-closed
+                # LIMIT fast path under aligned single-conjunct theta
                 order = rng.choice(
-                    ["order by x desc, rid", "order by x, rid", "order by rid"])
+                    ["order by x desc, rid", "order by x, rid", "order by rid",
+                     "order by k desc, rid", "order by k, rid"])
         body += f" from fz_b where {corr}"
         if rng.random() < 0.4:
             extra.append(rng.choice([
