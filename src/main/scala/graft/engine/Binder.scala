@@ -4629,10 +4629,12 @@ final class Binder(
                 bindExpr(selectExpr0, innerCtx).as(vNameF)): _*)
             val ordColsF = qb.orderBy.zip(ordNamesF).map { case (ok, on) =>
               if (ok.desc) col(on).desc else col(on).asc }
-            // distributed top-K, then a rank over those K rows only
+            // distributed top-K; the slice rank is computed PER RID
+            // after the broadcast join — the rows joining a given outer
+            // row are exactly the global passing prefix restricted to
+            // the top-K, so their per-rid rank IS the global passing
+            // rank (no global window anywhere in the plan)
             val kept = base.orderBy(ordColsF: _*).limit(kN)
-              .withColumn(rnF, row_number().over(Window.orderBy(ordColsF: _*)))
-              .filter(col(rnF) > offF)
               .persist(StorageLevel.MEMORY_AND_DISK)
             persistedFrames += kept
             val ovB = bindExpr(oe, ctx)
@@ -4646,12 +4648,14 @@ final class Binder(
             val matchN = fresh("plmatch")
             val cntN = fresh("plcnt")
             val nullN = fresh("plnull")
-            val proj = outerL.join(broadcast(kept), passC, "left")
+            val proj = outerL.join(broadcast(kept), passC, "inner")
+              .withColumn(rnF, row_number().over(
+                Window.partitionBy(col(rid)).orderBy(ordColsF: _*)))
+              .filter(col(rnF) > offF)
               .groupBy(col(rid)).agg(
                 max(when(col(vNameF) === col(lhsName), lit(1))).as(matchN),
-                count(col(rnF)).as(cntN),
-                (count(when(col(rnF).isNotNull && col(vNameF).isNull, 1)) > 0)
-                  .as(nullN))
+                count(lit(1)).as(cntN),
+                (count(when(col(vNameF).isNull, 1)) > 0).as(nullN))
               .withColumnRenamed(rid, rid2)
             ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
               ctx.rel.scopes :+ hiddenScope(proj, Seq(matchN, cntN, nullN)))
