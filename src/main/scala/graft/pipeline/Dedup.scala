@@ -208,15 +208,24 @@ object Dedup {
     require(thresholdNum >= 1, "thresholdNum must be >= 1")
     require(thresholdDen >= 1 && thresholdDen >= thresholdNum,
       "threshold must satisfy 0 < num/den <= 1")
-    val stream = shingleStream(docs, idCol, textCol, shingleN).distinct()
     // 8-byte hash keys instead of shingle strings through every join.
     // The explicit repartition pins ONE exchange that all three
     // consumers (document frequency, prefix ranking, signature arrays)
     // share via ReuseExchange — without it each branch re-runs the
     // shingle windows from the scan (profiled at ~3 s per extra branch
-    // at sf0.1, the dominant cost of the whole operator).
-    val hashes = stream.select(col("id"), xxhash64(col("s")).as("h"))
+    // at sf0.1, the dominant cost of the whole operator). The per-doc
+    // shingle DEDUP runs AFTER the hash repartition (round 10): hashing
+    // first drops the string column before any exchange, and
+    // HashPartitioning(h) satisfies the (id, h) clustering, so the
+    // dropDuplicates aggregate rides the pinned exchange instead of
+    // adding a string-keyed one of its own (the old
+    // `.distinct()`-before-hash shape shuffled every raw shingle
+    // STRING once more). Same 2⁻⁶⁴-collision caveat as the verify
+    // arrays below.
+    val hashes = shingleStream(docs, idCol, textCol, shingleN)
+      .select(col("id"), xxhash64(col("s")).as("h"))
       .repartition(col("h"))
+      .dropDuplicates("id", "h")
     val dfreq = hashes.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val ranked = hashes.join(dfreq, "h")
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
