@@ -357,7 +357,8 @@ object Dedup {
     * and silently re-run the whole propagation on first use (measured:
     * a "cached" result costing 5 s instead of 0.1 s). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+      idB: String = "id_b", maxRounds: Int = 20,
+      driverMaxPairs: Long = 1000000L): DataFrame = {
     // session-scoped memo: qp71's components and qp73's are the same
     // expensive pipeline; key on the FULL canonicalized pair plan — a
     // 32-bit semanticHash could collide across different pipelines in
@@ -366,7 +367,7 @@ object Dedup {
     // tables are immutable within a session — same caveat as the CTE
     // caches)
     val cacheKey =
-      s"${pairs.queryExecution.analyzed.canonicalized}|$idA|$idB|$maxRounds"
+      s"${pairs.queryExecution.analyzed.canonicalized}|$idA|$idB|$maxRounds|$driverMaxPairs"
     ccCache.get() match {
       case (k, cached) if cached != null && k == cacheKey &&
           (cached.sparkSession eq pairs.sparkSession) &&
@@ -382,7 +383,46 @@ object Dedup {
     // force-fill the cache in ONE pass: the union below scans p twice,
     // and two branches racing to fill a cold cache each run the full
     // pair-producing pipeline (measured 2× cost in the first action)
-    p.count()
+    val pairCount = p.count()
+    // TINY-GRAPH gate (round 10): the distributed loop costs 4-5 full
+    // job rounds (init + per-round join/agg/sum + checkpoint) whatever
+    // the data size — ~1.5 s of pure scheduling for the few hundred
+    // pairs a deduplicated fixture produces. Up to `driverMaxPairs`
+    // (16 MB of longs at the default) the pair list collects and a
+    // min-label union-find computes the same labels exactly; the
+    // distributed propagation engages above the gate, where the rounds
+    // amortize. Same bounded-collect stance as the k-means centroids.
+    if (pairCount <= driverMaxPairs) {
+      val spark = pairs.sparkSession
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // roots are already the minimum id of their component: unions
+      // always attach the larger root under the smaller
+      val rowSeq = parent.keys.toSeq.sorted.map(id =>
+        org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rowSeq, 1), schema)
+      ccCache.set((cacheKey, out))
+      return out
+    }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

@@ -310,6 +310,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"first-collision path diverged: missing=${refPairs -- got} extra=${got -- refPairs}")
   }
 
+  test("connectedComponents driver union-find ≡ distributed propagation") {
+    import spark.implicits._
+    // chain 1-2-3-10, pair 5-6, self-loop 8: min-label components
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 8L), (10L, 3L))
+      .toDF("id_a", "id_b")
+    val drv = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.clearCcCache()
+    val dist = Dedup.connectedComponents(pairs, driverMaxPairs = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.clearCcCache()
+    assert(drv == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L),
+      (5L, 5L), (6L, 5L), (8L, 8L)))
+    assert(dist == drv)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     import spark.implicits._
     val df = Seq(Tuple1("a  B\tc"), Tuple1("A b C")).toDF("t")
