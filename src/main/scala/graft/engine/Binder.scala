@@ -1190,6 +1190,14 @@ final class Binder(
       ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
       return
     }
+    thetaExistsMonotoneThreshold(qb, innerCtx, correlated, ctx, existsOff,
+        distinctExprs) match {
+      case Some(flag) =>
+        val keep = if (negated) !flag else flag
+        ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
+        return
+      case None => ()
+    }
     val rid2 = fresh("terid2")
     val (outer, rid, survivors) =
       thetaAggExistsSurvivors(qb, innerCtx, correlated, ctx, existsOff,
@@ -1199,6 +1207,121 @@ final class Binder(
       outer.join(survivors.withColumnRenamed(rid, rid2),
         col(rid) === col(rid2), how).drop(rid),
       ctx.rel.scopes)
+  }
+
+  /** MONOTONE-THRESHOLD collapse for theta-correlated GROUP BY EXISTS
+    * (round 10). With a SINGLE monotone correlated conjunct `ce OP t`
+    * (ce pure-inner, t pure-outer, both numeric) the per-group passing
+    * count is monotone in t, so a group survives a bare
+    * `HAVING count(1|*) >/>= N` iff its K-th OP-directional extreme of
+    * ce passes `OP t` (K = the demanded count; ties rank separately, so
+    * duplicate ce values fall out of row_number), and "more than
+    * existsOff post-DISTINCT rows survive" collapses to ONE scalar:
+    * T* = the (existsOff+1)-th extreme of the per-group (DISTINCT
+    * ON-merged) thresholds. The whole EXISTS is then `lit(T*) OP t`
+    * per outer row — no join, no rid frame, no band machinery. The
+    * inner side is scanned once (salted two-phase per-group rank, so a
+    * single hot group — GROUP BY l_returnflag — cannot serialize one
+    * reducer) and the driver collects existsOff+1 values (bounded, the
+    * kmeans-centroid stance, SCALE.md). DISTINCT [ON] merging requires
+    * every distinct expr to BE one of the GROUP BY exprs (each
+    * post-DISTINCT tuple is then a fixed key slice whose threshold is
+    * the extreme of its groups' thresholds); aggregate-bearing distinct
+    * exprs, multi-conjunct correlations, non-count HAVINGs and
+    * non-numeric sides keep the generic survivors plan. NULL ce rows
+    * are excluded up front (they never satisfy the inequality); a NULL
+    * outer t yields FALSE via the coalesce, matching the generic
+    * empty-match-set semantics. */
+  private def thetaExistsMonotoneThreshold(qb: QueryBody, innerCtx: Ctx,
+      correlated: Seq[Expr], ctx: Ctx, existsOff: Int,
+      distinctExprs: Option[Seq[Expr]]): Option[Column] = {
+    if (qb.groupBy.isEmpty || existsOff > 4096) return None
+    val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
+      .getOrElse(return None)
+    // HAVING must be absent or a bare count(1|*) >/>= N comparison
+    // (either literal orientation); the count a group must reach is
+    // floored at 1 — a group exists only with >= 1 passing row
+    def countsRows(fc: FnCall): Boolean =
+      fc.name.equalsIgnoreCase("count") && (fc.args.isEmpty ||
+        (fc.args.sizeIs == 1 && (fc.args.head match {
+          case Wildcard(_) | IntLit(_) => true
+          case _ => false
+        })))
+    val kNeeded: Int = qb.having.map(substituteAliases(_, qb.selectList)) match {
+      case None => 1
+      case Some(Binary(cmp, fc: FnCall, IntLit(v)))
+          if countsRows(fc) && (cmp == ">" || cmp == ">=") &&
+            v.isValidInt && v <= 4096 =>
+        math.max(if (cmp == ">") v.toInt + 1 else v.toInt, 1)
+      case Some(Binary(cmp, IntLit(v), fc: FnCall))
+          if countsRows(fc) && (cmp == "<" || cmp == "<=") &&
+            v.isValidInt && v <= 4096 =>
+        math.max(if (cmp == "<") v.toInt + 1 else v.toInt, 1)
+      case _ => return None
+    }
+    val groupExprs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+    // DISTINCT [ON] exprs must each be one of the group keys
+    val dIdx: Option[Seq[Int]] = distinctExprs match {
+      case None => None
+      case Some(es) =>
+        val idxs = es.map(groupExprs.indexOf).distinct
+        if (idxs.contains(-1)) return None
+        Some(idxs)
+    }
+    val ceB = bindExpr(ce, innerCtx)
+    val ovB = bindExpr(oe, ctx)
+    def numeric(df: DataFrame, c: Column): Boolean =
+      Try(df.select(c.as("x")).schema.head.dataType).toOption
+        .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (!numeric(innerCtx.rel.df, ceB) || !numeric(ctx.rel.df, ovB)) return None
+    val desc = op == ">" || op == ">="
+    val gNames = groupExprs.indices.map(_ => fresh("mtg"))
+    val ceN = fresh("mtce")
+    val thrN = fresh("mtthr")
+    val base = innerCtx.rel.df.filter(ceB.isNotNull).select(
+      (groupExprs.zip(gNames).map { case (e, n) =>
+        bindExpr(e, innerCtx).as(n) } :+ ceB.as(ceN)): _*)
+    val ordC = if (desc) col(ceN).desc else col(ceN).asc
+    // per-group K-th extreme: K=1 is a plain (map-side partial) extreme
+    // aggregate; K>1 ranks inside (group, physical-partition) salt
+    // buckets first — the K-th overall is always inside the union of
+    // per-bucket top-Ks — then ranks the bounded survivor set per group
+    val thr =
+      if (kNeeded == 1) {
+        val ext = if (desc) max(col(ceN)) else min(col(ceN))
+        base.groupBy(gNames.map(col): _*).agg(ext.as(thrN))
+      } else {
+        val saltN = fresh("mtsalt")
+        val rn1 = fresh("mtrn1")
+        val rn2 = fresh("mtrn2")
+        base.withColumn(saltN, spark_partition_id())
+          .withColumn(rn1, row_number().over(
+            Window.partitionBy((gNames :+ saltN).map(col): _*).orderBy(ordC)))
+          .filter(col(rn1) <= kNeeded).drop(rn1, saltN)
+          .withColumn(rn2, row_number().over(
+            Window.partitionBy(gNames.map(col): _*).orderBy(ordC)))
+          .filter(col(rn2) === kNeeded)
+          .select(gNames.map(col) :+ col(ceN).as(thrN): _*)
+      }
+    val merged = dIdx match {
+      case None => thr.select(col(thrN))
+      case Some(idxs) =>
+        val ext = if (desc) max(col(thrN)) else min(col(thrN))
+        thr.groupBy(idxs.map(i => col(gNames(i))): _*).agg(ext.as(thrN))
+          .select(col(thrN))
+    }
+    val top = merged
+      .orderBy(if (desc) col(thrN).desc else col(thrN).asc)
+      .limit(existsOff + 1).collect()
+    if (top.length <= existsOff) return Some(lit(false))
+    val tStar = lit(top.last.get(0))
+    val cmpC = op match {
+      case ">"  => tStar > ovB
+      case ">=" => tStar >= ovB
+      case "<"  => tStar < ovB
+      case _    => tStar <= ovB
+    }
+    Some(coalesce(cmpC, lit(false)))
   }
 
   /** The rid-tagged outer frame and the DISTINCT rid set whose GROUP BY
@@ -1278,6 +1401,11 @@ final class Binder(
       } else if (qb.groupBy.nonEmpty) {
         val distinctExprs =
           if (existsOff == 0) None else groupedDistinctExprs(qb, what)
+        thetaExistsMonotoneThreshold(qb, innerCtx, correlated, ctx,
+            existsOff, distinctExprs) match {
+          case Some(flag) => return if (negated) !flag else flag
+          case None => ()
+        }
         val rid2 = fresh("xtrid2")
         val flagN = fresh("xtflag")
         val (outer, rid, survivors) =

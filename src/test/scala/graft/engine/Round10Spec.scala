@@ -308,6 +308,76 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(generic == fast)
   }
 
+  // ---- monotone-threshold collapse for grouped theta EXISTS ------------
+
+  test("grouped theta EXISTS collapses to a scalar threshold ≡ generic") {
+    sql("drop table if exists r10m_t"); sql("drop table if exists r10m_o")
+    sql("create table r10m_t (g Int64, c Int64)")
+    // per-group 2nd-largest c: g1→8 (10,8,8,2 — ties rank separately),
+    // g2→7 (9,7,5), g3→none (single non-NULL row), gNULL→14 (15,14)
+    sql("""insert into r10m_t values
+           (1, 10), (1, 8), (1, 8), (1, 2), (2, 9), (2, 7), (2, 5),
+           (3, 20), (3, null), (null, 15), (null, 14)""")
+    sql("create table r10m_o (ok Int64, t Int64)")
+    sql("insert into r10m_o values (1, 7), (2, 8), (3, 20), (4, null)")
+    def q(extra: String, off: String) = s"""
+      SELECT ok FROM r10m_o
+      WHERE EXISTS (SELECT 1 FROM r10m_t WHERE c > t$extra
+                    GROUP BY g HAVING count(1) >= 2$off)
+      ORDER BY ok"""
+    // off=0: T* = max{8,7,14} = 14 → EXISTS ⟺ 14 > t; NULL t → false
+    val fast0 = rows(q("", "")).map(_.getLong(0))
+    assert(fast0 == Seq(1L, 2L))
+    assert(rows(q(" AND c < t + 1000000", "")).map(_.getLong(0)) == fast0)
+    // OFFSET 1: needs 2 surviving groups → T* = 2nd-largest threshold 8
+    val fast1 = rows(q("", " LIMIT 10 OFFSET 1")).map(_.getLong(0))
+    assert(fast1 == Seq(1L))
+    assert(rows(q(" AND c < t + 1000000", " LIMIT 10 OFFSET 1"))
+      .map(_.getLong(0)) == fast1)
+    // reversed HAVING literal orientation takes the same fast path
+    assert(rows(
+      """SELECT ok FROM r10m_o
+         WHERE EXISTS (SELECT 1 FROM r10m_t WHERE c > t
+                       GROUP BY g HAVING 2 <= count(1))
+         ORDER BY ok""").map(_.getLong(0)) == fast0)
+  }
+
+  test("DISTINCT ON group-key merge under OFFSET ≡ generic") {
+    sql("drop table if exists r10m_t2"); sql("drop table if exists r10m_o2")
+    sql("create table r10m_t2 (a Int64, b Int64, c Int64)")
+    // group (a,b) max c: (1,1)→10 (1,2)→8 (2,1)→7 (2,2)→6 (NULL,1)→5,
+    // (1,3) has only NULL c → never survives; distinct-a thresholds:
+    // a1→10, a2→7, aNULL→5; OFFSET 1 → T* = 7
+    sql("""insert into r10m_t2 values
+           (1, 1, 10), (1, 1, 9), (1, 2, 8), (2, 1, 7), (2, 2, 6),
+           (null, 1, 5), (1, 3, null)""")
+    sql("create table r10m_o2 (ok Int64, t Int64)")
+    sql("insert into r10m_o2 values (1, 6), (2, 7), (3, 4), (4, null)")
+    def q(extra: String) = s"""
+      SELECT ok FROM r10m_o2
+      WHERE EXISTS (SELECT DISTINCT ON (a) a FROM r10m_t2 WHERE c > t$extra
+                    GROUP BY a, b LIMIT 5 OFFSET 1)
+      ORDER BY ok"""
+    val fast = rows(q("")).map(_.getLong(0))
+    assert(fast == Seq(1L, 3L))
+    assert(rows(q(" AND c < t + 1000000")).map(_.getLong(0)) == fast)
+  }
+
+  test("NOT EXISTS '<' direction in expression position ≡ generic") {
+    // per-group 2nd-SMALLEST c: g1→8, g2→7, gNULL→15 → T* = min = 7;
+    // EXISTS ⟺ 7 < t; NULL t → NOT EXISTS true (empty match set)
+    def q(extra: String) = s"""
+      SELECT ok, (ok < 0 OR NOT EXISTS (
+        SELECT 1 FROM r10m_t WHERE c < t$extra
+        GROUP BY g HAVING count(*) > 1)) AS m
+      FROM r10m_o ORDER BY ok"""
+    val fast = rows(q(""))
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(fast == Seq((1L, true), (2L, false), (3L, false), (4L, true)))
+    assert(rows(q(" AND c > t - 1000000"))
+      .map(r => (r.getLong(0), r.getBoolean(1))) == fast)
+  }
+
   test("depth-3 nested IN with an aggregate select keeps a clean error") {
     val e = intercept[Exception](rows(
       """SELECT o_orderkey FROM orders

@@ -141,7 +141,17 @@ def gen(rng):
             body += f" and {e}"
         body += f" group by {', '.join(keys)}"
         if having:
-            body += f" having count(1) > {rng.randint(1, 2)}"
+            # r10 axis: the monotone-threshold EXISTS collapse keys on
+            # bare row-count HAVINGs (>/>= in either literal
+            # orientation); a non-count aggregate must keep the generic
+            # survivors plan — generate both classes
+            body += " having " + rng.choice([
+                f"count(1) > {rng.randint(1, 2)}",
+                f"count(1) >= {rng.randint(1, 3)}",
+                f"count(*) > {rng.randint(1, 2)}",
+                f"{rng.randint(1, 2)} <= count(1)",
+                "max(z) > 1",
+            ])
         order = None
         if ties:
             order = "order by count(1) desc"
