@@ -157,6 +157,49 @@ object Round10Queries {
              select 1 from supplier where s_nationkey = c_nationkey and exists (
                select count(1) from nation
                where n_nationkey = o_orderkey % 40 and n_regionkey > 99)))
+         order by o_orderkey"""),
+
+    // ---- GENERIC grouped theta EXISTS, multi-conjunct correlation ----
+    // qe147/qe152/qe169/qe185 now collapse to the monotone scalar
+    // threshold, so these two keep the SURVIVORS machinery (rid frame /
+    // banded grouped agg / per-rid offset count) under driver oracles:
+    // two correlated inequalities cannot orient as a single monotone
+    // conjunct…
+    engineSql("qe194_exists_theta_grouped_two_conjuncts",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_extendedprice > o_totalprice / 4
+             AND l_quantity < o_orderkey % 50
+           GROUP BY l_suppkey HAVING min(l_quantity) <= 10
+           LIMIT 3 OFFSET 1)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and exists (
+           select 1 from lineitem
+           where l_extendedprice > o_totalprice / 4
+             and l_quantity < o_orderkey % 50
+           group by l_suppkey having min(l_quantity) <= 10
+           limit 3 offset 1)
+         order by o_orderkey"""),
+
+    // …and a non-count HAVING declines the threshold collapse even with
+    // a single monotone conjunct (per-group max is not a row count; the
+    // banded grouped aggregation still computes it result-sized)
+    engineSql("qe195_exists_theta_grouped_minmax_having",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT l_returnflag FROM lineitem
+           WHERE l_extendedprice > o_totalprice / 3
+           GROUP BY l_returnflag HAVING max(l_quantity) >= 49
+           LIMIT 5 OFFSET 1)
+         ORDER BY o_orderkey""",
+      """select o_orderkey from orders
+         where o_orderkey < 300 and exists (
+           select l_returnflag from lineitem
+           where l_extendedprice > o_totalprice / 3
+           group by l_returnflag having max(l_quantity) >= 49
+           limit 5 offset 1)
          order by o_orderkey""")
   )
 }
