@@ -1238,27 +1238,7 @@ final class Binder(
     if (qb.groupBy.isEmpty || existsOff > 4096) return None
     val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
       .getOrElse(return None)
-    // HAVING must be absent or a bare count(1|*) >/>= N comparison
-    // (either literal orientation); the count a group must reach is
-    // floored at 1 — a group exists only with >= 1 passing row
-    def countsRows(fc: FnCall): Boolean =
-      fc.name.equalsIgnoreCase("count") && (fc.args.isEmpty ||
-        (fc.args.sizeIs == 1 && (fc.args.head match {
-          case Wildcard(_) | IntLit(_) => true
-          case _ => false
-        })))
-    val kNeeded: Int = qb.having.map(substituteAliases(_, qb.selectList)) match {
-      case None => 1
-      case Some(Binary(cmp, fc: FnCall, IntLit(v)))
-          if countsRows(fc) && (cmp == ">" || cmp == ">=") &&
-            v.isValidInt && v <= 4096 =>
-        math.max(if (cmp == ">") v.toInt + 1 else v.toInt, 1)
-      case Some(Binary(cmp, IntLit(v), fc: FnCall))
-          if countsRows(fc) && (cmp == "<" || cmp == "<=") &&
-            v.isValidInt && v <= 4096 =>
-        math.max(if (cmp == "<") v.toInt + 1 else v.toInt, 1)
-      case _ => return None
-    }
+    val kNeeded = bareCountHaving(qb).getOrElse(return None)
     val groupExprs = qb.groupBy.map(substituteAliases(_, qb.selectList))
     // DISTINCT [ON] exprs must each be one of the group keys
     val dIdx: Option[Seq[Int]] = distinctExprs match {
@@ -1270,39 +1250,13 @@ final class Binder(
     }
     val ceB = bindExpr(ce, innerCtx)
     val ovB = bindExpr(oe, ctx)
-    def numeric(df: DataFrame, c: Column): Boolean =
-      Try(df.select(c.as("x")).schema.head.dataType).toOption
-        .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    if (!numeric(innerCtx.rel.df, ceB) || !numeric(ctx.rel.df, ovB)) return None
+    if (!numericCol(innerCtx.rel.df, ceB) || !numericCol(ctx.rel.df, ovB))
+      return None
     val desc = op == ">" || op == ">="
     val gNames = groupExprs.indices.map(_ => fresh("mtg"))
-    val ceN = fresh("mtce")
     val thrN = fresh("mtthr")
-    val base = innerCtx.rel.df.filter(ceB.isNotNull).select(
-      (groupExprs.zip(gNames).map { case (e, n) =>
-        bindExpr(e, innerCtx).as(n) } :+ ceB.as(ceN)): _*)
-    val ordC = if (desc) col(ceN).desc else col(ceN).asc
-    // per-group K-th extreme: K=1 is a plain (map-side partial) extreme
-    // aggregate; K>1 ranks inside (group, physical-partition) salt
-    // buckets first — the K-th overall is always inside the union of
-    // per-bucket top-Ks — then ranks the bounded survivor set per group
-    val thr =
-      if (kNeeded == 1) {
-        val ext = if (desc) max(col(ceN)) else min(col(ceN))
-        base.groupBy(gNames.map(col): _*).agg(ext.as(thrN))
-      } else {
-        val saltN = fresh("mtsalt")
-        val rn1 = fresh("mtrn1")
-        val rn2 = fresh("mtrn2")
-        base.withColumn(saltN, spark_partition_id())
-          .withColumn(rn1, row_number().over(
-            Window.partitionBy((gNames :+ saltN).map(col): _*).orderBy(ordC)))
-          .filter(col(rn1) <= kNeeded).drop(rn1, saltN)
-          .withColumn(rn2, row_number().over(
-            Window.partitionBy(gNames.map(col): _*).orderBy(ordC)))
-          .filter(col(rn2) === kNeeded)
-          .select(gNames.map(col) :+ col(ceN).as(thrN): _*)
-      }
+    val thr = thetaGroupThresholds(innerCtx, groupExprs, gNames, ceB, desc,
+      kNeeded, thrN)
     val merged = dIdx match {
       case None => thr.select(col(thrN))
       case Some(idxs) =>
@@ -1314,14 +1268,149 @@ final class Binder(
       .orderBy(if (desc) col(thrN).desc else col(thrN).asc)
       .limit(existsOff + 1).collect()
     if (top.length <= existsOff) return Some(lit(false))
-    val tStar = lit(top.last.get(0))
-    val cmpC = op match {
-      case ">"  => tStar > ovB
-      case ">=" => tStar >= ovB
-      case "<"  => tStar < ovB
-      case _    => tStar <= ovB
+    Some(coalesce(cmpOp(op, lit(top.last.get(0)), ovB), lit(false)))
+  }
+
+  /** `left OP right` for an oriented comparison token. */
+  private def cmpOp(op: String, l: Column, r: Column): Column = op match {
+    case ">"  => l > r
+    case ">=" => l >= r
+    case "<"  => l < r
+    case _    => l <= r
+  }
+
+  private def numericCol(df: DataFrame, c: Column): Boolean =
+    Try(df.select(c.as("x")).schema.head.dataType).toOption
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+
+  /** The row count a group must reach when the body's HAVING is absent
+    * (1 — a group exists only with at least one passing row) or a BARE
+    * `count(1|*) >/>= N` comparison in either literal orientation;
+    * None for every other HAVING (the threshold collapses don't
+    * apply). */
+  private def bareCountHaving(qb: QueryBody): Option[Int] = {
+    def countsRows(fc: FnCall): Boolean =
+      fc.name.equalsIgnoreCase("count") && (fc.args.isEmpty ||
+        (fc.args.sizeIs == 1 && (fc.args.head match {
+          case Wildcard(_) | IntLit(_) => true
+          case _ => false
+        })))
+    qb.having.map(substituteAliases(_, qb.selectList)) match {
+      case None => Some(1)
+      case Some(Binary(cmp, fc: FnCall, IntLit(v)))
+          if countsRows(fc) && (cmp == ">" || cmp == ">=") &&
+            v.isValidInt && v <= 4096 =>
+        Some(math.max(if (cmp == ">") v.toInt + 1 else v.toInt, 1))
+      case Some(Binary(cmp, IntLit(v), fc: FnCall))
+          if countsRows(fc) && (cmp == "<" || cmp == "<=") &&
+            v.isValidInt && v <= 4096 =>
+        Some(math.max(if (cmp == "<") v.toInt + 1 else v.toInt, 1))
+      case _ => None
     }
-    Some(coalesce(cmpC, lit(false)))
+  }
+
+  /** Per-group K-th OP-directional extreme of the correlation column —
+    * the survival threshold each group compares against the outer
+    * value. K=1 is a plain (map-side partial) extreme aggregate; K>1
+    * ranks inside (group, physical-partition) salt buckets first — the
+    * K-th overall is always inside the union of per-bucket top-Ks — so
+    * a single hot group cannot serialize one reducer. NULL correlation
+    * values are excluded up front (never inequality-passing); groups
+    * with fewer than K qualifying rows yield no threshold row. */
+  private def thetaGroupThresholds(innerCtx: Ctx, groupExprs: Seq[Expr],
+      gNames: Seq[String], ceB: Column, desc: Boolean, kNeeded: Int,
+      thrN: String): DataFrame = {
+    val ceN = fresh("mtce")
+    val base = innerCtx.rel.df.filter(ceB.isNotNull).select(
+      (groupExprs.zip(gNames).map { case (e, n) =>
+        bindExpr(e, innerCtx).as(n) } :+ ceB.as(ceN)): _*)
+    val ordC = if (desc) col(ceN).desc else col(ceN).asc
+    if (kNeeded == 1) {
+      val ext = if (desc) max(col(ceN)) else min(col(ceN))
+      base.groupBy(gNames.map(col): _*).agg(ext.as(thrN))
+    } else {
+      val saltN = fresh("mtsalt")
+      val rn1 = fresh("mtrn1")
+      val rn2 = fresh("mtrn2")
+      base.withColumn(saltN, spark_partition_id())
+        .withColumn(rn1, row_number().over(
+          Window.partitionBy((gNames :+ saltN).map(col): _*).orderBy(ordC)))
+        .filter(col(rn1) <= kNeeded).drop(rn1, saltN)
+        .withColumn(rn2, row_number().over(
+          Window.partitionBy(gNames.map(col): _*).orderBy(ordC)))
+        .filter(col(rn2) === kNeeded)
+        .select(gNames.map(col) :+ col(ceN).as(thrN): _*)
+    }
+  }
+
+  /** MONOTONE-THRESHOLD collapse for theta-correlated GROUP BY IN
+    * bodies whose select is a pure function of the group keys (round
+    * 10; qe136's `SELECT s_nationkey … GROUP BY s_nationkey` shape).
+    * Membership of a value v is `extreme over v's groups of the
+    * per-group K-th extreme of ce` passing `OP t` — so the whole body
+    * reduces to a (value, threshold) table joined to the outer side by
+    * VALUE EQUALITY (at most one row per value), plus two precollected
+    * scalars: the global extreme threshold (null-safe empty-set test)
+    * and the NULL-valued members' extreme (the three-valued UNKNOWN
+    * arm). The inner side is aggregated once, independent of outer
+    * cardinality, and the join carries no rid frame and no theta
+    * predicate — the value table, not the corpus, bounds the joined
+    * volume. Aggregate-bearing selects, non-count HAVINGs and
+    * multi-conjunct correlations keep [[thetaGroupedIn]]'s generic
+    * survivors plan. */
+  private def thetaGroupedInThreshold(qb: QueryBody, innerCtx: Ctx,
+      correlated: Seq[Expr], ctx: Ctx, lhs: Column): Option[Column] = {
+    val valueExpr = substituteAliases(qb.selectList.head.expr, qb.selectList)
+    if (collectAggs(valueExpr).nonEmpty) return None
+    val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
+      .getOrElse(return None)
+    val kNeeded = bareCountHaving(qb).getOrElse(return None)
+    val ceB = bindExpr(ce, innerCtx)
+    val ovB = bindExpr(oe, ctx)
+    if (!numericCol(innerCtx.rel.df, ceB) || !numericCol(ctx.rel.df, ovB))
+      return None
+    val groupExprs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+    val desc = op == ">" || op == ">="
+    val gNames = groupExprs.indices.map(_ => fresh("vtg"))
+    val thrN = fresh("vtthr")
+    val thr = thetaGroupThresholds(innerCtx, groupExprs, gNames, ceB, desc,
+      kNeeded, thrN)
+    val tCtx = new Ctx(
+      Rel(thr, Seq(Scope(None, thr, thr.columns.toSeq))), None, innerCtx.ctes,
+      subst = groupExprs.zip(gNames).map { case (e, n) => e -> thr(n) }.toMap)
+    val vB = try bindExpr(valueExpr, tCtx) catch {
+      case _: GraftException => return None // select not group-key-pure
+    }
+    val vN = fresh("vtv")
+    val ext = if (desc) max(col(thrN)) else min(col(thrN))
+    val values = thr.select(vB.as(vN), col(thrN))
+      .groupBy(col(vN)).agg(ext.as(thrN))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += values
+    // one bounded action: the global extreme (any group survives ⟺
+    // set nonempty), the NULL-valued extreme (UNKNOWN arm) and the
+    // non-null distinct-value count (broadcast gate)
+    val stats = values.agg(ext.as("all"),
+      (if (desc) max(when(col(vN).isNull, col(thrN)))
+       else min(when(col(vN).isNull, col(thrN)))).as("nul"),
+      count(when(col(vN).isNotNull, 1)).as("nn")).head()
+    if (stats.isNullAt(0)) return Some(lit(false)) // no groups: empty set
+    val anySurvives = coalesce(cmpOp(op, lit(stats.get(0)), ovB), lit(false))
+    val nullSurvives =
+      if (stats.isNullAt(1)) lit(false)
+      else coalesce(cmpOp(op, lit(stats.get(1)), ovB), lit(false))
+    val nonNullValues = values.filter(col(vN).isNotNull)
+    val joined =
+      if (stats.getLong(2) <= 32768)
+        ctx.rel.df.join(broadcast(nonNullValues), lhs === col(vN), "left")
+      else ctx.rel.df.join(nonNullValues, lhs === col(vN), "left")
+    ctx.rel = Rel(joined.drop(vN),
+      ctx.rel.scopes :+ hiddenScope(nonNullValues, Seq(thrN)))
+    Some(when(coalesce(cmpOp(op, nonNullValues(thrN), ovB), lit(false)),
+        lit(true))
+      .when(!anySurvives, lit(false))
+      .when(lhs.isNull || nullSurvives, lit(null).cast("boolean"))
+      .otherwise(lit(false)))
   }
 
   /** The rid-tagged outer frame and the DISTINCT rid set whose GROUP BY
@@ -4630,6 +4719,10 @@ final class Binder(
     val havingExpr = qb.having.map(substituteAliases(_, qb.selectList))
     val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
+    thetaGroupedInThreshold(qb, innerCtx, correlated, ctx, lhs) match {
+      case Some(r) => return r
+      case None => ()
+    }
     val rid = fresh("tirid")
     val rid2 = fresh("tirid2")
     val lhsName = fresh("tilhs")

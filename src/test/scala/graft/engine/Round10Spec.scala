@@ -378,6 +378,41 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getBoolean(1))) == fast)
   }
 
+  test("grouped theta IN value-threshold table ≡ generic, 3-valued") {
+    // reuses r10m_t (thresholds at count>=2: g1→8, g2→7, g3→none,
+    // gNULL→14); lhs/t matrix drives every 3-valued arm
+    sql("drop table if exists r10v_o")
+    sql("create table r10v_o (ok Int64, lhs Int64, t Int64)")
+    sql("""insert into r10v_o values
+           (1, 1, 7), (2, 2, 7), (3, null, 7), (4, 1, 20),
+           (5, 2, 13), (6, 1, null)""")
+    def q(sel: String, extra: String) = s"""
+      SELECT ok, (lhs IN (SELECT $sel FROM r10m_t WHERE c > t$extra
+                          GROUP BY g HAVING count(1) >= 2)) AS m
+      FROM r10v_o ORDER BY ok"""
+    def run(s: String) = rows(s)
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getBoolean(1)))
+    // t=7 → members {1, NULL}; t=13 → {NULL}; t=20 / t NULL → empty
+    val fast = run(q("g", ""))
+    assert(fast == Seq((1L, true), (2L, null), (3L, null), (4L, false),
+      (5L, null), (6L, false)))
+    assert(run(q("g", " AND c < t + 1000000")) == fast)
+    // NOT IN flips true↔false through the caller's 3-valued negation
+    val neg = rows(s"""
+      SELECT ok, (lhs NOT IN (SELECT g FROM r10m_t WHERE c > t
+                              GROUP BY g HAVING count(1) >= 2)) AS m
+      FROM r10v_o ORDER BY ok""")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getBoolean(1)))
+    assert(neg == Seq((1L, false), (2L, null), (3L, null), (4L, true),
+      (5L, null), (6L, true)))
+    // value = f(group key) merges group thresholds per VALUE:
+    // v1 = max(8) = 8, v0 = 7, vNULL = 14 (g NULL → g%2 NULL)
+    val merged = run(q("g % 2", ""))
+    assert(merged == Seq((1L, true), (2L, null), (3L, null), (4L, false),
+      (5L, null), (6L, false)))
+    assert(run(q("g % 2", " AND c < t + 1000000")) == merged)
+  }
+
   test("depth-3 nested IN with an aggregate select keeps a clean error") {
     val e = intercept[Exception](rows(
       """SELECT o_orderkey FROM orders
