@@ -1240,14 +1240,11 @@ final class Binder(
       .getOrElse(return None)
     val kNeeded = bareCountHaving(qb).getOrElse(return None)
     val groupExprs = qb.groupBy.map(substituteAliases(_, qb.selectList))
-    // DISTINCT [ON] exprs must each be one of the group keys
-    val dIdx: Option[Seq[Int]] = distinctExprs match {
-      case None => None
-      case Some(es) =>
-        val idxs = es.map(groupExprs.indexOf).distinct
-        if (idxs.contains(-1)) return None
-        Some(idxs)
-    }
+    // DISTINCT [ON] exprs must be aggregate-free (pure functions of the
+    // group keys — enforced below by binding them over the thresholds
+    // frame, which carries ONLY the group-key columns)
+    if (distinctExprs.exists(_.exists(e => collectAggs(e).nonEmpty)))
+      return None
     val ceB = bindExpr(ce, innerCtx)
     val ovB = bindExpr(oe, ctx)
     if (!numericCol(innerCtx.rel.df, ceB) || !numericCol(ctx.rel.df, ovB))
@@ -1257,12 +1254,18 @@ final class Binder(
     val thrN = fresh("mtthr")
     val thr = thetaGroupThresholds(innerCtx, groupExprs, gNames, ceB, desc,
       kNeeded, thrN)
-    val merged = dIdx match {
+    val merged = distinctExprs match {
       case None => thr.select(col(thrN))
-      case Some(idxs) =>
+      case Some(es) =>
+        val tCtx = new Ctx(
+          Rel(thr, Seq(Scope(None, thr, thr.columns.toSeq))), None,
+          innerCtx.ctes,
+          subst = groupExprs.zip(gNames).map { case (e, n) => e -> thr(n) }.toMap)
+        val dCols = try es.map(bindExpr(_, tCtx)) catch {
+          case _: GraftException => return None // not group-key-pure
+        }
         val ext = if (desc) max(col(thrN)) else min(col(thrN))
-        thr.groupBy(idxs.map(i => col(gNames(i))): _*).agg(ext.as(thrN))
-          .select(col(thrN))
+        thr.groupBy(dCols: _*).agg(ext.as(thrN)).select(col(thrN))
     }
     val top = merged
       .orderBy(if (desc) col(thrN).desc else col(thrN).asc)

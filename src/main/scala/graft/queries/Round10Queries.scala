@@ -200,6 +200,23 @@ object Round10Queries {
            where l_extendedprice > o_totalprice / 3
            group by l_returnflag having max(l_quantity) >= 49
            limit 5 offset 1)
-         order by o_orderkey""")
+         order by o_orderkey"""),
+
+    // ---- grouped theta IN, select = f(group key): the value-threshold
+    // collapse's MERGE arm (several groups fold into one member value;
+    // the driver-pinned complement of qe136's identity select)
+    engineSql("qe196_in_theta_grouped_merged_value",
+      """SELECT c_custkey, c_nationkey FROM customer
+         WHERE c_custkey < 5000
+           AND c_nationkey % 5 IN (SELECT s_nationkey % 5 FROM supplier
+                                   WHERE s_acctbal > c_acctbal
+                                   GROUP BY s_nationkey HAVING count(1) >= 2)
+         ORDER BY c_custkey""",
+      """select c_custkey, c_nationkey from customer
+         where c_custkey < 5000
+           and c_nationkey % 5 in (select s_nationkey % 5 from supplier
+                                   where s_acctbal > c_acctbal
+                                   group by s_nationkey having count(1) >= 2)
+         order by c_custkey""")
   )
 }

@@ -361,6 +361,16 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     val fast = rows(q("")).map(_.getLong(0))
     assert(fast == Seq(1L, 3L))
     assert(rows(q(" AND c < t + 1000000")).map(_.getLong(0)) == fast)
+    // DISTINCT ON over a pure FUNCTION of a group key merges the same
+    // way (a%2: v1→10, v0→7, vNULL→5 — T* at OFFSET 1 is again 7)
+    def qf(extra: String) = s"""
+      SELECT ok FROM r10m_o2
+      WHERE EXISTS (SELECT DISTINCT ON (a % 2) b FROM r10m_t2 WHERE c > t$extra
+                    GROUP BY a, b LIMIT 5 OFFSET 1)
+      ORDER BY ok"""
+    val fastF = rows(qf("")).map(_.getLong(0))
+    assert(fastF == Seq(1L, 3L))
+    assert(rows(qf(" AND c < t + 1000000")).map(_.getLong(0)) == fastF)
   }
 
   test("NOT EXISTS '<' direction in expression position ≡ generic") {
