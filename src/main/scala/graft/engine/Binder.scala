@@ -1416,6 +1416,86 @@ final class Binder(
       .otherwise(lit(false)))
   }
 
+  /** The staircase lowering itself (see the call-site comment in
+    * [[thetaLimitIn]] for the math). Returns None — generic plan —
+    * when the correlation is not a single numeric monotone conjunct,
+    * an ORDER BY / ON / select expr does not bind pure-inner, or the
+    * NULL-valued record set exceeds the literal when-chain gate. */
+  private def staircaseDistinctOnIn(qb: QueryBody, innerCtx: Ctx,
+      correlated: Seq[Expr], ctx: Ctx, outer: DataFrame, outerL: DataFrame,
+      rid: String, rid2: String, lhsName: String, lhs: Column,
+      selectExpr0: Expr, onKeys: Seq[Expr]): Option[Column] = {
+    val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
+      .getOrElse(return None)
+    val ceB = bindExpr(ce, innerCtx)
+    val ovB = bindExpr(oe, ctx)
+    if (!numericCol(innerCtx.rel.df, ceB) || !numericCol(ctx.rel.df, ovB))
+      return None
+    val gNames = onKeys.indices.map(_ => fresh("scg"))
+    val ordNs = qb.orderBy.indices.map(_ => fresh("sco"))
+    val ceN = fresh("scce")
+    val vN = fresh("scv")
+    val prevN = fresh("scprev")
+    val base = try innerCtx.rel.df.filter(ceB.isNotNull).select(
+      (onKeys.zip(gNames).map { case (e, n) => bindExpr(e, innerCtx).as(n) } ++
+        qb.orderBy.zip(ordNs).map { case (ok, n) =>
+          bindExpr(ok.expr, innerCtx).as(n) } :+
+        ceB.as(ceN) :+ bindExpr(selectExpr0, innerCtx).as(vN)): _*)
+    catch { case _: GraftException => return None } // outer-referencing keys
+    val ordCols = qb.orderBy.zip(ordNs).map { case (ok, n) =>
+      if (ok.desc) col(n).desc else col(n).asc }
+    val maxima = op == ">" || op == ">="
+    val wPrev = Window.partitionBy(gNames.map(col): _*).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevExt = (if (maxima) max(col(ceN)) else min(col(ceN))).over(wPrev)
+    val preN = fresh("scpre")
+    val isRecord =
+      if (maxima) col(preN).isNull || col(ceN) > col(preN)
+      else col(preN).isNull || col(ceN) < col(preN)
+    val cands = base.withColumn(preN, prevExt).filter(isRecord)
+      .withColumn(prevN, lag(col(ceN), 1).over(
+        Window.partitionBy(gNames.map(col): _*).orderBy(ordCols: _*)))
+      .select(col(vN), col(ceN), col(prevN))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += cands
+    // one bounded action: record count, NULL-valued record count, and
+    // the global extreme record ce (empty-set test — the LAST record of
+    // each group carries the group's extreme)
+    val ext = if (maxima) max(col(ceN)) else min(col(ceN))
+    val stats = cands.agg(count(lit(1)).as("n"),
+      count(when(col(vN).isNull, 1)).as("nv"), ext.as("all")).head()
+    if (stats.getLong(0) == 0L) return Some(lit(false)) // no passing rows ever
+    if (stats.getLong(1) > 256) return None // UNKNOWN arm outgrew the chain
+    val anySurvives = coalesce(cmpOp(op, lit(stats.get(2)), ovB), lit(false))
+    def keptTest(ceC: Column, prevC: Column): Column =
+      coalesce(cmpOp(op, ceC, ovB), lit(false)) &&
+        !coalesce(cmpOp(op, prevC, ovB), lit(false))
+    val nullKept =
+      if (stats.getLong(1) == 0L) lit(false)
+      else cands.filter(col(vN).isNull).select(col(ceN), col(prevN)).collect()
+        .map { r =>
+          val c = cmpOp(op, lit(r.get(0)), ovB)
+          val p = if (r.isNullAt(1)) lit(false)
+            else coalesce(cmpOp(op, lit(r.get(1)), ovB), lit(false))
+          coalesce(c, lit(false)) && !p
+        }.reduce(_ || _)
+    val nn = cands.filter(col(vN).isNotNull)
+    val nnJ = if (stats.getLong(0) <= 32768) broadcast(nn) else nn
+    val flagN = fresh("scflag")
+    val proj = outerL
+      .join(nnJ, col(lhsName) === col(vN) && keptTest(col(ceN), col(prevN)),
+        "inner")
+      .select(col(rid)).distinct()
+      .withColumnRenamed(rid, rid2).withColumn(flagN, lit(true))
+    ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left")
+        .drop(rid, rid2),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(flagN)))
+    Some(when(coalesce(proj(flagN), lit(false)), lit(true))
+      .when(!anySurvives, lit(false))
+      .when(lhs.isNull || nullKept, lit(null).cast("boolean"))
+      .otherwise(lit(false)))
+  }
+
   /** The rid-tagged outer frame and the DISTINCT rid set whose GROUP BY
     * body yields more than `existsOff` surviving post-DISTINCT rows —
     * the core of [[thetaAggExists]], shared with the expression-position
@@ -4890,6 +4970,29 @@ final class Binder(
           case _ => ()
         }
       case _ => ()
+    }
+    // PREFIX-EXTREMUM STAIRCASE for DISTINCT ON bodies (round 10): with
+    // a single monotone conjunct `ce OP t`, the kept row per ON-group
+    // as t varies walks the group's prefix-extremum records in the
+    // body's sort order — the first PASSING row is always a RECORD row
+    // (any non-record has an earlier row with a no-worse ce), and along
+    // the records ce is strictly monotone, so pass(t) is monotone and
+    // the kept record is the unique one with `cmp(ce,t) ∧ ¬cmp(prev
+    // record's ce, t)` — a PURE per-row predicate. Membership becomes a
+    // value-EQUI join of the outer side against the record table
+    // (expected O(log group) records per group — record counts, not
+    // the corpus, bound the joined volume), plus one scalar (global
+    // extreme record ce: the null-safe empty-set test) and a literal
+    // when-chain over the NULL-valued records (the UNKNOWN arm). The
+    // rid pair frame and its per-rid windows disappear; alignment of
+    // the ORDER BY is NOT required (the prefix-closed paths above need
+    // it, this one subsumes the misaligned shapes — qe139).
+    if (qb.limit.isEmpty && onKeys.nonEmpty && !isGrouped) {
+      staircaseDistinctOnIn(qb, innerCtx, correlated, ctx, outer, outerL,
+        rid, rid2, lhsName, lhs, selectExpr0, onKeys) match {
+        case Some(r) => return r
+        case None => ()
+      }
     }
     // lazy: the banded grouped path below never builds the pair frame,
     // and thetaInnerJoin runs driver-side actions (outer count + band

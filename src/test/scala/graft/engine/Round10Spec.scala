@@ -423,6 +423,44 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(q("g % 2", " AND c < t + 1000000")) == merged)
   }
 
+  test("DISTINCT ON staircase IN ≡ generic, 3-valued, both directions") {
+    sql("drop table if exists r10s_t"); sql("drop table if exists r10s_o")
+    sql("create table r10s_t (g Int64, q Int64, v Int64, rid Int64)")
+    // g1 sorted by v desc: 100(q5) 90(q8) 80(q3) 70(q10) — '>' records
+    // {100,90,70}; g2: 60(q9) NULL(q12) — NULL-v record exists (q12);
+    // g3: single 50(q2)
+    sql("""insert into r10s_t values
+           (1, 5, 100, 1), (1, 8, 90, 2), (1, 3, 80, 3), (1, 10, 70, 4),
+           (2, 9, 60, 5), (2, 12, null, 6), (3, 2, 50, 7)""")
+    sql("create table r10s_o (ok Int64, lhs Int64, t Int64)")
+    sql("""insert into r10s_o values
+           (1, 100, 4), (2, 70, 9), (3, 60, 11), (4, 50, 1),
+           (5, 100, 12), (6, null, 4), (7, 100, null)""")
+    def q(extra: String) = s"""
+      SELECT ok, (lhs IN (SELECT DISTINCT ON (g) v FROM r10s_t
+                          WHERE q > t$extra ORDER BY g, v DESC, rid)) AS m
+      FROM r10s_o ORDER BY ok"""
+    def run(s: String) = rows(s)
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getBoolean(1)))
+    // kept per t: t=4→{100,60}; t=9→{70,NULL}; t=11→{NULL}; t=1→
+    // {100,60,50}; t=12/t NULL→{}
+    val fast = run(q(""))
+    assert(fast == Seq((1L, true), (2L, true), (3L, null), (4L, true),
+      (5L, false), (6L, null), (7L, false)))
+    assert(run(q(" AND q < t + 1000000")) == fast)
+    // '<' direction: prefix-MINIMA records (g1: {100(5), 80(3)})
+    def ql(extra: String) = s"""
+      SELECT ok, (lhs IN (SELECT DISTINCT ON (g) v FROM r10s_t
+                          WHERE q < t$extra ORDER BY g, v DESC, rid)) AS m
+      FROM r10s_o ORDER BY ok"""
+    // kept per t: t=4→{80,50}; t=9→{100,50}; t=11→{100,60,50};
+    // t=1/t NULL→{}; t=12→{100,60,50}
+    val fastL = run(ql(""))
+    assert(fastL == Seq((1L, false), (2L, false), (3L, true), (4L, false),
+      (5L, true), (6L, null), (7L, false)))
+    assert(run(ql(" AND q > t - 1000000")) == fastL)
+  }
+
   test("depth-3 nested IN with an aggregate select keeps a clean error") {
     val e = intercept[Exception](rows(
       """SELECT o_orderkey FROM orders

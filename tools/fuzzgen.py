@@ -119,7 +119,9 @@ def gen(rng):
         keys = rng.choice([["x"], ["x", "y"], ["y"]])
         agg = rng.choice(["count(1)", "max(z)", "count(1) % 3", "min(rid)",
                           "sum(x)", "sum(x) % 5"])
-        sel = rng.choice([agg] + keys)
+        # f(group-key) selects exercise the value-threshold collapse's
+        # MERGE arm (several groups fold into one member value)
+        sel = rng.choice([agg] + keys + [f"{keys[0]} % 2", f"{keys[0]} + 1"])
         distinct_on = rng.random() < 0.35 and "y" in keys and sel != "y"
         having = rng.random() < 0.4
         limit = rng.random() < 0.6
