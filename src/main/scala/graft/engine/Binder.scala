@@ -1133,6 +1133,17 @@ final class Binder(
         }.reduce(_ && _)
       ctx.rel = Rel(ctx.rel.df.join(filtered, cond, how), ctx.rel.scopes)
     } else {
+      // single monotone theta conjunct: EXISTS collapses to one scalar
+      // (the extreme of ce vs t) — no semi join at all; equality and
+      // multi-conjunct correlations keep the join below
+      if (correlated.nonEmpty)
+        thetaExistsScalarFlag(qb, innerCtx, correlated, ctx, plain = true) match {
+          case Some(flag) =>
+            val keep = if (negated) !flag else flag
+            ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
+            return
+          case None => ()
+        }
       val innerDf = innerCtx.rel.df
       val cond =
         if (correlated.isEmpty) lit(true) // uncorrelated EXISTS: any row matches
@@ -1178,6 +1189,15 @@ final class Binder(
     // OFFSET part already arrived via existsOff, so the clause is
     // dropped here, matching the equality path's coverage (ADVICE r7).
     if (qb.groupBy.isEmpty) {
+      // bare-count HAVING over a single monotone conjunct collapses to
+      // one scalar: the K-th extreme of ce vs t (no rid machinery)
+      thetaExistsScalarFlag(qb, innerCtx, correlated, ctx, plain = false) match {
+        case Some(flag) =>
+          val keep = if (negated) !flag else flag
+          ctx.rel = Rel(ctx.rel.df.filter(keep), ctx.rel.scopes)
+          return
+        case None => ()
+      }
       // ungrouped HAVING: reuse the per-rid aggregate machinery with a
       // neutral select item (EXISTS ignores the select list)
       val qb2 = qb.copy(selectList =
@@ -1238,7 +1258,7 @@ final class Binder(
     if (qb.groupBy.isEmpty || existsOff > 4096) return None
     val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
       .getOrElse(return None)
-    val kNeeded = bareCountHaving(qb).getOrElse(return None)
+    val kNeeded = bareCountHaving(qb).map(math.max(_, 1)).getOrElse(return None)
     val groupExprs = qb.groupBy.map(substituteAliases(_, qb.selectList))
     // DISTINCT [ON] exprs must be aggregate-free (pure functions of the
     // group keys — enforced below by binding them over the thresholds
@@ -1286,11 +1306,13 @@ final class Binder(
     Try(df.select(c.as("x")).schema.head.dataType).toOption
       .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
 
-  /** The row count a group must reach when the body's HAVING is absent
-    * (1 — a group exists only with at least one passing row) or a BARE
-    * `count(1|*) >/>= N` comparison in either literal orientation;
-    * None for every other HAVING (the threshold collapses don't
-    * apply). */
+  /** The RAW row count the body's HAVING demands: 1 when HAVING is
+    * absent, N(+1) for a BARE `count(1|*) >/>= N` comparison in either
+    * literal orientation, None for every other HAVING (the threshold
+    * collapses don't apply). May be ≤ 0 (`count(1) >= 0`) — GROUPED
+    * callers floor it at 1 (a group exists only with ≥ 1 passing row);
+    * the UNGROUPED caller treats ≤ 0 as constant-true (SQL's one
+    * aggregate row exists and passes even over the empty set). */
   private def bareCountHaving(qb: QueryBody): Option[Int] = {
     def countsRows(fc: FnCall): Boolean =
       fc.name.equalsIgnoreCase("count") && (fc.args.isEmpty ||
@@ -1303,13 +1325,41 @@ final class Binder(
       case Some(Binary(cmp, fc: FnCall, IntLit(v)))
           if countsRows(fc) && (cmp == ">" || cmp == ">=") &&
             v.isValidInt && v <= 4096 =>
-        Some(math.max(if (cmp == ">") v.toInt + 1 else v.toInt, 1))
+        Some(if (cmp == ">") v.toInt + 1 else v.toInt)
       case Some(Binary(cmp, IntLit(v), fc: FnCall))
           if countsRows(fc) && (cmp == "<" || cmp == "<=") &&
             v.isValidInt && v <= 4096 =>
-        Some(math.max(if (cmp == "<") v.toInt + 1 else v.toInt, 1))
+        Some(if (cmp == "<") v.toInt + 1 else v.toInt)
       case _ => None
     }
+  }
+
+  /** Scalar collapse for PLAIN and ungrouped-bare-count-HAVING theta
+    * EXISTS: "more than K−1 rows pass `ce OP t`" ⟺ the K-th
+    * OP-directional extreme of ce passes `OP t` — K = 1 for plain
+    * bodies, the HAVING's demanded count otherwise. ONE distributed
+    * top-K action over the (locally filtered) inner side replaces the
+    * rid machinery entirely; the EXISTS becomes a literal comparison.
+    * K ≤ 0 (`count(1) >= 0`) is constant TRUE: SQL's one ungrouped
+    * aggregate row exists and passes even over the empty match set. */
+  private def thetaExistsScalarFlag(qb: QueryBody, innerCtx: Ctx,
+      correlated: Seq[Expr], ctx: Ctx, plain: Boolean): Option[Column] = {
+    val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
+      .getOrElse(return None)
+    val k = if (plain) 1 else bareCountHaving(qb).getOrElse(return None)
+    if (k <= 0) return Some(lit(true))
+    if (k > 4096) return None
+    val ceB = bindExpr(ce, innerCtx)
+    val ovB = bindExpr(oe, ctx)
+    if (!numericCol(innerCtx.rel.df, ceB) || !numericCol(ctx.rel.df, ovB))
+      return None
+    val desc = op == ">" || op == ">="
+    val ceN = fresh("sfce")
+    val top = innerCtx.rel.df.filter(ceB.isNotNull).select(ceB.as(ceN))
+      .orderBy(if (desc) col(ceN).desc else col(ceN).asc)
+      .limit(k).collect()
+    if (top.length < k) return Some(lit(false))
+    Some(coalesce(cmpOp(op, lit(top.last.get(0)), ovB), lit(false)))
   }
 
   /** Per-group K-th OP-directional extreme of the correlation column —
@@ -1367,7 +1417,7 @@ final class Binder(
     if (collectAggs(valueExpr).nonEmpty) return None
     val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
       .getOrElse(return None)
-    val kNeeded = bareCountHaving(qb).getOrElse(return None)
+    val kNeeded = bareCountHaving(qb).map(math.max(_, 1)).getOrElse(return None)
     val ceB = bindExpr(ce, innerCtx)
     val ovB = bindExpr(oe, ctx)
     if (!numericCol(innerCtx.rel.df, ceB) || !numericCol(ctx.rel.df, ovB))
@@ -1564,12 +1614,18 @@ final class Binder(
     }
     val f: Column =
       if (qb.groupBy.isEmpty && (qb.having.isDefined || selAggs.nonEmpty)) {
-        val qb2 = qb.copy(selectList =
-          Seq(SelectItem(FnCall("count", Seq(IntLit(BigInt(1)))), None)),
-          limit = None)
-        val (_, having) = thetaUngroupedAgg(qb2, innerCtx.rel, Nil, correlated,
-          ctx, what, innerCtx.ctes)
-        having.map(h => coalesce(h, lit(false))).getOrElse(lit(true))
+        (if (qb.having.isDefined)
+           thetaExistsScalarFlag(qb, innerCtx, correlated, ctx, plain = false)
+         else None) match {
+          case Some(flag) => flag
+          case None =>
+            val qb2 = qb.copy(selectList =
+              Seq(SelectItem(FnCall("count", Seq(IntLit(BigInt(1)))), None)),
+              limit = None)
+            val (_, having) = thetaUngroupedAgg(qb2, innerCtx.rel, Nil,
+              correlated, ctx, what, innerCtx.ctes)
+            having.map(h => coalesce(h, lit(false))).getOrElse(lit(true))
+        }
       } else if (qb.groupBy.nonEmpty) {
         val distinctExprs =
           if (existsOff == 0) None else groupedDistinctExprs(qb, what)
@@ -1589,7 +1645,8 @@ final class Binder(
           outer.join(hits, col(rid) === col(rid2), "left").drop(rid, rid2),
           ctx.rel.scopes :+ hiddenScope(hits, Seq(flagN)))
         coalesce(hits(flagN), lit(false))
-      } else {
+      } else thetaExistsScalarFlag(qb, innerCtx, correlated, ctx,
+          plain = true).getOrElse {
         // plain body: DISTINCT matched rids carry the flag
         val rid = fresh("xtrid")
         val rid2 = fresh("xtrid2")
