@@ -4705,6 +4705,133 @@ final class Binder(
     proj(vName)
   }
 
+  /** SCALAR staircase for the theta-correlated GROUP BY top-1 shape
+    * (round 11, VERDICT r10 #1 — qe146's plan):
+    *
+    *   SELECT v(g) FROM inner WHERE ce OP t(outer)
+    *   GROUP BY g ORDER BY count(1|*) DESC, tb(g) [ASC|DESC] LIMIT 1
+    *
+    * Let e_g(n) be the n-th OP-directional extreme of ce within group g
+    * (n-th largest for >/>=, n-th smallest for </<=). Then count_g(t) =
+    * #{ce OP t} = max n with `e_g(n) OP t`, so the winning group at
+    * threshold t is: among groups whose level-n* entry passes — n* the
+    * highest level with ANY passing entry — the tb-best. Within one
+    * level, sorted by ce in the worsening direction, the passing set is
+    * a PREFIX of the sort for every t, so its tb-best is always a
+    * RECORD row (one whose tb beats every better-ce row of its level) —
+    * the qe139 membership staircase generalized from "kept row per ON
+    * group" to "winning group per count level". The first row of each
+    * level is always a record and carries the level's best ce, so the
+    * max passing level is computable from records alone.
+    *
+    * The record table is expected O(max_count × log #groups) — two
+    * well-partitioned windows (by group key, then by level) replace the
+    * banded plan's fixed stats/probe/scan floor (~2 s, VERDICT r10 #2) —
+    * and the probe is one broadcast range join plus a per-rid
+    * max_by((level, idx)): no pair frame, no per-rid windows. The
+    * BroadcastNestedLoopJoin this plans is over the GATED record table
+    * (≤ 2^20 rows, expected thousands), so probe work is
+    * |outer| × |records| with the second factor result-shaped, not
+    * corpus-shaped. A bare `count(1) >= K` HAVING folds in as a level
+    * floor. Returns None — the banded/generic plan — when the shape or
+    * types don't match, a qualifying row's tie-break value is NULL
+    * (Spark's NULLS-FIRST window sort and the null-skipping running
+    * extreme would disagree with the generic path's rank), or the
+    * record table outgrows the gate. Reference free-composition:
+    * /root/reference/src/parser/mod.rs:349-360,1229-1245. */
+  private def thetaScalarGroupTop1Staircase(qb: QueryBody, innerCtx: Ctx,
+      correlated: Seq[Expr], ctx: Ctx): Option[Column] = {
+    if (qb.orderBy.size != 2) return None
+    val ordExprs = qb.orderBy.map(ok => substituteAliases(ok.expr, qb.selectList))
+    def bareCount(e: Expr): Boolean = e match {
+      case FnCall(n, args) if n.equalsIgnoreCase("count") =>
+        args.isEmpty || (args.sizeIs == 1 && (args.head match {
+          case Wildcard(_) | IntLit(_) => true
+          case _ => false
+        }))
+      case _ => false
+    }
+    if (!bareCount(ordExprs.head) || !qb.orderBy.head.desc) return None
+    val tbExpr = ordExprs(1)
+    if (collectAggs(tbExpr).nonEmpty) return None
+    val tbDesc = qb.orderBy(1).desc
+    val minLvl = bareCountHaving(qb).map(math.max(_, 1)).getOrElse(return None)
+    val valueExpr = substituteAliases(qb.selectList.head.expr, qb.selectList)
+    val valueIsCount = bareCount(valueExpr)
+    if (!valueIsCount && collectAggs(valueExpr).nonEmpty) return None
+    val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
+      .getOrElse(return None)
+    val ceB = bindExpr(ce, innerCtx)
+    val ovB = bindExpr(oe, ctx)
+    if (!numericCol(innerCtx.rel.df, ceB) || !numericCol(ctx.rel.df, ovB))
+      return None
+    val groupExprs = qb.groupBy.map(substituteAliases(_, qb.selectList))
+    val gNames = groupExprs.indices.map(_ => fresh("ssg"))
+    val ceN = fresh("ssce")
+    // NULL-ce rows never satisfy the correlation for any threshold
+    val base = innerCtx.rel.df.filter(ceB.isNotNull).select(
+      (groupExprs.zip(gNames).map { case (e, n) =>
+        bindExpr(e, innerCtx).as(n) } :+ ceB.as(ceN)): _*)
+    // tb and v must be pure functions of the group keys — bound against
+    // the projected frame through the subst map; anything else → generic
+    val bCtx = new Ctx(
+      Rel(base, Seq(Scope(None, base, base.columns.toSeq))), None,
+      innerCtx.ctes,
+      subst = groupExprs.zip(gNames).map { case (e, n) => e -> base(n) }.toMap)
+    val tbN = fresh("sstb")
+    val vN = fresh("ssv")
+    val lvlN = fresh("sslvl")
+    val idxN = fresh("ssidx")
+    val preN = fresh("sspre")
+    val (tbB, vB) = try {
+      (bindExpr(tbExpr, bCtx),
+        if (valueIsCount) lit(null) else bindExpr(valueExpr, bCtx))
+    } catch { case _: GraftException => return None }
+    val maxima = op == ">" || op == ">="
+    val ceOrd = if (maxima) col(ceN).desc else col(ceN).asc
+    val levels = base
+      .withColumn(lvlN, row_number().over(
+        Window.partitionBy(gNames.map(col): _*).orderBy(ceOrd)))
+      .filter(col(lvlN) >= minLvl)
+      .select(col(lvlN), col(ceN), tbB.as(tbN), vB.as(vN))
+    val tbOrd = if (tbDesc) col(tbN).desc else col(tbN).asc
+    val wL = Window.partitionBy(col(lvlN)).orderBy(ceOrd, tbOrd)
+    val prevBest = (if (tbDesc) max(col(tbN)) else min(col(tbN)))
+      .over(wL.rowsBetween(Window.unboundedPreceding, -1))
+    val beats = if (tbDesc) col(tbN) > col(preN) else col(tbN) < col(preN)
+    // NULL-tb rows are kept as pseudo-records so ONE action sees them;
+    // the running extreme ignores them, so the non-null staircase stays
+    // exact and the bail below routes any NULL-tb data to the generic
+    // plan before the probe
+    val records = levels.withColumn(preN, prevBest)
+      .filter(col(tbN).isNull || col(preN).isNull || beats)
+      .withColumn(idxN, row_number().over(
+        Window.partitionBy(col(lvlN)).orderBy(ceOrd, tbOrd)))
+      .select(col(lvlN), col(ceN), col(idxN), col(tbN), col(vN))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += records
+    // ONE bounded action: record volume (broadcast gate) and NULL
+    // tie-break presence
+    val stats = records.agg(count(lit(1)).as("n"),
+      count(when(col(tbN).isNull, 1)).as("ntb")).head()
+    if (stats.getLong(1) > 0 || stats.getLong(0) > (1 << 20)) return None
+    val rid = fresh("ssrid")
+    val rid2 = fresh("ssrid2")
+    val outer = ctx.rel.df.withColumn(rid, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += outer
+    val valName = fresh("ssval")
+    val vOut = if (valueIsCount) col(lvlN).cast("long") else col(vN)
+    val passing = outer.join(broadcast(records),
+      cmpOp(op, col(ceN), ovB), "inner")
+    val proj = passing.groupBy(col(rid))
+      .agg(max_by(vOut, struct(col(lvlN), col(idxN))).as(valName))
+      .withColumnRenamed(rid, rid2)
+    ctx.rel = Rel(outer.join(proj, col(rid) === col(rid2), "left"),
+      ctx.rel.scopes :+ hiddenScope(proj, Seq(valName)))
+    Some(proj(valName))
+  }
+
   /** GROUP BY body under THETA (non-equality) correlation: rid-tag the
     * outer frame, inner-join the body source on the correlated
     * conjuncts, group by (rid ∪ explicit GROUP BY keys), HAVING filters
@@ -4753,6 +4880,13 @@ final class Binder(
     val ordExprs = qb.orderBy.map(ok => substituteAliases(ok.expr, qb.selectList))
     val innerCtx = new Ctx(innerRel, None, bodyCtes)
     applyLocal(local, innerCtx, what)
+    // scalar staircase (round 11): ORDER BY count(1) DESC, tb LIMIT 1
+    // bodies skip the band machinery entirely — see the Scaladoc above
+    if (top1Off.contains(0) && onKeys.isEmpty && qb.groupBy.nonEmpty)
+      thetaScalarGroupTop1Staircase(qb, innerCtx, correlated, ctx) match {
+        case Some(c) => return c
+        case None => ()
+      }
     val rid = fresh("tgrid")
     val rid2 = fresh("tgrid2")
     // persist: the rid feeds the correlation join AND the join-back;
