@@ -209,23 +209,29 @@ object Dedup {
     require(thresholdDen >= 1 && thresholdDen >= thresholdNum,
       "threshold must satisfy 0 < num/den <= 1")
     // 8-byte hash keys instead of shingle strings through every join.
-    // The explicit repartition pins ONE exchange that all three
-    // consumers (document frequency, prefix ranking, signature arrays)
-    // share via ReuseExchange — without it each branch re-runs the
-    // shingle windows from the scan (profiled at ~3 s per extra branch
-    // at sf0.1, the dominant cost of the whole operator). The per-doc
-    // shingle DEDUP runs AFTER the hash repartition (round 10): hashing
-    // first drops the string column before any exchange, and
-    // HashPartitioning(h) satisfies the (id, h) clustering, so the
-    // dropDuplicates aggregate rides the pinned exchange instead of
-    // adding a string-keyed one of its own (the old
+    // The explicit repartition pins ONE exchange shared by all three
+    // consumers (document frequency, prefix ranking, signature arrays) —
+    // without it each branch re-runs the shingle windows from the scan
+    // (profiled at ~3 s per extra branch at sf0.1, the dominant cost of
+    // the whole operator). The per-doc shingle DEDUP runs AFTER the hash
+    // repartition (round 10): hashing first drops the string column
+    // before any exchange, and HashPartitioning(h) satisfies the (id, h)
+    // clustering, so the dropDuplicates aggregate rides the pinned
+    // exchange instead of adding a string-keyed one of its own (the old
     // `.distinct()`-before-hash shape shuffled every raw shingle
     // STRING once more). Same 2⁻⁶⁴-collision caveat as the verify
-    // arrays below.
+    // arrays below. The deduped stream is PERSISTED rather than left to
+    // ReuseExchange (round 11): under AQE the three consumers coalesce
+    // the exchange independently, and a missed reuse re-ran the whole
+    // shingle pipeline for that branch — the r8→r10 run-to-run drift on
+    // this entry (isolated 2.7 s typical with ~5.7 s outliers) was
+    // exactly this nondeterminism. The cached frame is id+hash only —
+    // |shingles| × 16 bytes, corpus-shaped but column-pruned.
     val hashes = shingleStream(docs, idCol, textCol, shingleN)
       .select(col("id"), xxhash64(col("s")).as("h"))
       .repartition(col("h"))
       .dropDuplicates("id", "h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = hashes.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val ranked = hashes.join(dfreq, "h")
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
