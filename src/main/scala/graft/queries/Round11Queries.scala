@@ -1,0 +1,74 @@
+package graft.queries
+
+/** Round-11 additions: the r10 missing-list lift — THETA-correlated
+  * nested IN with DISTINCT ON now lowers through the prefix-extremum
+  * staircase threaded into the grandparent flatten (VERDICT r10 #5).
+  * The kept row per ON-group is binding-dependent under an inequality,
+  * but it is always a RECORD row (prefix extremum of the correlated
+  * side in the body's sort), and "this record is the kept one" is a
+  * pure per-row predicate that rides the flatten join as ordinary
+  * conjuncts — see Binder.flattenExistsBody.
+  *
+  * Reference grammar composes these freely:
+  * /root/reference/src/parser/mod.rs:349-360 (DISTINCT ON in any body),
+  * :1229-1245 (subqueries in any expression position).
+  */
+object Round11Queries {
+
+  private def engineSql(name: String, oracle: String, nutql: String): QueryDef =
+    QueryDef(name, Some(oracle), (s, dir) => Engines.get(s, dir).execute(nutql))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- depth-3 nested IN DISTINCT ON under grandparent THETA ---------
+    // the innermost body's WHERE is an INEQUALITY against o_orderkey
+    // THREE scopes up: the kept nation per region varies with the outer
+    // row, which the r10 equality-only window could not express (it
+    // kept a clean error) — the staircase records per (region) plus the
+    // per-row kept test lower it exactly
+    engineSql("qe197_nested3_in_distinct_on_theta",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               s_suppkey % 25 IN (SELECT DISTINCT ON (n_regionkey) n_nationkey
+                                  FROM nation
+                                  WHERE n_nationkey > o_orderkey % 20
+                                  ORDER BY n_regionkey, n_name DESC, n_nationkey)))
+         ORDER BY o_orderkey""",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               s_suppkey % 25 IN (SELECT DISTINCT ON (n_regionkey) n_nationkey
+                                  FROM nation
+                                  WHERE n_nationkey > o_orderkey % 20
+                                  ORDER BY n_regionkey, n_name DESC, n_nationkey)))
+         ORDER BY o_orderkey"""),
+
+    // ---- the '<' direction with NULL lhs and NULL member corners -------
+    // prefix-MINIMA records; a NULL lhs (every 11th supplier) and a
+    // NULL kept value (nation 13) both make the positive IN conjunct
+    // UNKNOWN → that supplier row contributes nothing
+    engineSql("qe198_nested3_in_distinct_on_theta_nulls",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               CASE WHEN s_suppkey % 11 = 0 THEN NULL ELSE s_suppkey % 25 END
+                 IN (SELECT DISTINCT ON (n_regionkey)
+                       CASE WHEN n_nationkey = 13 THEN NULL ELSE n_nationkey END
+                     FROM nation WHERE n_nationkey < o_orderkey % 30
+                     ORDER BY n_regionkey, n_name, n_nationkey)))
+         ORDER BY o_orderkey""",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               CASE WHEN s_suppkey % 11 = 0 THEN NULL ELSE s_suppkey % 25 END
+                 IN (SELECT DISTINCT ON (n_regionkey)
+                       CASE WHEN n_nationkey = 13 THEN NULL ELSE n_nationkey END
+                     FROM nation WHERE n_nationkey < o_orderkey % 30
+                     ORDER BY n_regionkey, n_name, n_nationkey)))
+         ORDER BY o_orderkey"""))
+}

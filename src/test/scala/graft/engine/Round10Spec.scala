@@ -146,10 +146,23 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
           WHERE EXISTS (
             SELECT 1 FROM r10_m WHERE g = ok AND EXISTS (
               SELECT 1 FROM r10_t AS u WHERE u.k = g AND $body))"""
-    val theta = intercept[Exception](rows(depth3(
-      """u.v IN (SELECT DISTINCT ON (oc) v FROM r10_t
-                 WHERE k < ok ORDER BY oc, ord)""")))
-    assert(theta.getMessage.contains("equality correlation"))
+    // round 11: a single monotone inequality now LOWERS through the
+    // prefix-extremum staircase (Round11Spec pins the semantics); the
+    // depth-2 manual flatten is the oracle. Ties are broken by v so the
+    // two plans must pick identical kept rows.
+    val theta3 = rows(depth3(
+      """u.v IN (SELECT DISTINCT ON (t2.oc) t2.v FROM r10_t AS t2
+                 WHERE t2.k < ok ORDER BY t2.oc, t2.ord, t2.v)""") +
+      " ORDER BY ok").map(_.getLong(0))
+    val theta2 = rows(
+      """SELECT ok FROM r10_o
+         WHERE EXISTS (
+           SELECT 1 FROM r10_m JOIN r10_t AS u ON u.k = g
+           WHERE g = ok AND
+             u.v IN (SELECT DISTINCT ON (t2.oc) t2.v FROM r10_t AS t2
+                     WHERE t2.k < ok ORDER BY t2.oc, t2.ord, t2.v))
+         ORDER BY ok""").map(_.getLong(0))
+    assert(theta3 == Seq(2L) && theta2 == theta3)
     val noOrder = intercept[Exception](rows(depth3(
       """u.v IN (SELECT DISTINCT ON (oc) v FROM r10_t WHERE k = ok)""")))
     assert(noOrder.getMessage.contains("ORDER BY"))

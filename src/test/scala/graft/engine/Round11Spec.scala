@@ -161,6 +161,99 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       rows(qm(vac)).map(r => (r.getLong(0), longOrNull(r, 1))))
   }
 
+  // ---- theta-correlated nested IN with DISTINCT ON at depth 3 ----------
+  // the depth-2 form rides the pair-frame route (sliceInNestedBody) and
+  // already supported theta — at depth 3 the flatten recursion reaches
+  // flattenExistsBody, where round 10 kept a clean equality-only error;
+  // round 11 threads the prefix-extremum staircase through it. The
+  // depth-2 form IS the oracle: same semantics, independent plan.
+
+  // the IN's lhs must be LOCAL to the level holding the conjunct: at
+  // depth 3 that is r11n_m2 (lhs2) so the conjunct takes the flatten
+  // recursion; the depth-2 oracle uses r11n_m's equal-valued lhs and
+  // rides the independent pair-frame plan
+  private def nestedPair(inBody: String): (Seq[Long], Seq[Long]) = {
+    val d3 = rows(
+      s"""SELECT ok FROM r11n_o
+          WHERE EXISTS (
+            SELECT 1 FROM r11n_m WHERE g = ok AND EXISTS (
+              SELECT 1 FROM r11n_m2 WHERE h = g AND
+                ${inBody.replace("lhs", "lhs2").replace("g * 100", "h * 100")}))
+          ORDER BY ok""").map(_.getLong(0))
+    val d2 = rows(
+      s"""SELECT ok FROM r11n_o
+          WHERE EXISTS (
+            SELECT 1 FROM r11n_m WHERE g = ok AND $inBody)
+          ORDER BY ok""").map(_.getLong(0))
+    (d3, d2)
+  }
+
+  test("depth-3 nested IN DISTINCT ON under grandparent THETA keeps the right row") {
+    sql("DROP TABLE IF EXISTS r11n_o"); sql("DROP TABLE IF EXISTS r11n_m")
+    sql("DROP TABLE IF EXISTS r11n_m2"); sql("DROP TABLE IF EXISTS r11n_t")
+    sql("CREATE TABLE r11n_o (ok Int64)")
+    sql("INSERT INTO r11n_o VALUES (1), (2), (3), (4)")
+    sql("CREATE TABLE r11n_m (g Int64, lhs Int64)")
+    sql("INSERT INTO r11n_m VALUES (1, 100), (2, 600), (3, 100), (4, 300)")
+    sql("CREATE TABLE r11n_m2 (h Int64, lhs2 Int64)")
+    sql("INSERT INTO r11n_m2 VALUES (1, 100), (2, 600), (3, 100), (4, 300)")
+    sql("CREATE TABLE r11n_t (oc Int64, q Int64, v Int64, ord Int64)")
+    // oc=1: asc-ord rows [100(q35), 200(q15), 300(q45)]; oc=2:
+    // [500(q25), 600(q50)]; oc=3 has a NULL-q row before a q=60 row;
+    // oc=4's only row has a NULL value
+    sql("""INSERT INTO r11n_t VALUES
+           (1, 35, 100, 1), (1, 15, 200, 2), (1, 45, 300, 3),
+           (2, 25, 500, 1), (2, 50, 600, 2),
+           (3, null, 700, 1), (3, 60, 800, 2),
+           (4, 70, null, 1)""")
+    // ASC kept sets per threshold t=ok*10: t=10/{100,500,800,N};
+    // t=20/{100,500,800,N}; t=30/{100,600,800,N}; t=40/{300,600,800,N}
+    val (a3, a2) = nestedPair(
+      """lhs IN (SELECT DISTINCT ON (oc) v FROM r11n_t
+                 WHERE q > ok * 10 ORDER BY oc, ord)""")
+    assert(a3 == Seq(1L, 3L, 4L) && a2 == a3)
+    // DESC kept sets: {300,600,800,N} for every t here
+    val (d3, d2) = nestedPair(
+      """lhs IN (SELECT DISTINCT ON (oc) v FROM r11n_t
+                 WHERE q > ok * 10 ORDER BY oc, ord DESC)""")
+    assert(d3 == Seq(2L, 4L) && d2 == d3)
+  }
+
+  test("depth-3 nested theta DISTINCT ON '<' uses prefix-minima records") {
+    // kept sets: t=10/{}; t=20/{200}; t=30/{200,500}; t=40/{100,500};
+    // lhs = g*100 hits only ok=2
+    val (d3, d2) = nestedPair(
+      """g * 100 IN (SELECT DISTINCT ON (oc) v FROM r11n_t
+                     WHERE q < ok * 10 ORDER BY oc, ord)""")
+    assert(d3 == Seq(2L) && d2 == d3)
+  }
+
+  test("depth-3 nested theta DISTINCT ON composes with equality correlation") {
+    sql("DROP TABLE IF EXISTS r11n_t2")
+    sql("CREATE TABLE r11n_t2 (k Int64, oc Int64, q Int64, v Int64, ord Int64)")
+    sql("""INSERT INTO r11n_t2 VALUES
+           (1, 1, 35, 100, 1), (1, 1, 45, 300, 2),
+           (2, 1, 35, 600, 1), (2, 1, 45, 1300, 2)""")
+    // k slices partition the staircase: ok=1 (k=1, t=10) keeps 100 =
+    // lhs(1); ok=2 (k=2, t=20) keeps 600 = lhs(2); ok=3/4 have no rows
+    val (d3, d2) = nestedPair(
+      """lhs IN (SELECT DISTINCT ON (oc) v FROM r11n_t2
+                 WHERE k = g AND q > ok * 10 ORDER BY oc, ord)""")
+    assert(d3 == Seq(1L, 2L) && d2 == d3)
+  }
+
+  test("depth-3 nested theta DISTINCT ON, several inequalities: clean error") {
+    val e = intercept[Exception](rows(
+      """SELECT ok FROM r11n_o
+         WHERE EXISTS (
+           SELECT 1 FROM r11n_m WHERE g = ok AND EXISTS (
+             SELECT 1 FROM r11n_m2 WHERE h = g AND
+               lhs2 IN (SELECT DISTINCT ON (oc) v FROM r11n_t
+                        WHERE q > ok * 10 AND q < ok * 100
+                        ORDER BY oc, ord)))"""))
+    assert(e.getMessage.contains("monotone inequality"))
+  }
+
   test("staircase on the qe146 shape over real tables ≡ generic") {
     def q(extra: String) = s"""
       SELECT o_orderkey,
