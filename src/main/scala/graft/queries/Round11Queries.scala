@@ -70,5 +70,29 @@ object Round11Queries {
                        CASE WHEN n_nationkey = 13 THEN NULL ELSE n_nationkey END
                      FROM nation WHERE n_nationkey < o_orderkey % 30
                      ORDER BY n_regionkey, n_name, n_nationkey)))
+         ORDER BY o_orderkey"""),
+
+    // ---- hoist-past-level subquery-bearing conjunct (pair frame) -------
+    // the IN's lhs (c_nationkey) lives one scope up from its conjunct
+    // while its body references o_totalprice two scopes up — no
+    // intermediate level can lower it (r10: clean error). The round-11
+    // pair-frame rail binds it on the explicit (outer × flattened inner)
+    // frame, where the LIMIT-IN machinery rid-tags the right thing.
+    engineSql("qe199_exists_hoisted_in_limit",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM nation WHERE n_nationkey = c_nationkey AND
+               c_nationkey IN (SELECT s_nationkey FROM supplier
+                               WHERE s_acctbal > o_totalprice / 100
+                               ORDER BY s_acctbal DESC, s_suppkey LIMIT 5)))
+         ORDER BY o_orderkey""",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM nation WHERE n_nationkey = c_nationkey AND
+               c_nationkey IN (SELECT s_nationkey FROM supplier
+                               WHERE s_acctbal > o_totalprice / 100
+                               ORDER BY s_acctbal DESC, s_suppkey LIMIT 5)))
          ORDER BY o_orderkey"""))
 }

@@ -254,6 +254,43 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("monotone inequality"))
   }
 
+  // ---- deferred subquery-bearing conjuncts (pair-frame rail) -----------
+  // a conjunct whose TOP-LEVEL refs live one scope up while its BODY
+  // references the grandparent can lower at no intermediate level — the
+  // r10 guard was a clean error; round 11 defers it to the enclosing
+  // EXISTS where the explicit pair frame lowers it normally.
+
+  test("hoist-past-level IN with DISTINCT ON lowers on the pair frame") {
+    // lhs lives in r11n_m (one up from the conjunct); the body references
+    // ok (two up). Kept sets as in the depth-3 staircase test; lhs(g):
+    // 100,600,100,300 → ok ∈ {1,3,4}
+    val got = rows(
+      """SELECT ok FROM r11n_o
+         WHERE EXISTS (
+           SELECT 1 FROM r11n_m WHERE g = ok AND EXISTS (
+             SELECT 1 FROM r11n_m2 WHERE h = g AND
+               lhs IN (SELECT DISTINCT ON (oc) v FROM r11n_t
+                       WHERE q > ok * 10 ORDER BY oc, ord)))
+         ORDER BY ok""").map(_.getLong(0))
+    assert(got == Seq(1L, 3L, 4L))
+  }
+
+  test("hoist-past-level IN with LIMIT lowers on the pair frame") {
+    // body: the two smallest-q rows passing q > ok*10 —
+    // t=10/{200,500}; t=20/{500,100}; t=30/{100,300}; t=40/{300,600}
+    def q(neg: String) = rows(
+      s"""SELECT ok FROM r11n_o
+          WHERE EXISTS (
+            SELECT 1 FROM r11n_m WHERE g = ok AND EXISTS (
+              SELECT 1 FROM r11n_m2 WHERE h = g AND
+                lhs $neg IN (SELECT v FROM r11n_t
+                             WHERE q > ok * 10 ORDER BY q LIMIT 2)))
+          ORDER BY ok""").map(_.getLong(0))
+    assert(q("") == Seq(3L, 4L))
+    // the negated form is just a per-row predicate on the pair frame
+    assert(q("NOT") == Seq(1L, 2L))
+  }
+
   test("staircase on the qe146 shape over real tables ≡ generic") {
     def q(extra: String) = s"""
       SELECT o_orderkey,
