@@ -1147,13 +1147,23 @@ final class Binder(
     } else {
       // a hoisted-past-its-level SUBQUERY-BEARING conjunct (round 11,
       // VERDICT r10 missing #2): its body references scopes the nested
-      // level could not see, so the flatten deferred it up to here —
-      // where the explicit (outer × inner) pair frame makes every
+      // level could not see — OR it is a MEMBERSHIP conjunct whose lhs
+      // references the outer side (the [NOT] IN machineries join/filter
+      // the frame they mutate BY the lhs, so an outer lhs on the inner
+      // frame leaked a raw MISSING_ATTRIBUTES — round-11 fuzzer find,
+      // fz123/fz450 seed 1103, set-op bodies under depth-3 nesting).
+      // Either way the explicit (outer × inner) pair frame makes every
       // referenced scope an ordinary column and the subquery lowers
-      // through its normal machinery against the RIGHT frame
+      // through its normal machinery against the RIGHT frame.
+      def membershipOuterLhs(c: Expr): Boolean = c match {
+        case InSubquery(l, _, _) => !resolvesWithin(l, innerCtx.rel)
+        case Unary(op, i: InSubquery) if op.equalsIgnoreCase("not") =>
+          membershipOuterLhs(i)
+        case _ => false
+      }
       val (subCorr, plainCorr) = correlated.partition(c =>
-        containsSubquery(c) &&
-          !subqueryBodiesResolveWithin(c, innerCtx.rel, innerCtx.ctes))
+        containsSubquery(c) && (membershipOuterLhs(c) ||
+          !subqueryBodiesResolveWithin(c, innerCtx.rel, innerCtx.ctes)))
       if (subCorr.nonEmpty) {
         lowerExistsPairFrame(plainCorr, subCorr, innerCtx, ctx, negated)
         return

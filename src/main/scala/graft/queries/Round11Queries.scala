@@ -94,5 +94,30 @@ object Round11Queries {
                c_nationkey IN (SELECT s_nationkey FROM supplier
                                WHERE s_acctbal > o_totalprice / 100
                                ORDER BY s_acctbal DESC, s_suppkey LIMIT 5)))
+         ORDER BY o_orderkey"""),
+
+    // ---- deferred membership with OUTER lhs over a set-op body ---------
+    // round-11 fuzzer find (fz123/fz450, seed 1103): the [NOT] IN
+    // machinery joins the frame it mutates by the lhs, so an outer lhs
+    // on the inner frame leaked a raw MISSING_ATTRIBUTES; membership
+    // conjuncts with an outer lhs now route to the pair frame.
+    engineSql("qe200_nested_notin_setop_outer_lhs",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM nation WHERE n_nationkey = c_nationkey AND
+               o_orderkey % 30 NOT IN (
+                 SELECT n_regionkey FROM nation WHERE n_name < 'K'
+                 UNION DISTINCT
+                 SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)))
+         ORDER BY o_orderkey""",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM nation WHERE n_nationkey = c_nationkey AND
+               o_orderkey % 30 NOT IN (
+                 SELECT n_regionkey FROM nation WHERE n_name < 'K'
+                 UNION DISTINCT
+                 SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)))
          ORDER BY o_orderkey"""))
 }

@@ -291,6 +291,25 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("NOT") == Seq(1L, 2L))
   }
 
+  test("deferred set-op membership with outer lhs (fuzzer find fz123/fz450)") {
+    // the [NOT] IN machinery joins/filters the frame it mutates BY the
+    // lhs — an outer lhs on the inner frame leaked a raw
+    // MISSING_ATTRIBUTES before the membership conjunct routed to the
+    // pair frame. Set = oc1 non-null v ∪ oc2 v = {100,200,300,500,600}.
+    def q(neg: String) = rows(
+      s"""SELECT ok FROM r11n_o
+          WHERE EXISTS (
+            SELECT 1 FROM r11n_m WHERE g = ok AND EXISTS (
+              SELECT 1 FROM r11n_m2 WHERE h = g AND
+                ok * 100 $neg IN (
+                  SELECT v FROM r11n_t WHERE v IS NOT NULL AND oc = 1
+                  UNION DISTINCT
+                  SELECT v FROM r11n_t WHERE oc = 2)))
+          ORDER BY ok""").map(_.getLong(0))
+    assert(q("") == Seq(1L, 2L, 3L))
+    assert(q("NOT") == Seq(4L))
+  }
+
   test("staircase on the qe146 shape over real tables ≡ generic") {
     def q(extra: String) = s"""
       SELECT o_orderkey,

@@ -159,7 +159,14 @@ def gen(rng):
             order = "order by count(1) desc"
         elif limit or distinct_on:
             lead = "y, " if distinct_on else ""
-            order = f"order by {lead}count(1) desc, " + ", ".join(keys)
+            # r11 axis: a single-key count-rank tie-break in EITHER
+            # direction exercises the scalar grouped top-1 staircase
+            # (value retrieval, DESC flip, count-as-value); multi-key
+            # tie-breaks keep the banded/generic plan — both compared
+            tb = ", ".join(keys)
+            if len(keys) == 1 and rng.random() < 0.4:
+                tb = f"{keys[0]} desc"
+            order = f"order by {lead}count(1) desc, " + tb
         prefix = body
         if order:
             body += " " + order
@@ -228,10 +235,17 @@ def gen(rng):
         if rng.random() < 0.3:
             # r10 axis — DEPTH 3: a second (aliased, qualified) middle
             # level, so the predicate references ok THREE scopes up and
-            # exercises the flatten recursion (incl. the DISTINCT ON
-            # keep-first lift; theta-correlated DISTINCT ON keeps a
-            # clean error and records as SKIP)
+            # exercises the flatten recursion. Round 11: theta-correlated
+            # DISTINCT ON now lowers through the prefix-extremum
+            # staircase, and ok-lhs IN conjuncts take the deferred
+            # pair-frame rail instead of erroring — both are compared,
+            # not skipped. A middle-lhs variant (m2.g) pins the flatten
+            # eqConj path with a LOCAL lhs (the qe197 class).
             m1corr = mcorr.replace("g ", "m1.g ", 1)
+            if form == "in" and not neg and rng.random() < 0.4:
+                mid_lhs = rng.choice(["m2.g", "m2.g % 4"])
+                pred = f"{mid_lhs} in ({body})"
+                opred = f"{mid_lhs} in ({oracle_body})" if oracle_body else None
 
             def nest(p):
                 return (f"{mneg}exists (select 1 from fz_m as m1 "
