@@ -120,6 +120,26 @@ class PlanMarkerSpec extends AnyFunSuite with BeforeAndAfterAll {
   check("qe195_exists_theta_grouped_minmax_having",
     Seq("__terid_", "__tbb_"), Nil, noBnlj = true)
 
+  // nested-flatten staircase (round 11): the record-extremum column
+  // rides the plan; no BNLJ (the records join on the hoisted theta's
+  // equality keys)
+  check("qe197_nested3_in_distinct_on_theta", Seq("__gfpre_"), Nil,
+    noBnlj = true)
+  check("qe198_nested3_in_distinct_on_theta_nulls", Seq("__gfpre_"), Nil,
+    noBnlj = true)
+
+  // deferred pair-frame rail (round 11): the pair rid column is the
+  // marker; at most one BNLJ (the machinery's bounded body join)
+  test("plan markers: qe199/qe200 take the deferred pair-frame rail") {
+    Seq("qe199_exists_hoisted_in_limit",
+        "qe200_nested_notin_setop_outer_lhs").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("__pfrid_"), s"$n lost the pair-frame rail")
+      assert(count(p, "BroadcastNestedLoopJoin") <= 1)
+      assert(count(p, "CartesianProduct") == 0)
+    }
+  }
+
   // qe194 is the DELIBERATE generic-survivors pin: exactly one BNLJ
   // over the literal-capped outer — losing it means the displaced
   // generic plan lost driver coverage
