@@ -119,5 +119,24 @@ object Round11Queries {
                  SELECT n_regionkey FROM nation WHERE n_name < 'K'
                  UNION DISTINCT
                  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)))
-         ORDER BY o_orderkey"""))
+         ORDER BY o_orderkey"""),
+
+    // ---- scalar staircase: HAVING level floor + DESC tie-break ---------
+    // the bare count HAVING folds into the staircase as a level floor
+    // (levels below 2 never enter the record table) and the DESC
+    // tie-break flips the within-level running extreme — both arms of
+    // the round-11 qe146 lowering under one oracle
+    engineSql("qe201_scalar_theta_group_top1_having",
+      """SELECT o_orderkey,
+           (SELECT l_suppkey FROM lineitem
+            WHERE l_extendedprice > o_totalprice / 4
+            GROUP BY l_suppkey HAVING count(1) >= 2
+            ORDER BY count(1) DESC, l_suppkey DESC LIMIT 1) AS busiest_supp
+         FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""",
+      """SELECT o_orderkey,
+           (SELECT l_suppkey FROM lineitem
+            WHERE l_extendedprice > o_totalprice / 4
+            GROUP BY l_suppkey HAVING count(1) >= 2
+            ORDER BY count(1) DESC, l_suppkey DESC LIMIT 1) AS busiest_supp
+         FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""))
 }

@@ -103,6 +103,8 @@ class PlanMarkerSpec extends AnyFunSuite with BeforeAndAfterAll {
   // generic grouped-agg rid frame
   check("qe146_scalar_theta_group_top1", Seq("__ssidx_", "max_by"),
     Seq("__tgrid_"))
+  check("qe201_scalar_theta_group_top1_having", Seq("__ssidx_", "max_by"),
+    Seq("__tgrid_"))
 
   // monotone-threshold collapses: literally zero joins at any scale
   checkJoinFree("qe147_exists_theta_grouped")
