@@ -2550,16 +2550,28 @@ final class Binder(
       flattenExistsBody(nqb, None, innerCtx, what, enclosingQuals)
     case InSubquery(lhs, nqb: QueryBody, false) =>
       flattenExistsBody(nqb, Some(lhs), innerCtx, what, enclosingQuals)
-    case _ => err(s"a nested subquery in a $what references columns two " +
-      "scopes up in a position that cannot flatten — only non-negated " +
-      "EXISTS/IN conjuncts with plain bodies support grandparent correlation")
+    // anything else — negated nested, scalar comparisons, subqueries
+    // under OR — DEFERS upward whole (round 11): it is a pure per-row
+    // predicate, and the enclosing plain-EXISTS pair frame binds it in
+    // expression position where every scope is an ordinary column
+    // ([[lowerExistsPairFrame]]; errors there stay clean dialect errors)
+    case _ => Seq(c)
   }
 
   private def flattenExistsBody(nqb: QueryBody, lhsOpt: Option[Expr],
       innerCtx: Ctx, what: String, enclosingQuals: Set[String]): Seq[Expr] = {
+    // the original conjunct, for whole-conjunct DEFERRAL (round 11):
+    // bodies the flatten join cannot express (GROUP BY/HAVING/LIMIT —
+    // the join runs BELOW the body's own aggregation/slice; aggregate
+    // IN selects) hoist intact to the enclosing pair frame instead of
+    // erroring — there they bind in expression position per pair row,
+    // which is exactly their semantics
+    def original: Expr = lhsOpt match {
+      case Some(l) => InSubquery(l, nqb, negated = false)
+      case None => ExistsExpr(nqb, negated = false)
+    }
     if (nqb.groupBy.nonEmpty || nqb.having.isDefined || nqb.limit.isDefined)
-      err(s"a grandparent-correlated nested subquery in a $what must be a " +
-        "plain body (no GROUP BY/HAVING/LIMIT)")
+      return Seq(original)
     // an ungrouped AGGREGATE select (no GROUP BY/HAVING/LIMIT — just
     // guarded) yields exactly one row whatever the WHERE matches, so the
     // EXISTS form is constant-TRUE: the conjunct contributes nothing and
@@ -2570,9 +2582,7 @@ final class Binder(
     if (nqb.selectList.exists(si =>
         !si.expr.isInstanceOf[Wildcard] && collectAggs(si.expr).nonEmpty)) {
       if (lhsOpt.isEmpty) return Nil
-      err(s"a grandparent-correlated nested IN subquery in a $what with " +
-        "an aggregate select is not supported — rewrite the aggregate " +
-        "into the level it references")
+      return Seq(original) // aggregate-valued IN: defer to the pair frame
     }
     // the body's own WITH list binds UNCORRELATED first (round 10,
     // VERDICT r9 task #8) — same rule as every other subquery-body

@@ -474,14 +474,27 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(ql(" AND q > t - 1000000")) == fastL)
   }
 
-  test("depth-3 nested IN with an aggregate select keeps a clean error") {
-    val e = intercept[Exception](rows(
+  test("depth-3 nested IN with an aggregate select lowers on the pair frame") {
+    // round 11: the aggregate-valued IN defers whole to the enclosing
+    // pair frame (r10 kept a clean error here). The scalar-comparison
+    // rewrite is the oracle: max(n_nationkey) over a filter is a single
+    // value, so membership ≡ equality against the correlated scalar.
+    val got = rows(
       """SELECT o_orderkey FROM orders
          WHERE o_orderkey < 300 AND EXISTS (
            SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
              SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
-               s_suppkey IN (SELECT max(n_nationkey) FROM nation
-                             WHERE n_regionkey = o_orderkey % 5)))"""))
-    assert(e.getMessage.contains("aggregate select"))
+               s_suppkey % 4 + 20 IN (SELECT max(n_nationkey) FROM nation
+                                  WHERE n_regionkey = o_orderkey % 5)))
+         ORDER BY o_orderkey""").map(_.getLong(0))
+    val want = rows(
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey AND EXISTS (
+             SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey AND
+               s_suppkey % 4 + 20 = (SELECT max(n_nationkey) FROM nation
+                                 WHERE n_regionkey = o_orderkey % 5)))
+         ORDER BY o_orderkey""").map(_.getLong(0))
+    assert(got.nonEmpty && got == want)
   }
 }
