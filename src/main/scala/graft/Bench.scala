@@ -51,10 +51,14 @@ object Bench {
       return
     }
     // single-entry (isolated child) runs warm only the entry itself —
-    // the cross-family warmups would cost more than the measurement
-    (if (names.size == 1) names
-     else Seq(names.head, "q03_join_inner", "qp49_dedup_keep_first"))
-      .distinct.filter(SparkEntry.queries.contains).foreach { n =>
+    // the cross-family warmups would cost more than the measurement.
+    // They warm it TWICE: one pass leaves one-time machinery (streaming
+    // state-store/source init, late codegen) still cold enough that the
+    // stream entries' isolated numbers ran ~0.5 s over their suite
+    // numbers (VERDICT r11 #6) — the second untimed pass absorbs it.
+    (if (names.size == 1) Seq(names.head, names.head)
+     else Seq(names.head, "q03_join_inner", "qp49_dedup_keep_first")
+       .distinct.filter(SparkEntry.queries.contains)).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         queries.Engines.releaseAll()
@@ -158,6 +162,25 @@ object Bench {
         results + (s"${ccEntry}_cold" -> t)
       }
 
+    // ---- cache-lifecycle audit (round 12, VERDICT r11 #1) ----
+    // After a blocking release NOTHING may remain persisted: a persist
+    // outside the two registries (Binder.persistedFrames, PipelineCaches)
+    // has no release path and silently taxes whatever runs after it —
+    // the r11 qp63 leak cost the end-of-suite cold-CC entry 7 s. The cc
+    // memo is released with its blocks here (nothing re-reads it; the
+    // isolated children below are fresh JVMs), so any survivor is a
+    // genuine leak and fails the bench loudly.
+    queries.Engines.releaseAll(blocking = true)
+    pipeline.Dedup.releaseCcCache(blocking = true)
+    val leakedRdds = spark.sparkContext.getPersistentRDDs
+    if (leakedRdds.nonEmpty) {
+      leakedRdds.foreach { case (id, r) =>
+        System.err.println(s"[bench] LEAKED persist: rdd=$id " +
+          s"name=${r.name} level=${r.getStorageLevel.description}")
+      }
+      failures += s"persist leak: ${leakedRdds.size} RDD(s) still cached after releaseAll"
+    }
+
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
 
     // ---- fresh-JVM isolated re-measures (round 11, VERDICT r10 #3) ----
@@ -179,13 +202,22 @@ object Bench {
         // (~25 s fresh-JVM wall each — the cap bounds the added wall at
         // ~7 min; anything below the cut was within the tide band in
         // every adjudicated round)
-        val heavy = withCold.toSeq
+        val heavy0 = withCold.toSeq
           .filter { case (n, t) => t >= 2.0 && SparkEntry.queries.contains(n) }
           .sortBy(-_._2).take(16)
           .map(_._1)
         if (withCold.count { case (n, t) =>
               t >= 2.0 && SparkEntry.queries.contains(n) } > 16)
           System.err.println("[bench] isolated pass capped at 16 slowest")
+        // fixed calibration entry (round 12, VERDICT r11 #2): the
+        // isolated column can itself carry an ambient tide (the r11
+        // driver run showed 1.6–1.9× on the pipeline entries), so every
+        // isolated pass re-measures one cheap stable entry — a loaded
+        // run is then self-evident from the file (compare RATIOS of
+        // q01 across rounds before calling any isolated delta real).
+        val calib = "q01_agg_pricing"
+        val heavy = (if (SparkEntry.queries.contains(calib)) Seq(calib)
+                     else Nil) ++ heavy0.filterNot(_ == calib)
         ListMap(heavy.flatMap { n =>
           try {
             val javaBin = new java.io.File(new java.io.File(
@@ -203,11 +235,21 @@ object Bench {
             // never recurse (the parent env may carry ISOLATE=force)
             pb.environment.put("SPARK_GRAFT_ISOLATE", "0")
             pb.redirectErrorStream(true)
+            // child output goes to a temp file, NOT a pipe read before
+            // waitFor: readAllBytes blocks until the child closes
+            // stdout, so the 240 s timeout could never fire against a
+            // hung child — the exact failure mode it guards (ADVICE
+            // r11 #2)
+            val outPath = java.nio.file.Files.createTempFile("graft_iso_", ".out")
+            pb.redirectOutput(outPath.toFile)
             val p = pb.start()
-            val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-            if (!p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)) {
-              p.destroyForcibly(); None
+            val res = if (!p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)) {
+              p.destroyForcibly()
+              p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+              System.err.println(s"[bench] isolated $n timed out; killed")
+              None
             } else {
+              val out = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
               val re = ("\"" + java.util.regex.Pattern.quote(n) +
                 "\":([0-9.]+)").r
               val t = re.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
@@ -218,6 +260,8 @@ object Bench {
                 n -> v
               }
             }
+            java.nio.file.Files.deleteIfExists(outPath)
+            res
           } catch { case _: Throwable => None }
         }: _*)
       }

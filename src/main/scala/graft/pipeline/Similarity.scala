@@ -630,9 +630,12 @@ object Similarity {
     // one materialization of the quantized working set: the trainer,
     // the assignment and the query branches would each re-run the
     // scan + quantize otherwise. Left persisted for the returned lazy
-    // frame (its lineage reads the cache); blocks are reclaimed by the
-    // context cleaner once the result frame is dropped.
-    val nz = quantNz(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    // frame (its lineage reads the cache) and registered with
+    // [[PipelineCaches]] — the caller's post-action release drops the
+    // blocks deterministically instead of waiting on the context
+    // cleaner's weak refs (VERDICT r11 #7 lifecycle audit).
+    val nz = PipelineCaches.track(
+      quantNz(embeddings).persist(StorageLevel.MEMORY_AND_DISK))
     val centroids = kmeansCentroidsQuantized(nz, nlist, kmeansIters)
     if (centroids.isEmpty)
       return nz.select(col("vec_id").as("q_id"), lit(1).as("rank"),
@@ -713,8 +716,9 @@ object Similarity {
     val spark = embeddings.sparkSession
     // one materialization shared by both trainers and the three
     // downstream branches (encode, queries, exact refine) — see
-    // ivfTopKQuantized
-    val nz = quantNz(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    // ivfTopKQuantized; tracked for the caller's post-action release
+    val nz = PipelineCaches.track(
+      quantNz(embeddings).persist(StorageLevel.MEMORY_AND_DISK))
     val centroids = kmeansCentroidsQuantized(nz, nlist, kmeansIters)
     val codebooks = pqTrainQuantized(nz, m, ksub, kmeansIters)
     if (centroids.isEmpty || codebooks.isEmpty)

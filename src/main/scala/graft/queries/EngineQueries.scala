@@ -11,11 +11,15 @@ object Engines {
   def get(s: SparkSession, dir: String): Engine = synchronized {
     cache.getOrElseUpdate((s, dir), Engine.forTestdata(s, dir))
   }
-  /** Unpersist CTE caches of every live engine — Verify/Bench call this
-    * after each query's action so caches don't accumulate for the life of
-    * the session (ADVICE r2). */
+  /** Unpersist CTE caches of every live engine, plus every frame a
+    * pipeline operator registered with [[graft.pipeline.PipelineCaches]]
+    * — Verify/Bench call this after each query's action so caches don't
+    * accumulate for the life of the session (ADVICE r2; VERDICT r11 #1:
+    * the qp63 persist had no release path and taxed everything that ran
+    * after it). */
   def releaseAll(blocking: Boolean = false): Unit = synchronized {
     cache.values.foreach(_.releaseCaches(blocking))
+    graft.pipeline.PipelineCaches.releaseAll(blocking)
   }
 }
 
