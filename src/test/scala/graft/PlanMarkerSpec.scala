@@ -142,6 +142,25 @@ class PlanMarkerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // negated-nested rail with a deferred prune pool (round 12): the
+  // nerid pair frame is the marker; at most one BNLJ (the small-outer
+  // theta anti body — SCALE.md Joins)
+  test("plan markers: qe202/qe203 take the negated-nested pair frame") {
+    Seq("qe202_negnested_with_deferred_in",
+        "qe203_negnested_with_grouped_deferred").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("__nerid_"), s"$n lost the negated-nested rail")
+      assert(count(p, "BroadcastNestedLoopJoin") <= 1)
+      assert(count(p, "CartesianProduct") == 0)
+    }
+  }
+
+  // multi-inequality nested DISTINCT ON (round 12): whole-conjunct
+  // deferral to the pair frame — __pfrid_ present, the staircase's
+  // __gfpre_ absent (two inequalities can never take the record table)
+  check("qe204_nested3_distinct_on_multi_ineq", Seq("__pfrid_"),
+    Seq("__gfpre_"))
+
   // qe194 is the DELIBERATE generic-survivors pin: exactly one BNLJ
   // over the literal-capped outer — losing it means the displaced
   // generic plan lost driver coverage

@@ -242,16 +242,21 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3 == Seq(1L, 2L) && d2 == d3)
   }
 
-  test("depth-3 nested theta DISTINCT ON, several inequalities: clean error") {
-    val e = intercept[Exception](rows(
-      """SELECT ok FROM r11n_o
-         WHERE EXISTS (
-           SELECT 1 FROM r11n_m WHERE g = ok AND EXISTS (
-             SELECT 1 FROM r11n_m2 WHERE h = g AND
-               lhs2 IN (SELECT DISTINCT ON (oc) v FROM r11n_t
-                        WHERE q > ok * 10 AND q < ok * 100
-                        ORDER BY oc, ord)))"""))
-    assert(e.getMessage.contains("monotone inequality"))
+  test("depth-3 nested theta DISTINCT ON, several inequalities: defers to the slice") {
+    // round 12 (VERDICT r11 missing #1): the staircase cannot express
+    // several outer-varying inequalities, so the WHOLE conjunct defers
+    // to the enclosing pair frame and the per-rid slice window keeps
+    // the right row — the depth-2 form IS the oracle (same semantics,
+    // independent plan), exactly like the single-inequality tests
+    val (d3, d2) = nestedPair(
+      """lhs IN (SELECT DISTINCT ON (oc) v FROM r11n_t
+                 WHERE q > ok * 10 AND q < ok * 100 ORDER BY oc, ord)""")
+    assert(d3.nonEmpty && d3 == d2)
+    // DESC tie-break through the deferred slice
+    val (e3, e2) = nestedPair(
+      """lhs IN (SELECT DISTINCT ON (oc) v FROM r11n_t
+                 WHERE q > ok * 10 AND q < ok * 100 ORDER BY oc, ord DESC)""")
+    assert(e3 == e2)
   }
 
   // ---- deferred subquery-bearing conjuncts (pair-frame rail) -----------
