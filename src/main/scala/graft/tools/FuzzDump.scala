@@ -66,18 +66,41 @@ object FuzzDump {
     val lines = new String(Files.readAllBytes(Paths.get(qfile)), "UTF-8")
       .split('\n').toSeq.filter(_.contains('\t'))
     val ok = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query physical-plan profile (round 12, VERDICT r11 #5): the
+    // fast-path fresh-column markers present in the executed plan plus
+    // join-operator counts, cross-checked against the generator's axis
+    // class by tools/plancheck.py — a silent gate flip on a NON-driver
+    // shape is invisible to the result compare (correct-but-generic)
+    val prof = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val markerVocab = Seq("__vtthr_", "__vtg_", "__tirid_", "__tlrid_",
+      "__tlthr_", "__scce_", "__ssidx_", "__sstb_", "__tgrid_", "__tsrid_",
+      "__terid_", "__tbb_", "__pcv_", "__pdbest_", "__mtsalt_", "__xtrid_",
+      "__trid_", "__gfpre_", "__pfrid_", "__nerid_", "__aerid_", "__xnrid_",
+      "__plv_", "__gfrn_")
     var skipped = 0
     lines.foreach { l =>
       val parts = l.split('\t')
       val name = parts(0)
       val sql = parts(1)
-      // optional third column: a DuckDB-dialect rewrite of the same
-      // query (e.g. LIMIT ... WITH TIES as a rank() QUALIFY)
-      val oracleSql = if (parts.length > 2) parts(2) else sql
+      // third column: a DuckDB-dialect rewrite of the same query
+      // ('-' = none, e.g. LIMIT ... WITH TIES as a rank() QUALIFY);
+      // fourth: the generator's axis-class tags
+      val oracleSql =
+        if (parts.length > 2 && parts(2) != "-") parts(2) else sql
+      val cls = if (parts.length > 3) parts(3) else ""
       try {
-        eng.execute(sql).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val df = eng.execute(sql)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         ok += name -> (oraclePrefix + oracleSql)
+        val p = df.queryExecution.executedPlan.toString
+        if (sys.env.contains("GRAFT_FUZZ_PLANPRINT")) println(s"== $name ==\n$p")
+        def c(s: String) = p.sliding(s.length).count(_ == s)
+        val ms = markerVocab.filter(p.contains)
+          .map("\"" + _ + "\"").mkString(",")
+        prof += name -> (s"""{"class":"$cls","markers":[$ms],""" +
+          s""""bnlj":${c("BroadcastNestedLoopJoin")},""" +
+          s""""smj":${c("SortMergeJoin")},"bhj":${c("BroadcastHashJoin")},""" +
+          s""""shj":${c("ShuffledHashJoin")},"cart":${c("CartesianProduct")}}""")
       } catch {
         case e: Throwable =>
           skipped += 1
@@ -86,6 +109,8 @@ object FuzzDump {
       }
       graft.queries.Engines.releaseAll()
     }
+    Files.writeString(Paths.get(s"$outDir/plan_profile.json"),
+      prof.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}"))
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

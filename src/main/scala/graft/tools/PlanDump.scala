@@ -19,7 +19,8 @@ object PlanDump {
         val markers = Seq("__vtthr_", "__vtg_", "__tirid_", "__tlrid_",
           "__tlthr_", "__scce_", "__ssidx_", "__sstb_", "__tgrid_",
           "__tsrid_", "__terid_", "__tbb_", "__pcv_", "__pdbest_",
-          "__mtsalt_", "__xtrid_", "__trid_", "__gfpre_", "__pfrid_", "__nerid_", "__aerid_", "__xnrid_")
+          "__mtsalt_", "__xtrid_", "__trid_", "__gfpre_", "__pfrid_", "__nerid_", "__aerid_", "__xnrid_",
+          "__plv_", "__gfrn_")
           .filter(p.contains).mkString(",")
         println(s"$n  BNLJ=${c("BroadcastNestedLoopJoin")} SMJ=${c("SortMergeJoin")} " +
           s"BHJ=${c("BroadcastHashJoin")} SHJ=${c("ShuffledHashJoin")} " +

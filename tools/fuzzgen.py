@@ -38,19 +38,31 @@ def norm(s):
     return " ".join(s.split())
 
 
+CORR_CLASS = {
+    # corr string -> (class, op, column) for the plan-rule checker:
+    # eq = pure equality, mono1 = single monotone inequality (the fast-
+    # path precondition), multi = several inequalities on one column,
+    # multi2 = inequalities on DIFFERENT columns (round-12 axis: the
+    # multi-inequality DISTINCT ON deferral), mixed = equality + theta
+    "k = ok": ("eq", None),
+    "k < ok + 2": ("mono1", "<"),
+    "k > ok - 3": ("mono1", ">"),
+    "k <= ok": ("mono1", "<="),
+    "k > ok - 2 and k < ok + 2": ("multi", None),
+    "k = ok and x < ok + 2": ("mixed", None),
+    "k < ok + 3 and x > ok % 3": ("multi2", None),
+}
+
+
 def gen(rng):
     oracle_body = None  # set when the engine body needs a DuckDB rewrite
-    corr = rng.choice([
-        "k = ok",
-        "k < ok + 2",
-        "k > ok - 3",
-        "k <= ok",
-        "k > ok - 2 and k < ok + 2",
-        "k = ok and x < ok + 2",
-    ])
+    cls = {}
+    corr = rng.choice(list(CORR_CLASS))
+    cls["corr"], cls["cop"] = CORR_CLASS[corr]
 
     shape = rng.choice(["plain", "plain", "grouped", "grouped",
                         "ungrouped_agg", "setop"])
+    cls["shape"] = shape
     scalar_ok = False
     if shape == "plain":
         sel = rng.choice(["y", "z", "rid", "x + 1"])
@@ -98,6 +110,16 @@ def gen(rng):
             body += f" and {e}"
         if order:
             body += " " + order
+        cls["don"] = int(distinct_on)
+        cls["order"] = {
+            None: "none", "order by y, rid": "y-rid",
+            "order by y, k desc, rid": "y-k-desc",
+            "order by y, k, rid": "y-k-asc",
+            "order by x desc, rid": "x-desc", "order by x, rid": "x-asc",
+            "order by rid": "rid", "order by k desc, rid": "k-desc",
+            "order by k, rid": "k-asc"}[order]
+        cls["extras"] = int(any("select" in e for e in extra) or
+                            body.startswith("with "))
         if limit and order:
             lim = rng.randint(1, 3)
             off = rng.choice([0, 0, 1, 2])
@@ -105,6 +127,8 @@ def gen(rng):
             if off:
                 body += f" offset {off}"
             scalar_ok = lim == 1
+            cls["lim"] = lim
+            cls["off"] = off
     elif shape == "setop":
         # uncorrelated set-op membership bodies (r10 axis): the engine
         # supports set ops in subquery position uncorrelated only —
@@ -170,9 +194,27 @@ def gen(rng):
         prefix = body
         if order:
             body += " " + order
+        cls["don"] = int(distinct_on)
+        cls["having"] = ("none" if "having" not in body
+                         else ("agg" if "max(z)" in body.split("having")[1]
+                               else "count"))
+        cls["sel"] = ("key" if sel in keys
+                      else ("agg-count" if sel.startswith("count")
+                            else ("agg" if any(sel.startswith(a) for a in
+                                               ("max", "min", "sum"))
+                                  else "fkey")))
+        cls["keys"] = len(keys)
+        cls["order"] = ("none" if order is None
+                        else ("count-rank" if order.startswith("order by count")
+                              or ", count(1) desc" in order else "other"))
+        cls["tb1"] = int(order is not None and len(keys) == 1 and
+                         "count(1) desc" in order)
+        cls["extras"] = int(any("select" in e for e in extra))
         if limit:
             lim = rng.randint(1, 3)
             body += f" limit {lim}"
+            cls["lim"] = lim
+            cls["ties"] = int(ties)
             if ties:
                 body += " with ties"
                 # DuckDB has no LIMIT ... WITH TIES; rank() <= N is the
@@ -180,7 +222,9 @@ def gen(rng):
                 oracle_body = prefix + \
                     f" qualify rank() over (order by count(1) desc) <= {lim}"
             elif rng.random() < 0.4:
-                body += f" offset {rng.randint(1, 2)}"
+                off = rng.randint(1, 2)
+                body += f" offset {off}"
+                cls["off"] = off
             scalar_ok = lim == 1 and not ties
     else:
         agg = rng.choice(["count(1)", "max(z)", "min(x)", "count(1) + 1"])
@@ -189,10 +233,12 @@ def gen(rng):
             body += rng.choice([" and z > 1", " and y is not null"])
         if rng.random() < 0.3:
             body += f" having count(1) > {rng.randint(0, 2)}"
+            cls["having"] = "count"
         scalar_ok = True
 
     form = rng.choice(
         ["exists", "exists", "in", "in", "scalar" if scalar_ok else "exists"])
+    cls["form"] = form
 
     def wrap(b, oracle=False):
         if form == "exists":
@@ -214,9 +260,15 @@ def gen(rng):
     lhs = rng.choice(["ok", "ok % 4", "2",
                       "case when ok % 5 = 0 then null else ok end"])
     op = rng.choice(["=", "<", ">=", "<>"])
+    cls["neg"] = int(neg)
+    cls["lhs"] = {"ok": "ok", "ok % 4": "okmod", "2": "const"}.get(lhs, "nullcase")
     pred = wrap(body)
     opred0 = wrap(oracle_body if oracle_body else body, oracle=True)
     opred = opred0 if opred0 != pred else None
+
+    def clsstr(position):
+        cls["pos"] = position
+        return ";".join(f"{k}={cls[k]}" for k in sorted(cls))
 
     pos = rng.random()
     if form == "scalar" and pos < 0.25:
@@ -224,13 +276,30 @@ def gen(rng):
         q = norm(f"select ok, ({body}) as v from fz_a order by ok")
         oq = norm(f"select ok, ({oracle_body}) as v from fz_a order by ok") \
             if oracle_body else None
-        return (q, oq)
+        return (q, oq, clsstr("sel"))
     if pos < 0.3:
         # NESTED: the predicate references ok from TWO scopes up (the
         # grandparent machinery); the middle table carries duplicate g
         # values so multiplicity-blindness is exercised too
         mcorr = "g = ok" if rng.random() < 0.7 else "g < ok + 1"
         mneg = "not " if rng.random() < 0.3 else ""
+        cls["mneg"] = int(bool(mneg))
+        # round-12 axis: a NEGATED nested SIBLING at the middle level —
+        # combined with a deferred predicate (outer lhs, LIMIT/grouped
+        # body, grandparent refs) this exercises the negated-nested
+        # pair frame's deferred prune pool (Binder round 12; the r11
+        # guard made every such combination a clean-error SKIP)
+        sib = ""
+        if rng.random() < 0.35:
+            cls["negsib"] = 1
+            sib = rng.choice([
+                " and not exists (select 1 from fz_b as nb "
+                "where nb.k = g and nb.x > ok % 4)",
+                " and not exists (select 1 from fz_b as nb "
+                "where nb.k = g and nb.z > ok % 3)",
+                " and g not in (select nb.k from fz_b as nb "
+                "where nb.x > ok % 4 and nb.k is not null)",
+            ])
 
         if rng.random() < 0.3:
             # r10 axis — DEPTH 3: a second (aliased, qualified) middle
@@ -247,20 +316,33 @@ def gen(rng):
                 pred = f"{mid_lhs} in ({body})"
                 opred = f"{mid_lhs} in ({oracle_body})" if oracle_body else None
 
+            sib2 = sib.replace("nb.k = g", "nb.k = m2.g")\
+                .replace(" and g not in", " and m2.g not in")
+
             def nest(p):
                 return (f"{mneg}exists (select 1 from fz_m as m1 "
                         f"where {m1corr} and exists (select 1 from fz_m as m2 "
-                        f"where m2.g <= m1.g and {p}))")
+                        f"where m2.g <= m1.g and {p}{sib2}))")
+            depth = "nest3"
         else:
             def nest(p):
-                return f"{mneg}exists (select 1 from fz_m where {mcorr} and {p})"
+                return (f"{mneg}exists (select 1 from fz_m "
+                        f"where {mcorr} and {p}{sib})")
+            depth = "nest2"
         pred, opred = nest(pred), nest(opred) if opred else None
+        q = norm(f"select ok from fz_a where {pred} order by ok")
+        oq = norm(f"select ok from fz_a where {opred} order by ok") \
+            if opred else None
+        return (q, oq, clsstr(depth))
     elif pos < 0.55:
         pred = f"ok > 100 or {pred}"
         opred = f"ok > 100 or {opred}" if opred else None
+        position = "or"
+    else:
+        position = "top"
     q = norm(f"select ok from fz_a where {pred} order by ok")
     oq = norm(f"select ok from fz_a where {opred} order by ok") if opred else None
-    return (q, oq)
+    return (q, oq, clsstr(position))
 
 
 def main():
@@ -270,13 +352,15 @@ def main():
     seen = set()
     out = []
     while len(out) < n:
-        q, oq = gen(rng)
+        q, oq, cls = gen(rng)
         if q in seen:
             continue
         seen.add(q)
-        out.append((q, oq))
-    for i, (q, oq) in enumerate(out):
-        print(f"fz{i:03d}\t{q}" + (f"\t{oq}" if oq else ""))
+        out.append((q, oq, cls))
+    for i, (q, oq, cls) in enumerate(out):
+        # 4-field format: name, engine SQL, oracle SQL ('-' = same),
+        # axis-class tags for tools/plancheck.py (round 12)
+        print(f"fz{i:03d}\t{q}\t{oq if oq else '-'}\t{cls}")
 
 
 if __name__ == "__main__":
