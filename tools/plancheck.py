@@ -89,6 +89,17 @@ def expected(t):
             t.get("don") == "1" and "lim" not in t and mono1:
         rules.append(("has-any:__scce_,__pcv_", "DISTINCT ON staircase"))
 
+    # round-12 rails (derived from 900-query marker profiles, 3 seeds):
+    # a negated nested SIBLING at depth 2 always routes the middle
+    # lowering through one of the per-pair nested rails; at depth 3 the
+    # sibling defers whole to the enclosing pair frame
+    if t.get("negsib") == "1":
+        if t.get("pos") == "nest2":
+            rules.append(("has-any:__nerid_,__aerid_,__xnrid_",
+                          "negated-sibling nested rail"))
+        elif t.get("pos") == "nest3":
+            rules.append(("has:__pfrid_", "negated-sibling pair-frame deferral"))
+
     return rules
 
 
