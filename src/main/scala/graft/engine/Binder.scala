@@ -1411,19 +1411,53 @@ final class Binder(
     }
   }
 
+  /** The DISTINCT-tuple count the body's HAVING demands — the
+    * `countUniqueRows(es) >/>= N` shape the OFFSET rewrite synthesizes
+    * for DISTINCT [ON] bodies (either literal orientation). Returns
+    * the counted exprs and the demanded tuple count. */
+  private def distinctCountHaving(qb: QueryBody): Option[(Seq[Expr], Int)] = {
+    def cur(fc: FnCall): Boolean =
+      fc.name.equalsIgnoreCase("countUniqueRows") && fc.args.nonEmpty
+    qb.having.map(substituteAliases(_, qb.selectList)) match {
+      case Some(Binary(cmp, fc: FnCall, IntLit(v)))
+          if cur(fc) && (cmp == ">" || cmp == ">=") &&
+            v.isValidInt && v <= 4096 =>
+        Some((fc.args, if (cmp == ">") v.toInt + 1 else v.toInt))
+      case Some(Binary(cmp, IntLit(v), fc: FnCall))
+          if cur(fc) && (cmp == "<" || cmp == "<=") &&
+            v.isValidInt && v <= 4096 =>
+        Some((fc.args, if (cmp == "<") v.toInt + 1 else v.toInt))
+      case _ => None
+    }
+  }
+
   /** Scalar collapse for PLAIN and ungrouped-bare-count-HAVING theta
     * EXISTS: "more than K−1 rows pass `ce OP t`" ⟺ the K-th
     * OP-directional extreme of ce passes `OP t` — K = 1 for plain
     * bodies, the HAVING's demanded count otherwise. ONE distributed
     * top-K action over the (locally filtered) inner side replaces the
     * rid machinery entirely; the EXISTS becomes a literal comparison.
+    *
+    * DISTINCT-TUPLE counts collapse the same way (round 12 — the fuzz
+    * plan cross-check surfaced the fz242 class as correct-but-generic):
+    * a `countUniqueRows(es) > o` HAVING (the OFFSET rewrite of a
+    * DISTINCT [ON] body) demands more than o distinct es-tuples among
+    * the passers, and under a single monotone conjunct a tuple has a
+    * passer iff its per-tuple extreme of ce passes — so existence is
+    * the (o+1)-th best per-tuple extreme vs t, one grouped aggregate +
+    * one bounded top-K action ([[thetaGroupThresholds]], K=1 per
+    * tuple). NULL-keyed tuples group together, matching DISTINCT's
+    * NULL-keeps semantics.
     * K ≤ 0 (`count(1) >= 0`) is constant TRUE: SQL's one ungrouped
     * aggregate row exists and passes even over the empty match set. */
   private def thetaExistsScalarFlag(qb: QueryBody, innerCtx: Ctx,
       correlated: Seq[Expr], ctx: Ctx, plain: Boolean): Option[Column] = {
     val (op, ce, oe) = orientMonotoneSingle(correlated, innerCtx.rel, ctx)
       .getOrElse(return None)
-    val k = if (plain) 1 else bareCountHaving(qb).getOrElse(return None)
+    val dcv = if (plain || qb.groupBy.nonEmpty) None else distinctCountHaving(qb)
+    val k = if (plain) 1
+            else if (dcv.isDefined) dcv.get._2
+            else bareCountHaving(qb).getOrElse(return None)
     if (k <= 0) return Some(lit(true))
     if (k > 4096) return None
     val ceB = bindExpr(ce, innerCtx)
@@ -1431,10 +1465,22 @@ final class Binder(
     if (!numericCol(innerCtx.rel.df, ceB) || !numericCol(ctx.rel.df, ovB))
       return None
     val desc = op == ">" || op == ">="
-    val ceN = fresh("sfce")
-    val top = innerCtx.rel.df.filter(ceB.isNotNull).select(ceB.as(ceN))
-      .orderBy(if (desc) col(ceN).desc else col(ceN).asc)
-      .limit(k).collect()
+    val top = dcv match {
+      case Some((es, _)) =>
+        // per-distinct-tuple extreme of ce, then the K best tuples
+        val gNames = es.indices.map(_ => fresh("dcg"))
+        val thrN = fresh("dcthr")
+        val thr = try thetaGroupThresholds(innerCtx, es, gNames, ceB, desc,
+          1, thrN) catch { case _: GraftException => return None }
+        thr.select(col(thrN))
+          .orderBy(if (desc) col(thrN).desc else col(thrN).asc)
+          .limit(k).collect()
+      case None =>
+        val ceN = fresh("sfce")
+        innerCtx.rel.df.filter(ceB.isNotNull).select(ceB.as(ceN))
+          .orderBy(if (desc) col(ceN).desc else col(ceN).asc)
+          .limit(k).collect()
+    }
     if (top.length < k) return Some(lit(false))
     Some(coalesce(cmpOp(op, lit(top.last.get(0)), ovB), lit(false)))
   }

@@ -80,6 +80,23 @@ object Round12Queries {
                                   WHERE n_nationkey > o_orderkey % 20
                                     AND n_nationkey < o_orderkey % 50 + 5
                                   ORDER BY n_regionkey, n_name DESC, n_nationkey)))
+         ORDER BY o_orderkey"""),
+
+    // ---- DISTINCT ON + OFFSET EXISTS threshold collapse ----------------
+    // found by the round-12 fuzz PLAN cross-check (fz242 was
+    // correct-but-generic): existence of more than `off` distinct
+    // ON-tuples among theta-passers collapses to ONE scalar — the
+    // (off+1)-th best per-tuple extreme of the correlated side — so
+    // the plan has zero joins at any outer cardinality. The cap is for
+    // the ORACLE only: DuckDB evaluates this EXISTS per outer row
+    // (~6 ms/row measured); the engine side is outer-size-independent
+    // (Round12Spec pins the join-free plan).
+    same("qe205_exists_distinct_on_offset_collapse",
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey < 300 AND EXISTS (
+           SELECT DISTINCT ON (l_suppkey) l_extendedprice FROM lineitem
+           WHERE l_extendedprice > o_totalprice / 2
+           ORDER BY l_suppkey, l_linenumber LIMIT 3 OFFSET 2)
          ORDER BY o_orderkey""")
   )
 }

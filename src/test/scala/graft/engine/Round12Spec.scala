@@ -159,6 +159,37 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       ORDER BY ok""") == Seq.empty)
   }
 
+  // ---- DISTINCT [ON] + OFFSET EXISTS threshold collapse ---------------
+  // round 12: the fuzz plan cross-check surfaced this class as
+  // correct-but-generic (fz242, seed 2202) — the OFFSET rewrite's
+  // countUniqueRows HAVING now collapses to the (off+1)-th best
+  // per-tuple extreme. The vacuous second conjunct forces the generic
+  // plan (orientMonotoneSingle declines multi-conjunct pools).
+
+  test("DISTINCT ON + OFFSET EXISTS collapses to a scalar threshold") {
+    def q(extra: String) = s"""
+      SELECT ok FROM r12_o WHERE EXISTS (
+        SELECT DISTINCT ON (oc) v FROM r12_t WHERE q > ok * 12$extra
+        ORDER BY oc, ord LIMIT 3 OFFSET 3)
+      ORDER BY ok"""
+    val fast = oks(q(""))
+    // per-oc max q = 45, 50, 60, 70; existence needs > 3 distinct oc
+    // among passers, i.e. 4th-best max (45) > ok * 12
+    assert(fast == Seq(1L, 2L, 3L))
+    assert(oks(q(" AND q > ok * 12 - 900000000000000")) == fast)
+    val p = sql(q("")).queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "ShuffledHashJoin", "CartesianProduct").foreach(j =>
+      assert(!p.contains(j), s"expected join-free collapse, plan has $j"))
+    // NOT EXISTS arm + '<' direction + plain-DISTINCT counting
+    def qn(extra: String) = s"""
+      SELECT ok FROM r12_o WHERE NOT EXISTS (
+        SELECT DISTINCT v FROM r12_t WHERE q < ok * 12$extra AND v IS NOT NULL
+        ORDER BY v LIMIT 2 OFFSET 1)
+      ORDER BY ok"""
+    assert(oks(qn("")) == oks(qn(" AND q < ok * 12 + 900000000000000")))
+  }
+
   // ---- multi-inequality DISTINCT ON deferral --------------------------
 
   test("multi-inequality nested DISTINCT ON at depth 3: all directions") {

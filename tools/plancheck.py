@@ -59,9 +59,11 @@ def expected(t):
     # single-monotone-correlated body plans ZERO joins (the scalar-flag
     # filter / count rewrites — the qe147/qe152/qe153 classes)
     if top and form == "exists" and not neg and mono1 and not extras:
-        if plain and not (t.get("don") == "1" and "lim" in t):
-            # DISTINCT ON + LIMIT/OFFSET existence counts distinct ON
-            # tuples per outer row — not (yet) a threshold collapse
+        if plain:
+            # includes DISTINCT [ON] + LIMIT/OFFSET bodies: the OFFSET
+            # rewrite's countUniqueRows HAVING collapses to the
+            # (off+1)-th best per-tuple extreme (round 12, from this
+            # checker's own fz242 finding)
             rules.append(("joins==0", "plain EXISTS theta collapse"))
         elif t.get("shape") == "grouped" and \
                 t.get("having", "none") in ("none", "count") and \
