@@ -111,6 +111,9 @@ class PlanMarkerSpec extends AnyFunSuite with BeforeAndAfterAll {
   checkJoinFree("qe152_exists_theta_limit_offset")
   checkJoinFree("qe153_exists_theta_having_limit")
   checkJoinFree("qe169_exists_theta_grouped_distinct_on_offset")
+  // round 12: DISTINCT ON + OFFSET existence — the countUniqueRows
+  // per-tuple-extreme collapse (found by the fuzz plan cross-check)
+  checkJoinFree("qe205_exists_distinct_on_offset_collapse")
 
   // DISTINCT membership-by-best / prefix-closed keep-first
   check("qe150_scalar_theta_distinct", Seq("__pdbest_"), Nil)
