@@ -223,6 +223,41 @@ object Probe12 {
                        WHERE oc = h AND q > ok * 5 AND q < ok * 40
                        ORDER BY oc, ord)))
         ORDER BY ok""",
+      // F. sibling branches of the ADVICE leak class: the aggregated
+      //    and expression-position nested lowerings also bind the pool
+      //    as join conditions
+      "agg-middle+outerlhs" -> """
+        SELECT ok FROM p12_o
+        WHERE EXISTS (
+          SELECT g FROM p12_m WHERE g = ok
+            AND ok * 100 IN (SELECT v FROM p12_t WHERE v IS NOT NULL)
+            AND EXISTS (SELECT 1 FROM p12_m2 WHERE h = g AND lhs2 > ok * 50)
+          GROUP BY g HAVING count(1) >= 1)
+        ORDER BY ok""",
+      "agg-middle+deferred" -> """
+        SELECT ok FROM p12_o
+        WHERE EXISTS (
+          SELECT g FROM p12_m WHERE g = ok
+            AND lhs IN (SELECT v FROM p12_t WHERE q > ok * 10 ORDER BY q LIMIT 2)
+            AND EXISTS (SELECT 1 FROM p12_m2 WHERE h = g AND lhs2 > ok * 50)
+          GROUP BY g HAVING count(1) >= 1)
+        ORDER BY ok""",
+      "exprnested+outerlhs" -> """
+        SELECT ok FROM p12_o
+        WHERE EXISTS (
+          SELECT 1 FROM p12_m WHERE g = ok
+            AND ok * 100 IN (SELECT v FROM p12_t WHERE v IS NOT NULL)
+            AND (EXISTS (SELECT 1 FROM p12_m2 WHERE h = g AND lhs2 > ok * 50)
+                 OR g > 100))
+        ORDER BY ok""",
+      "exprnested+deferred" -> """
+        SELECT ok FROM p12_o
+        WHERE EXISTS (
+          SELECT 1 FROM p12_m WHERE g = ok
+            AND lhs IN (SELECT v FROM p12_t WHERE q > ok * 10 ORDER BY q LIMIT 2)
+            AND (EXISTS (SELECT 1 FROM p12_m2 WHERE h = g AND lhs2 > ok * 50)
+                 OR g > 100))
+        ORDER BY ok""",
       "mi-d3-neq" -> """
         SELECT ok FROM p12_o
         WHERE EXISTS (

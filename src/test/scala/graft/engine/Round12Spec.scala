@@ -159,6 +159,43 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       ORDER BY ok""") == Seq.empty)
   }
 
+  // ---- sibling branches of the deferred-conjunct class ----------------
+  // the aggregated and expression-position nested lowerings also carry
+  // the correlation pool; deferred/outer-lhs conjuncts must route to
+  // the per-pair machinery there too (they do, via the corrDeep
+  // partition — these pins keep that true)
+
+  test("deferred/outer-lhs conjuncts beside aggregated and expr-position nesteds") {
+    assert(oks("""
+      SELECT ok FROM r12_o WHERE EXISTS (
+        SELECT g FROM r12_m WHERE g = ok
+          AND ok * 100 IN (SELECT v FROM r12_t WHERE v IS NOT NULL)
+          AND EXISTS (SELECT 1 FROM r12_m2 WHERE h = g AND lhs2 > ok * 50)
+        GROUP BY g HAVING count(1) >= 1)
+      ORDER BY ok""") == Seq(1L, 2L))
+    assert(oks("""
+      SELECT ok FROM r12_o WHERE EXISTS (
+        SELECT g FROM r12_m WHERE g = ok
+          AND lhs IN (SELECT v FROM r12_t WHERE q > ok * 10 ORDER BY q LIMIT 2)
+          AND EXISTS (SELECT 1 FROM r12_m2 WHERE h = g AND lhs2 > ok * 50)
+        GROUP BY g HAVING count(1) >= 1)
+      ORDER BY ok""") == Seq(4L))
+    assert(oks("""
+      SELECT ok FROM r12_o WHERE EXISTS (
+        SELECT 1 FROM r12_m WHERE g = ok
+          AND ok * 100 IN (SELECT v FROM r12_t WHERE v IS NOT NULL)
+          AND (EXISTS (SELECT 1 FROM r12_m2 WHERE h = g AND lhs2 > ok * 50)
+               OR g > 100))
+      ORDER BY ok""") == Seq(1L, 2L))
+    assert(oks("""
+      SELECT ok FROM r12_o WHERE EXISTS (
+        SELECT 1 FROM r12_m WHERE g = ok
+          AND lhs IN (SELECT v FROM r12_t WHERE q > ok * 10 ORDER BY q LIMIT 2)
+          AND (EXISTS (SELECT 1 FROM r12_m2 WHERE h = g AND lhs2 > ok * 50)
+               OR g > 100))
+      ORDER BY ok""") == Seq(4L))
+  }
+
   // ---- DISTINCT [ON] + OFFSET EXISTS threshold collapse ---------------
   // round 12: the fuzz plan cross-check surfaced this class as
   // correct-but-generic (fz242, seed 2202) — the OFFSET rewrite's
