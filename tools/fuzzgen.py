@@ -54,9 +54,38 @@ CORR_CLASS = {
 }
 
 
+def gen_staircase(rng):
+    """Dedicated scalar grouped count-rank top-1 axis (round 12): the
+    qe146/qe201 staircase class is vanishingly rare under the general
+    axes (~0.05 per 300), so the __ssidx_ plan rule never fired. Keys
+    are NON-NULL columns (x, k) — a NULL group key deliberately routes
+    to the generic plan (Round11Spec pin) and would break the rule."""
+    cls = {"shape": "grouped", "form": "scalar", "neg": 0, "don": 0,
+           "keys": 1, "tb1": 1, "lim": 1, "ties": 0, "extras": 0,
+           "order": "count-rank", "lhs": "ok"}
+    corr = rng.choice(["k < ok + 2", "k > ok - 3", "k <= ok"])
+    cls["corr"], cls["cop"] = CORR_CLASS[corr]
+    key = rng.choice(["x", "k"])
+    sel = rng.choice([key, key, "count(1)"])
+    cls["sel"] = "key" if sel == key else "agg-count"
+    having = ""
+    cls["having"] = "none"
+    if rng.random() < 0.3:
+        having = f" having count(1) >= {rng.randint(2, 3)}"
+        cls["having"] = "count"
+    tbdir = " desc" if rng.random() < 0.4 else ""
+    body = (f"select {sel} from fz_b where {corr} group by {key}{having} "
+            f"order by count(1) desc, {key}{tbdir} limit 1")
+    cls["pos"] = "sel"
+    q = norm(f"select ok, ({body}) as v from fz_a order by ok")
+    return (q, None, ";".join(f"{k}={cls[k]}" for k in sorted(cls)))
+
+
 def gen(rng):
     oracle_body = None  # set when the engine body needs a DuckDB rewrite
     cls = {}
+    if rng.random() < 0.05:
+        return gen_staircase(rng)
     corr = rng.choice(list(CORR_CLASS))
     cls["corr"], cls["cop"] = CORR_CLASS[corr]
 

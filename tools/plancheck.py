@@ -91,11 +91,26 @@ def expected(t):
             t.get("don") == "1" and "lim" not in t and mono1:
         rules.append(("has-any:__scce_,__pcv_", "DISTINCT ON staircase"))
 
+    # scalar grouped count-rank top-1 staircase (qe146/qe201 class):
+    # single monotone conjunct, single-key tie-break, group-key select,
+    # LIMIT 1 with no OFFSET/ties -> the __ssidx_ record table
+    if form == "scalar" and t.get("shape") == "grouped" and mono1 and \
+            t.get("lim") == "1" and "off" not in t and \
+            t.get("ties", "0") == "0" and t.get("tb1") == "1" and \
+            t.get("sel") in ("key", "agg-count") and \
+            t.get("having", "none") in ("none", "count") and \
+            t.get("extras") == "0":
+        rules.append(("has:__ssidx_", "scalar grouped top-1 staircase"))
+
     # round-12 rails (derived from 900-query marker profiles, 3 seeds):
     # a negated nested SIBLING at depth 2 always routes the middle
     # lowering through one of the per-pair nested rails; at depth 3 the
     # sibling defers whole to the enclosing pair frame
-    if t.get("negsib") == "1":
+    # skip when the predicate itself constant-folds (an ungrouped
+    # aggregate select without HAVING is constant-true existence — the
+    # binder may eliminate the whole level before any rail engages)
+    constfold = t.get("shape") == "ungrouped_agg" and "having" not in t
+    if t.get("negsib") == "1" and not constfold:
         if t.get("pos") == "nest2":
             rules.append(("has-any:__nerid_,__aerid_,__xnrid_",
                           "negated-sibling nested rail"))
