@@ -736,4 +736,46 @@ object Curation {
         pmod(col("__rk"), lit(batchSize.toLong)).as("batch_pos"))
       .orderBy(col(idCol))
   }
+
+  /** Rank-based per-source quality-quantile filter: keep a document iff
+    * its quality score ranks strictly above the q = num/den quantile
+    * position within its source — `rank·den > n·num` with rank over the
+    * deterministic (score, id) order, so there is no interpolation and
+    * ties resolve reproducibly in any engine. The score is the
+    * type-token ratio in per-mille, `floor(1000·uniq/tokens)` — a cheap
+    * intrinsic quality proxy (boilerplate and degenerate repetition
+    * score low); swap any integer-valued column in for a learned
+    * quality model's bucketed output, the quantile machinery is
+    * score-agnostic.
+    *
+    * Scale note: the per-source rank is a per-source sort, fine while
+    * sources number in the thousands but skewed when one source is half
+    * the corpus. The 100 TB path is two passes — per-source counts +
+    * an approximate per-source threshold (percentile_approx) broadcast
+    * back as a plain filter — which this exact tier oracles: the rank
+    * rule equals a threshold test everywhere except exactly at the
+    * quantile tie, which the (score, id) order resolves.
+    *
+    * Output: (id, source, score, kept) for every tokenizable document. */
+  def qualityQuantileFilter(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, qNum: Int = 1, qDen: Int = 4): DataFrame = {
+    require(qNum >= 0 && qDen >= 1 && qNum <= qDen,
+      "quantile must satisfy 0 <= num/den <= 1")
+    val toks = TextOps.tokens(col(textCol))
+    val scored = docs
+      .select(col(idCol).as("id"), col(sourceCol).as("source"),
+        size(toks).cast("long").as("__tok"),
+        size(array_distinct(toks)).cast("long").as("__uniq"))
+      .filter(col("__tok") > 0)
+      .withColumn("score",
+        floor(col("__uniq") * lit(1000.0d) / col("__tok")).cast("long"))
+    val bySource = Window.partitionBy(col("source"))
+    scored
+      .withColumn("__rk",
+        row_number().over(bySource.orderBy(col("score"), col("id"))))
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .select(col("id"), col("source"), col("score"),
+        (col("__rk").cast("long") * qDen > col("__n") * qNum).as("kept"))
+      .orderBy(col("id"))
+  }
 }

@@ -287,6 +287,95 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental (cross-snapshot) dedup verdicts: classify each NEW
+    * batch document against an existing corpus WITHOUT re-pairing the
+    * corpus with itself — the continuous-ingestion shape at scale,
+    * where the corpus is orders of magnitude larger than each arriving
+    * batch and must only be read. Tiers, in precedence order:
+    *
+    *  - `exact`: the normalized-text fingerprint already exists in the
+    *    corpus — an equijoin on a 16-byte key (broadcast- or
+    *    bloom-able at scale; the corpus side reduces to its distinct
+    *    fingerprints once and can be a maintained sketch);
+    *  - `near`: trigram Jaccard ≥ num/den against SOME corpus doc.
+    *    Candidates come from the same prefix-filter theorem as
+    *    [[ngramJaccardPairs]] — the lemma needs only ONE total order
+    *    shared by both sides (here rarest-first by document frequency
+    *    over the UNION), and it is pairwise, so it holds unchanged for
+    *    cross-corpus pairs: a batch×corpus pair at Jaccard ≥ t must
+    *    share a shingle inside both prefixes. The index join is
+    *    batch-prefix × corpus-prefix — no corpus self-join anywhere;
+    *  - `new` otherwise.
+    *
+    * Output: (id, verdict) for every batch document, ordered by id. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxPosting: Int = 4096): DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
+      "threshold must satisfy 0 < num/den <= 1")
+    val exact = batch
+      .select(col(idCol).as("id"),
+        graft.pipeline.TextOps.fingerprint(col(textCol)).as("__fp"))
+      .join(corpus.select(
+          graft.pipeline.TextOps.fingerprint(col(textCol)).as("__fp"))
+        .distinct(), Seq("__fp"), "left_semi")
+      .select(col("id"))
+    // per-side hashed + per-doc-deduped shingle streams, each behind one
+    // pinned exchange and persisted for its multiple consumers (the
+    // qp63 discipline — see ngramJaccardPairs for why persist, not
+    // ReuseExchange); registered for the caller's post-action release
+    def hashed(df: DataFrame): DataFrame =
+      shingleStream(df, idCol, textCol, shingleN)
+        .select(col("id"), xxhash64(col("s")).as("h"))
+        .repartition(col("h"))
+        .dropDuplicates("id", "h")
+    val hb = PipelineCaches.track(
+      hashed(batch).persist(StorageLevel.MEMORY_AND_DISK))
+    val hc = PipelineCaches.track(
+      hashed(corpus).persist(StorageLevel.MEMORY_AND_DISK))
+    val dfreq = hb.select(col("h")).unionAll(hc.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    def prefix(hs: DataFrame): DataFrame = {
+      val ranked = hs.join(dfreq, "h")
+        .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("__df"), col("h"))))
+      val ceilT = ((col("__sz") * thresholdNum + thresholdDen - 1) / thresholdDen).cast("long")
+      ranked.filter(col("__rk") <= col("__sz") - ceilT + 1)
+        .select(col("id"), col("h"), col("__sz"))
+    }
+    val ib = cappedBuckets(prefix(hb), Seq(col("h")), maxPosting)
+    val ic = cappedBuckets(prefix(hc), Seq(col("h")), maxPosting)
+    val candPairs = ib.select(col("h"), col("id").as("id_b"), col("__sz").as("__szb"))
+      .join(ic.select(col("h"), col("id").as("id_c"), col("__sz").as("__szc")), "h")
+      .filter(col("__szb") * thresholdNum <= col("__szc") * thresholdDen &&
+        col("__szc") * thresholdNum <= col("__szb") * thresholdDen)
+      .select("id_b", "id_c")
+      .distinct()
+    def arrs(hs: DataFrame): DataFrame = hs.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("__hs"), count(lit(1)).as("__sz"))
+    val near = candPairs
+      .join(arrs(hb).select(col("id").as("id_b"), col("__hs").as("__ha"),
+        col("__sz").as("__sza")), "id_b")
+      .join(arrs(hc).select(col("id").as("id_c"), col("__hs").as("__hb"),
+        col("__sz").as("__szb")), "id_c")
+      .withColumn("__inter",
+        graft.functions.SetOps.sortedIntersectCount(col("__ha"), col("__hb")))
+      .withColumn("__uni", col("__sza") + col("__szb") - col("__inter"))
+      .filter(col("__inter") * thresholdDen >= col("__uni") * thresholdNum)
+      .select(col("id_b").as("id"))
+      .distinct()
+    batch.select(col(idCol).as("id"))
+      .join(exact.withColumn("__ex", lit(true)), Seq("id"), "left")
+      .join(near.withColumn("__nr", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__ex").isNotNull, lit("exact"))
+          .when(col("__nr").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"))
+      .orderBy(col("id"))
+  }
+
   // ---- content-defined chunking (rolling-hash fingerprints) ----
 
   /** Per-doc content-defined chunk fingerprints as (id, chunk-hash) rows:

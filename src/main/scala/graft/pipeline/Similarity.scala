@@ -764,4 +764,58 @@ object Similarity {
         (dotD(col("q"), col("v")) / sqrt(col("qn2") * col("n2"))).as("score"))
     topK(exact, k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540) over the integer-exact portable
+    * tier: cluster the embeddings with the replayable coarse quantizer
+    * ([[kmeansCentroidsQuantized]] — the qp59 trainer), then inside each
+    * cluster mark every vector that has a LOWER-id neighbor at cosine ≥
+    * num/den as a drop. The verdict is an existence test rather than the
+    * paper's greedy sweep, so it is order-independent (one relational
+    * predicate, replayable by any engine) while keeping the paper's
+    * semantics of "one representative per semantic near-dup group":
+    * within a mutually-similar group exactly the smallest id survives.
+    *
+    * Scale shape: the quadratic pair join runs per CLUSTER, never
+    * globally — nlist grows with the corpus so clusters stay
+    * ~corpus/nlist, and `maxCluster` backstops a degenerate clustering
+    * the same way every bucketed dedup operator here caps its posting
+    * lists (an over-cap cluster is left un-deduped rather than joined
+    * O(cluster²)). The cosine test is the exact squared predicate
+    * den²·dot² ≥ num²·‖a‖²·‖b‖² over milli-quantized integers (dot ≥ 0)
+    * — no square roots, no float thresholds.
+    *
+    * Output: (vec_id, cid, kept) for every non-zero embedding. */
+  def semanticDedupQuantized(embeddings: DataFrame, nlist: Int = 16,
+      kmeansIters: Int = 3, thresholdNum: Int = 3, thresholdDen: Int = 10,
+      maxCluster: Int = 65536): DataFrame = {
+    require(thresholdNum >= 0 && thresholdDen >= 1,
+      "cosine threshold must be num >= 0, den >= 1 (the squared predicate loses the sign)")
+    val nz = PipelineCaches.track(
+      quantNz(embeddings).persist(StorageLevel.MEMORY_AND_DISK))
+    val centroids = kmeansCentroidsQuantized(nz, nlist, kmeansIters)
+    if (centroids.isEmpty)
+      return nz.select(col("vec_id"), lit(-1).as("cid"), lit(true).as("kept"))
+    val assigned = assignCentroid(nz, centroids)
+    val capped = Dedup.cappedBuckets(
+      assigned.select(col("cid"), col("vec_id"), col("v"), col("n2")),
+      Seq(col("cid")), maxCluster)
+    val a = capped.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("__qa"), col("n2").as("__na"))
+    val b = capped.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("__qb"), col("n2").as("__nb"))
+    val dup = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__dot", dotD(col("__qa"), col("__qb")))
+      .filter(col("__dot") >= 0 &&
+        lit((thresholdDen.toLong * thresholdDen).toDouble) * col("__dot") * col("__dot") >=
+          lit((thresholdNum.toLong * thresholdNum).toDouble) * col("__na") * col("__nb"))
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__dup").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -16,7 +16,7 @@ object PipelineQueries {
 
   /** Shared head CTEs of the quantized ANN oracles: milli-quantized
     * vectors and exact integer norms (the qp53 projection). */
-  private val quantNzCtes: String =
+  private[queries] val quantNzCtes: String =
     """e AS (SELECT vec_id,
             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) v
           FROM embeddings WHERE embedding IS NOT NULL),
@@ -28,7 +28,7 @@ object PipelineQueries {
     * [[graft.pipeline.Similarity]]'s centroidRank/PqEncode argmin (the
     * ‖v‖² term is constant per row, so the argmin agrees with squared
     * L2; ties resolve to the smallest id in both engines). */
-  private def l2Rank(vExpr: String, cExpr: String): String =
+  private[queries] def l2Rank(vExpr: String, cExpr: String): String =
     s"""list_sum(list_transform($cExpr, x -> x * x))
         - 2 * list_sum(list_transform(list_zip($vExpr, $cExpr), z -> z[1] * z[2]))"""
 
@@ -39,7 +39,7 @@ object PipelineQueries {
     * (≡ Scala's floorDiv on exact-in-double sums), emptied clusters
     * carrying their previous centroid via the LEFT JOIN coalesce.
     * Mirrors [[graft.pipeline.Similarity.kmeansCentroidsQuantized]]. */
-  private def kmeansReplayCtes(nlist: Int, iters: Int, dim: Int): String = {
+  private[queries] def kmeansReplayCtes(nlist: Int, iters: Int, dim: Int): String = {
     val init =
       s"""c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS c FROM (
             SELECT row_number() OVER (ORDER BY

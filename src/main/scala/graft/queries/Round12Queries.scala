@@ -1,5 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Curation, Dedup, Similarity}
+
 /** Round-12 additions: the last two composition rails from VERDICT r11.
   *
   *  - Deferred subquery-bearing conjuncts now combine with a NEGATED
@@ -23,6 +27,34 @@ object Round12Queries {
 
   private def same(name: String, sql: String): QueryDef =
     engineSql(name, sql, sql)
+
+  /** DuckDB oracle for the SemDeDup portable tier (qp92): the qp59
+    * k-means replay (training ON the data), the corpus cluster
+    * assignment, then the within-cluster lower-id near-neighbor
+    * existence test with the same squared-cosine integer predicate the
+    * engine evaluates — every arithmetic step exact-integer-in-double
+    * or the identical correctly-rounded op, so the verdicts are
+    * bit-stable across engines. */
+  private def semdedupOracle(nlist: Int, iters: Int, dim: Int,
+      num: Int, den: Int): String = {
+    val dot = "list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2]))"
+    s"""WITH ${PipelineQueries.quantNzCtes},
+        ${PipelineQueries.kmeansReplayCtes(nlist, iters, dim)},
+        af AS (SELECT vec_id, cid FROM (
+          SELECT nz.vec_id, c.cid, row_number() OVER (PARTITION BY nz.vec_id
+            ORDER BY ${PipelineQueries.l2Rank("nz.v", "c.c")}, c.cid) rn
+          FROM nz, c$iters c) WHERE rn = 1),
+        dup AS (SELECT DISTINCT b.vec_id FROM af a JOIN af b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN nz x ON x.vec_id = a.vec_id
+          JOIN nz y ON y.vec_id = b.vec_id
+          WHERE $dot >= 0
+            AND ${den.toLong * den}.0 * $dot * $dot
+                  >= ${num.toLong * num}.0 * x.n2 * y.n2)
+        SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
+        FROM af a LEFT JOIN dup d ON d.vec_id = a.vec_id
+        ORDER BY a.vec_id"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -97,6 +129,105 @@ object Round12Queries {
            SELECT DISTINCT ON (l_suppkey) l_extendedprice FROM lineitem
            WHERE l_extendedprice > o_totalprice / 2
            ORDER BY l_suppkey, l_linenumber LIMIT 3 OFFSET 2)
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey"""),
+
+    // ---- SemDeDup: semantic dedup over the embedding clusters ----------
+    // (Abbas et al. 2023) cluster with the oracle-replayable k-means,
+    // then drop every vector with a lower-id within-cluster neighbor at
+    // cosine >= 0.3 — the within-cluster pair join is the paper's whole
+    // point: quadratic work bounded per cluster, never corpus-global
+    QueryDef(
+      "qp92_semdedup",
+      Some(semdedupOracle(nlist = 16, iters = 3, dim = 64, num = 3, den = 10)),
+      (s, dir) => Similarity.semanticDedupQuantized(
+          Tables.load(s, dir, "embeddings"), nlist = 16, kmeansIters = 3,
+          thresholdNum = 3, thresholdDen = 10)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"), col("kept"))),
+
+    // ---- incremental (cross-snapshot) dedup verdicts -------------------
+    // batch = every 5th doc arriving against the corpus of the rest:
+    // exact tier by normalized fingerprint equijoin, near tier by the
+    // cross-corpus prefix-filtered trigram Jaccard (>= 2/5, the qp63
+    // threshold) — the continuous-ingestion shape, no corpus self-join
+    QueryDef(
+      "qp93_incremental_dedup",
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp FROM documents),
+        s AS (SELECT doc_id, fp, list_distinct(list_transform(range(1, greatest(len(w)-2, 1) + 1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+        corpus AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+        batch AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+        ex AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON b.fp = c.fp),
+        nr AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c
+               ON 5 * len(list_intersect(b.sh, c.sh)) >= 2 * len(list_distinct(list_concat(b.sh, c.sh))))
+        SELECT b.doc_id,
+          CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+               WHEN nr.doc_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict
+        FROM batch b LEFT JOIN ex ON ex.doc_id = b.doc_id
+        LEFT JOIN nr ON nr.doc_id = b.doc_id ORDER BY b.doc_id"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.incrementalNearDup(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+          .select(col("id").as("doc_id"), col("verdict"))
+      }),
+
+    // ---- per-source quality-quantile filter -----------------------------
+    // drop the bottom quartile by type-token ratio within each source;
+    // rank-based (no interpolation), ties resolved by (score, id)
+    QueryDef(
+      "qp94_quality_quantile",
+      Some("""WITH t AS (SELECT doc_id, source,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) tok,
+            CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) uniq
+          FROM documents),
+        sc AS (SELECT doc_id, source,
+            CAST(floor(uniq * 1000.0 / tok) AS BIGINT) score FROM t WHERE tok > 0),
+        r AS (SELECT doc_id, source, score,
+            row_number() OVER (PARTITION BY source ORDER BY score, doc_id) rk,
+            count(*) OVER (PARTITION BY source) n FROM sc)
+        SELECT doc_id, source, score, (rk * 4 > n) AS kept FROM r ORDER BY doc_id"""),
+      (s, dir) => Curation.qualityQuantileFilter(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+          qNum = 1, qDen = 4)
+        .select(col("id").as("doc_id"), col("source"), col("score"), col("kept"))),
+
+    // ---- streaming gap sessionization (flatMapGroupsWithState) ---------
+    // the custom-state streaming op the batch qp69 mirrors: one state
+    // entry per active user, sessions close on a > gap delta or on
+    // event-time timeout. Replayed bounded (AvailableNow): sessions
+    // closed by a later event always emit; a user's LAST session emits
+    // iff the final watermark (= max event ts, 0 s delay) strictly
+    // passes its timeout (end + gap) — Spark fires EventTimeTimeout on
+    // `timeoutTs < watermark`, which the oracle's WHERE reproduces.
+    QueryDef(
+      "qp95_stream_sessionize",
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tms FROM events),
+        mx AS (SELECT max(tms) m FROM e),
+        d AS (SELECT user_id, tms, CASE WHEN
+              lag(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+              OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) > 21600000
+            THEN 1 ELSE 0 END brk FROM e),
+        s AS (SELECT user_id, tms, sum(brk) OVER (PARTITION BY user_id
+            ORDER BY tms ROWS UNBOUNDED PRECEDING) sid FROM d),
+        g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) n_events,
+            min(tms) start_ts, max(tms) end_ts FROM s GROUP BY user_id, sid),
+        lastg AS (SELECT user_id, max(sid) lsid FROM g GROUP BY user_id)
+        SELECT g.user_id, g.n_events, g.start_ts, g.end_ts
+        FROM g JOIN lastg USING (user_id), mx
+        WHERE g.sid < lastg.lsid OR g.end_ts + 21600000 < mx.m
+        ORDER BY g.user_id, g.start_ts"""),
+      (s, dir) => {
+        import s.implicits._
+        StreamRunner.replayEvents(s, dir, "qp95_sessions", "append") { df =>
+          graft.streaming.EventStreams.sessionize(
+            df.select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+              .as[graft.streaming.EventStreams.Event],
+            gapSecs = 21600L).toDF()
+        }.orderBy(col("user_id"), col("start_ts"))
+      })
   )
 }

@@ -173,4 +173,17 @@ class PlanMarkerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "BroadcastNestedLoopJoin") == 1)
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  // round-12 pipeline additions: every join is an equijoin by design —
+  // cid buckets (qp92), shingle-hash postings + fingerprints (qp93),
+  // none at all beyond windows (qp94). A cartesian or BNLJ here means
+  // a candidate join degenerated to all-pairs.
+  test("plan markers: qp92/qp93/qp94 plan only equijoins") {
+    Seq("qp92_semdedup", "qp93_incremental_dedup",
+        "qp94_quality_quantile").foreach { n =>
+      val p = plan(n)
+      assert(count(p, "CartesianProduct") == 0, s"$n plans a cartesian")
+      assert(count(p, "BroadcastNestedLoopJoin") == 0, s"$n gained a BNLJ")
+    }
+  }
 }
