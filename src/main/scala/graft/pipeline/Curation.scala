@@ -737,6 +737,37 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** Deterministic exact-k per-source sample: rank every document by a
+    * portable hash of its id WITHIN its source and keep the k smallest
+    * — priority sampling with hash priorities, i.e. a fixed-SIZE
+    * uniform-without-replacement sample per stratum, reproducible in
+    * any engine ([[hashSample]] keeps a fixed FRACTION instead; a
+    * growing corpus needs both: rates for throughput-shaped consumers,
+    * counts for budget-shaped ones like eval panels). The LCG
+    * multiplier differs from both the split assignment's and the rate
+    * sampler's so the three decisions don't correlate.
+    *
+    * At 100 TB: per-stratum smallest-k never needs a per-source global
+    * sort — it is the same salted two-phase top-k as
+    * [[Similarity]]'s ranking (per-partition prune to k, then a tiny
+    * global window over #partitions·k survivors). At fixture scale the
+    * one window is the straightforward plan. Output: (id, source,
+    * sample_rank 1..k), ordered by (source, sample_rank). */
+  def exactKSample(docs: DataFrame, idCol: String, sourceCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "sample size must be >= 1")
+    val pri = pmod(col(idCol) * lit(1664525L) + lit(1013904223L),
+      lit(1000000007L))
+    docs
+      .select(col(idCol).as("id"), col(sourceCol).as("source"),
+        pri.as("__pri"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__pri"), col("id"))))
+      .filter(col("sample_rank") <= k)
+      .select(col("id"), col("source"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
   /** Rank-based per-source quality-quantile filter: keep a document iff
     * its quality score ranks strictly above the q = num/den quantile
     * position within its source — `rank·den > n·num` with rank over the

@@ -228,6 +228,42 @@ object Round12Queries {
               .as[graft.streaming.EventStreams.Event],
             gapSecs = 21600L).toDF()
         }.orderBy(col("user_id"), col("start_ts"))
-      })
+      }),
+
+    // ---- KMV distinct-count sketch (portable hash) ----------------------
+    // the mergeable approximate tier for countUnique: k smallest
+    // distinct LCG hashes per group, estimate (k−1)·M/h_k — sketch AND
+    // estimate replay bit-for-bit (the ANN-tier oracle recipe applied
+    // to cardinality estimation)
+    QueryDef(
+      "qp96_kmv_distinct",
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag grp,
+            (l_partkey * 1103515245 + 12345) % 1000000007 h FROM lineitem),
+        r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) rk FROM h),
+        t AS (SELECT grp, max(h) hk, CAST(count(*) AS BIGINT) m
+              FROM r WHERE rk <= 256 GROUP BY grp)
+        SELECT grp AS l_returnflag,
+          CASE WHEN m < 256 THEN m
+               ELSE CAST(floor(255000001785.0 / hk) AS BIGINT) END AS n_est
+        FROM t ORDER BY l_returnflag"""),
+      (s, dir) => graft.pipeline.Sketches.kmvDistinct(
+          Tables.load(s, dir, "lineitem"), "l_partkey", "l_returnflag",
+          k = 256)
+        .select(col("grp").as("l_returnflag"), col("n_est"))),
+
+    // ---- deterministic exact-k per-source sample -------------------------
+    // fixed-SIZE uniform sample per stratum (hash priorities) — the
+    // budget-shaped counterpart of qp87's fixed-RATE Bernoulli sampler
+    QueryDef(
+      "qp97_exactk_sample",
+      Some("""WITH r AS (SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY (doc_id * 1664525 + 1013904223) % 1000000007, doc_id) rk
+          FROM documents)
+        SELECT doc_id, source, CAST(rk AS INT) AS sample_rank
+        FROM r WHERE rk <= 5 ORDER BY source, sample_rank"""),
+      (s, dir) => Curation.exactKSample(
+          Tables.load(s, dir, "documents"), "doc_id", "source", k = 5)
+        .select(col("id").as("doc_id"), col("source"), col("sample_rank")))
   )
 }

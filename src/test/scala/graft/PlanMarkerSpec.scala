@@ -186,4 +186,13 @@ class PlanMarkerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(count(p, "BroadcastNestedLoopJoin") == 0, s"$n gained a BNLJ")
     }
   }
+
+  // sketch + sampler are window/aggregate-only pipelines: ANY join
+  // means the plan degenerated
+  test("plan markers: qp96/qp97 are join-free") {
+    Seq("qp96_kmv_distinct", "qp97_exactk_sample").foreach { n =>
+      val p = plan(n)
+      assert(joins(p) == 0, s"$n gained a join")
+    }
+  }
 }

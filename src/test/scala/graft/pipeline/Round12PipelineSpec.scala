@@ -120,6 +120,46 @@ class Round12PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.keySet == bs.keySet)
   }
 
+  // ---- qp96: KMV distinct sketch -------------------------------------------
+
+  test("kmv: estimates within the sketch's error envelope; exact below k") {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val est = Sketches.kmvDistinct(li, "l_partkey", "l_returnflag", k = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, e) <- exact) {
+      val rel = math.abs(est(g).toDouble - e) / e
+      // KMV std error ~ 1/sqrt(k-2) ≈ 6.3%; 4 sigma leaves no flake room
+      assert(rel < 0.25, s"$g: est ${est(g)} vs exact $e (rel $rel)")
+    }
+    // k above the true cardinality: the sketch holds everything → exact
+    val all = Sketches.kmvDistinct(li, "l_partkey", "l_returnflag", k = 65536)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash collisions (~n²/2M) can merge a couple of values; allow 0.5%
+    for ((g, e) <- exact)
+      assert(math.abs(all(g).toDouble - e) / e < 0.005, s"$g: ${all(g)} vs $e")
+  }
+
+  // ---- qp97: exact-k per-source sample --------------------------------------
+
+  test("exact-k sample: per source exactly min(k, n) rows, the k smallest priorities") {
+    val out = Curation.exactKSample(docs, "doc_id", "source", k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val pri = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map { case (id, _) =>
+        (math.floorMod(id * 1664525L + 1013904223L, 1000000007L), id)
+      }.sorted.map(_._2)).toMap
+    for ((src, expected) <- pri) {
+      val got = out.filter(_._2 == src).sortBy(_._3)
+      assert(got.length == math.min(7, expected.length), s"$src size")
+      assert(got.map(_._3).toSeq == (1 to got.length), s"$src ranks not contiguous")
+      assert(got.map(_._1).toSeq == expected.take(7).toSeq, s"$src wrong members")
+    }
+  }
+
   // ---- qp94: quality quantile filter --------------------------------------
 
   test("quality quantile: exactly floor(n*q) lowest-(score,id) rows drop per source") {
