@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Curation, Dedup, Similarity}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity}
 
 /** Round-12 additions: the last two composition rails from VERDICT r11.
   *
@@ -264,6 +264,42 @@ object Round12Queries {
         FROM r WHERE rk <= 5 ORDER BY source, sample_rank"""),
       (s, dir) => Curation.exactKSample(
           Tables.load(s, dir, "documents"), "doc_id", "source", k = 5)
-        .select(col("id").as("doc_id"), col("source"), col("sample_rank")))
+        .select(col("id").as("doc_id"), col("source"), col("sample_rank"))),
+
+    // ---- REAL binary PGM (P5) decode + resample --------------------------
+    // the single-channel netpbm sibling of qp90: the SAME generalized
+    // parser/resampler handles both magics (round 12 — one more real
+    // codec, one less disclosed stub). Fixture dims differ from the
+    // PPM one (h = 8 + 5·len % 32), resample is 2/3 nearest-neighbor;
+    // the oracle predicts every output byte from the construction and
+    // folds the same base-131 mod-1e9+7 plane checksum — one wrong
+    // pixel, offset or rounding is a hash-fail.
+    QueryDef(
+      "qp98_pgm_resize",
+      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text
+                FROM documents),
+          g AS (SELECT doc_id, len, text,
+                8 + len % 32 AS w, 8 + (len * 5) % 32 AS h FROM d),
+          o AS (SELECT doc_id, len, text, w, h,
+                greatest((w * 2) // 3, 1) AS ow, greatest((h * 2) // 3, 1) AS oh FROM g),
+          p AS (SELECT doc_id, ow, oh,
+                CAST(9 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR))
+                     + ow * oh AS BIGINT) AS n_bytes,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, ow * oh), i ->
+                    CAST(CASE WHEN len = 0 THEN 32 ELSE
+                      unicode(text[CAST((((i // ow) * h // oh) * w
+                        + (i % ow) * w // ow) % len AS INTEGER) + 1])
+                    END AS BIGINT))),
+                  (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash
+                FROM o)
+          SELECT doc_id, CAST(ow AS INTEGER) AS width,
+              CAST(oh AS INTEGER) AS height, n_bytes, plane_hash
+          FROM p ORDER BY doc_id"""),
+      (s, dir) =>
+        Multimodal.ppmPlaneMeta(Multimodal.resizePpm(Multimodal.encodePgm(
+            Tables.load(s, dir, "documents"), "doc_id", "text"), 2, 3))
+          .toDF()
+          .orderBy(col("doc_id")))
   )
 }

@@ -163,8 +163,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val meta = dec.decode(Multimodal.MediaItem(1L, "ppm", payload))
     assert(meta.width == 7 && meta.height == 3)
     assert(meta.n_bytes == payload.length.toLong)
-    intercept[IllegalArgumentException] {
-      dec.decode(Multimodal.MediaItem(2L, "ppm", "P5\n1 1\n255\n ".getBytes("US-ASCII")))
+    // P5 (grayscale) is part of the supported family since round 12 —
+    // one plane byte suffices for 1×1
+    val gray = dec.decode(Multimodal.MediaItem(2L, "pgm",
+      "P5\n1 1\n255\n ".getBytes("US-ASCII")))
+    assert(gray.width == 1 && gray.height == 1)
+    intercept[IllegalArgumentException] { // unsupported magic (bitmap)
+      dec.decode(Multimodal.MediaItem(4L, "pbm", "P4\n1 1\n ".getBytes("US-ASCII")))
     }
     intercept[IllegalArgumentException] { // truncated pixel plane
       dec.decode(Multimodal.MediaItem(3L, "ppm", "P6\n4 4\n255\n".getBytes("US-ASCII")))

@@ -120,6 +120,39 @@ class Round12PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.keySet == bs.keySet)
   }
 
+  // ---- qp98: PGM (P5) through the generalized netpbm machinery -------------
+
+  test("pgm: encode/parse/resize roundtrip matches a per-pixel reference") {
+    import spark.implicits._
+    val d = Seq((7L, "the quick brown fox jumps over the lazy dog"),
+      (8L, ""), (9L, "ab")).toDF("doc_id", "text")
+    val out = Multimodal.ppmPlaneMeta(
+      Multimodal.resizePpm(Multimodal.encodePgm(d, "doc_id", "text"), 2, 3))
+      .collect().map(r => r.doc_id -> r).toMap
+    for ((id, text) <- Seq(7L -> "the quick brown fox jumps over the lazy dog",
+        8L -> "", 9L -> "ab")) {
+      val raw = text.getBytes("UTF-8")
+      val src = if (raw.isEmpty) Array(' '.toByte) else raw
+      val (w, h) = (8 + raw.length % 32, 8 + (raw.length * 5) % 32)
+      val (ow, oh) = (math.max(w * 2 / 3, 1), math.max(h * 2 / 3, 1))
+      var acc = 0L
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val b = src(((y * h / oh) * w + x * w / ow) % src.length) & 0xFF
+        acc = (acc * 131L + b) % 1000000007L
+      }
+      val m = out(id)
+      assert((m.width, m.height) == (ow, oh), s"doc $id dims")
+      assert(m.plane_hash == acc, s"doc $id plane hash")
+      assert(m.n_bytes == 9 + ow.toString.length + oh.toString.length + ow * oh)
+    }
+    // the SAME decoder handles both magics side by side
+    val mixed = Multimodal.decodePpm(
+      Multimodal.encodePgm(d, "doc_id", "text")
+        .union(Multimodal.encodePpm(d, "doc_id", "text")))
+      .collect()
+    assert(mixed.count(_.format == "pgm") == 3 && mixed.count(_.format == "ppm") == 3)
+  }
+
   // ---- qp96: KMV distinct sketch -------------------------------------------
 
   test("kmv: estimates within the sketch's error envelope; exact below k") {
