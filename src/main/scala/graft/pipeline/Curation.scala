@@ -759,6 +759,9 @@ object Curation {
     val pri = pmod(col(idCol) * lit(1664525L) + lit(1013904223L),
       lit(1000000007L))
     docs
+      // a NULL id would get a NULL priority, which Spark orders
+      // NULLS-FIRST and an oracle engine NULLS-LAST — exclude up front
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), col(sourceCol).as("source"),
         pri.as("__pri"))
       .withColumn("sample_rank", row_number().over(

@@ -41,7 +41,11 @@ object Sketches {
       k: Int = 256): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 (the estimator uses the k-th minimum)")
     val m = 1000000007L
+    // distinct count of NON-NULL values (the standard semantics) — and a
+    // NULL hash would also order NULLS-FIRST in Spark vs NULLS-LAST in
+    // an oracle engine, so the guard is a portability invariant too
     val hashed = df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"), portHash(col(valueCol)).as("__h"))
       .distinct()
     val topk = hashed
