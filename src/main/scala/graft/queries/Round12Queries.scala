@@ -300,6 +300,32 @@ object Round12Queries {
         Multimodal.ppmPlaneMeta(Multimodal.resizePpm(Multimodal.encodePgm(
             Tables.load(s, dir, "documents"), "doc_id", "text"), 2, 3))
           .toDF()
-          .orderBy(col("doc_id")))
+          .orderBy(col("doc_id"))),
+
+    // ---- streaming ingest-time exact dedup (stream-static) ---------------
+    // the streaming complement of qp93's exact tier: each arriving
+    // document (every 5th doc replayed as the stream) is marked novel
+    // iff its normalized fingerprint is absent from the static corpus —
+    // stateless stream-static LEFT OUTER + null test (stream-static
+    // anti joins are unsupported; this is the standard equivalent)
+    QueryDef(
+      "qp99_stream_ingest_dedup",
+      Some("""WITH t AS (SELECT doc_id,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp FROM documents),
+        corpus AS (SELECT DISTINCT fp FROM t WHERE doc_id % 5 <> 0),
+        batch AS (SELECT doc_id, fp FROM t WHERE doc_id % 5 = 0)
+        SELECT b.doc_id, (c.fp IS NULL) AS novel
+        FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+        ORDER BY b.doc_id"""),
+      (s, dir) => {
+        val corpus = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0)
+        StreamRunner.replayParquet(s, s"$dir/documents.parquet",
+            "qp99_ingest", "append") { st =>
+          graft.streaming.IngestOps.noveltyAgainst(
+            st.filter(col("doc_id") % 5 === 0), corpus, "doc_id", "text")
+        }.select(col("id").as("doc_id"), col("novel"))
+          .orderBy(col("doc_id"))
+      })
   )
 }
