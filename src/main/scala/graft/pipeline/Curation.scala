@@ -751,8 +751,15 @@ object Curation {
     * sort — it is the same salted two-phase top-k as
     * [[Similarity]]'s ranking (per-partition prune to k, then a tiny
     * global window over #partitions·k survivors). At fixture scale the
-    * one window is the straightforward plan. Output: (id, source,
-    * sample_rank 1..k), ordered by (source, sample_rank). */
+    * one window is the straightforward plan.
+    *
+    * Portability domain (ADVICE r12 #2, same contract as
+    * [[Sketches]]' portHash): `id·1664525 + 1013904223` is computed in
+    * Spark's wrapping Long arithmetic, so the "reproducible in any
+    * engine" claim holds for |id| ≤ ~2^63/1664525 ≈ 5.5·10¹² — an engine
+    * that promotes to wider integers diverges above that. Ids beyond
+    * the bound need a pre-reduction (`pmod(id, 2^40)`) on BOTH sides
+    * before the multiply; the testdata ids are far inside it. */
   def exactKSample(docs: DataFrame, idCol: String, sourceCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "sample size must be >= 1")
@@ -795,14 +802,7 @@ object Curation {
       textCol: String, sourceCol: String, qNum: Int = 1, qDen: Int = 4): DataFrame = {
     require(qNum >= 0 && qDen >= 1 && qNum <= qDen,
       "quantile must satisfy 0 <= num/den <= 1")
-    val toks = TextOps.tokens(col(textCol))
-    val scored = docs
-      .select(col(idCol).as("id"), col(sourceCol).as("source"),
-        size(toks).cast("long").as("__tok"),
-        size(array_distinct(toks)).cast("long").as("__uniq"))
-      .filter(col("__tok") > 0)
-      .withColumn("score",
-        floor(col("__uniq") * lit(1000.0d) / col("__tok")).cast("long"))
+    val scored = ttrScored(docs, idCol, textCol, sourceCol)
     val bySource = Window.partitionBy(col("source"))
     scored
       .withColumn("__rk",
@@ -811,5 +811,72 @@ object Curation {
       .select(col("id"), col("source"), col("score"),
         (col("__rk").cast("long") * qDen > col("__n") * qNum).as("kept"))
       .orderBy(col("id"))
+  }
+
+  /** The shared (id, source, score) stream: type-token ratio in
+    * per-mille over tokenizable docs — see [[qualityQuantileFilter]]. */
+  private def ttrScored(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("id"), col(sourceCol).as("source"),
+        size(toks).cast("long").as("__tok"),
+        size(array_distinct(toks)).cast("long").as("__uniq"))
+      .filter(col("__tok") > 0)
+      .withColumn("score",
+        floor(col("__uniq") * lit(1000.0d) / col("__tok")).cast("long"))
+  }
+
+  /** The 100 TB tier of [[qualityQuantileFilter]] (round 13 — shipped,
+    * not just documented): TWO PASSES instead of a per-source global
+    * sort. Pass 1 computes one approximate per-source threshold with
+    * `percentile_approx` (Greenwald–Khanna; a mergeable, map-side-
+    * combinable aggregate — per-source state is O(accuracy), never
+    * per-source row counts, so a source holding half the corpus costs
+    * the same as a small one). Pass 2 broadcasts the |sources|-row
+    * threshold table back and keeps `score > threshold` — a plain
+    * codegen'd filter, no window, no skew.
+    *
+    * Contract vs the exact tier: the rank rule `rk·den > n·num` equals
+    * the threshold test `score > t` for every row whose score differs
+    * from the boundary score t; the two tiers can disagree ONLY on rows
+    * tied AT the boundary score (the exact tier splits the tie band by
+    * id; a threshold cannot see ids) and only when the approximation
+    * lands t off the exact boundary. Round13CurationSpec pins exactly
+    * this on the fixture. Output schema matches the exact tier. */
+  def qualityQuantileFilterApprox(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, qNum: Int = 1, qDen: Int = 4,
+      accuracy: Int = 10000): DataFrame = {
+    require(qNum >= 0 && qDen >= 1 && qNum <= qDen,
+      "quantile must satisfy 0 <= num/den <= 1")
+    require(accuracy >= 1, "accuracy must be >= 1")
+    val scored = ttrScored(docs, idCol, textCol, sourceCol)
+    val thr = scored.groupBy(col("source"))
+      .agg(percentile_approx(col("score"), lit(qNum.toDouble / qDen),
+        lit(accuracy)).as("__thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .select(col("id"), col("source"), col("score"),
+        (col("score") > col("__thr")).as("kept"))
+      .orderBy(col("id"))
+  }
+
+  /** Tier gate for the quality-quantile filter: the exact rank tier
+    * while every source fits a per-source sort partition, the two-pass
+    * approximate tier once any single source exceeds `approxOverRows`
+    * (the skew regime where one partition would hold that source's
+    * whole row set). The probe is one count aggregate — at 100 TB a
+    * maintained per-source stats table replaces it; the dispatch logic
+    * is unchanged. */
+  def qualityQuantileAuto(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, qNum: Int = 1, qDen: Int = 4,
+      approxOverRows: Long = 50000000L, accuracy: Int = 10000): DataFrame = {
+    require(approxOverRows >= 1, "approxOverRows must be >= 1")
+    val maxRow = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val maxPerSource = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxPerSource > approxOverRows)
+      qualityQuantileFilterApprox(docs, idCol, textCol, sourceCol,
+        qNum, qDen, accuracy)
+    else qualityQuantileFilter(docs, idCol, textCol, sourceCol, qNum, qDen)
   }
 }

@@ -25,12 +25,29 @@ object PipelineCaches {
     frames += df; df
   }
 
-  /** Unpersist every tracked frame. `blocking = true` waits for the
-    * blocks to actually drop — the bench uses it so one entry's cached
-    * residue can never occupy the unified memory region while the next
-    * entry is timed. */
+  /** Unpersist every tracked frame — ACROSS ALL SESSIONS. This is the
+    * single-driver teardown (bench/verify run one session per process
+    * and call this between entries); a process hosting CONCURRENT
+    * sessions must use [[release]] with its own session, or a
+    * `releaseAll` from one session's teardown silently drops frames a
+    * query in another session still reads — correct (Spark recomputes
+    * an unpersisted plan) but a surprise recompute tax (ADVICE r12 #4).
+    * `blocking = true` waits for the blocks to actually drop — the
+    * bench uses it so one entry's cached residue can never occupy the
+    * unified memory region while the next entry is timed. */
   def releaseAll(blocking: Boolean = false): Unit = synchronized {
     frames.foreach(f => try f.unpersist(blocking) catch { case _: Throwable => () })
     frames.clear()
+  }
+
+  /** Session-scoped release: unpersist only the frames registered by
+    * operators of `session`, leaving other live sessions' caches
+    * untouched — the concurrent-driver counterpart of [[releaseAll]]. */
+  def release(session: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Unit = synchronized {
+    val (mine, rest) = frames.partition(_.sparkSession eq session)
+    mine.foreach(f => try f.unpersist(blocking) catch { case _: Throwable => () })
+    frames.clear()
+    frames ++= rest
   }
 }

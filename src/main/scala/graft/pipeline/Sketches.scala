@@ -40,25 +40,78 @@ object Sketches {
   def kmvDistinct(df: DataFrame, valueCol: String, groupCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 (the estimator uses the k-th minimum)")
-    val m = 1000000007L
+    val topk = kmvTopK(df, valueCol, groupCol, k)
+    topk.groupBy(col("grp"))
+      .agg(max(col("__h")).as("__hk"), count(lit(1)).as("__m"))
+      .select(col("grp"), estFromKthMin(col("__m"), col("__hk"), k).as("n_est"))
+      .orderBy(col("grp"))
+  }
+
+  /** The shared per-group k-smallest-distinct-hashes stream (grp, __h). */
+  private def kmvTopK(df: DataFrame, valueCol: String, groupCol: String,
+      k: Int): DataFrame = {
     // distinct count of NON-NULL values (the standard semantics) — and a
     // NULL hash would also order NULLS-FIRST in Spark vs NULLS-LAST in
     // an oracle engine, so the guard is a portability invariant too
-    val hashed = df
-      .filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"), portHash(col(valueCol)).as("__h"))
       .distinct()
-    val topk = hashed
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("__h"))))
       .filter(col("__rk") <= k)
-    topk.groupBy(col("grp"))
-      .agg(max(col("__h")).as("__hk"), count(lit(1)).as("__m"))
+      .select(col("grp"), col("__h"))
+  }
+
+  /** The KMV estimator off a fill count `m` and the k-th minimum `hk`:
+    * exact `m` below k (the sketch holds every distinct hash), else
+    * floor((k−1)·M / hk) — one correctly-rounded divide, portable. */
+  private def estFromKthMin(m: Column, hk: Column, k: Int): Column =
+    when(m < k, m)
+      .otherwise(floor(lit(((k - 1).toLong * 1000000007L).toDouble) / hk)
+        .cast("long"))
+
+  /** The sketch ITSELF as a value: per group, the sorted array of its
+    * ≤ k smallest distinct hashes — the representation that merges.
+    * Arrays are ≤ k longs per group, driver-and-shuffle safe at any
+    * corpus size. Output: (grp, sketch). */
+  def kmvSketch(df: DataFrame, valueCol: String, groupCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 (the estimator uses the k-th minimum)")
+    kmvTopK(df, valueCol, groupCol, k)
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("__h"))).as("sketch"))
+  }
+
+  /** Merge two sketch frames (FULL OUTER on the group): the merged
+    * sketch is the k smallest of the union of hash sets — row-local
+    * array math on ≤ 2k elements, no re-scan of either input. This is
+    * the whole scale argument: sketch once per partition/snapshot/table,
+    * then combine sketches of ANY partitioning of the data —
+    * `kmvMerge(kmvSketch(A), kmvSketch(B)) == kmvSketch(A ∪ B)` exactly
+    * (the k smallest of a union are among the k smallest of each side;
+    * distinct-hash sets make the union a set union). Round13SketchSpec
+    * pins the property; qp102's oracle replays it end-to-end. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 (the estimator uses the k-th minimum)")
+    val empty = lit(Array.empty[Long])
+    a.select(col("grp"), col("sketch").as("__sa"))
+      .join(b.select(col("grp"), col("sketch").as("__sb")), Seq("grp"), "full_outer")
       .select(col("grp"),
-        when(col("__m") < k, col("__m"))
-          .otherwise(floor(lit(((k - 1).toLong * m).toDouble) / col("__hk"))
-            .cast("long"))
-          .as("n_est"))
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("__sa"), empty), coalesce(col("__sb"), empty)))),
+          1, k).as("sketch"))
+  }
+
+  /** Distinct-count estimate from a sketch frame: exact when the sketch
+    * holds fewer than k hashes, else the standard (k−1)·M/h_k. Output:
+    * (grp, n_est), ordered by group. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 (the estimator uses the k-th minimum)")
+    // `get` (0-based) returns NULL out-of-bounds where ANSI element_at
+    // throws; the NULL is unreachable (the m < k branch catches it)
+    sketch.select(col("grp"),
+        estFromKthMin(size(col("sketch")).cast("long"),
+          get(col("sketch"), lit(k - 1)), k).as("n_est"))
       .orderBy(col("grp"))
   }
 }

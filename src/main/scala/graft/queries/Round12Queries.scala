@@ -274,6 +274,15 @@ object Round12Queries {
     // the oracle predicts every output byte from the construction and
     // folds the same base-131 mod-1e9+7 plane checksum — one wrong
     // pixel, offset or rounding is a hash-fail.
+    //
+    // ASCII-fixture assumption (ADVICE r12 #1): the oracle indexes the
+    // text by CHARACTER (`text[i]` + `unicode()`) while the engine's
+    // synthetic plane cycles UTF-8 BYTES; it also mixes octet_length
+    // (bytes) into the character indexing. The two agree exactly
+    // BECAUSE the documents fixture is ASCII (1 char = 1 byte =
+    // codepoint < 128 — TESTDATA.md's generator emits [a-z0-9 ]); on
+    // non-ASCII text the engine side (byte-defined, the contract) would
+    // stand and this SQL would need a BLOB-indexed rewrite.
     QueryDef(
       "qp98_pgm_resize",
       Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text

@@ -75,4 +75,66 @@ object StreamRunner {
       } catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Replay a single parquet file as a bounded stream processed
+    * per-micro-batch with `foreachBatch` — the runner for ingest
+    * operators whose per-batch logic needs full batch DataFrame
+    * semantics (windows, multi-join verdict assembly) that Spark's
+    * continuous operators disallow on an unbounded stream. Inside
+    * foreachBatch each micro-batch is a plain bounded DataFrame, so the
+    * SAME batch operator (e.g.
+    * [[graft.pipeline.Dedup.incrementalNearDupIndexed]]) runs unchanged
+    * against each arriving batch — one code path for backfill and
+    * ingest, the production pattern for stream-static enrichment that
+    * outgrows a single equijoin.
+    *
+    * The streaming query itself holds NO state (foreachBatch is a
+    * stateless sink; all cross-batch context lives in the static side —
+    * a prebuilt index). `assertStateless = true` makes the runner VERIFY
+    * that from the query's own progress events, so an accidental
+    * stateful op in `classify`'s surroundings fails loudly instead of
+    * silently accreting a state store.
+    *
+    * Results accumulate on the driver (reference-sized per the memory
+    * sink's own contract here — verdict rows, not documents). */
+  def replayParquetBatches(s: SparkSession, path: String,
+      statePartitions: Int = 8, assertStateless: Boolean = false)(
+      classify: DataFrame => DataFrame): DataFrame = {
+    val raw = s.read.parquet(path)
+    val fileName = java.nio.file.Paths.get(path).getFileName.toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_batches_replay")
+    val staged = tmp.resolve(fileName)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
+    try {
+      val rows = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Row]())
+      @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+      val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+      val step: (DataFrame, Long) => Unit = (batch, _) => {
+        val out = classify(batch)
+        outSchema = out.schema
+        out.collect().foreach(rows.add)
+      }
+      val q = startWithPartitions(s, statePartitions) {
+        stream.writeStream.foreachBatch(step)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      try q.awaitTermination() finally q.stop()
+      if (assertStateless) {
+        val stateful = q.recentProgress.flatMap(p =>
+          Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        require(stateful.isEmpty,
+          s"stream was expected stateless but ran ${stateful.length} stateful operator update(s)")
+      }
+      // empty source → no micro-batch ran; take the schema from the
+      // classifier over an empty bounded frame
+      val schema = if (outSchema != null) outSchema else classify(raw.limit(0)).schema
+      s.createDataFrame(rows, schema)
+    } finally {
+      try {
+        java.nio.file.Files.deleteIfExists(staged)
+        java.nio.file.Files.deleteIfExists(tmp)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
 }

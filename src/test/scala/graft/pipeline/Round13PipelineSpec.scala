@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 pipeline additions.
+  *
+  *  - Corpus shingle index (VERDICT r12 missing #1): verdicts from the
+  *    indexed path must equal the one-shot [[Dedup.incrementalNearDup]]
+  *    bit-for-bit (the prefix order differs — union-df vs corpus-df —
+  *    but candidates are a superset either way and the exact verify
+  *    decides), and a verdict call against a built index must scan ONLY
+  *    batch-side files — the plan pin that makes "no corpus rebuild per
+  *    batch" a regression test instead of a design note.
+  *  - KMV merge property (VERDICT r12 next #5): sketch(A ∪ B) ==
+  *    merge(sketch(A), sketch(B)) exactly, for every split tried — the
+  *    entire map-side-combinability argument as an assertion.
+  *  - Quality-quantile approx tier (VERDICT r12 missing #3): the
+  *    two-pass threshold tier may disagree with the exact rank tier
+  *    only on rows tied AT the boundary score; the auto gate dispatches
+  *    by max per-source row count.
+  */
+class Round13PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("round13-pipeline-spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs: DataFrame = graft.Tables.load(spark, dir, "documents")
+
+  // ---- corpus shingle index ----------------------------------------------
+
+  test("indexed incremental dedup: verdicts equal the one-shot operator") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val oneShot = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+        shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
+      shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+    val indexed = Dedup.incrementalNearDupIndexed(idx, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(indexed == oneShot)
+    assert(idx.droppedPostings == 0L)
+    graft.queries.Engines.releaseAll(blocking = true)
+  }
+
+  test("indexed incremental dedup: a verdict call scans only batch files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
+      shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+    val verdicts = Dedup.incrementalNearDupIndexed(idx, batch, "doc_id", "text")
+    // walk the physical TREE, not the plan string: an InMemoryRelation
+    // PRINTS its cached lineage (including the original corpus scans),
+    // but those nodes never re-execute — only live tree nodes count.
+    // The cached plan is not a child of InMemoryTableScanExec, so a
+    // tree walk sees exactly the scans this query would run.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val all = nodes(verdicts.queryExecution.executedPlan)
+    val fileScans = all.collect { case f: FileSourceScanExec => f }
+    val cacheScans = all.collect { case c: InMemoryTableScanExec => c }
+    // every corpus-side input is a cached index frame; the only parquet
+    // scans left are the batch side's (exact-tier fp, shingle stream,
+    // final id assembly) — a corpus rebuild would put the corpus filter
+    // (`NOT (doc_id % 5 = 0)`) back into a live scan
+    assert(fileScans.nonEmpty && fileScans.size <= 3,
+      s"unexpected live scan count ${fileScans.size}")
+    fileScans.foreach(f => assert(!f.toString.contains("NOT ((doc_id"),
+      s"verdict plan re-scans the corpus: $f"))
+    assert(cacheScans.size >= 3,
+      s"verdict plan lost the cached index frames (${cacheScans.size} cache scans)")
+    graft.queries.Engines.releaseAll(blocking = true)
+  }
+
+  test("indexed incremental dedup: planted verdicts across two batches") {
+    import spark.implicits._
+    val text = (1 to 60).map(i => s"token$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i <= 3) s"edited$i" else s"token$i").mkString(" ")
+    val corpus = Seq((100L, text),
+      (101L, "completely different content here " * 10)).toDF("doc_id", "text")
+    val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
+      shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+    val b1 = Seq((1L, "  " + text + " "), (2L, near)).toDF("doc_id", "text")
+    val b2 = Seq((3L, near),
+      (4L, (1 to 60).map(i => s"zzz$i").mkString(" "))).toDF("doc_id", "text")
+    val v1 = Dedup.incrementalNearDupIndexed(idx, b1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v2 = Dedup.incrementalNearDupIndexed(idx, b2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == Map(1L -> "exact", 2L -> "near"))
+    assert(v2 == Map(3L -> "near", 4L -> "new"))
+    graft.queries.Engines.releaseAll(blocking = true)
+  }
+
+  // ---- KMV merge property --------------------------------------------------
+
+  test("kmv merge: sketch of union == merge of sketches, every split") {
+    val events = graft.Tables.load(spark, dir, "events")
+    val whole = Sketches.kmvSketch(events, "user_id", "event_type", k = 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (m <- Seq(2, 3, 5)) {
+      val parts = (0 until m).map(i =>
+        Sketches.kmvSketch(events.filter(pmod(col("event_id"), lit(m)) === i),
+          "user_id", "event_type", k = 32))
+      val merged = parts.reduce((a, b) => Sketches.kmvMerge(a, b, k = 32))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(merged == whole, s"merge property failed for $m-way split")
+    }
+  }
+
+  test("kmv merge: estimates equal the direct estimate (planted + exact tier)") {
+    import spark.implicits._
+    // 10 distinct values split unevenly — below k, both paths exact
+    val df = (1L to 40L).map(v => (v, s"g${v % 2}", v % 10)).toDF("id", "g", "v")
+    val direct = Sketches.kmvDistinct(df, "v", "g", k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == Map("g0" -> 5L, "g1" -> 5L))
+    val merged = Sketches.kmvEstimate(Sketches.kmvMerge(
+        Sketches.kmvSketch(df.filter(col("id") <= 20), "v", "g", k = 16),
+        Sketches.kmvSketch(df.filter(col("id") > 20), "v", "g", k = 16),
+        k = 16), k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+  }
+
+  // ---- quality-quantile approx tier ---------------------------------------
+
+  test("quality quantile: approx tier disagrees only within the tie band") {
+    val exact = Curation.qualityQuantileFilter(docs, "doc_id", "text",
+      "source", qNum = 1, qDen = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val approx = Curation.qualityQuantileFilterApprox(docs, "doc_id", "text",
+      "source", qNum = 1, qDen = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(exact.keySet == approx.keySet)
+    // tie band per source: the scores within ±1 RANK of the exact
+    // quantile boundary (rank floor(n/4), the last dropped rank under
+    // the rank rule). The rank rule and a threshold test agree for
+    // every row whose score differs from the boundary score; the
+    // approximation can additionally land the threshold one rank off
+    // (GK ε·n < 1 at this accuracy/size), so the closed band
+    // [score@(b−1), score@(b+1)] is the exact contract of the tier.
+    val bySource = exact.toSeq.groupBy(_._2._1)
+    val band = bySource.map { case (src, rows) =>
+      val sorted = rows.map { case (id, (_, score, _)) => (score, id) }.sorted
+      val n = sorted.size
+      val b = n / 4 // rk*4 <= n*1  ⇔  rk <= n/4
+      val lo = sorted(math.max(b - 2, 0))._1
+      val hi = sorted(math.min(b, n - 1))._1
+      src -> ((lo, hi))
+    }
+    val disagree = exact.keys.filter(id => exact(id)._3 != approx(id)._3)
+    disagree.foreach { id =>
+      val (src, score, _) = exact(id)
+      val (lo, hi) = band(src)
+      assert(score >= lo && score <= hi,
+        s"doc $id disagrees at score $score outside source $src tie band [$lo, $hi]")
+    }
+  }
+
+  test("quality quantile: auto gate dispatches by max per-source count") {
+    // fixture sources hold far more than 3 rows each → approx tier; the
+    // approx tier carries no window, so its plan has no per-source sort
+    val viaGate = Curation.qualityQuantileAuto(docs, "doc_id", "text",
+      "source", qNum = 1, qDen = 4, approxOverRows = 3L)
+    val plan = viaGate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"gate did not pick the approx tier:\n$plan")
+    // a huge gate keeps the exact tier (rank rule ⇒ window present)
+    val exactPlan = Curation.qualityQuantileAuto(docs, "doc_id", "text",
+      "source", qNum = 1, qDen = 4, approxOverRows = Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Window"), "gate left the exact tier unexpectedly")
+  }
+}
