@@ -428,11 +428,16 @@ object Dedup {
   final case class CorpusShingleIndex private[pipeline] (
       fps: DataFrame, dfreq: DataFrame, prefix: DataFrame, arrs: DataFrame,
       shingleN: Int, thresholdNum: Int, thresholdDen: Int,
-      maxPosting: Int, droppedPostings: Long) {
-    /** Drop the index's cached blocks. [[PipelineCaches]] also tracks
-      * them, so bench/verify teardown releases an un-released index. */
+      maxPosting: Int, droppedPostings: Long,
+      private[pipeline] val cachedPieces: Seq[DataFrame]) {
+    /** Drop the index's cached blocks — every persisted piece,
+      * including append deltas (after an append the public frames are
+      * lazy UNIONS over the pieces; unpersisting a union is a no-op, so
+      * release goes through the piece list). [[PipelineCaches]] also
+      * tracks the pieces, so bench/verify teardown releases an
+      * un-released index. */
     def release(blocking: Boolean = false): Unit =
-      Seq(fps, dfreq, prefix, arrs).foreach(f =>
+      cachedPieces.foreach(f =>
         try f.unpersist(blocking) catch { case _: Throwable => () })
   }
 
@@ -448,33 +453,48 @@ object Dedup {
       thresholdDen: Int = 2, maxPosting: Int = 4096): CorpusShingleIndex = {
     require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
       "threshold must satisfy 0 < num/den <= 1")
-    def materialize(df: DataFrame): DataFrame = {
-      val p = PipelineCaches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
-      p.count()
-      p
-    }
-    val fps = materialize(corpus
+    def persistTracked(df: DataFrame): DataFrame =
+      PipelineCaches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
+    val fps = persistTracked(corpus
       .select(graft.pipeline.TextOps.fingerprint(col(textCol)).as("__fp"))
       .distinct())
-    // build-scoped: consumed by the three derived frames below, then
-    // dropped — the same pinned-exchange + persist discipline as
+    // build-scoped: consumed by the derived frames below, then dropped —
+    // the same pinned-exchange + persist discipline as
     // ngramJaccardPairs, but scoped to the build instead of the session
     val hc = shingleStream(corpus, idCol, textCol, shingleN)
       .select(col("id"), xxhash64(col("s")).as("h"))
       .repartition(col("h"))
       .dropDuplicates("id", "h")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dfreq = materialize(
+    val dfreq = persistTracked(
       hc.groupBy(col("h")).agg(count(lit(1)).as("__df")))
+    // ONE id-clustered pass feeds prefix, cap audit AND arrays: the
+    // join + per-doc windows run once into a build-scoped cache, and
+    // the arrays aggregate rides its id-partitioning with no further
+    // exchange (first cut ran the join+windows twice — once for the
+    // postings, once for the cap audit — and id-shuffled the corpus
+    // stream a second time for the arrays; ~2× the build's cost).
     val ranked = hc.join(dfreq, "h")
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("__df"), col("h"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ceilT = ((col("__sz") * thresholdNum + thresholdDen - 1) / thresholdDen)
       .cast("long")
     val rawPrefix = ranked.filter(col("__rk") <= col("__sz") - ceilT + 1)
       .select(col("id"), col("h"), col("__sz"))
-    val prefix = materialize(cappedBuckets(rawPrefix, Seq(col("h")), maxPosting))
+    val prefix = persistTracked(cappedBuckets(rawPrefix, Seq(col("h")), maxPosting))
+    val arrs = persistTracked(ranked.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("__hs"),
+        count(lit(1)).as("__sz")))
+    // ONE materialization action fills every cache: the four index
+    // frames union into a single count whose branches share hc / dfreq /
+    // ranked through the BlockManager's per-block locking — at fixture
+    // scale the build's cost was dominated by per-action scheduling
+    // (five sequential jobs), not data (measured: 5 actions ≈ 2× the
+    // one-action qp93 on the same text volume)
+    Seq(fps, dfreq, prefix, arrs)
+      .map(_.select(lit(1L).as("__one"))).reduce(_.unionAll(_)).count()
     // no silent caps (ADVICE r12 #3): the build is eager anyway, so the
     // dropped-bucket count is one cheap aggregate over the cached stream
     val dropped = overCapBuckets(rawPrefix, Seq(col("h")), maxPosting).count()
@@ -483,12 +503,127 @@ object Dedup {
         s"corpus shingle index: dropped $dropped over-cap posting " +
           s"bucket(s) (> $maxPosting docs sharing a prefix shingle) — " +
           "run exact dedup first if this is large")
-    val arrs = materialize(hc.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("__hs"),
-        count(lit(1)).as("__sz")))
+    ranked.unpersist()
     hc.unpersist()
     CorpusShingleIndex(fps, dfreq, prefix, arrs, shingleN, thresholdNum,
-      thresholdDen, maxPosting, dropped)
+      thresholdDen, maxPosting, dropped,
+      cachedPieces = Seq(fps, dfreq, prefix, arrs))
+  }
+
+  /** Fold an ingested batch INTO the index — the other half of the
+    * continuous-ingestion loop (classify batch → ingest batch →
+    * classify the next batch against corpus ∪ batch). Returns a new
+    * [[CorpusShingleIndex]] whose frames are the old cached frames
+    * UNION small cached batch deltas; nothing corpus-sized is rebuilt,
+    * reshuffled or copied — an append costs O(|batch|).
+    *
+    * The ORDER STAYS FROZEN: the batch's prefix is computed under the
+    * build-time (corpus df, hash) order (batch-only shingles at df 0),
+    * and `dfreq` is NOT updated. That is a correctness requirement, not
+    * a shortcut — the prefix-filter lemma needs every indexed doc's
+    * prefix chosen under ONE fixed total order, and re-ranking existing
+    * postings under refreshed dfs would mean rebuilding the corpus side
+    * (exactly what an append must not do). The cost is selectivity, not
+    * correctness: a shingle that becomes common AFTER the build keeps
+    * its old rank, so prefixes pruned under the stale order admit more
+    * candidates than a fresh build would — the exact verify still
+    * decides every verdict. Production cadence: append per batch,
+    * rebuild (refreshing the order and re-tightening the caps) per
+    * snapshot compaction. The posting cap is likewise enforced per
+    * append (each append's own buckets are capped; accumulated bucket
+    * growth across appends is re-tightened at rebuild — re-capping the
+    * union here would re-window the corpus-sized posting stream,
+    * defeating the append).
+    *
+    * Chained appends stack lazy unions of cached pieces — fine for the
+    * batches-per-rebuild cadence; hundreds of appends without a rebuild
+    * would want the bucketed-table deployment (SCALE.md §Dedup). */
+  def appendToCorpusShingleIndex(index: CorpusShingleIndex, batch: DataFrame,
+      idCol: String, textCol: String): CorpusShingleIndex =
+    appendFrom(index, batchInput(index, batch, idCol, textCol))
+
+  /** Classify AND ingest in one call — the per-batch step of the
+    * continuous-ingestion loop. The batch's shingle/rank/fingerprint
+    * working set is computed ONCE and shared by the verdict pipeline
+    * and the index deltas (separate classify-then-append calls re-ran
+    * it; at fixture scale that one batch pipeline is ~2 s of the qp103
+    * entry). Returns the lazy verdict frame plus the grown index; the
+    * append's eager materialization also fills the shared caches the
+    * verdict frame reads. */
+  def classifyAndAppend(index: CorpusShingleIndex, batch: DataFrame,
+      idCol: String, textCol: String): (DataFrame, CorpusShingleIndex) = {
+    val in = batchInput(index, batch, idCol, textCol)
+    (verdictsFrom(index, in), appendFrom(index, in))
+  }
+
+  /** Shared per-batch working set of the indexed operators: the cached
+    * id-clustered ranked shingle stream (shingle → hash → dedup →
+    * corpus-df join → per-doc windows, ONE exchange chain) and the
+    * batch (id, fingerprint) pairs. Both persisted + tracked; the
+    * consumers (verdicts, deltas) are pure cache readers. */
+  private final case class BatchIndexInput(ranked: DataFrame, fp: DataFrame)
+
+  private def batchInput(index: CorpusShingleIndex, batch: DataFrame,
+      idCol: String, textCol: String): BatchIndexInput = {
+    // batch prefix rank under the index's fixed (corpus df, hash)
+    // order; LEFT join: a batch-only shingle has no corpus df row → df
+    // 0. The arrays aggregate and the prefix filter both ride this one
+    // id-clustered cached pass — no second exchange of the batch stream.
+    val ranked = PipelineCaches.track(
+      shingleStream(batch, idCol, textCol, index.shingleN)
+        .select(col("id"), xxhash64(col("s")).as("h"))
+        .repartition(col("h"))
+        .dropDuplicates("id", "h")
+        .join(index.dfreq, Seq("h"), "left")
+        .withColumn("__dfo", coalesce(col("__df"), lit(0L)))
+        .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("__dfo"), col("h"))))
+        .select(col("id"), col("h"), col("__sz"), col("__rk"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val fp = PipelineCaches.track(batch
+      .select(col(idCol).as("id"),
+        graft.pipeline.TextOps.fingerprint(col(textCol)).as("__fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    BatchIndexInput(ranked, fp)
+  }
+
+  /** The capped prefix postings of a batch working set. */
+  private def prefixOf(index: CorpusShingleIndex,
+      in: BatchIndexInput): DataFrame = {
+    val ceilT = ((col("__sz") * index.thresholdNum + index.thresholdDen - 1) /
+      index.thresholdDen).cast("long")
+    cappedBuckets(
+      in.ranked.filter(col("__rk") <= col("__sz") - ceilT + 1)
+        .select(col("id"), col("h"), col("__sz")),
+      Seq(col("h")), index.maxPosting)
+  }
+
+  private def appendFrom(index: CorpusShingleIndex,
+      in: BatchIndexInput): CorpusShingleIndex = {
+    def persistTracked(df: DataFrame): DataFrame =
+      PipelineCaches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
+    val fpsDelta = persistTracked(in.fp.select(col("__fp")).distinct()
+      // keep the union a set: only fingerprints the corpus lacks
+      .join(index.fps, Seq("__fp"), "left_anti"))
+    val prefixDelta = persistTracked(prefixOf(index, in))
+    val arrsDelta = persistTracked(in.ranked.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("__hs"),
+        count(lit(1)).as("__sz")))
+    // one materialization action for all three deltas (see the build)
+    Seq(fpsDelta, prefixDelta, arrsDelta)
+      .map(_.select(lit(1L).as("__one"))).reduce(_.unionAll(_)).count()
+    val ceilT = ((col("__sz") * index.thresholdNum + index.thresholdDen - 1) /
+      index.thresholdDen).cast("long")
+    val droppedDelta = overCapBuckets(
+      in.ranked.filter(col("__rk") <= col("__sz") - ceilT + 1),
+      Seq(col("h")), index.maxPosting).count()
+    index.copy(
+      fps = index.fps.unionAll(fpsDelta),
+      prefix = index.prefix.unionAll(prefixDelta),
+      arrs = index.arrs.unionAll(arrsDelta),
+      droppedPostings = index.droppedPostings + droppedDelta,
+      cachedPieces = index.cachedPieces ++ Seq(fpsDelta, prefixDelta, arrsDelta))
   }
 
   /** Classify a batch of arriving documents against a prebuilt
@@ -513,31 +648,15 @@ object Dedup {
     * superset under either order and the exact-Jaccard verify decides.
     * Output: (id, verdict ∈ exact/near/new), ordered by id. */
   def incrementalNearDupIndexed(index: CorpusShingleIndex, batch: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val exact = batch
-      .select(col(idCol).as("id"),
-        graft.pipeline.TextOps.fingerprint(col(textCol)).as("__fp"))
+      idCol: String, textCol: String): DataFrame =
+    verdictsFrom(index, batchInput(index, batch, idCol, textCol))
+
+  private def verdictsFrom(index: CorpusShingleIndex,
+      in: BatchIndexInput): DataFrame = {
+    val exact = in.fp
       .join(index.fps, Seq("__fp"), "left_semi")
       .select(col("id"))
-    val hb = PipelineCaches.track(
-      shingleStream(batch, idCol, textCol, index.shingleN)
-        .select(col("id"), xxhash64(col("s")).as("h"))
-        .repartition(col("h"))
-        .dropDuplicates("id", "h")
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    // batch prefix under the index's fixed (corpus df, hash) order;
-    // LEFT join: a batch-only shingle has no corpus df row → df 0
-    val ranked = hb.join(index.dfreq, Seq("h"), "left")
-      .withColumn("__dfo", coalesce(col("__df"), lit(0L)))
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("__dfo"), col("h"))))
-    val ceilT = ((col("__sz") * index.thresholdNum + index.thresholdDen - 1) /
-      index.thresholdDen).cast("long")
-    val prefixB = cappedBuckets(
-      ranked.filter(col("__rk") <= col("__sz") - ceilT + 1)
-        .select(col("id"), col("h"), col("__sz")),
-      Seq(col("h")), index.maxPosting)
+    val prefixB = prefixOf(index, in)
     val candPairs = prefixB
       .select(col("h"), col("id").as("id_b"), col("__sz").as("__szb"))
       .join(index.prefix.select(col("h"), col("id").as("id_c"),
@@ -546,7 +665,7 @@ object Dedup {
         col("__szc") * index.thresholdNum <= col("__szb") * index.thresholdDen)
       .select("id_b", "id_c")
       .distinct()
-    val arrsB = hb.groupBy(col("id"))
+    val arrsB = in.ranked.groupBy(col("id"))
       .agg(sort_array(collect_list(col("h"))).as("__hs"),
         count(lit(1)).as("__sz"))
     val near = candPairs
@@ -561,7 +680,7 @@ object Dedup {
         col("__uni") * index.thresholdNum)
       .select(col("id_b").as("id"))
       .distinct()
-    batch.select(col(idCol).as("id"))
+    in.fp.select(col("id"))
       .join(exact.withColumn("__ex", lit(true)), Seq("id"), "left")
       .join(near.withColumn("__nr", lit(true)), Seq("id"), "left")
       .select(col("id"),

@@ -288,6 +288,150 @@ object Multimodal {
     }
   }
 
+  // ---- REAL decode: uncompressed 24-bit BMP ----------------------------
+
+  /** Build a REAL spec-conformant uncompressed 24-bit BMP (BITMAPFILEHEADER
+    * + BITMAPINFOHEADER) from each document — the third real codec, and a
+    * genuinely different CONTAINER class from netpbm: little-endian
+    * binary header fields instead of ASCII, pixel rows stored BOTTOM-UP,
+    * and each row padded to a 4-byte boundary. Dimensions derive from
+    * the byte length (w = 8 + len % 32, h = 8 + 7·len % 32 — distinct
+    * from both netpbm fixtures); the LOGICAL top-down BGR plane is the
+    * text bytes cycled to 3·w·h, then stored flipped + padded as the
+    * format requires. Any image viewer opens the payload. */
+  def encodeBmp(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+        val len = raw.length
+        val w = 8 + len % 32
+        val h = 8 + (len * 7) % 32
+        val src = if (len == 0) Array(' '.toByte) else raw
+        val logical = Array.tabulate(w * h * 3)(i => src(i % src.length))
+        MediaItem(id, "bmp", writeBmp(w, h, logical))
+      }
+  }
+
+  /** Serialize a logical top-down BGR plane as a valid bottom-up,
+    * row-padded, 24-bit uncompressed BMP payload. */
+  private def writeBmp(w: Int, h: Int, logical: Array[Byte]): Array[Byte] = {
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)  // file size, reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)              // info size, width, height (positive = bottom-up)
+      .putShort(1).putShort(24)                    // planes, bpp
+      .putInt(0).putInt(dataSize)                  // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // stored row r holds logical row h-1-r
+      buf.put(logical, y * w * 3, w * 3)
+      var p = 3 * w
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      r += 1
+    }
+    buf.array()
+  }
+
+  /** Parse + validate the BMP container: magic, little-endian field
+    * extraction, 24 bpp, BI_RGB, positive (bottom-up) height, pixel
+    * offset and padded-row bounds. Returns (width, height, pixel
+    * offset, padded row size). */
+  private[graft] def parseBmpHeader(d: Array[Byte], docId: Long): (Int, Int, Int, Int) = {
+    if (d.length < 54 || d(0) != 'B'.toByte || d(1) != 'M'.toByte)
+      throw new IllegalArgumentException(s"not a BMP payload (doc $docId)")
+    val buf = java.nio.ByteBuffer.wrap(d).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val infoSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    if (infoSize < 40 || w <= 0 || h <= 0)
+      throw new IllegalArgumentException(
+        s"unsupported BMP geometry (doc $docId: info $infoSize, $w x $h)")
+    if (bpp != 24 || compression != 0)
+      throw new IllegalArgumentException(
+        s"unsupported BMP encoding (doc $docId: $bpp bpp, compression $compression)")
+    val rowSize = (3 * w + 3) / 4 * 4
+    if (off < 54 || d.length - off < rowSize * h)
+      throw new IllegalArgumentException(s"truncated BMP pixel data (doc $docId)")
+    (w, h, off, rowSize)
+  }
+
+  /** Decode the stored (bottom-up, padded) pixel data back to the
+    * logical top-down BGR plane — the real un-flip/un-pad work a BMP
+    * reader does. */
+  private def decodeBmpPlane(d: Array[Byte], docId: Long): (Int, Int, Array[Byte]) = {
+    val (w, h, off, rowSize) = parseBmpHeader(d, docId)
+    val logical = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      System.arraycopy(d, off + r * rowSize, logical, (h - 1 - r) * w * 3, w * 3)
+      r += 1
+    }
+    (w, h, logical)
+  }
+
+  /** REAL nearest-neighbor resample for BMP payloads: decode to the
+    * logical plane (un-flip, un-pad), floor-scale each output pixel to
+    * its source pixel, re-encode a valid BMP at the new geometry — the
+    * BMP sibling of [[resizePpm]], same one-decoder-per-partition
+    * shape. */
+  def resizeBmp(media: Dataset[MediaItem], num: Int, den: Int): Dataset[MediaItem] = {
+    require(num >= 1 && den >= 1, "scale must be a positive rational")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, logical) = decodeBmpPlane(m.data, m.doc_id)
+        val ow = math.max(w * num / den, 1)
+        val oh = math.max(h * num / den, 1)
+        val out = new Array[Byte](ow * oh * 3)
+        var y = 0
+        while (y < oh) {
+          val sy = y * h / oh
+          var x = 0
+          while (x < ow) {
+            val si = (sy * w + x * w / ow) * 3
+            val di = (y * ow + x) * 3
+            out(di) = logical(si); out(di + 1) = logical(si + 1); out(di + 2) = logical(si + 2)
+            x += 1
+          }
+          y += 1
+        }
+        MediaItem(m.doc_id, m.format, writeBmp(ow, oh, out))
+      }
+    }
+  }
+
+  /** [[PlaneMeta]] for BMP payloads: the integer-exact base-131 checksum
+    * folds the LOGICAL top-down plane — so a correct hash PROVES the
+    * decoder undid the bottom-up row order and the row padding, which
+    * the payload-order netpbm checksum never had to. */
+  def bmpPlaneMeta(media: Dataset[MediaItem]): Dataset[PlaneMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, logical) = decodeBmpPlane(m.data, m.doc_id)
+        var acc = 0L
+        var i = 0
+        while (i < logical.length) {
+          acc = (acc * 131L + (logical(i) & 0xFF)) % 1000000007L
+          i += 1
+        }
+        PlaneMeta(m.doc_id, w, h, m.data.length.toLong, acc)
+      }
+    }
+  }
+
   /** The same metadata computed purely in SQL (no mapPartitions) — used
     * by the oracle-checked query entry and as the cross-check that the
     * typed path and the SQL path agree. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Dedup, Sketches}
+import graft.pipeline.{Dedup, Multimodal, Sketches}
 
 /** Round-13 additions — the pipeline-depth items from VERDICT r12:
   *
@@ -102,6 +102,59 @@ object Round13Queries {
           .orderBy(col("doc_id"))
       }),
 
+    // ---- qp103: the FULL continuous-ingestion loop ----------------------
+    // classify batch 1 against the index, APPEND batch 1 into the index
+    // (O(|batch|) deltas under the frozen build-time order — no corpus
+    // rebuild), then classify batch 2 against corpus ∪ batch 1: batch-2
+    // verdicts can now be exact/near against batch-1 documents. The
+    // oracle replays both classifications against their respective
+    // corpora with full-truth joins.
+    QueryDef(
+      "qp103_index_append_loop",
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp FROM documents),
+        s AS (SELECT doc_id, fp, list_distinct(list_transform(range(1, greatest(len(w)-2, 1) + 1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+        corpus AS (SELECT * FROM s WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0),
+        b1 AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+        b2 AS (SELECT * FROM s WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0),
+        c2 AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1),
+        ex1 AS (SELECT DISTINCT b.doc_id FROM b1 b JOIN corpus c ON b.fp = c.fp),
+        nr1 AS (SELECT DISTINCT b.doc_id FROM b1 b JOIN corpus c
+                ON 5 * len(list_intersect(b.sh, c.sh)) >= 2 * len(list_distinct(list_concat(b.sh, c.sh)))),
+        ex2 AS (SELECT DISTINCT b.doc_id FROM b2 b JOIN c2 c ON b.fp = c.fp),
+        nr2 AS (SELECT DISTINCT b.doc_id FROM b2 b JOIN c2 c
+                ON 5 * len(list_intersect(b.sh, c.sh)) >= 2 * len(list_distinct(list_concat(b.sh, c.sh)))),
+        v AS (SELECT 1 AS batch, b.doc_id,
+                CASE WHEN ex1.doc_id IS NOT NULL THEN 'exact'
+                     WHEN nr1.doc_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict
+              FROM b1 b LEFT JOIN ex1 ON ex1.doc_id = b.doc_id
+              LEFT JOIN nr1 ON nr1.doc_id = b.doc_id
+              UNION ALL
+              SELECT 2 AS batch, b.doc_id,
+                CASE WHEN ex2.doc_id IS NOT NULL THEN 'exact'
+                     WHEN nr2.doc_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict
+              FROM b2 b LEFT JOIN ex2 ON ex2.doc_id = b.doc_id
+              LEFT JOIN nr2 ON nr2.doc_id = b.doc_id)
+        SELECT batch, doc_id, verdict FROM v ORDER BY batch, doc_id"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
+        val b1 = docs.filter(col("doc_id") % 5 === 0)
+        val b2 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+        val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
+          shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+        // classify + ingest share one batch working set (the production
+        // per-batch step); batch 2 then sees corpus ∪ batch 1
+        val (v1raw, idx2) = Dedup.classifyAndAppend(idx, b1, "doc_id", "text")
+        val v1 = v1raw.withColumn("batch", lit(1))
+        val v2 = Dedup.incrementalNearDupIndexed(idx2, b2, "doc_id", "text")
+          .withColumn("batch", lit(2))
+        v1.unionAll(v2)
+          .select(col("batch"), col("id").as("doc_id"), col("verdict"))
+          .orderBy(col("batch"), col("doc_id"))
+      }),
+
     // ---- qp102: KMV sketch merge — estimate of a UNION from two halves --
     // engine: sketch each event-id-parity half separately, MERGE the two
     // sketches (row-local k-smallest-of-union), estimate. oracle: one
@@ -129,6 +182,42 @@ object Round13Queries {
           events.filter(col("event_id") % 2 =!= 0), "user_id", "event_type", k = 64)
         Sketches.kmvEstimate(Sketches.kmvMerge(sa, sb, k = 64), k = 64)
           .select(col("grp").as("event_type"), col("n_est"))
-      })
+      }),
+
+    // ---- qp104: REAL 24-bit BMP decode + resample ------------------------
+    // the third real codec and a different CONTAINER class: little-endian
+    // binary header, BOTTOM-UP row storage, 4-byte row padding. The
+    // checksum folds the LOGICAL top-down plane, so a green hash proves
+    // the decoder undid the flip and the padding (netpbm never exercised
+    // either). Fixture dims h = 8 + 7·len % 32; resample 2/3 nearest.
+    // Same ASCII-fixture oracle caveat as qp98: the SQL indexes text by
+    // character, the engine by UTF-8 byte — equal because the documents
+    // fixture is ASCII (documented at qp98).
+    QueryDef(
+      "qp104_bmp_resize",
+      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text
+                FROM documents),
+          g AS (SELECT doc_id, len, text,
+                8 + len % 32 AS w, 8 + (len * 7) % 32 AS h FROM d),
+          o AS (SELECT doc_id, len, text, w, h,
+                greatest((w * 2) // 3, 1) AS ow, greatest((h * 2) // 3, 1) AS oh FROM g),
+          p AS (SELECT doc_id, ow, oh,
+                CAST(54 + oh * ((3 * ow + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, ow * oh * 3), i ->
+                    CAST(CASE WHEN len = 0 THEN 32 ELSE
+                      unicode(text[CAST((((((i // 3) // ow) * h // oh) * w
+                        + ((i // 3) % ow) * w // ow) * 3 + (i % 3)) % len AS INTEGER) + 1])
+                    END AS BIGINT))),
+                  (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash
+                FROM o)
+          SELECT doc_id, CAST(ow AS INTEGER) AS width,
+              CAST(oh AS INTEGER) AS height, n_bytes, plane_hash
+          FROM p ORDER BY doc_id"""),
+      (s, dir) =>
+        Multimodal.bmpPlaneMeta(Multimodal.resizeBmp(Multimodal.encodeBmp(
+            Tables.load(s, dir, "documents"), "doc_id", "text"), 2, 3))
+          .toDF()
+          .orderBy(col("doc_id")))
   )
 }
