@@ -106,6 +106,50 @@ object ParamSweep {
         exactKOracle(k))
     }
 
+    // qualityQuantileFilter: the quantile across its whole domain,
+    // including q=0 (keep all) and q=1 (rank rule keeps nothing)
+    for ((qn, qd) <- Seq((0, 1), (1, 4), (1, 2), (3, 4), (1, 1))) {
+      cases(s"sw_quant_q${qn}_$qd") = (() =>
+        Curation.qualityQuantileFilter(Tables.load(spark, sfDir, "documents"),
+            "doc_id", "text", "source", qNum = qn, qDen = qd)
+          .select(col("id").as("doc_id"), col("source"), col("score"), col("kept")),
+        s"""WITH t AS (SELECT doc_id, source,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) tok,
+              CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) uniq
+            FROM documents),
+          sc AS (SELECT doc_id, source,
+              CAST(floor(uniq * 1000.0 / tok) AS BIGINT) score FROM t WHERE tok > 0),
+          r AS (SELECT doc_id, source, score,
+              row_number() OVER (PARTITION BY source ORDER BY score, doc_id) rk,
+              count(*) OVER (PARTITION BY source) n FROM sc)
+          SELECT doc_id, source, score, (rk * $qd > n * $qn) AS kept FROM r ORDER BY doc_id""")
+    }
+
+    // KMV merge property: engine merges an m-way split of events, the
+    // oracle sketches the union directly — every point is the merge
+    // theorem at a different (k, m)
+    for (k <- Seq(2, 16, 64); m <- Seq(2, 3)) {
+      cases(s"sw_kmvmerge_k${k}_m$m") = (() => {
+        val events = Tables.load(spark, sfDir, "events")
+        val parts = (0 until m).map(i => Sketches.kmvSketch(
+          events.filter(pmod(col("event_id"), lit(m)) === i),
+          "user_id", "event_type", k = k))
+        Sketches.kmvEstimate(
+            parts.reduce((a, b) => Sketches.kmvMerge(a, b, k = k)), k = k)
+          .select(col("grp").as("event_type"), col("n_est"))
+      },
+        s"""WITH h AS (SELECT DISTINCT event_type grp,
+              (user_id * 1103515245 + 12345) % 1000000007 h FROM events
+              WHERE user_id IS NOT NULL),
+          r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) rk FROM h),
+          t AS (SELECT grp, max(h) hk, CAST(count(*) AS BIGINT) m
+                FROM r WHERE rk <= $k GROUP BY grp)
+          SELECT grp AS event_type,
+            CASE WHEN m < $k THEN m
+                 ELSE CAST(floor(${(k - 1).toLong * 1000000007L}.0 / hk) AS BIGINT) END AS n_est
+          FROM t ORDER BY event_type""")
+    }
+
     var failed = 0
     cases.foreach { case (name, (run, _)) =>
       try run().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
