@@ -214,10 +214,11 @@ object Bench {
     // machine load) that cost a judge/builder adjudication session two
     // rounds running (r9: 4.3× inflation; r10: a uniform 1.3–1.5×
     // contradiction of the round's own mid-round claim). Every entry the
-    // suite measured at ≥ 2 s is re-run ONCE in a fresh JVM — this same
-    // main under SPARK_GRAFT_BENCH_ONLY, so the child reuses the warmup
-    // and min-of-two-passes logic — and BENCH_SELF.json carries both
-    // columns; round-over-round comparisons should use "isolated".
+    // suite measured at ≥ 2 s is re-run in a fresh JVM — this same
+    // main under SPARK_GRAFT_BENCH_ONLY, where the child triple-warms
+    // then times THREE repetitions (the iso_reps line) — and
+    // BENCH_SELF.json carries {min, spread} per entry; round-over-round
+    // comparisons should use the isolated min.
     // Targeted runs (only.nonEmpty) skip this: they ARE the child shape.
     val isoMode = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "")
     // per entry: (min, spread) over the child's three repetitions —
@@ -227,10 +228,13 @@ object Bench {
       if (isoMode == "0" || (only.nonEmpty && isoMode != "force"))
         ListMap.empty
       else {
-        // ≥ 2 s suite entries, slowest first, capped at 16 children
-        // (~25 s fresh-JVM wall each — the cap bounds the added wall at
-        // ~7 min; anything below the cut was within the tide band in
-        // every adjudicated round)
+        // ≥ 2 s suite entries, slowest first, capped at 16 children.
+        // Each child runs the entry ~6× (3 untimed warmups + 3 timed
+        // reps) plus JVM/session startup — ~40-90 s wall for a 2-10 s
+        // entry, so the cap bounds the added wall at ~15-20 min, and
+        // the 240 s child timeout fits entries up to ~35 s; anything
+        // below the 2 s cut was within the tide band in every
+        // adjudicated round.
         val heavy0 = withCold.toSeq
           .filter { case (n, t) => t >= 2.0 && SparkEntry.queries.contains(n) }
           .sortBy(-_._2).take(16)

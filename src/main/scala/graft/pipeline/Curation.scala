@@ -828,22 +828,32 @@ object Curation {
   }
 
   /** The 100 TB tier of [[qualityQuantileFilter]] (round 13 — shipped,
-    * not just documented): TWO PASSES instead of a per-source global
-    * sort. Pass 1 computes one approximate per-source threshold with
-    * `percentile_approx` (Greenwald–Khanna; a mergeable, map-side-
+    * not just documented): TWO AGGREGATE PASSES instead of a per-source
+    * global sort. Pass 1 computes one approximate per-source threshold
+    * with `percentile_approx` (Greenwald–Khanna; a mergeable, map-side-
     * combinable aggregate — per-source state is O(accuracy), never
     * per-source row counts, so a source holding half the corpus costs
-    * the same as a small one). Pass 2 broadcasts the |sources|-row
-    * threshold table back and keeps `score > threshold` — a plain
-    * codegen'd filter, no window, no skew.
+    * the same as a small one). Pass 2 sizes the threshold's TIE CLASS
+    * (per-source total, rows below the threshold, rows AT it — plain
+    * conditional aggregates against the broadcast threshold). The final
+    * scan keeps `score > t` outright and splits the tie class by a
+    * deterministic portable id-hash at exactly the fraction that lands
+    * the total drop count on ⌊n·q⌋ — no window, no skew, and a COARSE
+    * score domain cannot distort the kept fraction (the per-mille TTR
+    * score has ≤1001 distinct values, so at skewed-source scale the tie
+    * class alone can hold percent-level mass; `score > t` without the
+    * split would drop ALL of it — a constant-score source would vanish
+    * entirely where the exact tier keeps 1−q of it).
     *
-    * Contract vs the exact tier: the rank rule `rk·den > n·num` equals
-    * the threshold test `score > t` for every row whose score differs
-    * from the boundary score t; the two tiers can disagree ONLY on rows
-    * tied AT the boundary score (the exact tier splits the tie band by
-    * id; a threshold cannot see ids) and only when the approximation
-    * lands t off the exact boundary. Round13CurationSpec pins exactly
-    * this on the fixture. Output schema matches the exact tier. */
+    * Contract vs the exact tier: the rank rule and this filter agree on
+    * every row whose score differs from the boundary score; they can
+    * disagree only inside the boundary tie class (the exact tier splits
+    * it by id ORDER, this tier by id HASH — both deterministic, but
+    * different members; the hash split hits its target count in
+    * expectation, ±binomial noise) and by the approximation landing t
+    * one rank off. Round13PipelineSpec pins the tie-band containment
+    * on the fixture and that a constant-score source keeps ≈ 1−q of
+    * its rows instead of vanishing. */
   def qualityQuantileFilterApprox(docs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, qNum: Int = 1, qDen: Int = 4,
       accuracy: Int = 10000): DataFrame = {
@@ -854,9 +864,29 @@ object Curation {
     val thr = scored.groupBy(col("source"))
       .agg(percentile_approx(col("score"), lit(qNum.toDouble / qDen),
         lit(accuracy)).as("__thr"))
-    scored.join(broadcast(thr), Seq("source"))
+    val stats = scored.join(broadcast(thr), Seq("source"))
+      .groupBy(col("source"), col("__thr"))
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("score") < col("__thr"), 1)).as("__below"),
+        count(when(col("score") === col("__thr"), 1)).as("__tie"))
+      // rows of the tie class still to drop after everything below the
+      // threshold is gone: ⌊n·q⌋ − below, clamped into [0, tie]
+      .select(col("source"), col("__thr"), col("__tie"),
+        greatest(lit(0L), least(col("__tie"),
+          expr(s"(__n * $qNum) DIV $qDen") - col("__below")))
+          .as("__needDrop"))
+    // deterministic portable tie split: drop the tie row iff its id-hash
+    // fraction falls under needDrop/tie — expected drop = needDrop,
+    // reproducible in any engine (distinct LCG multiplier so the split
+    // does not correlate with the samplers'; same |id| domain note as
+    // exactKSample)
+    val tieHash = pmod(col("id") * lit(22695477L) + lit(1L), lit(1000000007L))
+    scored.join(broadcast(stats), Seq("source"))
       .select(col("id"), col("source"), col("score"),
-        (col("score") > col("__thr")).as("kept"))
+        (col("score") > col("__thr") ||
+          (col("score") === col("__thr") &&
+            tieHash * col("__tie") >= col("__needDrop") * lit(1000000007L)))
+          .as("kept"))
       .orderBy(col("id"))
   }
 

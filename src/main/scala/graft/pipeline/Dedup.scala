@@ -540,7 +540,13 @@ object Dedup {
     * would want the bucketed-table deployment (SCALE.md §Dedup). */
   def appendToCorpusShingleIndex(index: CorpusShingleIndex, batch: DataFrame,
       idCol: String, textCol: String): CorpusShingleIndex =
-    appendFrom(index, batchInput(index, batch, idCol, textCol))
+    // append-only: the batch working set is dead once the deltas are
+    // materialized — release it HERE rather than letting it accumulate
+    // across a continuous-ingestion loop of appends (a loop of N
+    // appends would otherwise pin 2N dead batch caches until the next
+    // global releaseAll, evicting the live index frames)
+    appendFrom(index, batchInput(index, batch, idCol, textCol),
+      releaseWorkingSet = true)
 
   /** Classify AND ingest in one call — the per-batch step of the
     * continuous-ingestion loop. The batch's shingle/rank/fingerprint
@@ -553,7 +559,10 @@ object Dedup {
   def classifyAndAppend(index: CorpusShingleIndex, batch: DataFrame,
       idCol: String, textCol: String): (DataFrame, CorpusShingleIndex) = {
     val in = batchInput(index, batch, idCol, textCol)
-    (verdictsFrom(index, in), appendFrom(index, in))
+    // the returned verdict frame still READS the working set, so it
+    // stays cached here — the caller releases it after acting on the
+    // verdicts (`Engines.releaseAll()`, the standard post-action drain)
+    (verdictsFrom(index, in), appendFrom(index, in, releaseWorkingSet = false))
   }
 
   /** Shared per-batch working set of the indexed operators: the cached
@@ -599,8 +608,8 @@ object Dedup {
       Seq(col("h")), index.maxPosting)
   }
 
-  private def appendFrom(index: CorpusShingleIndex,
-      in: BatchIndexInput): CorpusShingleIndex = {
+  private def appendFrom(index: CorpusShingleIndex, in: BatchIndexInput,
+      releaseWorkingSet: Boolean): CorpusShingleIndex = {
     def persistTracked(df: DataFrame): DataFrame =
       PipelineCaches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
     val fpsDelta = persistTracked(in.fp.select(col("__fp")).distinct()
@@ -618,6 +627,7 @@ object Dedup {
     val droppedDelta = overCapBuckets(
       in.ranked.filter(col("__rk") <= col("__sz") - ceilT + 1),
       Seq(col("h")), index.maxPosting).count()
+    if (releaseWorkingSet) { in.ranked.unpersist(); in.fp.unpersist() }
     index.copy(
       fps = index.fps.unionAll(fpsDelta),
       prefix = index.prefix.unionAll(prefixDelta),

@@ -94,9 +94,15 @@ object Sketches {
   def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 (the estimator uses the k-th minimum)")
     val empty = lit(Array.empty[Long])
-    a.select(col("grp"), col("sketch").as("__sa"))
-      .join(b.select(col("grp"), col("sketch").as("__sb")), Seq("grp"), "full_outer")
-      .select(col("grp"),
+    val left = a.select(col("grp").as("__ga"), col("sketch").as("__sa"))
+    val right = b.select(col("grp").as("__gb"), col("sketch").as("__sb"))
+    // NULL-SAFE group equality: groupBy keeps a NULL group key (only
+    // null VALUES are filtered), and a plain full_outer on grp would
+    // never match NULL==NULL — the one NULL group would come back as
+    // TWO partial sketches, breaking the merge ≡ sketch-of-union
+    // theorem exactly where kmvSketch still defines it
+    left.join(right, col("__ga") <=> col("__gb"), "full_outer")
+      .select(coalesce(col("__ga"), col("__gb")).as("grp"),
         slice(array_sort(array_distinct(concat(
           coalesce(col("__sa"), empty), coalesce(col("__sb"), empty)))),
           1, k).as("sketch"))

@@ -38,16 +38,36 @@ object StreamRunner {
   /** Replay any single parquet file as a bounded stream — the
     * ingest-time shape of the batch curation operators (filter/score at
     * read time instead of in a later batch pass). */
-  def replayParquet(s: SparkSession, path: String, sinkName: String,
-      outputMode: String, statePartitions: Int = 8)(
-      build: DataFrame => DataFrame): DataFrame = {
+  /** Stage a single parquet file into a fresh temp directory (the file
+    * stream source requires a directory basePath) and run `body` with
+    * the batch-read frame (for its schema / empty fallback) and the
+    * staged directory path; the staging copy is deleted afterwards.
+    * Cleanup is best-effort: a stray file in the staging dir would
+    * otherwise throw DirectoryNotEmptyException from finally and MASK
+    * the query's own failure (ADVICE r5). Shared by both replay
+    * runners — the scaffolding was previously hand-rolled per runner,
+    * the exact drift this object exists to prevent. */
+  private def withStagedFile[T](s: SparkSession, path: String,
+      prefix: String)(body: (DataFrame, String) => T): T = {
     val raw = s.read.parquet(path)
     val fileName = java.nio.file.Paths.get(path).getFileName.toString
-    val tmp = java.nio.file.Files.createTempDirectory(s"${sinkName}_replay")
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
     val staged = tmp.resolve(fileName)
     java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    try {
-      val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+    try body(raw, tmp.toString)
+    finally {
+      try {
+        java.nio.file.Files.deleteIfExists(staged)
+        java.nio.file.Files.deleteIfExists(tmp)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  def replayParquet(s: SparkSession, path: String, sinkName: String,
+      outputMode: String, statePartitions: Int = 8)(
+      build: DataFrame => DataFrame): DataFrame =
+    withStagedFile(s, path, s"${sinkName}_replay") { (raw, dir) =>
+      val stream = s.readStream.schema(raw.schema).parquet(dir)
       val q = startWithPartitions(s, statePartitions) {
         build(stream)
           .writeStream.format("memory").queryName(sinkName)
@@ -65,16 +85,7 @@ object StreamRunner {
       s.catalog.dropTempView(sinkName)
       s.createDataFrame(
         java.util.Arrays.asList(rows: _*), sink.schema)
-    } finally {
-      // best-effort: a stray file in the staging dir would otherwise
-      // throw DirectoryNotEmptyException from finally and MASK the
-      // query's own failure (ADVICE r5)
-      try {
-        java.nio.file.Files.deleteIfExists(staged)
-        java.nio.file.Files.deleteIfExists(tmp)
-      } catch { case _: java.io.IOException => () }
     }
-  }
 
   /** Replay a single parquet file as a bounded stream processed
     * per-micro-batch with `foreachBatch` — the runner for ingest
@@ -99,17 +110,12 @@ object StreamRunner {
     * sink's own contract here — verdict rows, not documents). */
   def replayParquetBatches(s: SparkSession, path: String,
       statePartitions: Int = 8, assertStateless: Boolean = false)(
-      classify: DataFrame => DataFrame): DataFrame = {
-    val raw = s.read.parquet(path)
-    val fileName = java.nio.file.Paths.get(path).getFileName.toString
-    val tmp = java.nio.file.Files.createTempDirectory("graft_batches_replay")
-    val staged = tmp.resolve(fileName)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    try {
+      classify: DataFrame => DataFrame): DataFrame =
+    withStagedFile(s, path, "graft_batches_replay") { (raw, dir) =>
       val rows = java.util.Collections.synchronizedList(
         new java.util.ArrayList[Row]())
       @volatile var outSchema: org.apache.spark.sql.types.StructType = null
-      val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+      val stream = s.readStream.schema(raw.schema).parquet(dir)
       val step: (DataFrame, Long) => Unit = (batch, _) => {
         val out = classify(batch)
         outSchema = out.schema
@@ -130,11 +136,5 @@ object StreamRunner {
       // classifier over an empty bounded frame
       val schema = if (outSchema != null) outSchema else classify(raw.limit(0)).schema
       s.createDataFrame(rows, schema)
-    } finally {
-      try {
-        java.nio.file.Files.deleteIfExists(staged)
-        java.nio.file.Files.deleteIfExists(tmp)
-      } catch { case _: java.io.IOException => () }
     }
-  }
 }

@@ -111,15 +111,7 @@ object FuzzDump {
     }
     Files.writeString(Paths.get(s"$outDir/plan_profile.json"),
       prof.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}"))
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = graft.JsonUtil.quote(s)
     val json = ok.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -170,6 +170,40 @@ class Round13PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == direct)
   }
 
+  test("kmv merge: a NULL group merges into ONE row (null-safe join)") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a"), 10L), (2L, None, 20L), (3L, None, 30L),
+      (4L, Option("a"), 40L), (5L, None, 20L)).toDF("id", "g", "v")
+    val whole = Sketches.kmvSketch(df, "v", "g", k = 8)
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[Long](1)).toMap
+    val merged = Sketches.kmvMerge(
+        Sketches.kmvSketch(df.filter(col("id") <= 2), "v", "g", k = 8),
+        Sketches.kmvSketch(df.filter(col("id") > 2), "v", "g", k = 8),
+        k = 8)
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[Long](1))
+    assert(merged.length == merged.map(_._1).distinct.length,
+      "a group must appear once after merge")
+    assert(merged.toMap == whole)
+    assert(merged.toMap.contains(None), "the NULL group must survive the merge")
+  }
+
+  test("quality quantile approx: a constant-score source keeps ≈ 1−q") {
+    import spark.implicits._
+    // every doc same text → one score; a bare threshold would drop ALL
+    val docs = (1L to 200L).map(i => (i, "same text for every doc here", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.qualityQuantileFilterApprox(
+      docs, "doc_id", "text", "source", qNum = 1, qDen = 4).collect()
+    val kept = out.count(_.getBoolean(3))
+    // target drop = ⌊200/4⌋ = 50, hash split lands near it (binomial)
+    assert(kept > 120 && kept < 180, s"kept $kept of 200 — tie split broken")
+    // deterministic: a second run keeps the identical id set
+    val again = Curation.qualityQuantileFilterApprox(
+      docs, "doc_id", "text", "source", qNum = 1, qDen = 4).collect()
+    assert(out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet ==
+      again.filter(_.getBoolean(3)).map(_.getLong(0)).toSet)
+  }
+
   // ---- BMP codec -----------------------------------------------------------
 
   test("bmp codec: decode undoes bottom-up rows and padding exactly") {
