@@ -753,13 +753,16 @@ object Curation {
     * global window over #partitions·k survivors). At fixture scale the
     * one window is the straightforward plan.
     *
-    * Portability domain (ADVICE r12 #2, same contract as
-    * [[Sketches]]' portHash): `id·1664525 + 1013904223` is computed in
-    * Spark's wrapping Long arithmetic, so the "reproducible in any
-    * engine" claim holds for |id| ≤ ~2^63/1664525 ≈ 5.5·10¹² — an engine
-    * that promotes to wider integers diverges above that. Ids beyond
-    * the bound need a pre-reduction (`pmod(id, 2^40)`) on BOTH sides
-    * before the multiply; the testdata ids are far inside it. */
+    * Portability domain (ADVICE r12 #2 / r13 #4, same contract as
+    * [[Sketches]]' portHash): `id·1664525 + 1013904223` is exact Long
+    * arithmetic for |id| ≤ ~2^63/1664525 ≈ 5.5·10¹², where every engine
+    * agrees. ABOVE that bound Spark 4.1's default ANSI mode makes the
+    * multiply THROW ArithmeticException — the sampler fails loudly
+    * rather than silently diverging from an engine that promotes to
+    * wider integers (the same applies to the quantile tiers' tie-split
+    * hash). Ids beyond the bound need a pre-reduction
+    * (`pmod(id, 2^40)`) on BOTH sides before the multiply; the testdata
+    * ids are far inside it. */
   def exactKSample(docs: DataFrame, idCol: String, sourceCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "sample size must be >= 1")
@@ -864,6 +867,42 @@ object Curation {
     val thr = scored.groupBy(col("source"))
       .agg(percentile_approx(col("score"), lit(qNum.toDouble / qDen),
         lit(accuracy)).as("__thr"))
+    tieSplitFromThreshold(scored, thr, qNum, qDen)
+  }
+
+  /** Exact-threshold variant of the two-pass tier: pass 1 picks the
+    * per-source threshold EXACTLY — the score at rank ⌊n·q⌋ (clamped to
+    * ≥ 1) in the deterministic (score, id) order — and passes 2–3 are
+    * the SAME stats + tie-split machinery the approx tier runs. Two
+    * uses: (a) the DuckDB-oracled driver entry for that machinery (GK
+    * itself is not engine-portable, the rank-selected threshold is —
+    * VERDICT r13 #6); (b) the production middle tier when an exact
+    * quantile is cheap (a maintained per-source score histogram: ≤1001
+    * distinct per-mille scores make the exact threshold one broadcast
+    * lookup) but the corpus is too skewed for the per-source sort. */
+  def qualityQuantileFilterExactThreshold(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, qNum: Int = 1, qDen: Int = 4): DataFrame = {
+    require(qNum >= 1 && qDen >= qNum,
+      "exact-threshold tier needs 0 < num/den <= 1 (rank floor(n*q) must exist)")
+    val scored = ttrScored(docs, idCol, textCol, sourceCol)
+    val bySource = Window.partitionBy(col("source"))
+    val thr = scored
+      .withColumn("__rk",
+        row_number().over(bySource.orderBy(col("score"), col("id"))))
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .filter(col("__rk") ===
+        greatest(lit(1L), expr(s"(__n * $qNum) DIV $qDen")))
+      .select(col("source"), col("score").as("__thr"))
+    tieSplitFromThreshold(scored, thr, qNum, qDen)
+  }
+
+  /** Passes 2–3 shared by the quantile-filter tiers: size the boundary
+    * tie class against a broadcast per-source threshold, then keep
+    * `score > t` outright and split the tie class by a deterministic
+    * portable id-hash at exactly the fraction landing the total drop on
+    * ⌊n·q⌋. `thr` is one (source, __thr) row per source. */
+  private[pipeline] def tieSplitFromThreshold(scored: DataFrame,
+      thr: DataFrame, qNum: Int, qDen: Int): DataFrame = {
     val stats = scored.join(broadcast(thr), Seq("source"))
       .groupBy(col("source"), col("__thr"))
       .agg(count(lit(1)).as("__n"),
@@ -875,19 +914,42 @@ object Curation {
         greatest(lit(0L), least(col("__tie"),
           expr(s"(__n * $qNum) DIV $qDen") - col("__below")))
           .as("__needDrop"))
+      .select(col("source"), col("__thr"),
+        tieCutoff(col("__needDrop"), col("__tie")).as("__cut"))
     // deterministic portable tie split: drop the tie row iff its id-hash
-    // fraction falls under needDrop/tie — expected drop = needDrop,
-    // reproducible in any engine (distinct LCG multiplier so the split
+    // falls at or under the per-source cutoff (expected drop = needDrop,
+    // reproducible in any engine; distinct LCG multiplier so the split
     // does not correlate with the samplers'; same |id| domain note as
     // exactKSample)
     val tieHash = pmod(col("id") * lit(22695477L) + lit(1L), lit(1000000007L))
     scored.join(broadcast(stats), Seq("source"))
       .select(col("id"), col("source"), col("score"),
         (col("score") > col("__thr") ||
-          (col("score") === col("__thr") &&
-            tieHash * col("__tie") >= col("__needDrop") * lit(1000000007L)))
+          (col("score") === col("__thr") && tieHash > col("__cut")))
           .as("kept"))
       .orderBy(col("id"))
+  }
+
+  /** The tie-split cutoff: the largest hash value still dropped, i.e.
+    * drop iff `tieHash ≤ cutoff` where `cutoff = ⌊(needDrop·M − 1)/tie⌋`
+    * (M = 1e9+7 is the hash modulus), −1 when nothing needs dropping.
+    * Equivalent to `tieHash·tie < needDrop·M` — but THAT form multiplies
+    * a ~1e9 hash by a row count and overflows Long once the tie class
+    * exceeds ~9.2e9 rows, exactly the skewed-trillion-row regime the
+    * approx tier is gated in for (ADVICE r13 #1; under Spark 4.1's
+    * default ANSI mode the overflow throws, with ANSI off it silently
+    * corrupts the kept set). Here the product is needDrop·M ≤ tie·M,
+    * computed EXACTLY in DECIMAL(38,0) (≤ ~9.2e27, well inside 38
+    * digits) with an integral divide — no doubles, so the cutoff is
+    * engine-portable digit-for-digit; the per-row comparison is then a
+    * plain Long compare. */
+  private[pipeline] def tieCutoff(needDrop: Column, tie: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val prod = needDrop.cast("decimal(38,0)") * lit(1000000007L) - lit(1L)
+    val cut = GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftSqlBridge.expression(prod), GraftSqlBridge.expression(tie)))
+    when(needDrop <= 0L, lit(-1L)).otherwise(cut.cast("long"))
   }
 
   /** Tier gate for the quality-quantile filter: the exact rank tier

@@ -40,6 +40,29 @@ object PipelineCaches {
     frames.clear()
   }
 
+  /** Batch-scoped release: run `body` and afterwards unpersist exactly
+    * the frames it tracked, leaving everything tracked before (a static
+    * corpus index, session CTE caches) in place. This is the per-micro-
+    * batch drain of the continuous-ingestion loop (ADVICE r13 #3): a
+    * replay over N micro-batches otherwise accumulates N dead batch
+    * working sets — two MEMORY_AND_DISK frames each — until the global
+    * [[releaseAll]], pressuring the unified memory region against the
+    * live index frames. The caller must have fully CONSUMED body's
+    * result (collected, written) before this returns; frames released
+    * here recompute if re-read, which is correct but untimed-tax.
+    * Single-caller-at-a-time by contract (foreachBatch steps are
+    * sequential); a concurrent track() from another thread during
+    * `body` would be released with the batch. */
+  private[graft] def releasingBatchScope[T](body: => T): T = {
+    val mark = synchronized { frames.length }
+    try body
+    finally synchronized {
+      frames.drop(mark).foreach(f =>
+        try f.unpersist() catch { case _: Throwable => () })
+      frames.remove(mark, frames.length - mark)
+    }
+  }
+
   /** Session-scoped release: unpersist only the frames registered by
     * operators of `session`, leaving other live sessions' caches
     * untouched — the concurrent-driver counterpart of [[releaseAll]]. */

@@ -55,6 +55,11 @@ object Round13Queries {
         val corpus = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
         val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
           shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+        // the UNCAPPED oracle SQL is only equivalent while the posting
+        // cap dropped nothing (ADVICE r13 #2) — fail loudly, don't
+        // silently hash-mismatch, if a fixture change ever trips it
+        require(idx.droppedPostings == 0,
+          s"qp100 oracle invalid: posting cap dropped ${idx.droppedPostings} bucket(s)")
         val b1 = Dedup.incrementalNearDupIndexed(idx,
             docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
           .withColumn("batch", lit(1))
@@ -94,6 +99,8 @@ object Round13Queries {
           .filter(col("doc_id") % 3 =!= 0)
         val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
           shingleN = 3, thresholdNum = 1, thresholdDen = 2)
+        require(idx.droppedPostings == 0,
+          s"qp101 oracle invalid: posting cap dropped ${idx.droppedPostings} bucket(s)")
         StreamRunner.replayParquetBatches(s, s"$dir/documents.parquet",
             assertStateless = true) { b =>
           Dedup.incrementalNearDupIndexed(idx,
@@ -144,10 +151,14 @@ object Round13Queries {
         val b2 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
         val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
           shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+        require(idx.droppedPostings == 0,
+          s"qp103 oracle invalid: posting cap dropped ${idx.droppedPostings} bucket(s)")
         // classify + ingest share one batch working set (the production
         // per-batch step); batch 2 then sees corpus ∪ batch 1
         val (v1raw, idx2) = Dedup.classifyAndAppend(idx, b1, "doc_id", "text")
         val v1 = v1raw.withColumn("batch", lit(1))
+        require(idx2.droppedPostings == 0,
+          s"qp103 oracle invalid after append: cap dropped ${idx2.droppedPostings} bucket(s)")
         val v2 = Dedup.incrementalNearDupIndexed(idx2, b2, "doc_id", "text")
           .withColumn("batch", lit(2))
         v1.unionAll(v2)

@@ -116,11 +116,19 @@ object StreamRunner {
         new java.util.ArrayList[Row]())
       @volatile var outSchema: org.apache.spark.sql.types.StructType = null
       val stream = s.readStream.schema(raw.schema).parquet(dir)
-      val step: (DataFrame, Long) => Unit = (batch, _) => {
-        val out = classify(batch)
-        outSchema = out.schema
-        out.collect().foreach(rows.add)
-      }
+      // each micro-batch's classifier working set (persisted frames the
+      // classifier tracks in PipelineCaches — e.g. the indexed dedup's
+      // ranked/fingerprint batch caches) is dead once the verdicts are
+      // collected; release it per batch instead of accumulating two dead
+      // cached frames per micro-batch until the global releaseAll
+      // (ADVICE r13 #3). Frames tracked BEFORE the stream started — the
+      // static index — are outside the scope and stay cached.
+      val step: (DataFrame, Long) => Unit = (batch, _) =>
+        graft.pipeline.PipelineCaches.releasingBatchScope {
+          val out = classify(batch)
+          outSchema = out.schema
+          out.collect().foreach(rows.add)
+        }
       val q = startWithPartitions(s, statePartitions) {
         stream.writeStream.foreachBatch(step)
           .trigger(Trigger.AvailableNow()).start()
