@@ -18,6 +18,16 @@ object Bench {
     // (substring match); the driver never sets it — full suite by default
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    // cold-CC child mode (VERDICT r13 #1): the synthetic
+    // qp71_neardup_components_cold line was the one entry OUTSIDE the
+    // min-of-3 isolated harness — a single end-of-suite measure, taken
+    // at the most residue-prone moment, that cost rounds 12–13 an
+    // unadjudicable 4–21 s swing. Under this flag a single-entry child
+    // drops the CC memo AND its checkpoint blocks before every warmup
+    // and every timed repetition, so each rep pays the full cold
+    // propagation in a quiet JVM and the parent gets {min, spread} for
+    // the cold cost like any other entry.
+    val coldCc = sys.env.get("SPARK_GRAFT_COLD_CC").contains("1")
     // Deterministic FAMILY interleave of the run order (VERDICT r9 #2):
     // the alphabetical order ran the whole theta family back-to-back,
     // and adjacent heavy entries inflate each other through shuffle-file
@@ -62,6 +72,7 @@ object Bench {
     (if (names.size == 1) Seq(names.head, names.head, names.head)
      else Seq(names.head, "q03_join_inner", "qp49_dedup_keep_first")
        .distinct.filter(SparkEntry.queries.contains)).foreach { n =>
+        if (coldCc) pipeline.Dedup.releaseCcCache(blocking = true)
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         queries.Engines.releaseAll()
@@ -97,6 +108,9 @@ object Bench {
       }
     }
     def once(name: String): Double = {
+      // cold mode: each timed rep starts with no memo and no leftover
+      // checkpoint blocks — the release is untimed (it precedes t0)
+      if (coldCc) pipeline.Dedup.releaseCcCache(blocking = true)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -178,14 +192,16 @@ object Bench {
     // appears. Time ONE extra labeled run with the memo dropped so the
     // cold cost stays an explicit BENCH line instead of vanishing.
     val ccEntry = "qp71_neardup_components"
+    val coldName = s"${ccEntry}_cold"
     val withCold: ListMap[String, Double] =
-      if (!names.contains(ccEntry)) results
+      // a cold-mode child's timed reps ARE cold runs — no extra line
+      if (!names.contains(ccEntry) || coldCc) results
       else {
         pipeline.Dedup.clearCcCache()
         errs.remove(ccEntry)
         val t = attempt(ccEntry)
         if (t < 0) failures += errs.getOrElse(ccEntry, s"$ccEntry (cold): failed")
-        results + (s"${ccEntry}_cold" -> t)
+        results + (coldName -> t)
       }
 
     // ---- cache-lifecycle audit (round 12, VERDICT r11 #1) ----
@@ -235,12 +251,18 @@ object Bench {
         // the 240 s child timeout fits entries up to ~35 s; anything
         // below the 2 s cut was within the tide band in every
         // adjudicated round.
+        // the synthetic cold line rides along under its own child mode
+        // (VERDICT r13 #1: it was filtered out here, leaving the one
+        // entry that most needed adjudication without an isolated
+        // column; a plain BENCH_ONLY child can't reproduce cold — its
+        // own warmups populate the memo — hence the COLD_CC flag)
+        def isolable(n: String): Boolean =
+          SparkEntry.queries.contains(n) || n == coldName
         val heavy0 = withCold.toSeq
-          .filter { case (n, t) => t >= 2.0 && SparkEntry.queries.contains(n) }
+          .filter { case (n, t) => t >= 2.0 && isolable(n) }
           .sortBy(-_._2).take(16)
           .map(_._1)
-        if (withCold.count { case (n, t) =>
-              t >= 2.0 && SparkEntry.queries.contains(n) } > 16)
+        if (withCold.count { case (n, t) => t >= 2.0 && isolable(n) } > 16)
           System.err.println("[bench] isolated pass capped at 16 slowest")
         // fixed calibration entry (round 12, VERDICT r11 #2): the
         // isolated column can itself carry an ambient tide (the r11
@@ -253,6 +275,10 @@ object Bench {
                      else Nil) ++ heavy0.filterNot(_ == calib)
         ListMap(heavy.flatMap { n =>
           try {
+            // the _cold line's child runs the REAL entry under the
+            // cold-CC flag; its iso_reps print under the real name but
+            // the parent records them under the synthetic cold key
+            val childEntry = if (n == coldName) ccEntry else n
             val javaBin = new java.io.File(new java.io.File(
               System.getProperty("java.home"), "bin"), "java").getAbsolutePath
             val jvmArgs = java.lang.management.ManagementFactory
@@ -264,7 +290,9 @@ object Bench {
             cmd.add("graft.Bench")
             val pb = new ProcessBuilder(cmd)
             pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
-            pb.environment.put("SPARK_GRAFT_BENCH_ONLY", n)
+            pb.environment.put("SPARK_GRAFT_BENCH_ONLY", childEntry)
+            if (n == coldName)
+              pb.environment.put("SPARK_GRAFT_COLD_CC", "1")
             // never recurse (the parent env may carry ISOLATE=force)
             pb.environment.put("SPARK_GRAFT_ISOLATE", "0")
             pb.redirectErrorStream(true)
@@ -285,13 +313,13 @@ object Bench {
               val out = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
               // preferred: the child's three-repetition iso_reps line
               val repsRe = ("\"iso_reps\":\\{\"" +
-                java.util.regex.Pattern.quote(n) + "\":\\[([0-9.,\\-]+)\\]").r
+                java.util.regex.Pattern.quote(childEntry) + "\":\\[([0-9.,\\-]+)\\]").r
               val reps = repsRe.findFirstMatchIn(out)
                 .map(_.group(1).split(',').map(_.toDouble).filter(_ >= 0).toSeq)
                 .filter(_.nonEmpty)
               val parsed = reps.map(r => (r.min, r.max - r.min)).orElse {
                 // fallback: single value from the child's full/digest line
-                val re = ("\"" + java.util.regex.Pattern.quote(n) +
+                val re = ("\"" + java.util.regex.Pattern.quote(childEntry) +
                   "\":([0-9.]+)").r
                 re.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
                   .lastOption.map(v => (v, 0.0))
