@@ -146,6 +146,64 @@ class Round14PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- KMV build as a bounded-buffer aggregate ----------------------------
+
+  private def refSketch(values: Seq[Long], k: Int): Seq[Long] = {
+    val M = 1000000007L
+    values.map(v => (((v % M) * 1103515245L + 12345L) % M + M) % M)
+      .distinct.sorted.take(k)
+  }
+
+  test("kmv aggregate: planted skewed group equals the k-smallest reference") {
+    import spark.implicits._
+    // one group holds 50k distinct values spread over many partitions —
+    // the regime where the old per-group window funneled through one
+    // task; plus small groups exercising the exact (<k) path and a
+    // duplicate-heavy group exercising buffer distinctness
+    val big = (1L to 50000L).map(v => ("big", v))
+    val small = (1L to 5L).map(v => ("small", v))
+    val dup = Seq.fill(2000)(7L).zipWithIndex.map { case (v, i) => ("dup", v + (i % 3)) }
+    val df = spark.sparkContext.parallelize(big ++ small ++ dup, 16)
+      .toDF("event_type", "user_id")
+    val k = 64
+    val got = Sketches.kmvSketch(df, "user_id", "event_type", k).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("big") == refSketch(big.map(_._2), k))
+    assert(got("small") == refSketch(small.map(_._2), k))
+    assert(got("dup") == refSketch(dup.map(_._2), k))
+    // estimate off the skewed group lands within KMV error (~1/sqrt(k))
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(df, "user_id", "event_type", k), k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(est("big") - 50000L) < 50000 * 0.5,
+      s"KMV estimate ${est("big")} too far from 50000")
+    assert(est("small") == 5L && est("dup") == 3L, "exact small-group path broken")
+  }
+
+  test("kmv aggregate: plan is partial+final ObjectHashAggregate, no window") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("event_type", "user_id")
+    val plan = Sketches.kmvSketch(df, "user_id", "event_type", 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"kmv build still routes through a per-group window:\n$plan")
+    val objHash = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(objHash >= 2,
+      s"expected partial+final ObjectHashAggregate stages, got $objHash:\n$plan")
+    assert(plan.contains("partial_kmv_sketch") || plan.contains("partial kmv_sketch")
+      || plan.toLowerCase.contains("partial"),
+      s"no partial (map-side) aggregation stage in plan:\n$plan")
+  }
+
+  test("kmv aggregate: all-NULL group vanishes (windowed-impl semantics)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", None), ("nul", None))
+      .toDF("event_type", "user_id")
+    val got = Sketches.kmvSketch(df, "user_id", "event_type", 8).collect()
+    assert(got.map(_.getString(0)).toSet == Set("a"),
+      "a group with only NULL values must not appear")
+  }
+
   // ---- replay runner per-batch release ------------------------------------
 
   test("replay runner: batch working sets are released per micro-batch") {
