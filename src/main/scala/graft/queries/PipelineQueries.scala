@@ -544,11 +544,11 @@ object PipelineQueries {
     // offset, channel order, rounding — is a hash-fail. --------------
     QueryDef(
       "qp90_ppm_resize",
-      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text
-                FROM documents),
-          g AS (SELECT doc_id, len, text,
+      Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+                hex(encode(text)) AS hx FROM documents),
+          g AS (SELECT doc_id, len, hx,
                 8 + len % 32 AS w, 8 + (len * 3) % 32 AS h FROM d),
-          o AS (SELECT doc_id, len, text, w, h,
+          o AS (SELECT doc_id, len, hx, w, h,
                 greatest(w // 2, 1) AS ow, greatest(h // 2, 1) AS oh FROM g),
           p AS (SELECT doc_id, ow, oh,
                 CAST(9 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR))
@@ -556,9 +556,10 @@ object PipelineQueries {
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, ow * oh * 3), i ->
                     CAST(CASE WHEN len = 0 THEN 32 ELSE
-                      unicode(text[CAST(((((i // 3 // ow) * h // oh) * w
-                        + ((i // 3) % ow) * w // ow) * 3 + i % 3)
-                        % len AS INTEGER) + 1])
+                      strpos('123456789ABCDEF', substr(hx, CAST(2 * (((((i // 3 // ow) * h // oh) * w
+                        + ((i // 3) % ow) * w // ow) * 3 + i % 3) % len) + 1 AS INTEGER), 1)) * 16 +
+                      strpos('123456789ABCDEF', substr(hx, CAST(2 * (((((i // 3 // ow) * h // oh) * w
+                        + ((i // 3) % ow) * w // ow) * 3 + i % 3) % len) + 2 AS INTEGER), 1))
                     END AS BIGINT))),
                   (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash
                 FROM o)

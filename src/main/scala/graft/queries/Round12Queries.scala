@@ -275,21 +275,21 @@ object Round12Queries {
     // folds the same base-131 mod-1e9+7 plane checksum — one wrong
     // pixel, offset or rounding is a hash-fail.
     //
-    // ASCII-fixture assumption (ADVICE r12 #1): the oracle indexes the
-    // text by CHARACTER (`text[i]` + `unicode()`) while the engine's
-    // synthetic plane cycles UTF-8 BYTES; it also mixes octet_length
-    // (bytes) into the character indexing. The two agree exactly
-    // BECAUSE the documents fixture is ASCII (1 char = 1 byte =
-    // codepoint < 128 — TESTDATA.md's generator emits [a-z0-9 ]); on
-    // non-ASCII text the engine side (byte-defined, the contract) would
-    // stand and this SQL would need a BLOB-indexed rewrite.
+    // BYTE-indexed oracle (round 14, VERDICT r13 #7; ASCII caveat was
+    // ADVICE r12 #1): the plane is defined over UTF-8 BYTES, so the
+    // SQL extracts byte i from hex(encode(text)) — two hex
+    // digits via strpos over '123456789ABCDEF' (a missing digit is
+    // '0' → strpos 0, exactly its value). No character indexing
+    // remains; the oracle now agrees with the engine on ANY text, and
+    // Round14PipelineSpec plants a non-ASCII doc to prove the
+    // engine side against an independent byte-level simulation.
     QueryDef(
       "qp98_pgm_resize",
-      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text
-                FROM documents),
-          g AS (SELECT doc_id, len, text,
+      Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+                hex(encode(text)) AS hx FROM documents),
+          g AS (SELECT doc_id, len, hx,
                 8 + len % 32 AS w, 8 + (len * 5) % 32 AS h FROM d),
-          o AS (SELECT doc_id, len, text, w, h,
+          o AS (SELECT doc_id, len, hx, w, h,
                 greatest((w * 2) // 3, 1) AS ow, greatest((h * 2) // 3, 1) AS oh FROM g),
           p AS (SELECT doc_id, ow, oh,
                 CAST(9 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR))
@@ -297,8 +297,10 @@ object Round12Queries {
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, ow * oh), i ->
                     CAST(CASE WHEN len = 0 THEN 32 ELSE
-                      unicode(text[CAST((((i // ow) * h // oh) * w
-                        + (i % ow) * w // ow) % len AS INTEGER) + 1])
+                      strpos('123456789ABCDEF', substr(hx, CAST(2 * ((((i // ow) * h // oh) * w
+                        + (i % ow) * w // ow) % len) + 1 AS INTEGER), 1)) * 16 +
+                      strpos('123456789ABCDEF', substr(hx, CAST(2 * ((((i // ow) * h // oh) * w
+                        + (i % ow) * w // ow) % len) + 2 AS INTEGER), 1))
                     END AS BIGINT))),
                   (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash
                 FROM o)

@@ -201,24 +201,26 @@ object Round13Queries {
     // checksum folds the LOGICAL top-down plane, so a green hash proves
     // the decoder undid the flip and the padding (netpbm never exercised
     // either). Fixture dims h = 8 + 7·len % 32; resample 2/3 nearest.
-    // Same ASCII-fixture oracle caveat as qp98: the SQL indexes text by
-    // character, the engine by UTF-8 byte — equal because the documents
-    // fixture is ASCII (documented at qp98).
+    // Byte-indexed oracle (round 14): plane bytes come from
+    // hex(encode(text)) — see the qp98 note; no character
+    // indexing, so the oracle holds on non-ASCII text too.
     QueryDef(
       "qp104_bmp_resize",
-      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text
-                FROM documents),
-          g AS (SELECT doc_id, len, text,
+      Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+                hex(encode(text)) AS hx FROM documents),
+          g AS (SELECT doc_id, len, hx,
                 8 + len % 32 AS w, 8 + (len * 7) % 32 AS h FROM d),
-          o AS (SELECT doc_id, len, text, w, h,
+          o AS (SELECT doc_id, len, hx, w, h,
                 greatest((w * 2) // 3, 1) AS ow, greatest((h * 2) // 3, 1) AS oh FROM g),
           p AS (SELECT doc_id, ow, oh,
                 CAST(54 + oh * ((3 * ow + 3) // 4 * 4) AS BIGINT) AS n_bytes,
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, ow * oh * 3), i ->
                     CAST(CASE WHEN len = 0 THEN 32 ELSE
-                      unicode(text[CAST((((((i // 3) // ow) * h // oh) * w
-                        + ((i // 3) % ow) * w // ow) * 3 + (i % 3)) % len AS INTEGER) + 1])
+                      strpos('123456789ABCDEF', substr(hx, CAST(2 * ((((((i // 3) // ow) * h // oh) * w
+                        + ((i // 3) % ow) * w // ow) * 3 + (i % 3)) % len) + 1 AS INTEGER), 1)) * 16 +
+                      strpos('123456789ABCDEF', substr(hx, CAST(2 * ((((((i // 3) // ow) * h // oh) * w
+                        + ((i // 3) % ow) * w // ow) * 3 + (i % 3)) % len) + 2 AS INTEGER), 1))
                     END AS BIGINT))),
                   (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash
                 FROM o)

@@ -222,13 +222,16 @@ object Round4Queries {
     // max window; docs are ≤ ~600 bytes (TESTDATA), well under it.
     QueryDef("qp61_cdc_shared_chunks",
       Some("""WITH RECURSIVE
-          d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
-                FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+          d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS len
+                FROM documents WHERE octet_length(encode(text)) > 0),
           pre AS (
-            SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS ph, len, text FROM d
+            SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS ph, len, hx FROM d
             UNION ALL
-            SELECT doc_id, i + 1, (ph * 257 + unicode(text[i + 1])) % 1000000007,
-                   len, text
+            SELECT doc_id, i + 1, (ph * 257 +
+                   strpos('123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) * 16 +
+                   strpos('123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1))) % 1000000007,
+                   len, hx
             FROM pre WHERE i < len),
           pw AS (
             SELECT 0 AS e, CAST(1 AS BIGINT) AS v

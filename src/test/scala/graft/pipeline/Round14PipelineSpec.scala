@@ -146,6 +146,25 @@ class Round14PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantile auto gate: exact AT the boundary, approx one row past it") {
+    import spark.implicits._
+    // biggest source holds exactly 40 rows
+    val df = ((1L to 40L).map(i => (i, s"text number $i with words", "big")) ++
+      (41L to 50L).map(i => (i, s"other text $i", "small")))
+      .toDF("doc_id", "text", "source")
+    // gate fires strictly ABOVE approxOverRows: == stays exact
+    val atBoundary = Curation.qualityQuantileAuto(df, "doc_id", "text",
+      "source", qNum = 1, qDen = 4, approxOverRows = 40L)
+      .queryExecution.executedPlan.toString
+    assert(atBoundary.contains("Window"),
+      "gate left the exact tier although max source == approxOverRows")
+    val pastBoundary = Curation.qualityQuantileAuto(df, "doc_id", "text",
+      "source", qNum = 1, qDen = 4, approxOverRows = 39L)
+      .queryExecution.executedPlan.toString
+    assert(!pastBoundary.contains("Window"),
+      "gate kept the exact tier although max source > approxOverRows")
+  }
+
   // ---- KMV build as a bounded-buffer aggregate ----------------------------
 
   private def refSketch(values: Seq[Long], k: Int): Seq[Long] = {
@@ -340,6 +359,50 @@ class Round14PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(costs.last < costs.head * 10 + 1.0,
       s"append cost exploded along the chain: $costs")
     graft.queries.Engines.releaseAll(blocking = true)
+  }
+
+  // ---- codecs on non-ASCII text (VERDICT r13 #7) --------------------------
+
+  test("codecs: non-ASCII doc matches the byte-level simulation (PGM + BMP)") {
+    import spark.implicits._
+    // multi-byte UTF-8 everywhere: the fixture plane is defined over
+    // BYTES, so characters≠bytes must not move a single pixel. The
+    // oracles were rewritten to index hex(blob) for the same reason —
+    // this spec is the engine half of that contract.
+    val text = "héllo wörld ünïcode ありがとう 测试 éàü"
+    val raw = text.getBytes("UTF-8")
+    assert(raw.length > text.length, "fixture must actually be non-ASCII")
+    val df = Seq((3L, text)).toDF("doc_id", "text")
+    val M = 1000000007L
+    def fold(bytes: Iterator[Int]): Long =
+      bytes.foldLeft(0L)((a, b) => (a * 131L + b) % M)
+
+    // PGM: h = 8 + 5·len % 32, single channel, 2/3 resample
+    val (w1, h1) = (8 + raw.length % 32, 8 + (raw.length * 5) % 32)
+    val (ow1, oh1) = (math.max(w1 * 2 / 3, 1), math.max(h1 * 2 / 3, 1))
+    val pgm = Multimodal.ppmPlaneMeta(Multimodal.resizePpm(
+      Multimodal.encodePgm(df, "doc_id", "text"), 2, 3)).collect()(0)
+    val pgmExpect = fold((0 until ow1 * oh1).iterator.map { i =>
+      val idx = ((i / ow1) * h1 / oh1) * w1 + (i % ow1) * w1 / ow1
+      raw(idx % raw.length) & 0xFF
+    })
+    assert(pgm.width == ow1 && pgm.height == oh1 && pgm.plane_hash == pgmExpect,
+      s"PGM non-ASCII mismatch: got (${pgm.width},${pgm.height},${pgm.plane_hash})" +
+        s" want ($ow1,$oh1,$pgmExpect)")
+
+    // BMP: h = 8 + 7·len % 32, three channels, bottom-up+padded storage
+    val (w2, h2) = (8 + raw.length % 32, 8 + (raw.length * 7) % 32)
+    val (ow2, oh2) = (math.max(w2 * 2 / 3, 1), math.max(h2 * 2 / 3, 1))
+    val bmp = Multimodal.bmpPlaneMeta(Multimodal.resizeBmp(
+      Multimodal.encodeBmp(df, "doc_id", "text"), 2, 3)).collect()(0)
+    val bmpExpect = fold((0 until ow2 * oh2 * 3).iterator.map { i =>
+      val p = i / 3
+      val idx = (((p / ow2) * h2 / oh2) * w2 + (p % ow2) * w2 / ow2) * 3 + i % 3
+      raw(idx % raw.length) & 0xFF
+    })
+    assert(bmp.width == ow2 && bmp.height == oh2 && bmp.plane_hash == bmpExpect,
+      s"BMP non-ASCII mismatch: got (${bmp.width},${bmp.height},${bmp.plane_hash})" +
+        s" want ($ow2,$oh2,$bmpExpect)")
   }
 
   // ---- replay runner per-batch release ------------------------------------
