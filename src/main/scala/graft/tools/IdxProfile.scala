@@ -11,6 +11,7 @@ import graft.pipeline.Dedup
 object IdxProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val rounds = if (args.length > 1) args(1).toInt else 2
     val spark = Sessions.build("graft-idx-profile")
     spark.sparkContext.setLogLevel("WARN")
     def t[A](label: String)(f: => A): A = {
@@ -19,7 +20,15 @@ object IdxProfile {
       println(f"[idxprof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       r
     }
-    (1 to 2).foreach { round =>
+    // per-round GC attribution (round 14, VERDICT r13 #2): the index
+    // entries' 1.5-2.5x rep variance needed the collector's own numbers
+    // to separate "the query got slower" from "a collection landed
+    // inside the timed window"
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    var gcPrev = gcMillis
+    (1 to rounds).foreach { round =>
       println(s"[idxprof] ---- round $round ----")
       val docs = Tables.load(spark, sfDir, "documents")
       val corpus = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
@@ -34,6 +43,9 @@ object IdxProfile {
       t("verdict b2")(Dedup.incrementalNearDupIndexed(idx2, b2, "doc_id", "text")
         .write.format("noop").mode("overwrite").save())
       t("release")(graft.queries.Engines.releaseAll(blocking = true))
+      val gcNow = gcMillis
+      println(f"[idxprof] gc this round: ${(gcNow - gcPrev) / 1000.0}%5.2f s")
+      gcPrev = gcNow
     }
     spark.stop()
   }
