@@ -304,7 +304,16 @@ object Bench {
             val outPath = java.nio.file.Files.createTempFile("graft_iso_", ".out")
             pb.redirectOutput(outPath.toFile)
             val p = pb.start()
-            val res = if (!p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)) {
+            // timeout scales with the entry's own suite time: a child
+            // runs the entry ~6x (3 warmups + 3 reps) plus ~20 s of
+            // JVM/session startup, so 30x suite leaves ~3x headroom for
+            // a degraded ambient window — the round-14 official run
+            // lost qp103's isolated column to a flat 240 s cap during
+            // exactly such a window (same-commit re-measures differed
+            // 1.4x purely by wall-clock hour)
+            val timeoutSec = math.min(600L,
+              math.max(240L, (withCold(n) * 30).toLong))
+            val res = if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
               p.destroyForcibly()
               p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
               System.err.println(s"[bench] isolated $n timed out; killed")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Curation, Dedup}
+import graft.pipeline.{Curation, Dedup, Multimodal}
 
 /** Round-14 additions — the deployment/oracle-depth items from VERDICT
   * r13:
@@ -22,6 +22,61 @@ import graft.pipeline.{Curation, Dedup}
   *    ([[graft.pipeline.Curation.tieSplitFromThreshold]]).
   */
 object Round14Queries {
+
+  /** Byte j (0-based) of the document text's UTF-8 encoding, extracted
+    * from `hx = hex(encode(text))` — two hex digits via strpos over
+    * '123456789ABCDEF' (a missing digit is '0' → strpos 0 = its value);
+    * empty docs read the space fill byte. Shared by the qp107 oracle's
+    * pixel, packet and hash CTEs so the three cannot drift. */
+  private def byteAt(j: String): String =
+    s"""(CASE WHEN len = 0 THEN 32 ELSE
+       strpos('123456789ABCDEF', substr(hx, CAST(2 * (($j) % len) + 1 AS INTEGER), 1)) * 16 +
+       strpos('123456789ABCDEF', substr(hx, CAST(2 * (($j) % len) + 2 AS INTEGER), 1)) END)"""
+
+  /** The qp107 oracle: predict the RLE-compressed TGA payload size and
+    * the decoded-plane checksum from the fixture construction. Packet
+    * accounting is the gaps-and-islands form — within-row runs via a
+    * lag break + prefix-sum island id, run packets (length ≥ 2) at 4
+    * bytes, maximal singleton stretches as one literal packet at
+    * 1 + 3·m — EXACT because w = 8 + len % 32 ≤ 39 < 128 by
+    * construction, so no packet ever chunks (the engine's chunking
+    * branch is dead at fixture geometry; see `Multimodal.writeTgaRle`).
+    * Row order cancels out of the size (packets never cross rows). */
+  private val tgaOracle: String =
+    s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+          hex(encode(text)) AS hx FROM documents),
+      g AS (SELECT doc_id, len, hx, 8 + len % 32 AS w, 8 + (len * 11) % 32 AS h FROM d),
+      idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 1521)),
+      px AS (SELECT g.doc_id, g.w, idx.i, idx.i // g.w AS r,
+              ${byteAt("3*idx.i")} * 65536 + ${byteAt("3*idx.i+1")} * 256 +
+              ${byteAt("3*idx.i+2")} AS pv
+             FROM g JOIN idx ON idx.i < g.w * g.h),
+      rns AS (SELECT doc_id, r, i, pv,
+               CASE WHEN lag(pv) OVER (PARTITION BY doc_id, r ORDER BY i) = pv
+                    THEN 0 ELSE 1 END AS brk
+              FROM px),
+      isl AS (SELECT doc_id, r, i,
+               SUM(brk) OVER (PARTITION BY doc_id, r ORDER BY i) AS runid FROM rns),
+      runs AS (SELECT doc_id, r, runid, count(*) AS rl
+               FROM isl GROUP BY doc_id, r, runid),
+      rx AS (SELECT doc_id, r, runid, rl,
+              lag(rl, 1, 0) OVER (PARTITION BY doc_id, r ORDER BY runid) AS prevrl
+             FROM runs),
+      litg AS (SELECT doc_id, r, runid, rl,
+                SUM(CASE WHEN rl = 1 AND prevrl <> 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id, r ORDER BY runid) AS gid FROM rx),
+      pk AS (SELECT doc_id, CAST(1 + 3 * count(*) AS BIGINT) AS b
+             FROM litg WHERE rl = 1 GROUP BY doc_id, r, gid
+             UNION ALL
+             SELECT doc_id, CAST(4 * count(*) AS BIGINT) AS b
+             FROM rx WHERE rl >= 2 GROUP BY doc_id),
+      bod AS (SELECT doc_id, SUM(b) AS body FROM pk GROUP BY doc_id),
+      ph AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, w * h * 3), j -> CAST(${byteAt("j")} AS BIGINT))),
+              (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash FROM g)
+      SELECT g.doc_id, CAST(g.w AS INTEGER) AS width, CAST(g.h AS INTEGER) AS height,
+        CAST(18 + bod.body AS BIGINT) AS n_bytes, ph.plane_hash
+      FROM g JOIN bod USING (doc_id) JOIN ph USING (doc_id) ORDER BY g.doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -104,6 +159,21 @@ object Round14Queries {
       (s, dir) =>
         Curation.qualityQuantileFilterExactThreshold(
           Tables.load(s, dir, "documents"), "doc_id", "text", "source",
-          qNum = 1, qDen = 4))
+          qNum = 1, qDen = 4)),
+
+    // ---- qp107: RLE-compressed TGA roundtrip ----------------------------
+    // the first COMPRESSED container: encode → full packet-stream decode
+    // → meta. n_bytes is the compressed size (data-dependent, the
+    // oracle's packet accounting predicts it exactly); plane_hash folds
+    // the decoded logical plane, so green proves packet parse, run
+    // expansion AND the bottom-up un-flip.
+    QueryDef(
+      "qp107_tga_rle_roundtrip",
+      Some(tgaOracle),
+      (s, dir) =>
+        Multimodal.tgaPlaneMeta(Multimodal.encodeTga(
+            Tables.load(s, dir, "documents"), "doc_id", "text"))
+          .toDF()
+          .orderBy(col("doc_id")))
   )
 }

@@ -403,6 +403,108 @@ class Round14PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bmp.width == ow2 && bmp.height == oh2 && bmp.plane_hash == bmpExpect,
       s"BMP non-ASCII mismatch: got (${bmp.width},${bmp.height},${bmp.plane_hash})" +
         s" want ($ow2,$oh2,$bmpExpect)")
+
+    // TGA: h = 8 + 11·len % 32, RLE roundtrip on multi-byte input
+    val (w3, h3) = (8 + raw.length % 32, 8 + (raw.length * 11) % 32)
+    val tga = Multimodal.tgaPlaneMeta(
+      Multimodal.encodeTga(df, "doc_id", "text")).collect()(0)
+    val tgaExpect = (0 until w3 * h3 * 3).foldLeft(0L)((a, i) =>
+      (a * 131L + (raw(i % raw.length) & 0xFF)) % 1000000007L)
+    assert(tga.width == w3 && tga.height == h3 && tga.plane_hash == tgaExpect,
+      s"TGA non-ASCII mismatch: got (${tga.width},${tga.height},${tga.plane_hash})" +
+        s" want ($w3,$h3,$tgaExpect)")
+  }
+
+  // ---- TGA RLE codec (first compressed container) --------------------------
+
+  private def planeHash(bytes: IndexedSeq[Int]): Long =
+    bytes.foldLeft(0L)((a, b) => (a * 131L + b) % 1000000007L)
+
+  test("tga codec: roundtrip facts — header, real compression, exact size") {
+    import spark.implicits._
+    // heavy repetition → the encoder must actually compress
+    val text = "aaaaaaaaaaaaaaaaaaaaaaaa bbbb " * 3
+    val raw = text.getBytes("UTF-8")
+    val df = Seq((11L, text)).toDF("doc_id", "text")
+    val enc = Multimodal.encodeTga(df, "doc_id", "text")
+    val payload = enc.collect()(0).data
+    val (w, h) = (8 + raw.length % 32, 8 + (raw.length * 11) % 32)
+    // container facts: type 10, 24 bpp, little-endian 16-bit geometry,
+    // bottom-up descriptor
+    assert(payload(2) == 10.toByte && payload(16) == 24.toByte)
+    assert(((payload(12) & 0xFF) | ((payload(13) & 0xFF) << 8)) == w)
+    assert(((payload(14) & 0xFF) | ((payload(15) & 0xFF) << 8)) == h)
+    assert((payload(17) & 0x20) == 0)
+    // compression is REAL: far smaller than the uncompressed plane
+    assert(payload.length < 18 + w * h * 3 / 2,
+      s"RLE did not compress: ${payload.length} vs plane ${w * h * 3}")
+    // decode: dims + plane hash equal the byte-level simulation
+    val meta = Multimodal.tgaPlaneMeta(enc).collect()(0)
+    val expect = planeHash(IndexedSeq.tabulate(w * h * 3)(i =>
+      raw(i % raw.length) & 0xFF))
+    assert(meta.width == w && meta.height == h && meta.plane_hash == expect)
+    assert(meta.n_bytes == payload.length.toLong)
+    // exact size vs an independent packet accounting (runs >=2 → 4
+    // bytes; maximal singleton stretches → 1 + 3m; per logical row —
+    // row order cancels)
+    def px(i: Int): (Byte, Byte, Byte) =
+      (raw(3 * i % raw.length), raw((3 * i + 1) % raw.length), raw((3 * i + 2) % raw.length))
+    var body = 0
+    (0 until h).foreach { r =>
+      var i = 0
+      while (i < w) {
+        var run = 1
+        while (i + run < w && px(r * w + i + run) == px(r * w + i)) run += 1
+        if (run >= 2) { body += 4; i += run }
+        else {
+          var cnt = 0
+          var stop = false
+          while (i < w && !stop) {
+            var r2 = 1
+            while (i + r2 < w && px(r * w + i + r2) == px(r * w + i)) r2 += 1
+            if (r2 >= 2) stop = true else { cnt += 1; i += 1 }
+          }
+          body += 1 + 3 * cnt
+        }
+      }
+    }
+    assert(meta.n_bytes == 18L + body,
+      s"packet accounting drifted: payload ${meta.n_bytes} vs predicted ${18 + body}")
+  }
+
+  test("tga codec: >=128 chunking branches survive a wide synthetic plane") {
+    import spark.implicits._
+    // one row, 300 px: a 250-run (two run packets: 128 + 122), then 50
+    // distinct pixels (one literal packet) — unreachable at fixture
+    // geometry, exactly why the spec drives the writer directly
+    val w = 300; val h = 2
+    val logical = new Array[Byte](w * h * 3)
+    (0 until w).foreach { x =>
+      val v: Byte = if (x < 250) 7 else (x % 97).toByte
+      logical(x * 3) = v; logical(x * 3 + 1) = v; logical(x * 3 + 2) = (x / 255).toByte
+    }
+    // second row: all-identical (one 128-chunk + 122-chunk + ... 300 = 128+128+44)
+    (w until 2 * w).foreach { x =>
+      logical(x * 3) = 1; logical(x * 3 + 1) = 2; logical(x * 3 + 2) = 3
+    }
+    val payload = Multimodal.writeTgaRle(w, h, logical)
+    val meta = Multimodal.tgaPlaneMeta(
+      Seq(Multimodal.MediaItem(5L, "tga", payload)).toDS()).collect()(0)
+    assert(meta.width == w && meta.height == h)
+    assert(meta.plane_hash == planeHash(logical.map(_ & 0xFF).toIndexedSeq))
+  }
+
+  test("tga codec: malformed payloads fail loudly") {
+    import spark.implicits._
+    val truncated = Multimodal.encodeTga(
+        Seq((1L, "some document text here")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .map(m => m.copy(data = m.data.dropRight(5)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaItem])
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.tgaPlaneMeta(truncated).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   // ---- replay runner per-batch release ------------------------------------
