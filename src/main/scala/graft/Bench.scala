@@ -311,8 +311,13 @@ object Bench {
             // lost qp103's isolated column to a flat 240 s cap during
             // exactly such a window (same-commit re-measures differed
             // 1.4x purely by wall-clock hour)
+            // getOrElse: in a targeted forced-isolation run the
+            // prepended calibration entry has no suite time in withCold
+            // — a throwing lookup here would silently drop the
+            // calibration column AND leak the already-started child
+            // (review r14 #2)
             val timeoutSec = math.min(600L,
-              math.max(240L, (withCold(n) * 30).toLong))
+              math.max(240L, (withCold.getOrElse(n, 0.0) * 30).toLong))
             val res = if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
               p.destroyForcibly()
               p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)

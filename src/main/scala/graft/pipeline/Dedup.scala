@@ -598,8 +598,16 @@ object Dedup {
     // table + location together)
     def clearStale(table: String): Unit =
       if (!spark.catalog.tableExists(table)) {
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+        // derive the managed location from the CURRENT database's
+        // locationUri, not the bare warehouse dir — a non-default
+        // database stores tables under <warehouse>/<db>.db/<table>,
+        // and guessing the wrong path would no-op the cleanup and
+        // reproduce the very LOCATION_ALREADY_EXISTS failure this
+        // guard exists to prevent (review r14 #4)
+        val dbLoc = spark.catalog.getDatabase(spark.catalog.currentDatabase)
+          .locationUri
+        val path = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(dbLoc), table.toLowerCase)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(path)) { fs.delete(path, true); () }
       }

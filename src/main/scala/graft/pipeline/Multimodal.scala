@@ -553,6 +553,14 @@ object Multimodal {
         s"unsupported TGA encoding (doc $docId: $bpp bpp, descriptor $descr)")
     if (w <= 0 || h <= 0)
       throw new IllegalArgumentException(s"bad TGA geometry (doc $docId: $w x $h)")
+    // 16-bit fields admit w·h·3 up to ~12.9e9, which overflows the Int
+    // plane allocation below — reject planes larger than the payload
+    // could possibly encode (each pixel needs ≥ 3/128 payload bytes, so
+    // a plausible payload bounds the plane; a hostile header must fail
+    // with THIS error, not a wrapped NegativeArraySizeException)
+    if (w.toLong * h * 3 > Int.MaxValue - 64)
+      throw new IllegalArgumentException(
+        s"TGA plane too large (doc $docId: $w x $h)")
     (w, h, 18)
   }
 

@@ -52,14 +52,28 @@ object PipelineCaches {
     * here recompute if re-read, which is correct but untimed-tax.
     * Single-caller-at-a-time by contract (foreachBatch steps are
     * sequential); a concurrent track() from another thread during
-    * `body` would be released with the batch. */
+    * `body` would be released with the batch.
+    *
+    * Bookkeeping is by frame IDENTITY, not registry position: a body
+    * that itself triggers a release (`Engines.releaseAll()` after
+    * acting on verdicts — the documented post-action drain — or a
+    * concurrent session's `release(session)`) shrinks or clears the
+    * registry mid-scope, and a positional mark would then either
+    * unpersist PRE-scope frames (the live static index) or crash on a
+    * negative remove count (review r14 #1). */
   private[graft] def releasingBatchScope[T](body: => T): T = {
-    val mark = synchronized { frames.length }
+    val before = synchronized {
+      val s = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+      frames.foreach(s.add)
+      s
+    }
     try body
     finally synchronized {
-      frames.drop(mark).foreach(f =>
-        try f.unpersist() catch { case _: Throwable => () })
-      frames.remove(mark, frames.length - mark)
+      val (added, kept) = frames.partition(f => !before.contains(f))
+      added.foreach(f => try f.unpersist() catch { case _: Throwable => () })
+      frames.clear()
+      frames ++= kept
     }
   }
 

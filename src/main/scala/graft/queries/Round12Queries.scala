@@ -285,7 +285,8 @@ object Round12Queries {
     // engine side against an independent byte-level simulation.
     QueryDef(
       "qp98_pgm_resize",
-      Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+      Some(OracleBytes.expand(
+        """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
                 hex(encode(text)) AS hx FROM documents),
           g AS (SELECT doc_id, len, hx,
                 8 + len % 32 AS w, 8 + (len * 5) % 32 AS h FROM d),
@@ -296,17 +297,12 @@ object Round12Queries {
                      + ow * oh AS BIGINT) AS n_bytes,
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, ow * oh), i ->
-                    CAST(CASE WHEN len = 0 THEN 32 ELSE
-                      strpos('123456789ABCDEF', substr(hx, CAST(2 * ((((i // ow) * h // oh) * w
-                        + (i % ow) * w // ow) % len) + 1 AS INTEGER), 1)) * 16 +
-                      strpos('123456789ABCDEF', substr(hx, CAST(2 * ((((i // ow) * h // oh) * w
-                        + (i % ow) * w // ow) % len) + 2 AS INTEGER), 1))
-                    END AS BIGINT))),
+                    CAST(BYTEAT{((i // ow) * h // oh) * w + (i % ow) * w // ow} AS BIGINT))),
                   (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash
                 FROM o)
           SELECT doc_id, CAST(ow AS INTEGER) AS width,
               CAST(oh AS INTEGER) AS height, n_bytes, plane_hash
-          FROM p ORDER BY doc_id"""),
+          FROM p ORDER BY doc_id""")),
       (s, dir) =>
         Multimodal.ppmPlaneMeta(Multimodal.resizePpm(Multimodal.encodePgm(
             Tables.load(s, dir, "documents"), "doc_id", "text"), 2, 3))

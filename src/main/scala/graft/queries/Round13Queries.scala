@@ -206,7 +206,8 @@ object Round13Queries {
     // indexing, so the oracle holds on non-ASCII text too.
     QueryDef(
       "qp104_bmp_resize",
-      Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+      Some(OracleBytes.expand(
+        """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
                 hex(encode(text)) AS hx FROM documents),
           g AS (SELECT doc_id, len, hx,
                 8 + len % 32 AS w, 8 + (len * 7) % 32 AS h FROM d),
@@ -216,17 +217,13 @@ object Round13Queries {
                 CAST(54 + oh * ((3 * ow + 3) // 4 * 4) AS BIGINT) AS n_bytes,
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, ow * oh * 3), i ->
-                    CAST(CASE WHEN len = 0 THEN 32 ELSE
-                      strpos('123456789ABCDEF', substr(hx, CAST(2 * ((((((i // 3) // ow) * h // oh) * w
-                        + ((i // 3) % ow) * w // ow) * 3 + (i % 3)) % len) + 1 AS INTEGER), 1)) * 16 +
-                      strpos('123456789ABCDEF', substr(hx, CAST(2 * ((((((i // 3) // ow) * h // oh) * w
-                        + ((i // 3) % ow) * w // ow) * 3 + (i % 3)) % len) + 2 AS INTEGER), 1))
-                    END AS BIGINT))),
+                    CAST(BYTEAT{((((i // 3) // ow) * h // oh) * w
+                      + ((i // 3) % ow) * w // ow) * 3 + (i % 3)} AS BIGINT))),
                   (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash
                 FROM o)
           SELECT doc_id, CAST(ow AS INTEGER) AS width,
               CAST(oh AS INTEGER) AS height, n_bytes, plane_hash
-          FROM p ORDER BY doc_id"""),
+          FROM p ORDER BY doc_id""")),
       (s, dir) =>
         Multimodal.bmpPlaneMeta(Multimodal.resizeBmp(Multimodal.encodeBmp(
             Tables.load(s, dir, "documents"), "doc_id", "text"), 2, 3))

@@ -23,15 +23,7 @@ import graft.pipeline.{Curation, Dedup, Multimodal}
   */
 object Round14Queries {
 
-  /** Byte j (0-based) of the document text's UTF-8 encoding, extracted
-    * from `hx = hex(encode(text))` — two hex digits via strpos over
-    * '123456789ABCDEF' (a missing digit is '0' → strpos 0 = its value);
-    * empty docs read the space fill byte. Shared by the qp107 oracle's
-    * pixel, packet and hash CTEs so the three cannot drift. */
-  private def byteAt(j: String): String =
-    s"""(CASE WHEN len = 0 THEN 32 ELSE
-       strpos('123456789ABCDEF', substr(hx, CAST(2 * (($j) % len) + 1 AS INTEGER), 1)) * 16 +
-       strpos('123456789ABCDEF', substr(hx, CAST(2 * (($j) % len) + 2 AS INTEGER), 1)) END)"""
+  import OracleBytes.byteAt
 
   /** The qp107 oracle: predict the RLE-compressed TGA payload size and
     * the decoded-plane checksum from the fixture construction. Packet

@@ -221,16 +221,14 @@ object Round4Queries {
     // and planted-passage proofs. Powers capped at 4096 ≡ the chunker's
     // max window; docs are ≤ ~600 bytes (TESTDATA), well under it.
     QueryDef("qp61_cdc_shared_chunks",
-      Some("""WITH RECURSIVE
+      Some(OracleBytes.expand("""WITH RECURSIVE
           d AS (SELECT doc_id, hex(encode(text)) AS hx,
                 octet_length(encode(text)) AS len
                 FROM documents WHERE octet_length(encode(text)) > 0),
           pre AS (
             SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS ph, len, hx FROM d
             UNION ALL
-            SELECT doc_id, i + 1, (ph * 257 +
-                   strpos('123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) * 16 +
-                   strpos('123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1))) % 1000000007,
+            SELECT doc_id, i + 1, (ph * 257 + BYTEAT{i}) % 1000000007,
                    len, hx
             FROM pre WHERE i < len),
           pw AS (
@@ -263,7 +261,7 @@ object Round4Queries {
                  WHERE a.doc_id < b.doc_id
                  GROUP BY a.doc_id, b.doc_id)
           SELECT id_a, id_b, shared_chunks FROM p2
-          WHERE shared_chunks >= 2 ORDER BY id_a, id_b"""),
+          WHERE shared_chunks >= 2 ORDER BY id_a, id_b""")),
       (s, dir) => graft.pipeline.Dedup.sharedChunkPairs(
         graft.Tables.load(s, dir, "documents"), "doc_id", "text",
         window = 32, maskBits = 6, minSize = 16, minShared = 2,

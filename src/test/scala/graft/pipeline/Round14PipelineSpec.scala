@@ -509,6 +509,27 @@ class Round14PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- replay runner per-batch release ------------------------------------
 
+  test("batch scope: survives a release fired inside the body (identity bookkeeping)") {
+    import spark.implicits._
+    // a body following the documented post-action drain pattern clears
+    // the registry mid-scope; positional bookkeeping either crashed on
+    // a negative remove count or unpersisted pre-scope frames
+    val preScope = PipelineCaches.track(
+      Seq(1L, 2L).toDF("x").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    preScope.count()
+    val out = PipelineCaches.releasingBatchScope {
+      val inScope = PipelineCaches.track(
+        Seq(3L).toDF("y").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      inScope.count()
+      PipelineCaches.releaseAll() // the documented post-action drain
+      42
+    }
+    assert(out == 42)
+    // scope exit must not throw and must not have resurrected anything
+    PipelineCaches.releaseAll(blocking = true)
+    graft.queries.Engines.releaseAll(blocking = true)
+  }
+
   test("replay runner: batch working sets are released per micro-batch") {
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
     val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
