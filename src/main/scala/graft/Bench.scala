@@ -2,6 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.collection.immutable.ListMap
 
+/** In-file sub-timings for entries whose single number spans several
+  * production phases (VERDICT r14 #2: qp105's official spread was 78 s
+  * because build+bucketed-write and load+classify share one line — an
+  * ambient hit is unattributable without a phase split). Entry code
+  * records `<entry>.<phase>` seconds here; Bench emits the map as a
+  * `"phases"` object in the full JSON line, keeping the MINIMUM across
+  * repetitions (same convention as the isolated column: the min is the
+  * reproducible cost, the spread is ambient). */
+object BenchPhases {
+  private val m = scala.collection.mutable.Map.empty[String, Double]
+  def record(key: String, sec: Double): Unit = synchronized {
+    m.update(key, math.min(sec, m.getOrElse(key, Double.MaxValue)))
+  }
+  def timed[T](key: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    record(key, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+  def snapshot: Map[String, Double] = synchronized { m.toMap }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -225,6 +247,42 @@ object Bench {
 
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
 
+    // ---- snapshot plumbing (round 15, VERDICT r14 #1) ----
+    // The official r14 bench run was killed on the driver's wall budget
+    // DURING the isolated pass and the round ended with parsed:null —
+    // because the one snapshot write sat after the whole pass. The file
+    // is now written (a) right after the suite finishes, (b) again after
+    // EVERY isolated child, so a kill at any instant leaves a complete,
+    // parseable suite snapshot with whatever isolated columns finished.
+    def fmtFull(v: Double) = String.format(java.util.Locale.ROOT, "%.4f",
+      java.lang.Double.valueOf(v))
+    val qs = withCold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = failures.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    val good = withCold.values.filter(_ >= 0)
+    val total = if (good.nonEmpty) good.sum else 0.0
+    def fullLineJson(iso: Seq[(String, (Double, Double))],
+        shed: Seq[String]): String = {
+      val isoJ = iso.map { case (k, (mn, sp)) =>
+        "\"" + k + "\":{\"min\":" + mn + ",\"spread\":" + sp + "}"
+      }.mkString("{", ",", "}")
+      val shedJ = shed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val phasesJ = BenchPhases.snapshot.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + fmtFull(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""isolated":$isoJ,"isolated_shed":$shedJ,"phases":$phasesJ,""" +
+        s""""failed":$errJson,"sf":"$sfDir"}"""
+    }
+    // a filtered (targeted) run must not clobber the full-suite snapshot
+    def writeSnapshot(line: String): Unit =
+      if (only.isEmpty)
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_SELF.json"),
+          line.getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+    writeSnapshot(fullLineJson(Nil, Nil)) // suite-only snapshot, pre-pass
+
     // ---- fresh-JVM isolated re-measures (round 11, VERDICT r10 #3) ----
     // Suite numbers carry an ambient tide (GC state, shuffle residue,
     // machine load) that cost a judge/builder adjudication session two
@@ -239,10 +297,13 @@ object Bench {
     val isoMode = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "")
     // per entry: (min, spread) over the child's three repetitions —
     // round-over-round comparisons use min; a large spread flags a
-    // per-JVM mode outlier without a second adjudication run
-    val isolated: ListMap[String, (Double, Double)] =
+    // per-JVM mode outlier without a second adjudication run.
+    // Children shed by the pass's total budget (below) are listed so the
+    // cut is never silent.
+    val isoShed = scala.collection.mutable.ListBuffer.empty[String]
+    val isolated: Seq[(String, (Double, Double))] =
       if (isoMode == "0" || (only.nonEmpty && isoMode != "force"))
-        ListMap.empty
+        Nil
       else {
         // ≥ 2 s suite entries, slowest first, capped at 16 children.
         // Each child runs the entry ~6× (3 untimed warmups + 3 timed
@@ -273,8 +334,22 @@ object Bench {
         val calib = "q01_agg_pricing"
         val heavy = (if (SparkEntry.queries.contains(calib)) Seq(calib)
                      else Nil) ++ heavy0.filterNot(_ == calib)
-        ListMap(heavy.flatMap { n =>
-          try {
+        // TOTAL budget across the pass (VERDICT r14 #1c): the per-child
+        // timeout alone admitted 17 children × ≤600 s ≈ 2.8 h worst
+        // case, which a degraded ambient window converted into a driver
+        // kill and a lost round of performance evidence. The pass now
+        // sheds remaining children — loudly — once the budget is spent;
+        // every completed column is already on disk by then.
+        val isoBudgetSec = sys.env.get("SPARK_GRAFT_ISO_BUDGET")
+          .flatMap(_.toLongOption).getOrElse(1200L)
+        val isoStart = System.nanoTime()
+        val acc = scala.collection.mutable.ListBuffer.empty[(String, (Double, Double))]
+        heavy.foreach { n =>
+          val remaining =
+            isoBudgetSec - ((System.nanoTime() - isoStart) / 1e9).toLong
+          // below ~3 min a child can't even finish its warmups — shed
+          if (remaining < 180) { isoShed += n }
+          else try {
             // the _cold line's child runs the REAL entry under the
             // cold-CC flag; its iso_reps print under the real name but
             // the parent records them under the synthetic cold key
@@ -315,9 +390,12 @@ object Bench {
             // prepended calibration entry has no suite time in withCold
             // — a throwing lookup here would silently drop the
             // calibration column AND leak the already-started child
-            // (review r14 #2)
-            val timeoutSec = math.min(600L,
-              math.max(240L, (withCold.getOrElse(n, 0.0) * 30).toLong))
+            // (review r14 #2).
+            // `min(remaining)`: a child may never outlive the pass's
+            // total budget — launching a 600 s child with 200 s of
+            // budget left is how r14's pass blew the driver's wall
+            val timeoutSec = math.min(remaining, math.min(600L,
+              math.max(240L, (withCold.getOrElse(n, 0.0) * 30).toLong)))
             val res = if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
               p.destroyForcibly()
               p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
@@ -344,30 +422,25 @@ object Bench {
               }
             }
             java.nio.file.Files.deleteIfExists(outPath)
-            res
-          } catch { case _: Throwable => None }
-        }: _*)
+            res.foreach(acc += _)
+            // incremental durability: every completed child lands on
+            // disk immediately — a kill mid-pass loses at most the
+            // in-flight child, never the suite or earlier columns
+            writeSnapshot(fullLineJson(acc.toSeq, isoShed.toSeq))
+          } catch { case _: Throwable => () }
+        }
+        if (isoShed.nonEmpty)
+          System.err.println(
+            s"[bench] isolated pass budget ($isoBudgetSec s) exhausted; " +
+              s"shed ${isoShed.size} child(ren): ${isoShed.mkString(", ")}")
+        acc.toSeq
       }
 
-    val qs = withCold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val iso = isolated.map { case (k, (mn, sp)) =>
-      "\"" + k + "\":{\"min\":" + mn + ",\"spread\":" + sp + "}"
-    }.mkString("{", ",", "}")
-    val good = withCold.values.filter(_ >= 0)
-    val total = if (good.nonEmpty) good.sum else 0.0
-    val errJson = failures.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"failed":$errJson,"sf":"$sfDir"}"""
+    val fullLine = fullLineJson(isolated, isoShed.toSeq)
     // Full-precision record first (humans / full logs), and to a file the
     // judge can read from the repo even when stdout is tail-truncated.
     println(fullLine)
-    // a filtered (targeted) run must not clobber the full-suite snapshot
-    if (only.isEmpty)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_SELF.json"),
-        fullLine.getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+    writeSnapshot(fullLine)
 
     // The harness captures only the LAST ~2000 chars of stdout and parses
     // the final JSON line. With 100+ entries the full map can never fit
