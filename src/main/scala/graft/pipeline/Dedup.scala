@@ -589,6 +589,15 @@ object Dedup {
   def writeIndexTables(index: CorpusShingleIndex, namePrefix: String,
       buckets: Int = 32): Unit = {
     require(buckets >= 1, "bucket count must be >= 1")
+    // unqualified names only (ADVICE r14 #2): clearStale below derives
+    // the managed location from the CURRENT database — a qualified
+    // prefix ("db.idx") would make the path guess wrong, either
+    // no-op'ing the cleanup or deleting an unrelated directory named
+    // like the qualified string; callers select the database via
+    // spark.catalog.setCurrentDatabase instead
+    require(!namePrefix.contains('.'),
+      s"index table prefix must be unqualified (got '$namePrefix'); " +
+        "set the current database instead of qualifying the prefix")
     val spark = index.fps.sparkSession
     // an in-memory catalog (the local default) forgets tables at
     // process exit but the managed LOCATION survives on disk, and
@@ -644,7 +653,56 @@ object Dedup {
     * the qp105 entry and its plan pin prove. */
   def loadCorpusShingleIndex(spark: org.apache.spark.sql.SparkSession,
       namePrefix: String): CorpusShingleIndex = {
-    val meta = spark.table(s"${namePrefix}_meta").head()
+    // deployment-contract validation (VERDICT r14 #6): the write is five
+    // saveAsTable calls with no transaction, so a half-completed write,
+    // a table someone re-wrote without bucketing, or tables from an
+    // incompatible layout must fail HERE with a purposeful error — not
+    // as a downstream AnalysisException mid-classify or, worse, as
+    // silently wrong verdicts off a re-shuffled corpus side.
+    val expected = Seq(
+      (s"${namePrefix}_fps", Some("__fp")),
+      (s"${namePrefix}_dfreq", Some("h")),
+      (s"${namePrefix}_prefix", Some("h")),
+      (s"${namePrefix}_arrs", Some("id")),
+      (s"${namePrefix}_meta", None))
+    val missing = expected.collect {
+      case (t, _) if !spark.catalog.tableExists(t) => t
+    }
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"corpus shingle index '$namePrefix' is incomplete: missing " +
+          s"table(s) ${missing.mkString(", ")} — a half-finished " +
+          "writeIndexTables? rebuild and re-write the index")
+    expected.foreach { case (t, key) =>
+      key.foreach { k =>
+        // DESCRIBE EXTENDED is the public, version-stable way to read
+        // the bucket spec back (the catalog API doesn't expose it)
+        val desc = spark.sql(s"DESCRIBE EXTENDED $t").collect()
+          .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+          .toMap
+        val bucketCols = desc.getOrElse("Bucket Columns", "")
+        if (!bucketCols.contains(s"`$k`"))
+          throw new IllegalStateException(
+            s"index table $t is not bucketed on `$k` (found " +
+              s"${if (bucketCols.isEmpty) "no bucketing" else bucketCols}) " +
+              "— written by an incompatible graft version or overwritten " +
+              "out-of-band; re-run writeIndexTables")
+      }
+    }
+    val metaDf = spark.table(s"${namePrefix}_meta")
+    val metaCols = Set("shingle_n", "threshold_num", "threshold_den",
+      "max_posting", "dropped_postings")
+    if (!metaCols.subsetOf(metaDf.columns.toSet))
+      throw new IllegalStateException(
+        s"index meta table ${namePrefix}_meta lacks column(s) " +
+          s"${(metaCols -- metaDf.columns.toSet).mkString(", ")} — " +
+          "written by an incompatible graft version")
+    val metaRows = metaDf.collect()
+    if (metaRows.length != 1)
+      throw new IllegalStateException(
+        s"index meta table ${namePrefix}_meta has ${metaRows.length} " +
+          "row(s), expected exactly 1 — corrupt deployment")
+    val meta = metaRows(0)
     CorpusShingleIndex(
       fps = spark.table(s"${namePrefix}_fps"),
       dfreq = spark.table(s"${namePrefix}_dfreq"),

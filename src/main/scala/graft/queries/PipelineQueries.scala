@@ -509,24 +509,34 @@ object PipelineQueries {
     // byte of payload drift — is a hash-fail.
     QueryDef(
       "qp58_multimodal_meta",
-      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len, text
-                FROM documents),
-          g AS (SELECT doc_id, len,
-                CAST(8 + len % 32 AS INTEGER) AS w,
-                CAST(8 + (len * 3) % 32 AS INTEGER) AS h,
-                CASE WHEN len = 0 THEN ' ' ELSE text END AS src,
-                CASE WHEN len = 0 THEN 1 ELSE len END AS srclen FROM d),
-          p AS (SELECT doc_id, w, h,
-                'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) ||
-                  substring(repeat(src, CAST((w * h * 3 + srclen - 1) // srclen AS INTEGER)),
-                            1, w * h * 3) AS payload
-                FROM g)
+      // byte-indexed oracle (round 15, VERDICT r14 #7): checksum is now
+      // the base-131 payload fold instead of md5-of-VARCHAR, so the
+      // entry holds on non-ASCII documents too (the old payload
+      // reconstruction was character-based; header bytes ARE ASCII, so
+      // ascii(substr(hdr,…)) is exact for them, and the plane bytes
+      // come from hex(encode(text)) like every other codec oracle)
+      Some(OracleBytes.expand(
+        """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+                hex(encode(text)) AS hx FROM documents),
+          g AS (SELECT doc_id, len, hx,
+                8 + len % 32 AS w, 8 + (len * 3) % 32 AS h FROM d),
+          p AS (SELECT doc_id, len, hx, w, h,
+                'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS hdr
+                FROM g),
+          f AS (SELECT doc_id, w, h, length(hdr) AS hlen,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, length(hdr) + w * h * 3), j -> CAST(
+                    CASE WHEN j < length(hdr)
+                         THEN ascii(substr(hdr, CAST(j + 1 AS INTEGER), 1))
+                         ELSE BYTEAT{j - length(hdr)} END AS BIGINT))),
+                  (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+                FROM p)
           SELECT doc_id, 'ppm' AS format,
-              CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS n_bytes,
-              w AS width, h AS height, md5(payload) AS checksum
-          FROM p ORDER BY doc_id"""),
+              CAST(hlen + w * h * 3 AS BIGINT) AS n_bytes,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, checksum
+          FROM f ORDER BY doc_id""")),
       (s, dir) =>
-        Multimodal.decodePpm(Multimodal.encodePpm(
+        Multimodal.pnmPayloadMeta(Multimodal.encodePpm(
             Tables.load(s, dir, "documents"), "doc_id", "text"))
           .toDF()
           .select(col("doc_id"), col("format"), col("n_bytes"),
