@@ -50,6 +50,38 @@ object Round15Queries {
         ph.plane_hash
       FROM g JOIN sz USING (doc_id) JOIN ph USING (doc_id) ORDER BY g.doc_id"""
 
+  /** The qp111 oracle: under literal-only FIXED-HUFFMAN deflate the
+    * compressed size is a pure function of the FILTERED scanline bytes
+    * — 8 bits per value < 144, 9 bits per value ≥ 144 (RFC 1951
+    * §3.2.6), plus 3 block-header + 7 EOB bits and 8 per filter byte —
+    * so the oracle replays the None/Sub filtering byte-for-byte
+    * (odd rows: (b − b₋₃) mod 256 from position 3 on) and accounts the
+    * bit stream exactly; ceil-to-bytes + the 63 fixed container bytes.
+    * plane_hash folds the logical plane as in qp110. idx spans
+    * 3·39·39 = 4563 ≥ 3wh for every possible document. */
+  private val pngHuffOracle: String =
+    s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+          hex(encode(text)) AS hx FROM documents),
+      g AS (SELECT doc_id, len, hx, 8 + len % 32 AS w,
+            8 + (len * 17) % 32 AS h FROM d),
+      idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 4563)),
+      fb AS (SELECT g.doc_id, idx.i,
+              CASE WHEN ((idx.i // (3 * g.w)) % 2) = 1 AND (idx.i % (3 * g.w)) >= 3
+                   THEN ((${byteAt("idx.i")} - ${byteAt("idx.i - 3")}) % 256 + 256) % 256
+                   ELSE ${byteAt("idx.i")} END AS v
+             FROM g JOIN idx ON idx.i < 3 * g.w * g.h),
+      bt AS (SELECT doc_id, SUM(CASE WHEN v >= 144 THEN 9 ELSE 8 END) AS pb
+             FROM fb GROUP BY doc_id),
+      sz AS (SELECT g.doc_id, 3 + 7 + 8 * g.h + bt.pb AS bits
+             FROM g JOIN bt USING (doc_id)),
+      ph AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, w * h * 3), j -> CAST(${byteAt("j")} AS BIGINT))),
+              (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash FROM g)
+      SELECT g.doc_id, CAST(g.w AS INTEGER) AS width, CAST(g.h AS INTEGER) AS height,
+        CAST(63 + (sz.bits + 7) // 8 AS BIGINT) AS n_bytes, ph.plane_hash
+      FROM g JOIN sz ON sz.doc_id = g.doc_id JOIN ph ON ph.doc_id = g.doc_id
+      ORDER BY g.doc_id"""
+
   /** The qp108 oracle: three classifications against a GROWING corpus —
     * batch 1 vs the base corpus, batch 2 vs corpus ∪ b1 (the appended
     * index), batch 3 vs corpus ∪ b1 ∪ b2 (the REBUILT index). Verdicts
@@ -229,6 +261,19 @@ object Round15Queries {
       Some(pngOracle),
       (s, dir) =>
         Multimodal.pngPlaneMeta(Multimodal.encodePng(
+            Tables.load(s, dir, "documents"), "doc_id", "text"))
+          .toDF()
+          .orderBy(col("doc_id"))),
+
+    // ---- qp111: PNG under REAL entropy coding (fixed Huffman) ------------
+    // the oracle predicts the entropy-coded size bit-for-bit from the
+    // filtered scanlines; plane_hash proves the Huffman decode undid
+    // the whole stack (codewords → raw stream → Adler → filters)
+    QueryDef(
+      "qp111_png_huffman_roundtrip",
+      Some(pngHuffOracle),
+      (s, dir) =>
+        Multimodal.pngPlaneMeta(Multimodal.encodePngHuffman(
             Tables.load(s, dir, "documents"), "doc_id", "text"))
           .toDF()
           .orderBy(col("doc_id")))

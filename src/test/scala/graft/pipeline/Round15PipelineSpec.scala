@@ -143,12 +143,13 @@ class Round15PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     c(nlenOff) = (c(nlenOff) ^ 0x01).toByte; recrc(c, idatChunk)
     assert(intercept[IllegalArgumentException](decode(c)).getMessage.contains("NLEN"))
 
-    // (d) compressed block type → purposeful stored-only error
+    // (d) dynamic-Huffman block type → purposeful error naming the
+    // limitation (BFINAL=1, BTYPE=10 → header byte 0x05)
     val d = good.clone()
     val bhdrOff = idatChunk + 8 + 2
-    d(bhdrOff) = (d(bhdrOff) | 0x02).toByte; recrc(d, idatChunk)
+    d(bhdrOff) = 0x05.toByte; recrc(d, idatChunk)
     assert(intercept[IllegalArgumentException](decode(d)).getMessage
-      .contains("stored blocks only"))
+      .contains("dynamic-Huffman"))
 
     // (e) hostile IHDR geometry → implausible-for-payload, BEFORE allocation
     val e = good.clone()
@@ -172,6 +173,104 @@ class Round15PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException](decode(withChunk("XABC")))
       .getMessage.contains("critical"))
     decode(withChunk("tEXt")) // ancillary: skipped, no throw
+  }
+
+  // ---- PNG fixed-Huffman (real entropy coding) ------------------------------
+
+  test("png huffman: non-ASCII roundtrip + exact bit accounting") {
+    import spark.implicits._
+    val text = "ünïcode ありがとう 测试 — high bytes everywhere"
+    val raw = text.getBytes("UTF-8")
+    assert(raw.exists(b => (b & 0xFF) >= 144),
+      "fixture must exercise the 9-bit codeword path")
+    val df = Seq((13L, text)).toDF("doc_id", "text")
+    val (w, h) = (8 + raw.length % 32, 8 + (raw.length * 17) % 32)
+    val meta = Multimodal.pngPlaneMeta(
+      Multimodal.encodePngHuffman(df, "doc_id", "text")).collect()(0)
+    val expect = fold((0 until w * h * 3).iterator.map(i => raw(i % raw.length) & 0xFF))
+    assert(meta.width == w && meta.height == h && meta.plane_hash == expect)
+    // independent bit accounting: 3 header + 7 EOB + 8 per filter byte
+    // + 8/9 per filtered scanline byte (the oracle's formula, in JVM)
+    def plane(i: Int): Int = raw(i % raw.length) & 0xFF
+    val stride = 3 * w
+    var bits = 3L + 7 + 8L * h
+    (0 until h * stride).foreach { i =>
+      val r = i / stride; val x = i % stride
+      val v =
+        if (r % 2 == 1 && x >= 3) ((plane(i) - plane(i - 3)) % 256 + 256) % 256
+        else plane(i)
+      bits += (if (v >= 144) 9 else 8)
+    }
+    assert(meta.n_bytes == 63L + (bits + 7) / 8,
+      s"entropy-coded size drifted: ${meta.n_bytes} vs ${63 + (bits + 7) / 8}")
+  }
+
+  test("png huffman: encoder output inflates under java.util.zip (reference impl)") {
+    import spark.implicits._
+    val df = Seq((14L, "cross validation against the platform inflater")).toDF("doc_id", "text")
+    val payload = Multimodal.encodePngHuffman(df, "doc_id", "text").collect()(0).data
+    val idatLen = java.nio.ByteBuffer.wrap(payload, 33, 4).getInt
+    val zlib = payload.slice(41, 41 + idatLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(zlib)
+    val out = new Array[Byte](1 << 20)
+    val n = inf.inflate(out)
+    assert(inf.finished(), "platform inflater did not reach end of stream")
+    // the raw stream the reference implementation sees must equal ours:
+    // decode through parsePngPlane and re-filter
+    val (w, h, logical) = Multimodal.parsePngPlane(payload, 14L)
+    val stride = 3 * w
+    assert(n == h * (1 + stride))
+    (0 until h).foreach { r =>
+      val filt = out(r * (1 + stride)) & 0xFF
+      assert(filt == (r % 2), s"row $r filter byte $filt")
+      (0 until stride).foreach { x =>
+        val recon =
+          if (filt == 0) out(r * (1 + stride) + 1 + x)
+          else ((out(r * (1 + stride) + 1 + x) +
+            (if (x < 3) 0 else logical(r * stride + x - 3))).toByte)
+        assert(recon == logical(r * stride + x),
+          s"raw stream diverges at row $r pos $x")
+      }
+    }
+  }
+
+  test("png huffman: LZ77 back-references incl. overlapping copies decode") {
+    // hand-built fixed-Huffman stream the internal encoder never emits:
+    // literal 0x00, literal 0x00, then length-10/distance-1 overlap →
+    // twelve zero bytes = three rows of a 1×3 PNG (filter 0 + 3 zero px)
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+    def putBits(v: Int, n: Int): Unit = (0 until n).foreach(i => bits += ((v >> i) & 1))
+    def putCode(c: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach(i => bits += ((c >> i) & 1))
+    putBits(1, 1); putBits(1, 2) // BFINAL, BTYPE=01
+    putCode(0x30, 8); putCode(0x30, 8) // two literal 0x00
+    putCode(264 - 256, 7) // length symbol 264 = 10, no extra bits
+    putCode(0, 5) // distance symbol 0 = 1, no extra bits
+    putCode(0, 7) // EOB
+    val deflate = bits.grouped(8).map(g =>
+      g.zipWithIndex.foldLeft(0) { case (a, (b, i)) => a | (b << i) }.toByte).toArray
+    val rawStream = new Array[Byte](12)
+    val adler = new java.util.zip.Adler32; adler.update(rawStream)
+    val zlib = new java.io.ByteArrayOutputStream()
+    zlib.write(0x78); zlib.write(0x01); zlib.write(deflate, 0, deflate.length)
+    zlib.write(java.nio.ByteBuffer.allocate(4).putInt(adler.getValue.toInt).array())
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      out.write(tpe.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(1).putInt(3)
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array()); chunk("IDAT", zlib.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val (w, h, logical) = Multimodal.parsePngPlane(out.toByteArray, 99L)
+    assert(w == 1 && h == 3 && logical.forall(_ == 0),
+      "overlapping back-reference did not reconstruct the zero plane")
   }
 
   // ---- TGA hostile header + footer (ADVICE r14 #1/#4) ----------------------
