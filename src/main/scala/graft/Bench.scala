@@ -26,6 +26,7 @@ object BenchPhases {
 
 object Bench {
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -338,10 +339,18 @@ object Bench {
         // timeout alone admitted 17 children × ≤600 s ≈ 2.8 h worst
         // case, which a degraded ambient window converted into a driver
         // kill and a lost round of performance evidence. The pass now
-        // sheds remaining children — loudly — once the budget is spent;
-        // every completed column is already on disk by then.
+        // sheds children — loudly — once the budget is spent; every
+        // completed column is already on disk by then. The default is
+        // ADAPTIVE: it targets ≤ ~55 min of TOTAL run, so a degraded
+        // (slow) suite window automatically shrinks the isolated pass
+        // instead of stacking a full pass on top of an already-long
+        // suite (a measured-normal suite is ~28 min wall → the 1200 s
+        // cap applies; a 1.5×-degraded suite (~42 min) leaves ~750 s).
         val isoBudgetSec = sys.env.get("SPARK_GRAFT_ISO_BUDGET")
-          .flatMap(_.toLongOption).getOrElse(1200L)
+          .flatMap(_.toLongOption).getOrElse {
+            val suiteWall = ((System.nanoTime() - benchT0) / 1e9).toLong
+            math.max(300L, math.min(1200L, 3300L - suiteWall))
+          }
         val isoStart = System.nanoTime()
         val acc = scala.collection.mutable.ListBuffer.empty[(String, (Double, Double))]
         heavy.foreach { n =>

@@ -753,14 +753,19 @@ object Multimodal {
     val a = adler.getValue
     zlib.write(((a >> 24) & 0xFF).toInt); zlib.write(((a >> 16) & 0xFF).toInt)
     zlib.write(((a >> 8) & 0xFF).toInt); zlib.write((a & 0xFF).toInt)
-    // container: signature + IHDR + IDAT + IEND, CRC-32 per chunk
-    val out = new java.io.ByteArrayOutputStream(zlib.size + 64)
+    pngContainer(w, h, zlib.toByteArray)
+  }
+
+  /** Wrap a complete zlib stream as the PNG container: signature +
+    * IHDR + one IDAT + IEND, CRC-32 per chunk. */
+  private def pngContainer(w: Int, h: Int, zlib: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(zlib.length + 64)
     out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
     ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
     writePngChunk(out, "IHDR", ihdr.array())
-    writePngChunk(out, "IDAT", zlib.toByteArray)
+    writePngChunk(out, "IDAT", zlib)
     writePngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
@@ -883,15 +888,44 @@ object Multimodal {
     val a = adler.getValue
     zlib.write(((a >> 24) & 0xFF).toInt); zlib.write(((a >> 16) & 0xFF).toInt)
     zlib.write(((a >> 8) & 0xFF).toInt); zlib.write((a & 0xFF).toInt)
-    val out = new java.io.ByteArrayOutputStream(zlib.size + 64)
-    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-    ihdr.putInt(w).putInt(h)
-    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-    writePngChunk(out, "IHDR", ihdr.array())
-    writePngChunk(out, "IDAT", zlib.toByteArray)
-    writePngChunk(out, "IEND", Array.emptyByteArray)
-    out.toByteArray
+    pngContainer(w, h, zlib.toByteArray)
+  }
+
+  /** Build the PNG through java.util.zip.Deflater — the platform's
+    * REAL zlib at its default level: the compressor picks stored /
+    * fixed / DYNAMIC-Huffman blocks per its own heuristics (with LZ77
+    * matches), and [[parsePngPlane]]'s full RFC 1951 inflater decodes
+    * whatever it chose. The qp112 oracle checks geometry + decoded
+    * plane; n_bytes is deliberately NOT in the entry — the block-choice
+    * heuristics aren't replayable in SQL, and that is the point: this
+    * entry proves the DECODER on externally-compressed payloads, the
+    * class a production pipeline actually ingests. Dimensions:
+    * w = 8 + len % 32, h = 8 + 19·len % 32 (multiplier distinct from
+    * all six sibling fixtures). */
+  def encodePngZlib(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+        val len = raw.length
+        val w = 8 + len % 32
+        val h = 8 + (len * 19) % 32
+        val src = if (len == 0) Array(' '.toByte) else raw
+        val logical = Array.tabulate(w * h * 3)(i => src(i % src.length))
+        val scan = filterScanlines(w, h, logical)
+        val d = new java.util.zip.Deflater() // zlib wrapper, default level
+        d.setInput(scan); d.finish()
+        val zout = new java.io.ByteArrayOutputStream(scan.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) {
+          val n = d.deflate(buf)
+          zout.write(buf, 0, n)
+        }
+        d.end()
+        MediaItem(id, "png", pngContainer(w, h, zout.toByteArray))
+      }
   }
 
   // RFC 1951 §3.2.5 length/distance code tables (symbols 257–285 / 0–29)
@@ -905,14 +939,69 @@ object Multimodal {
   private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
     6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
 
-  /** A REAL inflate over `z[start, end)` into `out`: stored blocks
-    * (LEN/NLEN integrity) and fixed-Huffman blocks — the full RFC 1951
-    * §3.2.6 decode: canonical 7/8/9-bit literal/length codes read
-    * MSB-first off the LSB-first bit stream, length/distance extra
-    * bits, and LZ77 back-reference copies (byte-by-byte forward, so
-    * overlapping RLE-style copies work). Dynamic-Huffman blocks (BTYPE
-    * 2) fail with an error naming the limitation — the one deflate
-    * feature this reader lacks. Returns the number of bytes written. */
+  /** A canonical Huffman decoding table (RFC 1951 §3.2.2): `counts(l)`
+    * = number of codes of bit-length l, `symbols` sorted by (length,
+    * symbol) — the standard counts/offsets walk decodes one bit at a
+    * time with no materialized code table. Construction rejects
+    * over-subscribed length sets (more codes than a prefix code
+    * admits) — the integrity check a real inflater performs on hostile
+    * dynamic headers. */
+  private final class Huff(lengths: Array[Int], what: String, docId: Long) {
+    val counts = new Array[Int](16)
+    lengths.foreach { l =>
+      if (l < 0 || l > 15)
+        throw new IllegalArgumentException(
+          s"invalid $what code length $l (doc $docId)")
+      if (l > 0) counts(l) += 1
+    }
+    locally {
+      var left = 1
+      var len = 1
+      while (len <= 15) {
+        left <<= 1
+        left -= counts(len)
+        if (left < 0)
+          throw new IllegalArgumentException(
+            s"over-subscribed $what Huffman code (doc $docId)")
+        len += 1
+      }
+    }
+    val symbols = new Array[Int](counts.sum)
+    locally {
+      val off = new Array[Int](16)
+      var l = 1
+      while (l < 15) { off(l + 1) = off(l) + counts(l); l += 1 }
+      var sym = 0
+      while (sym < lengths.length) {
+        val ln = lengths(sym)
+        if (ln > 0) { symbols(off(ln)) = sym; off(ln) += 1 }
+        sym += 1
+      }
+    }
+  }
+
+  // the FIXED code tables (RFC 1951 §3.2.6) expressed as canonical
+  // length sets — the generic walk reproduces the 7/8/9-bit layout
+  // (symbols 256–279 → 7-bit 0x00–0x17, 0–143 → 8-bit 0x30–0xBF,
+  // 280–287 → 8-bit 0xC0–0xC7, 144–255 → 9-bit 0x190–0x1FF)
+  private lazy val FixedLit = new Huff(Array.tabulate(288)(s =>
+    if (s < 144) 8 else if (s < 256) 9 else if (s < 280) 7 else 8),
+    "fixed literal/length", -1L)
+  private lazy val FixedDist =
+    new Huff(Array.fill(32)(5), "fixed distance", -1L)
+
+  /** A REAL inflate over `z[start, end)` into `out` — the full RFC
+    * 1951 decode, all three block types: stored (LEN/NLEN integrity),
+    * fixed-Huffman, and DYNAMIC-Huffman (§3.2.7: the code-length code
+    * in its permuted order, the 16/17/18 run-length meta-symbols with
+    * their repeat guards, canonical table construction with
+    * over-subscription checks, and the required end-of-block code).
+    * Huffman codes are read MSB-first off the LSB-first bit stream;
+    * LZ77 back-references copy byte-by-byte forward, so overlapping
+    * RLE-style copies work. This decodes the output of real zlib
+    * compressors — the spec cross-validates against
+    * java.util.zip.Deflater at several levels, both directions.
+    * Returns the number of bytes written. */
   private def inflate(z: Array[Byte], start: Int, end: Int,
       out: Array[Byte], docId: Long): Int = {
     var bytePos = start
@@ -931,12 +1020,97 @@ object Multimodal {
       while (i < n) { v |= readBit() << i; i += 1 }
       v
     }
-    def readCode(n: Int): Int = { // Huffman codewords: MSB-first
-      var v = 0; var i = 0
-      while (i < n) { v = (v << 1) | readBit(); i += 1 }
-      v
-    }
     var rp = 0
+    // one canonical-code symbol via the counts/offsets walk (§3.2.2)
+    def decodeSym(h: Huff): Int = {
+      var code = 0; var first = 0; var index = 0; var len = 1
+      while (len <= 15) {
+        code |= readBit()
+        val count = h.counts(len)
+        if (code - first < count) return h.symbols(index + (code - first))
+        index += count
+        first = (first + count) << 1
+        code <<= 1
+        len += 1
+      }
+      throw new IllegalArgumentException(
+        s"invalid Huffman code in PNG deflate stream (doc $docId)")
+    }
+    // the §3.2.7 dynamic header: code-length-code lengths in permuted
+    // order, then the literal/length + distance lengths via the
+    // 16/17/18 run-length meta-symbols
+    def readDynamicTables(): (Huff, Huff) = {
+      val hlit = readBits(5) + 257
+      val hdist = readBits(5) + 1
+      val hclen = readBits(4) + 4
+      if (hlit > 286 || hdist > 30)
+        throw new IllegalArgumentException(
+          s"bad dynamic deflate header counts (doc $docId: $hlit/$hdist)")
+      val order = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3,
+        13, 2, 14, 1, 15)
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < hclen) { clLens(order(i)) = readBits(3); i += 1 }
+      val clHuff = new Huff(clLens, "code-length", docId)
+      val lens = new Array[Int](hlit + hdist)
+      i = 0
+      while (i < lens.length) {
+        decodeSym(clHuff) match {
+          case s if s < 16 => lens(i) = s; i += 1
+          case 16 =>
+            if (i == 0)
+              throw new IllegalArgumentException(
+                s"deflate length-repeat with no previous length (doc $docId)")
+            val rep = 3 + readBits(2)
+            if (i + rep > lens.length)
+              throw new IllegalArgumentException(
+                s"deflate length-repeat overruns the tables (doc $docId)")
+            val v = lens(i - 1)
+            var k = 0
+            while (k < rep) { lens(i) = v; i += 1; k += 1 }
+          case s =>
+            val rep = if (s == 17) 3 + readBits(3) else 11 + readBits(7)
+            if (i + rep > lens.length)
+              throw new IllegalArgumentException(
+                s"deflate zero-repeat overruns the tables (doc $docId)")
+            i += rep // lens are zero-initialized
+        }
+      }
+      if (lens(256) == 0)
+        throw new IllegalArgumentException(
+          s"dynamic deflate block lacks an end-of-block code (doc $docId)")
+      (new Huff(lens.slice(0, hlit), "literal/length", docId),
+        new Huff(lens.slice(hlit, hlit + hdist), "distance", docId))
+    }
+    // the shared literal/length/distance symbol loop of block types 1–2
+    def decodeHuffBlock(lit: Huff, dst: Huff): Unit = {
+      var eob = false
+      while (!eob) {
+        val sym = decodeSym(lit)
+        if (sym < 256) {
+          if (rp >= out.length)
+            throw new IllegalArgumentException(
+              s"PNG deflate output overruns the plane (doc $docId)")
+          out(rp) = sym.toByte; rp += 1
+        } else if (sym == 256) eob = true
+        else {
+          if (sym > 285)
+            throw new IllegalArgumentException(
+              s"invalid deflate length symbol $sym (doc $docId)")
+          val len = LenBase(sym - 257) + readBits(LenExtra(sym - 257))
+          val dsym = decodeSym(dst)
+          if (dsym > 29)
+            throw new IllegalArgumentException(
+              s"invalid deflate distance symbol $dsym (doc $docId)")
+          val dist = DistBase(dsym) + readBits(DistExtra(dsym))
+          if (dist > rp || rp + len > out.length)
+            throw new IllegalArgumentException(
+              s"PNG back-reference out of range (doc $docId)")
+          var k = 0
+          while (k < len) { out(rp) = out(rp - dist); rp += 1; k += 1 }
+        }
+      }
+    }
     var fin = false
     while (!fin) {
       fin = readBits(1) == 1
@@ -958,48 +1132,10 @@ object Multimodal {
           System.arraycopy(z, bytePos, out, rp, blen)
           bytePos += blen; rp += blen
         case 1 => // fixed Huffman
-          var eob = false
-          while (!eob) {
-            // canonical fixed code: 7 bits first — 0x00–0x17 are the
-            // length/EOB symbols 256–279; extend to 8 bits for
-            // literals 0–143 (0x30–0xBF) and symbols 280–287
-            // (0xC0–0xC7); extend to 9 for literals 144–255
-            val c7 = readCode(7)
-            val sym =
-              if (c7 <= 0x17) 256 + c7
-              else {
-                val c8 = (c7 << 1) | readBit()
-                if (c8 >= 0x30 && c8 <= 0xBF) c8 - 0x30
-                else if (c8 >= 0xC0 && c8 <= 0xC7) 280 + (c8 - 0xC0)
-                else 144 + (((c8 << 1) | readBit()) - 0x190)
-              }
-            if (sym < 256) {
-              if (rp >= out.length)
-                throw new IllegalArgumentException(
-                  s"PNG deflate output overruns the plane (doc $docId)")
-              out(rp) = sym.toByte; rp += 1
-            } else if (sym == 256) eob = true
-            else {
-              if (sym > 285)
-                throw new IllegalArgumentException(
-                  s"invalid deflate length symbol $sym (doc $docId)")
-              val len = LenBase(sym - 257) + readBits(LenExtra(sym - 257))
-              val dsym = readCode(5)
-              if (dsym > 29)
-                throw new IllegalArgumentException(
-                  s"invalid deflate distance symbol $dsym (doc $docId)")
-              val dist = DistBase(dsym) + readBits(DistExtra(dsym))
-              if (dist > rp || rp + len > out.length)
-                throw new IllegalArgumentException(
-                  s"PNG back-reference out of range (doc $docId)")
-              var k = 0
-              while (k < len) { out(rp) = out(rp - dist); rp += 1; k += 1 }
-            }
-          }
-        case 2 =>
-          throw new IllegalArgumentException(
-            s"dynamic-Huffman PNG deflate block (doc $docId) — this " +
-              "decoder supports stored and fixed-Huffman blocks")
+          decodeHuffBlock(FixedLit, FixedDist)
+        case 2 => // dynamic Huffman (RFC 1951 §3.2.7)
+          val (lit, dst) = readDynamicTables()
+          decodeHuffBlock(lit, dst)
         case other =>
           throw new IllegalArgumentException(
             s"reserved deflate block type $other (doc $docId)")

@@ -149,13 +149,20 @@ object Round13Queries {
         val corpus = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
         val b1 = docs.filter(col("doc_id") % 5 === 0)
         val b2 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
-        val idx = Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
-          shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+        // phase sub-timings (round 15): qp103's isolated spread has been
+        // the suite's widest two rounds running — the in-file split
+        // attributes a degraded rep to the eager build vs the append
+        val idx = graft.BenchPhases.timed("qp103_index_append_loop.build") {
+          Dedup.buildCorpusShingleIndex(corpus, "doc_id", "text",
+            shingleN = 3, thresholdNum = 2, thresholdDen = 5)
+        }
         require(idx.droppedPostings == 0,
           s"qp103 oracle invalid: posting cap dropped ${idx.droppedPostings} bucket(s)")
         // classify + ingest share one batch working set (the production
         // per-batch step); batch 2 then sees corpus ∪ batch 1
-        val (v1raw, idx2) = Dedup.classifyAndAppend(idx, b1, "doc_id", "text")
+        val (v1raw, idx2) = graft.BenchPhases.timed("qp103_index_append_loop.append") {
+          Dedup.classifyAndAppend(idx, b1, "doc_id", "text")
+        }
         val v1 = v1raw.withColumn("batch", lit(1))
         require(idx2.droppedPostings == 0,
           s"qp103 oracle invalid after append: cap dropped ${idx2.droppedPostings} bucket(s)")

@@ -24,6 +24,11 @@ import graft.pipeline.{Curation, Dedup, Multimodal}
   *    per-row None/Sub filters. n_bytes is closed-form per geometry
   *    (stored blocks, chunking included); plane_hash proves the chunk
   *    walk + inflation + filter reconstruction.
+  *  - qp111: PNG under REAL entropy coding — literal-only fixed-Huffman
+  *    deflate, the oracle accounting the bit stream exactly.
+  *  - qp112: PNG compressed by the PLATFORM zlib (java.util.zip
+  *    Deflater: LZ77 + dynamic-Huffman blocks), decoded by our full
+  *    RFC 1951 inflater — the externally-compressed payload class.
   */
 object Round15Queries {
 
@@ -263,6 +268,32 @@ object Round15Queries {
         Multimodal.pngPlaneMeta(Multimodal.encodePng(
             Tables.load(s, dir, "documents"), "doc_id", "text"))
           .toDF()
+          .orderBy(col("doc_id"))),
+
+    // ---- qp112: decode the platform zlib's output (dynamic Huffman) ------
+    // the payload is compressed by java.util.zip.Deflater (default
+    // level: LZ77 matches + dynamic-Huffman blocks) and decoded by OUR
+    // full RFC 1951 inflater — the externally-compressed class a real
+    // pipeline ingests. The oracle checks geometry + decoded plane;
+    // n_bytes is deliberately absent (zlib's block-choice heuristics
+    // are not replayable in SQL — this entry proves the DECODER).
+    QueryDef(
+      "qp112_png_zlib_decode",
+      Some(s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+            hex(encode(text)) AS hx FROM documents),
+        g AS (SELECT doc_id, len, hx, 8 + len % 32 AS w,
+              8 + (len * 19) % 32 AS h FROM d),
+        ph AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(0, w * h * 3), j -> CAST(${byteAt("j")} AS BIGINT))),
+                (a, b) -> (a * 131 + b) % 1000000007) AS plane_hash FROM g)
+        SELECT g.doc_id, CAST(g.w AS INTEGER) AS width,
+          CAST(g.h AS INTEGER) AS height, ph.plane_hash
+        FROM g JOIN ph USING (doc_id) ORDER BY g.doc_id"""),
+      (s, dir) =>
+        Multimodal.pngPlaneMeta(Multimodal.encodePngZlib(
+            Tables.load(s, dir, "documents"), "doc_id", "text"))
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("plane_hash"))
           .orderBy(col("doc_id"))),
 
     // ---- qp111: PNG under REAL entropy coding (fixed Huffman) ------------

@@ -143,13 +143,19 @@ class Round15PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     c(nlenOff) = (c(nlenOff) ^ 0x01).toByte; recrc(c, idatChunk)
     assert(intercept[IllegalArgumentException](decode(c)).getMessage.contains("NLEN"))
 
-    // (d) dynamic-Huffman block type → purposeful error naming the
-    // limitation (BFINAL=1, BTYPE=10 → header byte 0x05)
+    // (d) reserved block type → purposeful error (BFINAL=1, BTYPE=11 →
+    // header byte 0x07); a stored block REINTERPRETED as dynamic
+    // Huffman (0x05) must also fail loudly, wherever its garbage
+    // tables break down
     val d = good.clone()
     val bhdrOff = idatChunk + 8 + 2
-    d(bhdrOff) = 0x05.toByte; recrc(d, idatChunk)
+    d(bhdrOff) = 0x07.toByte; recrc(d, idatChunk)
     assert(intercept[IllegalArgumentException](decode(d)).getMessage
-      .contains("dynamic-Huffman"))
+      .contains("reserved"))
+    val d2 = good.clone()
+    d2(bhdrOff) = 0x05.toByte; recrc(d2, idatChunk)
+    val eDyn = intercept[IllegalArgumentException](decode(d2))
+    assert(eDyn.getMessage != null && eDyn.getMessage.nonEmpty)
 
     // (e) hostile IHDR geometry → implausible-for-payload, BEFORE allocation
     val e = good.clone()
@@ -271,6 +277,89 @@ class Round15PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (w, h, logical) = Multimodal.parsePngPlane(out.toByteArray, 99L)
     assert(w == 1 && h == 3 && logical.forall(_ == 0),
       "overlapping back-reference did not reconstruct the zero plane")
+  }
+
+  test("png dynamic huffman: decodes platform-zlib output at every level") {
+    // the other direction of the Inflater cross-check: java.util.zip
+    // COMPRESSES (LZ77 matches + dynamic/fixed/stored blocks per its
+    // heuristics), OUR inflater decodes. Levels 1/6/9 + repetitive and
+    // non-ASCII planes hit different block-type choices.
+    val texts = Seq(
+      "ünïcode ありがとう mixed 测试 content",
+      "aaaa bbbb aaaa bbbb " * 40, // repetitive → LZ77-heavy dynamic block
+      "x")
+    for (text <- texts; level <- Seq(1, 6, 9)) {
+      val raw = text.getBytes("UTF-8")
+      val (w, h) = (8 + raw.length % 32, 8 + (raw.length * 19) % 32)
+      val logical = Array.tabulate(w * h * 3)(i => raw(i % raw.length))
+      // private filterScanlines is exercised through the public writers;
+      // rebuild the scanline stream locally to drive Deflater directly
+      val stride = 3 * w
+      val scan = new Array[Byte](h * (1 + stride))
+      (0 until h).foreach { r =>
+        val base = r * (1 + stride)
+        if (r % 2 == 1) {
+          scan(base) = 1
+          (0 until stride).foreach { i =>
+            val prev = if (i < 3) 0 else logical(r * stride + i - 3)
+            scan(base + 1 + i) = (logical(r * stride + i) - prev).toByte
+          }
+        } else {
+          scan(base) = 0
+          System.arraycopy(logical, r * stride, scan, base + 1, stride)
+        }
+      }
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(scan); d.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); zout.write(buf, 0, n) }
+      d.end()
+      // wrap as a container (same chunk builder as the LZ77 test)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      def chunk(tpe: String, data: Array[Byte]): Unit = {
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+        out.write(tpe.getBytes("US-ASCII")); out.write(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h)
+      ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk("IHDR", ihdr.array()); chunk("IDAT", zout.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      val (gw, gh, got) = Multimodal.parsePngPlane(out.toByteArray, 50L + level)
+      assert(gw == w && gh == h && java.util.Arrays.equals(got, logical),
+        s"level-$level zlib output did not decode (text ${text.take(12)}…)")
+    }
+  }
+
+  test("png dynamic huffman: qp112 end-to-end + corrupted stream fails loudly") {
+    import spark.implicits._
+    val df = Seq((21L, "dynamic huffman end to end fixture")).toDF("doc_id", "text")
+    val payload = Multimodal.encodePngZlib(df, "doc_id", "text").collect()(0).data
+    val raw = "dynamic huffman end to end fixture".getBytes("UTF-8")
+    val (w, h) = (8 + raw.length % 32, 8 + (raw.length * 19) % 32)
+    val meta = Multimodal.pngPlaneMeta(
+      Multimodal.encodePngZlib(df, "doc_id", "text")).collect()(0)
+    val expect = fold((0 until w * h * 3).iterator.map(i => raw(i % raw.length) & 0xFF))
+    assert(meta.width == w && meta.height == h && meta.plane_hash == expect)
+    // the real compressor COMPRESSES the repetitive plane (unlike the
+    // literal-only fixed-Huffman writer)
+    assert(meta.n_bytes < 63 + h * (1 + 3 * w),
+      "platform zlib produced no compression on a cycled plane")
+    // corrupt one byte mid-deflate-stream (past the zlib header), fix
+    // the chunk CRC so the failure comes from the inflate itself
+    val bad = payload.clone()
+    val idatChunk = 8 + 25
+    bad(idatChunk + 8 + 12) = (bad(idatChunk + 8 + 12) ^ 0x55).toByte
+    recrc(bad, idatChunk)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.parsePngPlane(bad, 21L)
+    }
+    assert(e.getMessage != null && e.getMessage.nonEmpty)
   }
 
   // ---- TGA hostile header + footer (ADVICE r14 #1/#4) ----------------------
