@@ -258,6 +258,20 @@ object Multimodal {
   final case class PlaneMeta(doc_id: Long, width: Int, height: Int,
       n_bytes: Long, plane_hash: Long)
 
+  /** The shared engine-side byte fold of every codec checksum: base-131
+    * polynomial over unsigned bytes, mod 1e9+7 — ONE definition so the
+    * decode paths cannot drift from each other (the SQL side has the
+    * same single-definition property via `queries.OracleBytes`). */
+  private def foldBytes(d: Array[Byte], from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      acc = (acc * 131L + (d(i) & 0xFF)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
   def ppmPlaneMeta(media: Dataset[MediaItem]): Dataset[PlaneMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -265,13 +279,8 @@ object Multimodal {
       it.map { m =>
         val d = m.data
         val (ch, w, h, off) = parsePnmHeader(d, m.doc_id)
-        var acc = 0L
-        var i = off
-        while (i < off + w * h * ch) {
-          acc = (acc * 131L + (d(i) & 0xFF)) % 1000000007L
-          i += 1
-        }
-        PlaneMeta(m.doc_id, w, h, d.length.toLong, acc)
+        PlaneMeta(m.doc_id, w, h, d.length.toLong,
+          foldBytes(d, off, off + w * h * ch))
       }
     }
   }
@@ -295,13 +304,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val (_, w, h, _) = parsePnmHeader(m.data, m.doc_id)
-        var acc = 0L
-        var i = 0
-        while (i < m.data.length) {
-          acc = (acc * 131L + (m.data(i) & 0xFF)) % 1000000007L
-          i += 1
-        }
-        PayloadMeta(m.doc_id, m.format, m.data.length.toLong, w, h, acc)
+        PayloadMeta(m.doc_id, m.format, m.data.length.toLong, w, h,
+          foldBytes(m.data, 0, m.data.length))
       }
     }
   }
@@ -451,13 +455,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val (w, h, logical) = decodeBmpPlane(m.data, m.doc_id)
-        var acc = 0L
-        var i = 0
-        while (i < logical.length) {
-          acc = (acc * 131L + (logical(i) & 0xFF)) % 1000000007L
-          i += 1
-        }
-        PlaneMeta(m.doc_id, w, h, m.data.length.toLong, acc)
+        PlaneMeta(m.doc_id, w, h, m.data.length.toLong,
+          foldBytes(logical, 0, logical.length))
       }
     }
   }
@@ -672,13 +671,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val (w, h, logical) = decodeTgaPlane(m.data, m.doc_id)
-        var acc = 0L
-        var i = 0
-        while (i < logical.length) {
-          acc = (acc * 131L + (logical(i) & 0xFF)) % 1000000007L
-          i += 1
-        }
-        PlaneMeta(m.doc_id, w, h, m.data.length.toLong, acc)
+        PlaneMeta(m.doc_id, w, h, m.data.length.toLong,
+          foldBytes(logical, 0, logical.length))
       }
     }
   }
@@ -693,14 +687,16 @@ object Multimodal {
     * stream (CMF/FLG header + Adler-32 trailer) inside the IDAT chunks,
     * DEFLATE framing (stored blocks, ≤ 65535 bytes each, with LEN/NLEN
     * integrity bytes), and PER-ROW FILTER bytes the decoder must undo.
-    * JPEG-class entropy coding stays honestly out of scope — the
-    * encoder emits only STORED deflate blocks and the decoder rejects
-    * compressed block types with a purposeful error (documented at
-    * [[parsePngPlane]]) — but everything a PNG reader does around the
-    * entropy coder is real here: signature, chunk walk + CRC check,
-    * IHDR validation, IDAT concatenation, zlib header/Adler check,
-    * stored-block inflation, filter reconstruction (None + Sub; the
-    * encoder alternates them so the Sub path is exercised on every
+    * THIS writer emits only STORED deflate blocks — which makes the
+    * container size closed-form per geometry, the property the qp110
+    * oracle exploits; the entropy-coded writers are
+    * [[encodePngHuffman]] (fixed Huffman, bit-exact oracle) and
+    * [[encodePngZlib]] (the platform zlib), and [[parsePngPlane]]'s
+    * inflater decodes all three block types. The reader work around
+    * the entropy coder is the same for all of them: signature, chunk
+    * walk + CRC check, IHDR validation, IDAT concatenation, zlib
+    * header/Adler check, inflation, filter reconstruction (None + Sub;
+    * the encoder alternates them so the Sub path is exercised on every
     * payload — h ≥ 8 by construction).
     *
     * Dimensions: w = 8 + len % 32, h = 8 + 13·len % 32 (multiplier
@@ -738,7 +734,7 @@ object Multimodal {
     val zlib = new java.io.ByteArrayOutputStream(raw.length + 16)
     zlib.write(0x78); zlib.write(0x01) // CMF deflate/32K, FCHECK ok, no dict
     var off = 0
-    while (off < raw.length || off == 0) {
+    do {
       val n = math.min(raw.length - off, 65535)
       val last = off + n == raw.length
       zlib.write(if (last) 1 else 0) // BFINAL | BTYPE=00 (stored)
@@ -746,8 +742,7 @@ object Multimodal {
       zlib.write(~n & 0xFF); zlib.write((~n >> 8) & 0xFF)
       zlib.write(raw, off, n)
       off += n
-      if (last) off = raw.length + 1 // also terminates the raw.length==0 corner
-    }
+    } while (off < raw.length)
     val adler = new java.util.zip.Adler32
     adler.update(raw)
     val a = adler.getValue
@@ -1151,18 +1146,16 @@ object Multimodal {
   /** Parse + validate the PNG container down to the reconstructed
     * logical plane — the real reader work: signature; chunk walk with a
     * CRC-32 check on EVERY chunk; IHDR first (8-bit truecolor,
-    * deflate, filter method 0, no interlace) with a payload-
-    * plausibility bound on the geometry (deflate's stored/fixed modes
-    * cannot encode a raw stream larger than ~8/7 of the payload, so a
-    * hostile header fails BEFORE the plane allocation — same
+    * deflate, filter method 0, no interlace) with hostile-header
+    * bounds checked BEFORE any allocation (per-dimension cap,
+    * deflate's ~1032× maximum expansion, Int allocation limits — same
     * discipline as [[parseTgaHeader]]); IDAT chunks concatenated in
     * order; IEND last and empty; zlib header (deflate method, FCHECK,
-    * no preset dict); a REAL inflate of stored (LEN/NLEN integrity)
-    * and fixed-Huffman blocks (full RFC 1951 §3.2.6 decode including
-    * LZ77 length/distance back-references with overlapping copies —
-    * dynamic-Huffman blocks fail with an error naming the limitation);
-    * Adler-32 verification of the inflated stream; then per-row filter
-    * reconstruction (None/Sub; other filter types fail purposefully).
+    * no preset dict); the FULL RFC 1951 [[inflate]] — stored,
+    * fixed-Huffman AND dynamic-Huffman blocks, so output of real zlib
+    * compressors decodes; Adler-32 verification of the inflated
+    * stream; then per-row filter reconstruction (None/Sub; other
+    * filter types fail purposefully).
     * Returns (width, height, logical top-down RGB plane). */
   private[pipeline] def parsePngPlane(d: Array[Byte], docId: Long): (Int, Int, Array[Byte]) = {
     val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -1176,7 +1169,10 @@ object Multimodal {
       if (pos + 12 > d.length)
         throw new IllegalArgumentException(s"truncated PNG chunk header (doc $docId)")
       val len = java.nio.ByteBuffer.wrap(d, pos, 4).getInt
-      if (len < 0 || pos + 12 + len > d.length)
+      // subtraction form: `pos + 12 + len` overflows Int for a hostile
+      // length like 0x7FFFFFFF and would bypass the guard into an
+      // uncontrolled ArrayIndexOutOfBounds inside CRC32.update
+      if (len < 0 || len > d.length - 12 - pos)
         throw new IllegalArgumentException(s"PNG chunk overruns payload (doc $docId)")
       val chunkType = new String(d, pos + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32
@@ -1194,18 +1190,28 @@ object Multimodal {
           val depth = b.get() & 0xFF; val color = b.get() & 0xFF
           val comp = b.get() & 0xFF; val filt = b.get() & 0xFF
           val inter = b.get() & 0xFF
-          if (w <= 0 || h <= 0)
+          // per-dimension cap FIRST: it keeps every Long product below
+          // safe (w, h ≤ 1e6 → h·(1+3w) ≤ ~3e12); without it, w and h
+          // near 2^31 overflow even the Long guards below and wave a
+          // hostile header through to a NegativeArraySizeException
+          if (w <= 0 || h <= 0 || w > 1000000 || h > 1000000)
             throw new IllegalArgumentException(s"bad PNG geometry (doc $docId: $w x $h)")
           if (depth != 8 || color != 2 || comp != 0 || filt != 0 || inter != 0)
             throw new IllegalArgumentException(
               s"unsupported PNG encoding (doc $docId: depth $depth, color " +
                 s"$color, compression $comp, filter $filt, interlace $inter)")
-          // hostile-header bound: deflate's maximum expansion is one
-          // 258-byte match per 13-bit fixed-Huffman codeword (< 160×),
-          // so a header whose h·(1+3w) raw stream exceeds 160× the
-          // whole payload cannot be satisfied by ANY valid stream —
-          // reject BEFORE the plane allocation (Int overflow included)
-          if (h.toLong * (1L + 3L * w) > 160L * d.length ||
+          // hostile-header bounds, checked BEFORE any allocation:
+          // (a) deflate's true maximum expansion is one 258-byte match
+          //     per 2-bit dynamic-Huffman codeword pair ≈ 1032× — a
+          //     header whose raw scanline stream h·(1+3w) exceeds that
+          //     multiple of the whole payload cannot be satisfied by
+          //     ANY valid stream (a legitimate solid-color PNG reaches
+          //     ~800×, so the earlier 160× stored/fixed-mode bound
+          //     falsely rejected real external files);
+          // (b) both the raw stream and the plane must fit an Int
+          //     allocation.
+          if (h.toLong * (1L + 3L * w) > 1032L * d.length ||
+              h.toLong * (1L + 3L * w) > Int.MaxValue - 64 ||
               w.toLong * h * 3 > Int.MaxValue - 64)
             throw new IllegalArgumentException(
               s"PNG geometry implausible for payload (doc $docId: $w x $h " +
@@ -1289,13 +1295,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val (w, h, logical) = parsePngPlane(m.data, m.doc_id)
-        var acc = 0L
-        var i = 0
-        while (i < logical.length) {
-          acc = (acc * 131L + (logical(i) & 0xFF)) % 1000000007L
-          i += 1
-        }
-        PlaneMeta(m.doc_id, w, h, m.data.length.toLong, acc)
+        PlaneMeta(m.doc_id, w, h, m.data.length.toLong,
+          foldBytes(logical, 0, logical.length))
       }
     }
   }

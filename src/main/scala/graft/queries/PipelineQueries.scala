@@ -502,11 +502,10 @@ object PipelineQueries {
     // each document becomes a genuine P6 PPM payload (deterministic
     // fixture — dimensions from the text's byte length, pixels the text
     // bytes cycled); the Spark side PARSES the binary header per
-    // partition (Multimodal.PpmDecoder), while the oracle PREDICTS the
-    // same fields from the fixture construction and md5s the payload it
-    // rebuilds byte-for-byte (pure-ASCII text, so VARCHAR == bytes).
-    // A width/height mismatch between parse and prediction — or one
-    // byte of payload drift — is a hash-fail.
+    // partition, while the oracle PREDICTS the same fields from the
+    // fixture construction. A width/height mismatch between parse and
+    // prediction — or one byte of payload drift in the fold — is a
+    // hash-fail.
     QueryDef(
       "qp58_multimodal_meta",
       // byte-indexed oracle (round 15, VERDICT r14 #7): checksum is now

@@ -168,8 +168,13 @@ object Round15Queries {
         // 'exact' against their own appended selves). Sinking is also
         // the production cadence — a pipeline acts on verdicts before
         // it rebuilds.
+        // pid-scoped path: repeated runs in one process overwrite the
+        // same directory (bounded footprint), while two CONCURRENT
+        // graft processes (e.g. a Bench parent and a stray Verify)
+        // cannot clobber each other's verdict files mid-read
         val sink = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_qp108_verdicts")
+          System.getProperty("java.io.tmpdir"),
+          s"graft_qp108_verdicts_${ProcessHandle.current().pid()}")
           .getAbsolutePath
         val idx2 =
           graft.BenchPhases.timed("qp108_loaded_index_append.appends") {
@@ -249,6 +254,9 @@ object Round15Queries {
         // oracle-validity guard: GK at this accuracy is exact iff no
         // source outgrows it by orders of magnitude — the summary holds
         // every sample while 2·(n/accuracy) < 1, i.e. n < accuracy/2
+        // (the auto gate runs the same aggregate again for its dispatch
+        // probe — accepted: this one is oracle-validity machinery and
+        // the fixture-scale cost is two small aggregate jobs)
         val maxRow = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
           .agg(max(col("n"))).head()
         val maxPerSource = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
@@ -256,6 +264,13 @@ object Round15Queries {
           s"qp109 oracle invalid: a source holds $maxPerSource rows >= " +
             s"accuracy/2 (${accuracy / 2}) — GK may compress and drift " +
             "off the exact rank-ceil(n*q) threshold")
+        // the gate dispatches approx only when maxPerSource > approxOverRows
+        // (strictly greater): a degenerate fixture of single-row sources
+        // would silently run the EXACT tier under this entry's name
+        require(maxPerSource > 1L,
+          "qp109 oracle invalid: every source has <= 1 row, so " +
+            "qualityQuantileAuto(approxOverRows = 1) would dispatch the " +
+            "exact tier — the entry would no longer exercise GK")
         Curation.qualityQuantileAuto(docs, "doc_id", "text", "source",
           qNum = 1, qDen = 4, approxOverRows = 1L, accuracy = accuracy)
       }),
