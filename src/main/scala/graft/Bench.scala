@@ -22,6 +22,13 @@ object BenchPhases {
     r
   }
   def snapshot: Map[String, Double] = synchronized { m.toMap }
+  /** Snapshot AND clear — the isolated child's per-repetition read
+    * (VERDICT r15 #1a: the suite-min convention can't attribute a
+    * 27.8 s vs 157 s isolated rep pair; the child drains between reps
+    * so each repetition's phase split is its own record). */
+  def drain(): Map[String, Double] = synchronized {
+    val s = m.toMap; m.clear(); s
+  }
 }
 
 object Bench {
@@ -176,16 +183,32 @@ object Bench {
     val results: ListMap[String, Double] =
       if (names.size == 1) {
         val name = names.head
+        def fmt3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+          java.lang.Double.valueOf(v))
+        // warmup phase timings are not measurements — drop them so the
+        // first rep's drain reads only its own run (VERDICT r15 #1a)
+        BenchPhases.drain()
+        val repPhases = scala.collection.mutable.ListBuffer.empty[Map[String, Double]]
         val reps = (1 to 3).map { i =>
           val t = attempt(name)
+          repPhases += BenchPhases.drain()
           if (i < 3) settle(force = true)
           t
         }
         val good = reps.filter(_ >= 0)
-        val repsJson = reps.map(t =>
-          String.format(java.util.Locale.ROOT, "%.3f",
-            java.lang.Double.valueOf(t))).mkString("[", ",", "]")
+        val repsJson = reps.map(fmt3).mkString("[", ",", "]")
         println(s"""{"iso_reps":{"$name":$repsJson}}""")
+        // per-phase per-rep sub-timings (VERDICT r15 #1a): the parent
+        // folds these into {min, spread} per phase so a blown isolated
+        // rep is attributable to its phase (build vs append vs write)
+        val phaseKeys = repPhases.flatMap(_.keys).distinct.sorted
+        if (phaseKeys.nonEmpty) {
+          val obj = phaseKeys.map { k =>
+            "\"" + k + "\":" +
+              repPhases.map(m => fmt3(m.getOrElse(k, -1.0))).mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
+          println(s"""{"iso_phases":{"$name":$obj}}""")
+        }
         ListMap(name -> (if (good.nonEmpty) good.min else -1.0))
       } else {
         val pass1 = names.map(n => n -> attempt(n)).toMap
@@ -263,7 +286,8 @@ object Bench {
     val good = withCold.values.filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0
     def fullLineJson(iso: Seq[(String, (Double, Double))],
-        shed: Seq[String]): String = {
+        shed: Seq[String],
+        isoPhases: Seq[(String, (Double, Double))]): String = {
       val isoJ = iso.map { case (k, (mn, sp)) =>
         "\"" + k + "\":{\"min\":" + mn + ",\"spread\":" + sp + "}"
       }.mkString("{", ",", "}")
@@ -271,18 +295,35 @@ object Bench {
       val phasesJ = BenchPhases.snapshot.toSeq.sorted
         .map { case (k, v) => "\"" + k + "\":" + fmtFull(v) }
         .mkString("{", ",", "}")
+      // per-phase {min, spread} across the isolated children's reps
+      // (VERDICT r15 #1a): the suite `phases` object is the min over
+      // shared-session passes; this one attributes the fresh-JVM reps
+      val isoPhJ = isoPhases.sortBy(_._1).map { case (k, (mn, sp)) =>
+        "\"" + k + "\":{\"min\":" + fmtFull(mn) + ",\"spread\":" + fmtFull(sp) + "}"
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""isolated":$isoJ,"isolated_shed":$shedJ,"phases":$phasesJ,""" +
-        s""""failed":$errJson,"sf":"$sfDir"}"""
+        s""""iso_phases":$isoPhJ,"failed":$errJson,"sf":"$sfDir"}"""
     }
-    // a filtered (targeted) run must not clobber the full-suite snapshot
+    // a filtered (targeted) run must not clobber the full-suite snapshot.
+    // Written via temp-file + ATOMIC_MOVE (ADVICE r15 #1): a plain
+    // truncate-then-write leaves a torn/unparseable snapshot if the
+    // driver kills the JVM mid-write — and the incremental rewrites
+    // after every isolated child made that window frequent. With the
+    // move, the file is always either the previous or the new COMPLETE
+    // line.
     def writeSnapshot(line: String): Unit =
       if (only.isEmpty)
-        try java.nio.file.Files.write(
-          java.nio.file.Paths.get("BENCH_SELF.json"),
-          line.getBytes("UTF-8"))
+        try {
+          val dir = java.nio.file.Paths.get(".").toAbsolutePath
+          val tmp = java.nio.file.Files.createTempFile(dir, ".bench_self_", ".tmp")
+          java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, dir.resolve("BENCH_SELF.json"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         catch { case _: Throwable => () }
-    writeSnapshot(fullLineJson(Nil, Nil)) // suite-only snapshot, pre-pass
+    writeSnapshot(fullLineJson(Nil, Nil, Nil)) // suite-only snapshot, pre-pass
 
     // ---- fresh-JVM isolated re-measures (round 11, VERDICT r10 #3) ----
     // Suite numbers carry an ambient tide (GC state, shuffle residue,
@@ -302,6 +343,9 @@ object Bench {
     // Children shed by the pass's total budget (below) are listed so the
     // cut is never silent.
     val isoShed = scala.collection.mutable.ListBuffer.empty[String]
+    // per-phase {min, spread} parsed from the children's iso_phases lines
+    val isoPhaseAcc =
+      scala.collection.mutable.ListBuffer.empty[(String, (Double, Double))]
     val isolated: Seq[(String, (Double, Double))] =
       if (isoMode == "0" || (only.nonEmpty && isoMode != "force"))
         Nil
@@ -425,6 +469,26 @@ object Bench {
                 re.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
                   .lastOption.map(v => (v, 0.0))
               }
+              // the child's per-rep phase arrays → {min, spread} per
+              // phase key (keys are already entry-prefixed); -1 marks a
+              // rep where the phase didn't run (failed attempt)
+              val phRe = ("\"iso_phases\":\\{\"" +
+                java.util.regex.Pattern.quote(childEntry) + "\":\\{(.*)\\}\\}").r
+              phRe.findFirstMatchIn(out).foreach { m =>
+                val pairRe = "\"([^\"]+)\":\\[([0-9.,\\-]+)\\]".r
+                pairRe.findAllMatchIn(m.group(1)).foreach { pm =>
+                  val vs = pm.group(2).split(',').map(_.toDouble).filter(_ >= 0)
+                  if (vs.nonEmpty) {
+                    // the cold child's phases describe the synthetic
+                    // cold entry, not the memoized real one
+                    val key = if (n == coldName)
+                      pm.group(1).replaceFirst(
+                        java.util.regex.Pattern.quote(childEntry), n)
+                    else pm.group(1)
+                    isoPhaseAcc += key -> ((vs.min, vs.max - vs.min))
+                  }
+                }
+              }
               parsed.map { case (mn, sp) =>
                 System.err.println(f"[bench] isolated $n min $mn%.2f s spread $sp%.2f s")
                 n -> ((mn, sp))
@@ -435,7 +499,7 @@ object Bench {
             // incremental durability: every completed child lands on
             // disk immediately — a kill mid-pass loses at most the
             // in-flight child, never the suite or earlier columns
-            writeSnapshot(fullLineJson(acc.toSeq, isoShed.toSeq))
+            writeSnapshot(fullLineJson(acc.toSeq, isoShed.toSeq, isoPhaseAcc.toSeq))
           } catch { case _: Throwable => () }
         }
         if (isoShed.nonEmpty)
@@ -445,7 +509,7 @@ object Bench {
         acc.toSeq
       }
 
-    val fullLine = fullLineJson(isolated, isoShed.toSeq)
+    val fullLine = fullLineJson(isolated, isoShed.toSeq, isoPhaseAcc.toSeq)
     // Full-precision record first (humans / full logs), and to a file the
     // judge can read from the repo even when stdout is tail-truncated.
     println(fullLine)
@@ -470,6 +534,11 @@ object Bench {
     val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
     val digest = header + kept.mkString(",") + s"""},"omitted":${entries.size - kept.size}}"""
     println(digest)
+    // VERDICT r15 wrong #3: when Bench runs under sbt, the driver's
+    // last-stdout-line parse reads sbt's `[success]` footer instead of
+    // the digest — echo it to stderr too, and BENCH_SELF.json (atomic,
+    // kill-proof) remains the authoritative artifact either way.
+    System.err.println(digest)
     spark.stop()
   }
 }

@@ -87,14 +87,16 @@ object Round15Queries {
       FROM g JOIN sz ON sz.doc_id = g.doc_id JOIN ph ON ph.doc_id = g.doc_id
       ORDER BY g.doc_id"""
 
-  /** The qp108 oracle: three classifications against a GROWING corpus —
+  /** The qp108 oracle: two classifications against a GROWING corpus —
     * batch 1 vs the base corpus, batch 2 vs corpus ∪ b1 (the appended
-    * index), batch 3 vs corpus ∪ b1 ∪ b2 (the REBUILT index). Verdicts
-    * are order-independent of the index's internal prefix ranking
-    * (candidates are a superset under any fixed total order; the exact
-    * Jaccard verify decides), so the full-truth joins replay all three
-    * steps — including the rebuild, whose fresh ranking changes only
-    * candidate generation, never verdicts. */
+    * index). Verdicts are order-independent of the index's internal
+    * prefix ranking (candidates are a superset under any fixed total
+    * order; the exact Jaccard verify decides), so the full-truth joins
+    * replay both steps. The REBUILD leg (corpus ∪ b1 ∪ b2 → overwrite
+    * → reload → classify batch 3) is its own entry, qp108b in
+    * [[Round16Queries]] — VERDICT r15 #1b: one entry honestly timing
+    * two full index builds plus two bucketed writes was 30 % of the
+    * official suite and unattributable under ambient I/O spikes. */
   private val loadedAppendOracle: String =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w,
           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp FROM documents),
@@ -103,17 +105,12 @@ object Round15Queries {
       corpus AS (SELECT * FROM s WHERE doc_id % 8 >= 4),
       b1 AS (SELECT * FROM s WHERE doc_id % 8 = 0),
       b2 AS (SELECT * FROM s WHERE doc_id % 8 = 1),
-      b3 AS (SELECT * FROM s WHERE doc_id % 8 = 2),
       c2 AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1),
-      c3 AS (SELECT * FROM c2 UNION ALL SELECT * FROM b2),
       ex1 AS (SELECT DISTINCT b.doc_id FROM b1 b JOIN corpus c ON b.fp = c.fp),
       nr1 AS (SELECT DISTINCT b.doc_id FROM b1 b JOIN corpus c
               ON 5 * len(list_intersect(b.sh, c.sh)) >= 2 * len(list_distinct(list_concat(b.sh, c.sh)))),
       ex2 AS (SELECT DISTINCT b.doc_id FROM b2 b JOIN c2 c ON b.fp = c.fp),
       nr2 AS (SELECT DISTINCT b.doc_id FROM b2 b JOIN c2 c
-              ON 5 * len(list_intersect(b.sh, c.sh)) >= 2 * len(list_distinct(list_concat(b.sh, c.sh)))),
-      ex3 AS (SELECT DISTINCT b.doc_id FROM b3 b JOIN c3 c ON b.fp = c.fp),
-      nr3 AS (SELECT DISTINCT b.doc_id FROM b3 b JOIN c3 c
               ON 5 * len(list_intersect(b.sh, c.sh)) >= 2 * len(list_distinct(list_concat(b.sh, c.sh)))),
       v AS (SELECT 1 AS batch, b.doc_id,
               CASE WHEN ex1.doc_id IS NOT NULL THEN 'exact'
@@ -125,25 +122,26 @@ object Round15Queries {
               CASE WHEN ex2.doc_id IS NOT NULL THEN 'exact'
                    WHEN nr2.doc_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict
             FROM b2 b LEFT JOIN ex2 ON ex2.doc_id = b.doc_id
-            LEFT JOIN nr2 ON nr2.doc_id = b.doc_id
-            UNION ALL
-            SELECT 3 AS batch, b.doc_id,
-              CASE WHEN ex3.doc_id IS NOT NULL THEN 'exact'
-                   WHEN nr3.doc_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict
-            FROM b3 b LEFT JOIN ex3 ON ex3.doc_id = b.doc_id
-            LEFT JOIN nr3 ON nr3.doc_id = b.doc_id)
+            LEFT JOIN nr2 ON nr2.doc_id = b.doc_id)
       SELECT batch, doc_id, verdict FROM v ORDER BY batch, doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- qp108: appends against a LOADED index + rebuild-overwrite ------
+    // ---- qp108: appends against a LOADED index --------------------------
     // qp105 proved load+classify; this entry exercises the leg the r14
     // verdict flagged untested: classifyAndAppend against the loaded,
     // UNCACHED bucketed index (only the O(|batch|) deltas and working
     // sets are cached — the corpus side stays warehouse reads, pinned in
-    // Round15PipelineSpec), then the rebuild-overwrite that re-ranks
-    // under fresh dfs and re-tightens the caps, then a classify off the
-    // re-loaded tables.
+    // Round15PipelineSpec). The rebuild-overwrite leg lives in qp108b
+    // (VERDICT r15 #1b: the combined entry honestly timed TWO full index
+    // builds + TWO bucketed writes and was 30 % of the official suite —
+    // split, each leg is a single-build entry whose ambient spikes are
+    // attributable). With no overwrite following in-entry, the round-15
+    // verdict parquet sink is gone too: nothing invalidates the verdict
+    // frames' caches before the bench/Verify sink materializes them,
+    // which also removes the tmpdir I/O the driver-window `appends`
+    // phase spiked on (ADVICE r15 #2/#3 are thereby moot — no positional
+    // union over a written file, no leaked sink directory).
     QueryDef(
       "qp108_loaded_index_append",
       Some(loadedAppendOracle),
@@ -160,49 +158,21 @@ object Round15Queries {
         val loaded = Dedup.loadCorpusShingleIndex(s, "graft_idx_qp108")
         require(loaded.droppedPostings == 0,
           s"qp108 oracle invalid: posting cap dropped ${loaded.droppedPostings} bucket(s)")
-        // verdicts for batches 1–2 must be SUNK before the rebuild: a
-        // saveAsTable overwrite cascades cache invalidation through
-        // every plan reading the table, so a merely-persisted verdict
-        // frame would silently RECOMPUTE against the rebuilt index
-        // after the overwrite (observed: batch-1 docs re-classified
-        // 'exact' against their own appended selves). Sinking is also
-        // the production cadence — a pipeline acts on verdicts before
-        // it rebuilds.
-        // pid-scoped path: repeated runs in one process overwrite the
-        // same directory (bounded footprint), while two CONCURRENT
-        // graft processes (e.g. a Bench parent and a stray Verify)
-        // cannot clobber each other's verdict files mid-read
-        val sink = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_qp108_verdicts_${ProcessHandle.current().pid()}")
-          .getAbsolutePath
-        val idx2 =
-          graft.BenchPhases.timed("qp108_loaded_index_append.appends") {
-            val (v1raw, idx1) = Dedup.classifyAndAppend(loaded, b(0), "doc_id", "text")
-            val (v2raw, idx2a) = Dedup.classifyAndAppend(idx1, b(1), "doc_id", "text")
-            v1raw.withColumn("batch", lit(1))
-              .unionAll(v2raw.withColumn("batch", lit(2)))
-              .write.mode("overwrite").parquet(sink)
-            idx2a
+        // two separately-phased appends (VERDICT r15 #1a): each call's
+        // eager delta materialization is its own sub-timing, so a blown
+        // isolated rep points at append 1 vs append 2 vs the build
+        val (v1raw, idx1) =
+          graft.BenchPhases.timed("qp108_loaded_index_append.append1") {
+            Dedup.classifyAndAppend(loaded, b(0), "doc_id", "text")
+          }
+        val (v2raw, idx2) =
+          graft.BenchPhases.timed("qp108_loaded_index_append.append2") {
+            Dedup.classifyAndAppend(idx1, b(1), "doc_id", "text")
           }
         require(idx2.droppedPostings == 0,
           s"qp108 oracle invalid after appends: cap dropped ${idx2.droppedPostings} bucket(s)")
-        graft.BenchPhases.timed("qp108_loaded_index_append.rebuild_write") {
-          // the appended index is dead once its verdicts are cached —
-          // release the delta pieces before the rebuild claims memory
-          idx2.release(blocking = true)
-          val rebuilt = Dedup.buildCorpusShingleIndex(
-            corpus.unionAll(b(0)).unionAll(b(1)), "doc_id", "text",
-            shingleN = 3, thresholdNum = 2, thresholdDen = 5)
-          Dedup.writeIndexTables(rebuilt, "graft_idx_qp108")
-          rebuilt.release(blocking = true)
-        }
-        val reloaded = Dedup.loadCorpusShingleIndex(s, "graft_idx_qp108")
-        require(reloaded.droppedPostings == 0,
-          s"qp108 oracle invalid after rebuild: cap dropped ${reloaded.droppedPostings} bucket(s)")
-        val v3 = Dedup.incrementalNearDupIndexed(reloaded, b(2), "doc_id", "text")
-          .withColumn("batch", lit(3))
-        s.read.parquet(sink).unionAll(v3)
+        v1raw.withColumn("batch", lit(1))
+          .unionByName(v2raw.withColumn("batch", lit(2)))
           .select(col("batch"), col("id").as("doc_id"), col("verdict"))
           .orderBy(col("batch"), col("doc_id"))
       }),
