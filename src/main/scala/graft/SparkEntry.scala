@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationQueries, EngineQueries, ExtraQueries, PipelineQueries, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round15Queries, StatementQueries, QueryDef}
+import graft.queries.{CurationQueries, EngineQueries, ExtraQueries, PipelineQueries, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round15Queries, Round16Queries, StatementQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
       CurationQueries.defs ++ Round6Queries.defs ++ Round7Queries.defs ++
       Round8Queries.defs ++ Round9Queries.defs ++ Round10Queries.defs ++
       Round11Queries.defs ++ Round12Queries.defs ++ Round13Queries.defs ++
-      Round14Queries.defs ++ Round15Queries.defs
+      Round14Queries.defs ++ Round15Queries.defs ++ Round16Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
