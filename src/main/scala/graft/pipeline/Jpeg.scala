@@ -301,13 +301,14 @@ object Jpeg {
       ((d(p) & 0xFF) << 8) | (d(p + 1) & 0xFF)
     }
     // every marker segment must fit the payload BEFORE its body is
-    // read — a truncated segment otherwise walks reads past the end
+    // read — a truncated segment otherwise walks reads past the end;
+    // a length < 2 (the field includes itself) would walk BACKWARD
     def segEndAt(p: Int): Int = {
-      val end = p + u16at(p)
-      if (end > d.length)
+      val len = u16at(p)
+      if (len < 2 || p + len > d.length)
         throw new IllegalArgumentException(
-          s"JPEG marker segment overruns payload (doc $docId)")
-      end
+          s"JPEG marker segment length $len invalid for payload (doc $docId)")
+      p + len
     }
     var w = -1; var h = -1
     val qtables = new Array[Array[Int]](4)
@@ -362,12 +363,15 @@ object Jpeg {
               s"subsampled JPEG unsupported (doc $docId: sampling 0x${samp.toHexString})")
           compTq = d(pos + 10) & 0xFF
           if (w <= 0 || h <= 0 || w > 65535 || h > 65535 ||
-              w.toLong * h > 64L * d.length)
-            // a decodable scan needs ≥ 2 bits (DC cat-0 + EOB) per
-            // 64-pixel MCU — a header claiming more pixels than
-            // 64·8·payload/2 could encode is hostile or truncated;
-            // 64× payload is a comfortable under-approximation that
-            // still rejects the 2 GB-allocation class BEFORE allocating
+              w.toLong * h > 256L * d.length)
+            // true ceiling: a scan needs ≥ 2 bits per 64-pixel MCU
+            // (a 1-bit DC cat-0 code + a 1-bit EOB under a degenerate
+            // but legal DHT) → at most 256 pixels per payload byte; a
+            // header claiming more cannot be satisfied by ANY valid
+            // scan and must fail BEFORE the plane allocation (the
+            // Annex-K floor is ~85 px/byte, so no legitimate file is
+            // near this bound — same discipline as the PNG 1032× and
+            // TGA 32× guards)
             throw new IllegalArgumentException(
               s"JPEG geometry implausible (doc $docId: $w x $h in ${d.length} bytes)")
           pos = segEnd

@@ -350,6 +350,15 @@ class Round16PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val withDri = good.take(sosAt) ++
       Array(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08).map(_.toByte) ++ good.drop(sosAt)
     intercept[IllegalArgumentException](Jpeg.decodeJpegGray(withDri, 2L))
+    // a segment length < 2 (field includes itself) would walk the
+    // marker scan backward/in place — must fail, not loop or misparse
+    expectFail({ d => d(4) = 0; d(5) = 0; d }, "zero-length APP0 segment")
+    // geometry implausible for the payload: claim 65000x65000 in SOF
+    expectFail({ d =>
+      d(sofAt + 4) = 0xFD.toByte; d(sofAt + 5) = 0xE8.toByte // height 65000
+      d(sofAt + 6) = 0xFD.toByte; d(sofAt + 7) = 0xE8.toByte // width 65000
+      d
+    }, "implausible geometry")
   }
 
   // ---- append-cap overflow on the loaded path (VERDICT r15 #6) -----------
