@@ -33,16 +33,20 @@ object Curation {
     * size — no skew hazard at corpus scale.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // round 16: grams flow as 8-byte xxhash64 keys (ShingleHashes — no
+    // token window/exchange, no string bytes through the shuffles); the
+    // counts only need gram IDENTITY, which hashes preserve modulo the
+    // standard 2⁻⁶⁴ caveat (see ngramJaccardPairs' verify arrays)
     def gramStats(stream: DataFrame, prefix: String): DataFrame =
-      stream.groupBy(col("id"), col("s")).agg(count(lit(1)).as("c"))
+      stream.groupBy(col("id"), col("h")).agg(count(lit(1)).as("c"))
         .groupBy(col("id")).agg(
           sum(col("c")).as(s"n_${prefix}s"),
           count(lit(1)).as(s"n_distinct_${prefix}s"),
           max(col("c")).as(s"top_${prefix}_cnt"))
     val words = gramStats(
-      docs.select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("s")), "word")
-    val bigrams = gramStats(Dedup.shingleStream(docs, idCol, textCol, 2), "bigram")
+      Dedup.shingleHashStream(docs, idCol, textCol, 1), "word")
+    val bigrams = gramStats(
+      Dedup.shingleHashStream(docs, idCol, textCol, 2), "bigram")
     words.join(bigrams, "id")
       .withColumnRenamed("id", idCol)
       .orderBy(col(idCol))
@@ -61,11 +65,15 @@ object Curation {
   def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       ngram: Int = 5): DataFrame = {
-    val corpusGrams = Dedup.shingleStream(corpus, idCol, textCol, ngram)
-    val benchGrams = Dedup.shingleStream(benchmark, benchIdCol, benchTextCol, ngram)
-      .select(col("s")).distinct()
+    // round 16: the semi join matches 8-byte gram hashes instead of
+    // gram strings (standard 2⁻⁶⁴ caveat) — the broadcast side shrinks
+    // to longs and the corpus stream skips the token window/exchange
+    val corpusGrams = Dedup.shingleHashStream(corpus, idCol, textCol, ngram)
+    val benchGrams = Dedup.shingleHashStream(benchmark, benchIdCol,
+        benchTextCol, ngram)
+      .select(col("h")).distinct()
     corpusGrams
-      .join(broadcast(benchGrams), Seq("s"), "left_semi")
+      .join(broadcast(benchGrams), Seq("h"), "left_semi")
       .select(col("id").as(idCol)).distinct()
       .orderBy(col(idCol))
   }
@@ -87,15 +95,17 @@ object Curation {
     * the join volume is Σ_gram (sources-with-gram)², cap-bounded. */
   def contaminationMatrix(docs: DataFrame, idCol: String, sourceCol: String,
       textCol: String, ngram: Int = 5, maxBucket: Int = 4096): DataFrame = {
-    val grams = Dedup.shingleStream(docs, idCol, textCol, ngram)
-    val bySrc = grams
-      .join(docs.select(col(idCol).as("id"), col(sourceCol).as("source")),
-        Seq("id"))
-      .select(col("source"), col("s")).distinct()
-    val capped = Dedup.cappedBuckets(bySrc, Seq(col("s")), maxBucket)
-    val left = capped.select(col("source").as("src_a"), col("s"))
-    val right = capped.select(col("source").as("src_b"), col("s"))
-    left.join(right, Seq("s"))
+    // round 16: shingle per ROW with the source column carried as the
+    // stream id — the old string stream only knew the doc id and had to
+    // JOIN back to docs to learn the source; hashing per (source, text)
+    // row removes that join outright, and the self-equijoin matches
+    // 8-byte hashes instead of n-gram strings (standard 2⁻⁶⁴ caveat)
+    val bySrc = Dedup.shingleHashStream(docs, sourceCol, textCol, ngram)
+      .select(col("id").as("source"), col("h")).distinct()
+    val capped = Dedup.cappedBuckets(bySrc, Seq(col("h")), maxBucket)
+    val left = capped.select(col("source").as("src_a"), col("h"))
+    val right = capped.select(col("source").as("src_b"), col("h"))
+    left.join(right, Seq("h"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("shared_ngrams"))

@@ -79,6 +79,22 @@ object Dedup {
       .select(col("id"), col("s"))
   }
 
+  /** Exploded (id, shingle-xxhash64) stream via the native
+    * [[graft.functions.ShingleHashes]] expression — the round-16 hot
+    * path for every consumer that only needs HASHES (all the dedup /
+    * index operators; the string-shingle [[shingleStream]] stays for
+    * the n-gram text stats and the portable SimHash, which need the
+    * shingle itself). Bit-identical to
+    * `shingleStream(...).select(id, xxhash64(s))` (ShingleHashesSpec)
+    * but ONE projection per document: no token explode, no
+    * per-document window — which removes a full Exchange+Sort of the
+    * exploded token-string stream (the widest frame in the family)
+    * from every shingle pipeline (guide §2.4). */
+  private[graft] def shingleHashStream(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("h"))
+
   /** MinHash signature as k wide columns via the shingle stream + k
     * codegen'd MIN aggregates — one hash aggregate with map-side partial
     * combine. The shingle string is hashed once; the k per-permutation
@@ -86,8 +102,7 @@ object Dedup {
     * a leading seed word (k × 8 bytes instead of k × string bytes). */
   private def minhashWide(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame = {
-    val shingled = shingleStream(docs, idCol, textCol, shingleN)
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    val shingled = shingleHashStream(docs, idCol, textCol, shingleN)
     val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -150,28 +165,34 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     require(thresholdNum >= 1, "thresholdNum must be >= 1")
     require(thresholdDen >= 1, "thresholdDen must be >= 1")
-    // ONE distinct shingle stream feeds both the MinHash signature (MIN is
-    // duplicate-insensitive, so distinct-first is equivalent) and the
-    // verify joins — identical subtrees let ReuseExchange share the
-    // tokenize + window work instead of recomputing it per consumer
-    val stream = shingleStream(docs, idCol, textCol, shingleN).distinct()
-    val hashes = stream.select(col("id"), xxhash64(col("s")).as("h"))
+    // ONE distinct shingle-HASH stream feeds both the MinHash signature
+    // (MIN is duplicate-insensitive, so distinct-first is equivalent)
+    // and the verify joins — identical subtrees let ReuseExchange share
+    // the shingle-hash work instead of recomputing it per consumer.
+    // Round 16: the stream is (id, hash) via the native ShingleHashes
+    // expression — the verify's intersection join matches 8-byte hashes
+    // instead of shingle strings (same 2⁻⁶⁴-collision caveat as the
+    // array verify in ngramJaccardPairs; far below any threshold edge),
+    // which drops the string column from every exchange here AND
+    // removes the per-doc token window the string stream paid.
+    val stream = shingleHashStream(docs, idCol, textCol, shingleN)
+      .dropDuplicates("id", "h")
     val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j"))
-    val sig = hashes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val sig = stream.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val cands = bandedCandidates(sig, k, bands, maxBucket)
     jaccardVerify(cands, stream, thresholdNum, thresholdDen)
   }
 
   /** Exact-Jaccard verification of candidate id pairs against the full
-    * distinct shingle stream (see nearDuplicatePairs for the array-free
-    * design rationale) — shared by the MinHash-banded and the
-    * inverted-index candidate generators. */
+    * distinct (id, shingle-hash) stream (see nearDuplicatePairs for the
+    * array-free design rationale) — shared by the MinHash-banded and
+    * the inverted-index candidate generators. */
   private def jaccardVerify(cands: DataFrame, stream: DataFrame,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val sizes = stream.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
     val inter = cands
-      .join(stream.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(stream.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .join(stream.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(stream.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__inter"))
     inter
@@ -231,8 +252,7 @@ object Dedup {
     // registered with [[PipelineCaches]] for the caller's post-action
     // release instead of leaking for the session (VERDICT r11 #1).
     val hashes = PipelineCaches.track(
-      shingleStream(docs, idCol, textCol, shingleN)
-        .select(col("id"), xxhash64(col("s")).as("h"))
+      shingleHashStream(docs, idCol, textCol, shingleN)
         .repartition(col("h"))
         .dropDuplicates("id", "h")
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -335,8 +355,7 @@ object Dedup {
     // qp63 discipline — see ngramJaccardPairs for why persist, not
     // ReuseExchange); registered for the caller's post-action release
     def hashed(df: DataFrame): DataFrame =
-      shingleStream(df, idCol, textCol, shingleN)
-        .select(col("id"), xxhash64(col("s")).as("h"))
+      shingleHashStream(df, idCol, textCol, shingleN)
         .repartition(col("h"))
         .dropDuplicates("id", "h")
     val hb = PipelineCaches.track(
@@ -461,8 +480,7 @@ object Dedup {
     // build-scoped: consumed by the derived frames below, then dropped —
     // the same pinned-exchange + persist discipline as
     // ngramJaccardPairs, but scoped to the build instead of the session
-    val hc = shingleStream(corpus, idCol, textCol, shingleN)
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    val hc = shingleHashStream(corpus, idCol, textCol, shingleN)
       .repartition(col("h"))
       .dropDuplicates("id", "h")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -561,8 +579,16 @@ object Dedup {
     val in = batchInput(index, batch, idCol, textCol)
     // the returned verdict frame still READS the working set, so it
     // stays cached here — the caller releases it after acting on the
-    // verdicts (`Engines.releaseAll()`, the standard post-action drain)
-    (verdictsFrom(index, in), appendFrom(index, in, releaseWorkingSet = false))
+    // verdicts (`Engines.releaseAll()`, the standard post-action drain).
+    // Round 16: the verdict pipeline reads the append's PERSISTED
+    // prefix/arrays deltas instead of re-running the same window filter
+    // and sort_array aggregate over the working set a second time —
+    // the two legs are textually identical frames, so sharing the
+    // materialized ones is a pure recompute removal (guide §1.2 "don't
+    // compute things you throw away").
+    val (grown, prefixDelta, arrsDelta) =
+      appendWithDeltas(index, in, releaseWorkingSet = false)
+    (verdictsFrom(index, in, prefixDelta, arrsDelta), grown)
   }
 
   /** PERSIST the index as bucketed catalog tables — the production
@@ -730,8 +756,7 @@ object Dedup {
     // 0. The arrays aggregate and the prefix filter both ride this one
     // id-clustered cached pass — no second exchange of the batch stream.
     val ranked = PipelineCaches.track(
-      shingleStream(batch, idCol, textCol, index.shingleN)
-        .select(col("id"), xxhash64(col("s")).as("h"))
+      shingleHashStream(batch, idCol, textCol, index.shingleN)
         .repartition(col("h"))
         .dropDuplicates("id", "h")
         .join(index.dfreq, Seq("h"), "left")
@@ -760,7 +785,14 @@ object Dedup {
   }
 
   private def appendFrom(index: CorpusShingleIndex, in: BatchIndexInput,
-      releaseWorkingSet: Boolean): CorpusShingleIndex = {
+      releaseWorkingSet: Boolean): CorpusShingleIndex =
+    appendWithDeltas(index, in, releaseWorkingSet)._1
+
+  /** [[appendFrom]] plus the materialized prefix/arrays delta frames,
+    * so [[classifyAndAppend]] can point the verdict pipeline at the
+    * SAME persisted frames instead of re-deriving them (round 16). */
+  private def appendWithDeltas(index: CorpusShingleIndex, in: BatchIndexInput,
+      releaseWorkingSet: Boolean): (CorpusShingleIndex, DataFrame, DataFrame) = {
     def persistTracked(df: DataFrame): DataFrame =
       PipelineCaches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
     val fpsDelta = persistTracked(in.fp.select(col("__fp")).distinct()
@@ -779,12 +811,13 @@ object Dedup {
       in.ranked.filter(col("__rk") <= col("__sz") - ceilT + 1),
       Seq(col("h")), index.maxPosting).count()
     if (releaseWorkingSet) { in.ranked.unpersist(); in.fp.unpersist() }
-    index.copy(
+    (index.copy(
       fps = index.fps.unionAll(fpsDelta),
       prefix = index.prefix.unionAll(prefixDelta),
       arrs = index.arrs.unionAll(arrsDelta),
       droppedPostings = index.droppedPostings + droppedDelta,
-      cachedPieces = index.cachedPieces ++ Seq(fpsDelta, prefixDelta, arrsDelta))
+      cachedPieces = index.cachedPieces ++ Seq(fpsDelta, prefixDelta, arrsDelta)),
+      prefixDelta, arrsDelta)
   }
 
   /** Classify a batch of arriving documents against a prebuilt
@@ -813,11 +846,22 @@ object Dedup {
     verdictsFrom(index, batchInput(index, batch, idCol, textCol))
 
   private def verdictsFrom(index: CorpusShingleIndex,
-      in: BatchIndexInput): DataFrame = {
+      in: BatchIndexInput): DataFrame =
+    verdictsFrom(index, in, prefixOf(index, in),
+      in.ranked.groupBy(col("id"))
+        .agg(sort_array(collect_list(col("h"))).as("__hs"),
+          count(lit(1)).as("__sz")))
+
+  /** Verdicts with caller-supplied batch prefix/arrays frames — the
+    * [[classifyAndAppend]] path hands in the append's PERSISTED deltas
+    * (textually identical derivations of `in`), so the verdict plan
+    * reads the already-materialized caches instead of re-running the
+    * prefix window and the sort_array aggregate (round 16). */
+  private def verdictsFrom(index: CorpusShingleIndex,
+      in: BatchIndexInput, prefixB: DataFrame, arrsB: DataFrame): DataFrame = {
     val exact = in.fp
       .join(index.fps, Seq("__fp"), "left_semi")
       .select(col("id"))
-    val prefixB = prefixOf(index, in)
     val candPairs = prefixB
       .select(col("h"), col("id").as("id_b"), col("__sz").as("__szb"))
       .join(index.prefix.select(col("h"), col("id").as("id_c"),
@@ -826,9 +870,6 @@ object Dedup {
         col("__szc") * index.thresholdNum <= col("__szb") * index.thresholdDen)
       .select("id_b", "id_c")
       .distinct()
-    val arrsB = in.ranked.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("__hs"),
-        count(lit(1)).as("__sz"))
     val near = candPairs
       .join(arrsB.select(col("id").as("id_b"), col("__hs").as("__ha"),
         col("__sz").as("__sza")), "id_b")
@@ -1316,9 +1357,12 @@ object Dedup {
     * the whole pipeline is external-oracle replayable (qp51). */
   def simhashWide(docs: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
-    val shingles = shingleStream(docs, idCol, textCol, 3)
+    lazy val shingles = shingleStream(docs, idCol, textCol, 3)
     val tok =
-      if (!portable) shingles.select(col("id"), xxhash64(col("s")).as("h"))
+      // round 16: the xxhash64 branch reads the native hash stream (no
+      // token window/exchange — see shingleHashStream); the portable
+      // branch still needs the shingle STRING for its char-level hash
+      if (!portable) shingleHashStream(docs, idCol, textCol, 3)
       else
         // one native codegen'd expression per shingle (char hash + the
         // 64 sign tests in a static call) — both a functions.aggregate

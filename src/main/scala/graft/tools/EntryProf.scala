@@ -1,0 +1,33 @@
+package graft.tools
+
+/** Per-entry attribution: DataFrame CONSTRUCTION time (parse + bind,
+  * including any eager bind-time actions like theta band stats or index
+  * builds) vs noop-sink EXECUTION time, over a few repetitions.
+  * Optimization-round triage only — not part of the driver contract.
+  * Usage: runMain graft.tools.EntryProf <reps> <names…>
+  */
+object EntryProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = args.headOption.flatMap(_.toIntOption).getOrElse(3)
+    val names = args.drop(1).toSeq
+    val spark = graft.Sessions.build("entry-prof")
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm shared machinery once, untimed
+    graft.SparkEntry.queries("q03_join_inner")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    graft.queries.Engines.releaseAll()
+    names.foreach { n =>
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        graft.queries.Engines.releaseAll(blocking = true)
+        println(f"[prof] $n rep$r construct ${(t1 - t0) / 1e9}%.3f s  exec ${(t2 - t1) / 1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}
