@@ -3906,6 +3906,32 @@ final class Binder(
   private case class BandPlan(innerBand: Column, outerBands: Column,
       outerBoundary: Column, op: String, bands: Int)
 
+  /** Parallelize-only repartition WITHOUT the round-robin local sort:
+    * a keyless `repartition(n)` first binary-sorts every input row so
+    * retried tasks reproduce the same row-to-partition assignment
+    * (`spark.sql.execution.sortBeforeRepartition`, SPARK-23207 — guide
+    * §2.5), a per-row cost the theta inner side paid on every bound
+    * query. Hashing the row CONTENT is deterministic under retry with
+    * no sort; duplicate rows co-locating is the only skew exposure, and
+    * a corpus whose theta inner is dominated by one exact duplicate row
+    * explodes the join volume itself long before the partition skew
+    * matters (round 16). */
+  private def spreadRepartition(df: DataFrame, n: Int): DataFrame = {
+    // MapType is not hashable by xxhash64 — skip such columns; if
+    // nothing hashable remains (never with the current type surface),
+    // keep the keyless round-robin as the safe fallback
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name))
+    if (hashable.isEmpty) df.repartition(n)
+    else df.repartition(n, xxhash64(hashable.toIndexedSeq: _*))
+  }
+
   /** Per-bind memo of the band-plan stats action, keyed by (inner frame
     * reference, correlated conjuncts): the banded-agg attempt and the
     * thetaInnerJoin fallback inside ONE lowering probe the same inner
@@ -4037,13 +4063,13 @@ final class Binder(
           // side parallel in the broadcast case.
           val nPart = renamed.sparkSession.sessionState.conf.numShufflePartitions
           val outerX = outerDf.withColumn(bo, explode(outerBands))
-          val innerB = renamed.repartition(nPart).withColumn(bi, innerBand)
+          val innerB = spreadRepartition(renamed, nPart).withColumn(bi, innerBand)
           val smallOuter = nOuter <= 32768
           val left = if (smallOuter) outerX.hint("broadcast") else outerX
           left.join(innerB, col(bo) === col(bi) && cond, "inner")
             .drop(bo, bi)
         case None =>
-          outerDf.join(renamed.repartition(
+          outerDf.join(spreadRepartition(renamed,
             renamed.sparkSession.sessionState.conf.numShufflePartitions),
             cond, "inner")
       }
