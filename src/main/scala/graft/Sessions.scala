@@ -16,6 +16,13 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // allow the planner to pick a SHUFFLED HASH join when one side's
+      // per-partition build fits (optimization guide §3.1/§9): sort-merge
+      // pays two full sorts that a hash build skips; at 100 TB the same
+      // condition holds per partition (AQE's skew split keeps build
+      // sides bounded), and SMJ remains the fallback whenever the size
+      // conditions fail — a strategy choice, never a semantics change.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

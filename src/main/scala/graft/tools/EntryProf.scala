@@ -17,15 +17,25 @@ object EntryProf {
     graft.SparkEntry.queries("q03_join_inner")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     graft.queries.Engines.releaseAll()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
     names.foreach { n =>
       (1 to reps).foreach { r =>
+        val j0 = jobs.get()
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(n)(spark, sfDir)
         val t1 = System.nanoTime()
+        val j1 = jobs.get()
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
+        val j2 = jobs.get()
         graft.queries.Engines.releaseAll(blocking = true)
-        println(f"[prof] $n rep$r construct ${(t1 - t0) / 1e9}%.3f s  exec ${(t2 - t1) / 1e9}%.3f s")
+        println(f"[prof] $n rep$r construct ${(t1 - t0) / 1e9}%.3f s (${j1 - j0} jobs)  exec ${(t2 - t1) / 1e9}%.3f s (${j2 - j1} jobs)")
       }
     }
     spark.stop()
