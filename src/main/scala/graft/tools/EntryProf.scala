@@ -18,11 +18,26 @@ object EntryProf {
       .write.format("noop").mode("overwrite").save()
     graft.queries.Engines.releaseAll()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val verbose = sys.env.contains("GRAFT_PROF_JOBS")
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          jobStartNs.put(js.jobId, System.nanoTime())
+          if (verbose) {
+            val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+            println(s"[job] start ${js.jobId} $site")
+          }
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (verbose) {
+            val t0 = Option(jobStartNs.remove(je.jobId))
+            val d = t0.map(t => (System.nanoTime() - t) / 1e9).getOrElse(-1.0)
+            println(f"[job] end   ${je.jobId} $d%.3f s")
+          }
       })
     names.foreach { n =>
       (1 to reps).foreach { r =>
