@@ -34,7 +34,33 @@ object ShingleOps {
 
   /** xxhash64(seed 42) of each n-token shingle of `text` (object doc).
     * Public and statically reachable for generated code. */
-  def shingleHashes(text: UTF8String, n: Int): GenericArrayData = {
+  def shingleHashes(text: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(shingleHashArray(text, n))
+
+  /** The DISTINCT hashes of [[shingleHashes]], sorted ascending —
+    * bit-identical to `sort_array(array_distinct(shingle_hashes(t, n)))`
+    * (long sort, no nulls possible) but one in-place sort + dedup pass
+    * instead of two generic array builtins. Round 17: the per-document
+    * base frame for every SET-semantics dedup consumer, which lets the
+    * per-doc `dropDuplicates(id, h)` aggregate, the per-doc size window
+    * and the `sort_array(collect_list(h))` verify-array aggregate all
+    * collapse into this one projection (guide §1.2/§2.3 — the dedup
+    * happens before any exchange, so the h-shuffle carries only
+    * distinct (id, h) pairs). */
+  def shingleHashesDistinct(text: UTF8String, n: Int): GenericArrayData = {
+    val a = shingleHashArray(text, n)
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 0
+    while (i < a.length) {
+      if (w == 0 || a(w - 1) != a(i)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (w == a.length) a else java.util.Arrays.copyOf(a, w))
+  }
+
+  private def shingleHashArray(text: UTF8String, n: Int): Array[Long] = {
     val toks = text.trim().split(WS, -1)
     val len = toks.length
     // split(regex, -1) never returns an empty array (an empty string
@@ -73,14 +99,15 @@ object ShingleOps {
           pos, 42L)
       s += 1
     }
-    new GenericArrayData(out)
+    out
   }
 }
 
 /** Native expression wrapper over [[ShingleOps.shingleHashes]] — one
   * static call per row inside whole-stage codegen, same shape as
   * [[ChunkFingerprints]]. */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int,
+    distinct: Boolean = false) extends UnaryExpression {
 
   require(n >= 1 && n <= 64, s"shingle width must be in [1, 64], got $n")
 
@@ -92,14 +119,18 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String =
+    if (distinct) "shingle_hashes_distinct" else "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+    if (distinct) ShingleOps.shingleHashesDistinct(input.asInstanceOf[UTF8String], n)
+    else ShingleOps.shingleHashes(input.asInstanceOf[UTF8String], n)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (distinct) "shingleHashesDistinct" else "shingleHashes"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleOps.shingleHashes($c, $n);")
+      s"${ev.value} = graft.functions.ShingleOps.$fn($c, $n);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -108,4 +139,9 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
   def apply(text: Column, n: Int): Column =
     GraftSqlBridge.column(new ShingleHashes(GraftSqlBridge.expression(text), n))
+
+  /** `sort_array(array_distinct(shingle_hashes(text, n)))` in one pass. */
+  def distinctSorted(text: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      new ShingleHashes(GraftSqlBridge.expression(text), n, distinct = true))
 }

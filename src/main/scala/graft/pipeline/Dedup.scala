@@ -95,6 +95,27 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(graft.functions.ShingleHashes(col(textCol), n)).as("h"))
 
+  /** Per-document DISTINCT SORTED shingle-hash ARRAYS —
+    * (id, __hs array<long>, __sz long) — the round-17 base frame for
+    * every SET-semantics consumer (the whole index/incremental family
+    * and the Jaccard verifies). Equivalent to
+    * `shingleHashStream(...).dropDuplicates("id","h")` reassembled per
+    * doc, but computed in ONE codegen'd projection per row, so
+    *  - the per-doc dedup costs no (id,h) aggregate and the h-exchange
+    *    downstream carries only distinct pairs (guide §2.3),
+    *  - `__sz` (the distinct-shingle count the prefix filter needs) is
+    *    `size(__hs)` instead of a per-id count window (guide §2.4),
+    *  - the sorted verify arrays ARE the rows — no
+    *    `sort_array(collect_list(h))` aggregate, no id-exchange for it.
+    * NULL text emits no row (explode-of-null semantics of the old
+    * stream); empty text keeps its single empty-shingle hash. */
+  private[graft] def shingleSetStream(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.ShingleHashes.distinctSorted(col(textCol), n).as("__hs"))
+      .filter(col("__hs").isNotNull)
+      .select(col("id"), col("__hs"), size(col("__hs")).cast("long").as("__sz"))
+
   /** MinHash signature as k wide columns via the shingle stream + k
     * codegen'd MIN aggregates — one hash aggregate with map-side partial
     * combine. The shingle string is hashed once; the k per-permutation
@@ -165,39 +186,43 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     require(thresholdNum >= 1, "thresholdNum must be >= 1")
     require(thresholdDen >= 1, "thresholdDen must be >= 1")
-    // ONE distinct shingle-HASH stream feeds both the MinHash signature
-    // (MIN is duplicate-insensitive, so distinct-first is equivalent)
-    // and the verify joins — identical subtrees let ReuseExchange share
-    // the shingle-hash work instead of recomputing it per consumer.
-    // Round 16: the stream is (id, hash) via the native ShingleHashes
-    // expression — the verify's intersection join matches 8-byte hashes
-    // instead of shingle strings (same 2⁻⁶⁴-collision caveat as the
-    // array verify in ngramJaccardPairs; far below any threshold edge),
-    // which drops the string column from every exchange here AND
-    // removes the per-doc token window the string stream paid.
-    val stream = shingleHashStream(docs, idCol, textCol, shingleN)
-      .dropDuplicates("id", "h")
+    // ONE per-doc distinct shingle-hash ARRAY frame (round 17 —
+    // shingleSetStream: the per-doc dedup, the set size AND the sorted
+    // verify arrays all come out of one codegen'd projection; MIN is
+    // duplicate-insensitive, so the signature over the distinct set is
+    // equivalent) feeds both the MinHash signature aggregate and the
+    // verify joins — persisted so the scan + shingle hashing run once
+    // for its three consumers. The hash-for-string substitution keeps
+    // round 16's 2⁻⁶⁴-collision caveat (see ngramJaccardPairs).
+    val sets = PipelineCaches.track(
+      shingleSetStream(docs, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val stream = sets.select(col("id"), explode(col("__hs")).as("h"))
     val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     val sig = stream.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val cands = bandedCandidates(sig, k, bands, maxBucket)
-    jaccardVerify(cands, stream, thresholdNum, thresholdDen)
+    jaccardVerify(cands, sets, thresholdNum, thresholdDen)
   }
 
-  /** Exact-Jaccard verification of candidate id pairs against the full
-    * distinct (id, shingle-hash) stream (see nearDuplicatePairs for the
-    * array-free design rationale) — shared by the MinHash-banded and
-    * the inverted-index candidate generators. */
-  private def jaccardVerify(cands: DataFrame, stream: DataFrame,
+  /** Exact-Jaccard verification of candidate id pairs against the
+    * per-doc distinct sorted shingle-hash arrays (round 17 — the same
+    * two-equijoin + native merge-count design as ngramJaccardPairs'
+    * verify: the arrays ship once per candidate id and
+    * SortedIntersectCount is allocation-free per pair, where the old
+    * row-join verify shuffled |cands|·|doc| hash rows twice and paid a
+    * per-pair count aggregate). `sets` is a (id, __hs, __sz) frame from
+    * [[shingleSetStream]]. A zero-intersection candidate survives the
+    * equijoins but fails the threshold filter (num ≥ 1) exactly as it
+    * dropped out of the old inner intersection join. */
+  private def jaccardVerify(cands: DataFrame, sets: DataFrame,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val sizes = stream.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
-    val inter = cands
-      .join(stream.select(col("id").as("id_a"), col("h")), "id_a")
-      .join(stream.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("__sz").as("__sza")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("__sz").as("__szb")), "id_b")
+    cands
+      .join(sets.select(col("id").as("id_a"), col("__hs").as("__ha"),
+        col("__sz").as("__sza")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__hs").as("__hb"),
+        col("__sz").as("__szb")), "id_b")
+      .withColumn("__inter",
+        graft.functions.SetOps.sortedIntersectCount(col("__ha"), col("__hb")))
       .withColumn("__uni", col("__sza") + col("__szb") - col("__inter"))
       .filter(col("__inter") * thresholdDen >= col("__uni") * thresholdNum)
       .select(col("id_a"), col("id_b"),
@@ -251,14 +276,20 @@ object Dedup {
     // outlives this call (the returned lazy frame reads it), so it is
     // registered with [[PipelineCaches]] for the caller's post-action
     // release instead of leaking for the session (VERDICT r11 #1).
+    // round 17: the per-doc distinct sorted hash ARRAYS are computed in
+    // one codegen'd projection (shingleSetStream) and persisted as the
+    // base frame — the h-exchange below carries only distinct rows, the
+    // per-doc size is size(__hs) instead of a count window, and the
+    // verify arrays ARE the cached rows (no sort_array(collect_list)).
+    val sets = PipelineCaches.track(
+      shingleSetStream(docs, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val hashes = PipelineCaches.track(
-      shingleHashStream(docs, idCol, textCol, shingleN)
+      sets.select(col("id"), col("__sz"), explode(col("__hs")).as("h"))
         .repartition(col("h"))
-        .dropDuplicates("id", "h")
         .persist(StorageLevel.MEMORY_AND_DISK))
     val dfreq = hashes.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val ranked = hashes.join(dfreq, "h")
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("__df"), col("h"))))
     // ceil(num·sz/den) via integer math; positive operands, so the
@@ -287,11 +318,9 @@ object Dedup {
     // |doc|-bounded. 64-bit hash collisions could overcount one
     // intersection by 1 in ~2^-64 of pairs — far below any threshold
     // edge in practice.
-    val arrs = hashes.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("__hs"), count(lit(1)).as("__sz"))
     cands
-      .join(arrs.select(col("id").as("id_a"), col("__hs").as("__ha"), col("__sz").as("__sza")), "id_a")
-      .join(arrs.select(col("id").as("id_b"), col("__hs").as("__hb"), col("__sz").as("__szb")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("__hs").as("__ha"), col("__sz").as("__sza")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__hs").as("__hb"), col("__sz").as("__szb")), "id_b")
       .withColumn("__inter", graft.functions.SetOps.sortedIntersectCount(col("__ha"), col("__hb")))
       .withColumn("__uni", col("__sza") + col("__szb") - col("__inter"))
       .filter(col("__inter") * thresholdDen >= col("__uni") * thresholdNum)
@@ -350,23 +379,30 @@ object Dedup {
           graft.pipeline.TextOps.fingerprint(col(textCol)).as("__fp"))
         .distinct(), Seq("__fp"), "left_semi")
       .select(col("id"))
-    // per-side hashed + per-doc-deduped shingle streams, each behind one
-    // pinned exchange and persisted for its multiple consumers (the
-    // qp63 discipline — see ngramJaccardPairs for why persist, not
-    // ReuseExchange); registered for the caller's post-action release
-    def hashed(df: DataFrame): DataFrame =
-      shingleHashStream(df, idCol, textCol, shingleN)
+    // per-side per-doc distinct shingle ARRAYS (round 17 — one codegen'd
+    // projection each; the verify arrays with no collect_list aggregate
+    // and no per-doc dedup/size passes) plus each side's exploded hash
+    // stream behind one pinned exchange, all persisted for their
+    // multiple consumers (the qp63 discipline — see ngramJaccardPairs
+    // for why persist, not ReuseExchange); registered for the caller's
+    // post-action release
+    val sb = PipelineCaches.track(
+      shingleSetStream(batch, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sc = PipelineCaches.track(
+      shingleSetStream(corpus, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    def hashed(sets: DataFrame): DataFrame =
+      sets.select(col("id"), col("__sz"), explode(col("__hs")).as("h"))
         .repartition(col("h"))
-        .dropDuplicates("id", "h")
     val hb = PipelineCaches.track(
-      hashed(batch).persist(StorageLevel.MEMORY_AND_DISK))
+      hashed(sb).persist(StorageLevel.MEMORY_AND_DISK))
     val hc = PipelineCaches.track(
-      hashed(corpus).persist(StorageLevel.MEMORY_AND_DISK))
+      hashed(sc).persist(StorageLevel.MEMORY_AND_DISK))
     val dfreq = hb.select(col("h")).unionAll(hc.select(col("h")))
       .groupBy(col("h")).agg(count(lit(1)).as("__df"))
     def prefix(hs: DataFrame): DataFrame = {
       val ranked = hs.join(dfreq, "h")
-        .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
         .withColumn("__rk", row_number().over(
           Window.partitionBy(col("id")).orderBy(col("__df"), col("h"))))
       val ceilT = ((col("__sz") * thresholdNum + thresholdDen - 1) / thresholdDen).cast("long")
@@ -381,12 +417,10 @@ object Dedup {
         col("__szc") * thresholdNum <= col("__szb") * thresholdDen)
       .select("id_b", "id_c")
       .distinct()
-    def arrs(hs: DataFrame): DataFrame = hs.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("__hs"), count(lit(1)).as("__sz"))
     val near = candPairs
-      .join(arrs(hb).select(col("id").as("id_b"), col("__hs").as("__ha"),
+      .join(sb.select(col("id").as("id_b"), col("__hs").as("__ha"),
         col("__sz").as("__sza")), "id_b")
-      .join(arrs(hc).select(col("id").as("id_c"), col("__hs").as("__hb"),
+      .join(sc.select(col("id").as("id_c"), col("__hs").as("__hb"),
         col("__sz").as("__szb")), "id_c")
       .withColumn("__inter",
         graft.functions.SetOps.sortedIntersectCount(col("__ha"), col("__hb")))
@@ -494,23 +528,27 @@ object Dedup {
     val fps = persistTracked(corpus
       .select(graft.pipeline.TextOps.fingerprint(col(textCol)).as("__fp"))
       .distinct())
+    // Round 17: the verify ARRAYS are computed per row (one codegen'd
+    // projection — see shingleSetStream) and double as the base frame
+    // the exploded hash stream derives from, so the build pays no
+    // per-doc dedup aggregate, no per-doc size window and no
+    // sort_array(collect_list) aggregate, and the pinned h-exchange
+    // carries only distinct (id, h, __sz) rows (guide §2.3/§2.4).
+    val arrs = persistTracked(
+      shingleSetStream(corpus, idCol, textCol, shingleN))
     // build-scoped: consumed by the derived frames below, then dropped —
     // the same pinned-exchange + persist discipline as
     // ngramJaccardPairs, but scoped to the build instead of the session
-    val hc = shingleHashStream(corpus, idCol, textCol, shingleN)
+    val hc = arrs
+      .select(col("id"), col("__sz"), explode(col("__hs")).as("h"))
       .repartition(col("h"))
-      .dropDuplicates("id", "h")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = persistTracked(
       hc.groupBy(col("h")).agg(count(lit(1)).as("__df")))
-    // ONE id-clustered pass feeds prefix, cap audit AND arrays: the
-    // join + per-doc windows run once into a build-scoped cache, and
-    // the arrays aggregate rides its id-partitioning with no further
-    // exchange (first cut ran the join+windows twice — once for the
-    // postings, once for the cap audit — and id-shuffled the corpus
-    // stream a second time for the arrays; ~2× the build's cost).
+    // ONE id-clustered pass feeds prefix AND cap audit: the join + the
+    // per-doc rank window run once into a build-scoped cache (__sz
+    // rides along from the arrays — no count window).
     val ranked = hc.join(dfreq, "h")
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("__df"), col("h"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -519,9 +557,6 @@ object Dedup {
     val rawPrefix = ranked.filter(col("__rk") <= col("__sz") - ceilT + 1)
       .select(col("id"), col("h"), col("__sz"))
     val prefix = persistTracked(cappedBuckets(rawPrefix, Seq(col("h")), maxPosting))
-    val arrs = persistTracked(ranked.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("__hs"),
-        count(lit(1)).as("__sz")))
     // ONE materialization action fills every cache: the four index
     // frames union into a single count whose branches share hc / dfreq /
     // ranked through the BlockManager's per-block locking — at fixture
@@ -784,26 +819,28 @@ object Dedup {
       cachedPieces = Nil)
   }
 
-  /** Shared per-batch working set of the indexed operators: the cached
-    * id-clustered ranked shingle stream (shingle → hash → dedup →
-    * corpus-df join → per-doc windows, ONE exchange chain) and the
-    * batch (id, fingerprint) pairs. Both persisted + tracked; the
-    * consumers (verdicts, deltas) are pure cache readers. */
-  private final case class BatchIndexInput(ranked: DataFrame, fp: DataFrame)
+  /** Shared per-batch working set of the indexed operators: the
+    * per-doc distinct shingle-hash ARRAYS (round 17 — the verify
+    * arrays, computed per row), the cached ranked shingle stream
+    * (explode → corpus-df join → per-doc rank window, ONE exchange
+    * chain) and the batch (id, fingerprint) pairs. All persisted +
+    * tracked; the consumers (verdicts, deltas) are pure cache readers. */
+  private final case class BatchIndexInput(sets: DataFrame,
+      ranked: DataFrame, fp: DataFrame)
 
   private def batchInput(index: CorpusShingleIndex, batch: DataFrame,
       idCol: String, textCol: String): BatchIndexInput = {
+    val sets = PipelineCaches.track(
+      shingleSetStream(batch, idCol, textCol, index.shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     // batch prefix rank under the index's fixed (corpus df, hash)
     // order; LEFT join: a batch-only shingle has no corpus df row → df
-    // 0. The arrays aggregate and the prefix filter both ride this one
-    // id-clustered cached pass — no second exchange of the batch stream.
+    // 0. __sz rides along from the arrays — no count window.
     val ranked = PipelineCaches.track(
-      shingleHashStream(batch, idCol, textCol, index.shingleN)
+      sets.select(col("id"), col("__sz"), explode(col("__hs")).as("h"))
         .repartition(col("h"))
-        .dropDuplicates("id", "h")
         .join(index.dfreq, Seq("h"), "left")
         .withColumn("__dfo", coalesce(col("__df"), lit(0L)))
-        .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
         .withColumn("__rk", row_number().over(
           Window.partitionBy(col("id")).orderBy(col("__dfo"), col("h"))))
         .select(col("id"), col("h"), col("__sz"), col("__rk"))
@@ -812,7 +849,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.pipeline.TextOps.fingerprint(col(textCol)).as("__fp"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    BatchIndexInput(ranked, fp)
+    BatchIndexInput(sets, ranked, fp)
   }
 
   /** The capped prefix postings of a batch working set. */
@@ -841,9 +878,12 @@ object Dedup {
       // keep the union a set: only fingerprints the corpus lacks
       .join(index.fps, Seq("__fp"), "left_anti"))
     val prefixDelta = persistTracked(prefixOf(index, in))
-    val arrsDelta = persistTracked(in.ranked.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("__hs"),
-        count(lit(1)).as("__sz")))
+    // the verify arrays ARE the cached per-doc sets (round 17): the
+    // delta reuses that persist outright (a re-persist of the same
+    // plan would alias the same CacheManager entry anyway), so it is
+    // exempted from the working-set release below — it lives on as an
+    // index piece until index.release / the global drain
+    val arrsDelta = in.sets
     // one materialization action for all three deltas AND the cap
     // audit (see the build — the tagged fifth-branch idiom)
     val ceilT = ((col("__sz") * index.thresholdNum + index.thresholdDen - 1) /
@@ -853,6 +893,7 @@ object Dedup {
       overCapBuckets(
         in.ranked.filter(col("__rk") <= col("__sz") - ceilT + 1),
         Seq(col("h")), index.maxPosting))
+    // in.sets is NOT released: it is the arrays delta (an index piece)
     if (releaseWorkingSet) { in.ranked.unpersist(); in.fp.unpersist() }
     (index.copy(
       fps = index.fps.unionAll(fpsDelta),
@@ -890,10 +931,8 @@ object Dedup {
 
   private def verdictsFrom(index: CorpusShingleIndex,
       in: BatchIndexInput): DataFrame =
-    verdictsFrom(index, in, prefixOf(index, in),
-      in.ranked.groupBy(col("id"))
-        .agg(sort_array(collect_list(col("h"))).as("__hs"),
-          count(lit(1)).as("__sz")))
+    // the cached per-doc sets ARE the verify arrays (round 17)
+    verdictsFrom(index, in, prefixOf(index, in), in.sets)
 
   /** Verdicts with caller-supplied batch prefix/arrays frames — the
     * [[classifyAndAppend]] path hands in the append's PERSISTED deltas

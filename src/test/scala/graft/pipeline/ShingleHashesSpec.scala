@@ -72,6 +72,51 @@ class ShingleHashesSpec extends AnyFunSuite {
     assert(oldStream(df, 3).filter(col("id") === 1L).count() == 0L)
   }
 
+  for (n <- Seq(1, 2, 3, 5)) {
+    test(s"shingleSetStream == dropDuplicates + count + sort_array(collect_list) (n=$n)") {
+      // the round-17 per-row set pipeline against the three-aggregate
+      // chain it replaced: same ids, same sorted arrays, same sizes
+      val olds = Dedup.shingleHashStream(docsDf, "id", "text", n)
+        .dropDuplicates("id", "h")
+        .groupBy("id")
+        .agg(sort_array(collect_list("h")).as("__hs"),
+          count(lit(1)).as("__sz"))
+        .orderBy("id").collect()
+      val news = Dedup.shingleSetStream(docsDf, "id", "text", n)
+        .orderBy("id").collect()
+      assert(olds.length == news.length)
+      olds.zip(news).foreach { case (o, x) =>
+        assert(o.getLong(0) == x.getLong(0))
+        assert(o.getSeq[Long](1) == x.getSeq[Long](1),
+          s"id=${o.getLong(0)} n=$n distinct-sorted array mismatch")
+        assert(o.getLong(2) == x.getLong(2),
+          s"id=${o.getLong(0)} n=$n size mismatch")
+      }
+    }
+  }
+
+  test("shingleSetStream: NULL text emits no row, empty text one hash") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, "")).toDF("id", "text")
+    val rows = Dedup.shingleSetStream(df, "id", "text", 3)
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(rows.head.getLong(2) == 1L)
+  }
+
+  test("distinctSorted equals sort_array(array_distinct(shingle_hashes))") {
+    val viaBuiltins = docsDf.select(col("id"),
+      sort_array(array_distinct(
+        graft.functions.ShingleHashes(col("text"), 3))).as("a"))
+      .orderBy("id").collect()
+    val native = docsDf.select(col("id"),
+      graft.functions.ShingleHashes.distinctSorted(col("text"), 3).as("a"))
+      .orderBy("id").collect()
+    viaBuiltins.zip(native).foreach { case (o, x) =>
+      assert(o.getSeq[Long](1) == x.getSeq[Long](1))
+    }
+  }
+
   test("hash matches spark xxhash64 of the literal shingle string") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
